@@ -1,5 +1,417 @@
 package graft.ops
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.tables.Tables
+import Op._
+
+/** §2.1–2.3, §2.6–2.7: scans, sinks, filters, joins, sorts, set ops.
+  *
+  * Scale notes (100 TB):
+  *  - scans rely on parquet pushdown: filters land in `PushedFilters`,
+  *    projections in `ReadSchema` (asserted in PlanSuite);
+  *  - join strategy is left to Catalyst + AQE except where the data shape
+  *    is known: dimension tables (region/nation/supplier at real-world
+  *    scale) get an explicit `broadcast()` hint to avoid shuffling the
+  *    fact side;
+  *  - the as-of join is the union-tag + running-window formulation —
+  *    one shuffle on the join key, no per-row range probe, O(n log n)
+  *    within partitions; this is the formulation that survives 1000
+  *    executors, unlike a naive `ts <= t` join which explodes
+  *    quadratically per key;
+  *  - interval join keeps an equi key (user_id) so the planner shuffles
+  *    both sides by user and only range-scans within a key group.
+  */
 object Relational {
-  val ops: Seq[Op] = Seq()
+
+  // ---- §2.1 scans / sinks -------------------------------------------------
+
+  val scanFull: Op = Op(
+    "scan_parquet_full",
+    (s, dir) => Tables.region(s, dir).orderBy("r_regionkey"),
+    Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"))
+
+  val scanPrune: Op = Op(
+    "scan_parquet_prune",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+            ORDER BY l_orderkey, l_linenumber"""))
+
+  val scanPred: Op = Op(
+    "scan_parquet_pred",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1999-06-01"))
+        .select(col("l_orderkey"), col("l_linenumber"), day(col("l_shipdate")).as("ship_day"))
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS ship_day
+            FROM lineitem WHERE l_shipdate >= TIMESTAMP '1999-06-01 00:00:00'
+            ORDER BY l_orderkey, l_linenumber"""))
+
+  /** Writes a derived table to a temp dir, reads it back (parquet sink+source). */
+  val sinkParquet: Op = Op(
+    "sink_parquet_roundtrip",
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sink_pq").toString
+      Tables.supplier(s, dir)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_supp"), sumMoney(dec2(col("s_acctbal"))).as("bal"))
+        .write.mode("overwrite").parquet(s"$tmp/supp_by_nation")
+      s.read.parquet(s"$tmp/supp_by_nation").orderBy("s_nationkey")
+    },
+    None)
+
+  /** CSV and JSON-lines writers/readers with explicit schema; the union of
+    * both round-trips must contain every nation exactly twice.
+    */
+  val sinkCsvJson: Op = Op(
+    "sink_csv_json_roundtrip",
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sink_cj").toString
+      val n = Tables.nation(s, dir)
+      n.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+      n.write.mode("overwrite").json(s"$tmp/json")
+      val schema = Tables.expectedSchemas("nation")
+      val c = s.read.schema(schema).option("header", "true").csv(s"$tmp/csv")
+      val j = s.read.schema(schema).json(s"$tmp/json")
+      c.union(j)
+        .groupBy("n_nationkey", "n_name")
+        .agg(count(lit(1)).as("copies"))
+        .orderBy("n_nationkey")
+    },
+    None)
+
+  // ---- §2.2 projections / filters ----------------------------------------
+
+  val projectCompute: Op = Op(
+    "project_compute",
+    (s, dir) =>
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        concat(col("l_returnflag"), lit("/"), col("l_linestatus")).as("flag_status"),
+        floor(col("l_quantity")).cast(LongType).as("qty_floor"))
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber,
+              l_extendedprice * (1.0 - l_discount) AS revenue,
+              l_returnflag || '/' || l_linestatus AS flag_status,
+              CAST(floor(l_quantity) AS BIGINT) AS qty_floor
+            FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+
+  val filterCompound: Op = Op(
+    "filter_compound",
+    (s, dir) =>
+      Tables.part(s, dir)
+        .filter(
+          col("p_size").between(10, 30) &&
+            (col("p_type").isin("PROMO", "ECONOMY") || col("p_brand").like("Brand#1%")) &&
+            !(col("p_retailprice") < 920.0))
+        .select("p_partkey", "p_name", "p_size", "p_retailprice")
+        .orderBy("p_partkey"),
+    Some("""SELECT p_partkey, p_name, p_size, p_retailprice FROM part
+            WHERE (p_size BETWEEN 10 AND 30)
+              AND (p_type IN ('PROMO','ECONOMY') OR p_brand LIKE 'Brand#1%')
+              AND NOT (p_retailprice < 920.0)
+            ORDER BY p_partkey"""))
+
+  /** Three-valued logic on a derived nullable column. */
+  val filterNull3vl: Op = Op(
+    "filter_null_3vl",
+    (s, dir) => {
+      val o = Tables.orders(s, dir).withColumn("status_n", expr("nullif(o_orderstatus, 'O')"))
+      o.filter(col("status_n").isNull || (col("status_n") <=> lit("F")))
+        .select(
+          col("o_orderkey"), col("status_n"),
+          col("status_n").isNull.cast(IntegerType).as("is_null"),
+          (col("status_n") <=> lit("F")).cast(IntegerType).as("null_safe_eq_f"),
+          coalesce(col("status_n"), lit("OPEN")).as("status_filled"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, nullif(o_orderstatus,'O') AS status_n,
+              CAST(nullif(o_orderstatus,'O') IS NULL AS INT) AS is_null,
+              CAST(nullif(o_orderstatus,'O') IS NOT DISTINCT FROM 'F' AS INT) AS null_safe_eq_f,
+              coalesce(nullif(o_orderstatus,'O'), 'OPEN') AS status_filled
+            FROM orders
+            WHERE nullif(o_orderstatus,'O') IS NULL
+               OR nullif(o_orderstatus,'O') IS NOT DISTINCT FROM 'F'
+            ORDER BY o_orderkey"""))
+
+  // ---- §2.3 joins ---------------------------------------------------------
+
+  val joinInnerEqui: Op = Op(
+    "join_inner_equi",
+    (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+        .select("o_orderkey", "c_custkey", "c_name", "c_mktsegment", "o_totalprice")
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey, c_custkey, c_name, c_mktsegment, o_totalprice
+            FROM customer JOIN orders ON c_custkey = o_custkey
+            ORDER BY o_orderkey"""))
+
+  /** Explicit broadcast of the dimension side — at 100 TB supplier stays
+    * small relative to lineitem, so this avoids shuffling the fact table.
+    */
+  val joinBroadcast: Op = Op(
+    "join_broadcast",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .select("l_orderkey", "l_linenumber", "s_name", "s_nationkey")
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber, s_name, s_nationkey
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            ORDER BY l_orderkey, l_linenumber"""))
+
+  /** Large×large equi join — planner/AQE picks sort-merge. */
+  val joinSortMerge: Op = Op(
+    "join_sortmerge",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          day(col("o_orderdate")).as("order_day"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber,
+              strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+              l_extendedprice * (1.0 - l_discount) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+            ORDER BY l_orderkey, l_linenumber"""))
+
+  val joinLeftOuter: Op = Op(
+    "join_left_outer",
+    (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+          count(col("o_orderkey")).as("order_cnt"),
+          sumMoney(dec2(col("o_totalprice"))).as("total_spent"))
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name, COUNT(o_orderkey) AS order_cnt,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spent
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey, c_name
+            ORDER BY c_custkey"""))
+
+  val joinFullOuter: Op = Op(
+    "join_full_outer",
+    (s, dir) => {
+      val a = Tables.customer(s, dir).select(col("c_nationkey").as("ck")).distinct()
+      val b = Tables.supplier(s, dir).select(col("s_nationkey").as("sk")).distinct()
+      a.join(b, col("ck") === col("sk"), "full")
+        .select(
+          coalesce(col("ck"), col("sk")).as("nationkey"),
+          col("ck").isNotNull.cast(IntegerType).as("has_cust"),
+          col("sk").isNotNull.cast(IntegerType).as("has_supp"))
+        .orderBy("nationkey")
+    },
+    Some("""SELECT coalesce(ck, sk) AS nationkey,
+              CAST(ck IS NOT NULL AS INT) AS has_cust,
+              CAST(sk IS NOT NULL AS INT) AS has_supp
+            FROM (SELECT DISTINCT c_nationkey AS ck FROM customer) a
+            FULL OUTER JOIN (SELECT DISTINCT s_nationkey AS sk FROM supplier) b
+              ON ck = sk
+            ORDER BY nationkey"""))
+
+  val joinSemi: Op = Op(
+    "join_semi",
+    (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            ORDER BY c_custkey"""))
+
+  val joinAnti: Op = Op(
+    "join_anti",
+    (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            ORDER BY c_custkey"""))
+
+  val joinCross: Op = Op(
+    "join_cross",
+    (s, dir) =>
+      Tables.region(s, dir).crossJoin(Tables.nation(s, dir))
+        .select("r_regionkey", "r_name", "n_nationkey", "n_name")
+        .orderBy("r_regionkey", "n_nationkey"),
+    Some("""SELECT r_regionkey, r_name, n_nationkey, n_name
+            FROM region CROSS JOIN nation
+            ORDER BY r_regionkey, n_nationkey"""))
+
+  /** Non-equi (theta) join against a literal band table → BNL join over a
+    * broadcast 3-row side; at scale the band side stays tiny so this never
+    * shuffles the fact table.
+    */
+  val joinThetaRange: Op = Op(
+    "join_theta_range",
+    (s, dir) => {
+      import s.implicits._
+      val bands = Seq(
+        ("low", 900.0, 930.0), ("mid", 930.0, 970.0), ("high", 970.0, 1000.0))
+        .toDF("band", "lo", "hi")
+      Tables.part(s, dir)
+        .join(broadcast(bands),
+          col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+        .select("p_partkey", "band", "p_retailprice")
+        .orderBy("p_partkey", "band")
+    },
+    Some("""SELECT p_partkey, band, p_retailprice
+            FROM part JOIN (VALUES ('low', 900.0, 930.0), ('mid', 930.0, 970.0),
+                                   ('high', 970.0, 1000.0)) b(band, lo, hi)
+              ON p_retailprice >= lo AND p_retailprice < hi
+            ORDER BY p_partkey, band"""))
+
+  /** Equi + range composite: views within 10 minutes before each purchase
+    * of the same user. The equi key keeps the shuffle bounded per user.
+    */
+  val joinInterval: Op = Op(
+    "join_interval",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      val v = e.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id").as("v_user"), col("ts").as("v_ts"))
+      p.join(v,
+        col("p_user") === col("v_user") &&
+          col("v_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+          col("v_ts") <= col("p_ts"))
+        .select("purchase_id", "view_id")
+        .orderBy("purchase_id", "view_id")
+    },
+    Some("""SELECT p.event_id AS purchase_id, v.event_id AS view_id
+            FROM events p JOIN events v
+              ON p.user_id = v.user_id
+             AND v.ts >= p.ts - INTERVAL 10 MINUTE AND v.ts <= p.ts
+            WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+            ORDER BY purchase_id, view_id"""))
+
+  /** As-of join: for each purchase, the latest click of the same user
+    * at-or-before the purchase. Spark has no as-of primitive; this is the
+    * union-tag + running `last(ignoreNulls)` window formulation — a single
+    * shuffle on user_id and one sort, no quadratic per-key probe. DuckDB's
+    * native ASOF JOIN is the oracle.
+    */
+  val joinAsof: Op = Op(
+    "join_asof",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val clicks = e.filter(col("event_type") === "click").select(
+        col("user_id"), col("ts"),
+        col("event_id").as("click_id"), lit(null).cast(LongType).as("purchase_id"))
+      val purchases = e.filter(col("event_type") === "purchase").select(
+        col("user_id"), col("ts"),
+        lit(null).cast(LongType).as("click_id"), col("event_id").as("purchase_id"))
+      // At equal ts the click sorts first (isPurchase false < true), making
+      // the as-of inclusive, matching DuckDB `ON c.ts <= p.ts`.
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("purchase_id").isNotNull, coalesce(col("click_id"), col("purchase_id")))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.union(purchases)
+        .withColumn("last_click", last(col("click_id"), ignoreNulls = true).over(w))
+        .filter(col("purchase_id").isNotNull && col("last_click").isNotNull)
+        .select(col("purchase_id"), col("last_click").as("click_id"))
+        .orderBy("purchase_id")
+    },
+    Some("""SELECT p.event_id AS purchase_id, c.event_id AS click_id
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND c.ts <= p.ts
+            ORDER BY purchase_id"""))
+
+  // ---- §2.6 sorts / limits ------------------------------------------------
+
+  val sortMultiNulls: Op = Op(
+    "sort_multi_nulls",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .withColumn("pr", expr("nullif(o_orderpriority, '1-URGENT')"))
+        .select("o_orderkey", "pr", "o_totalprice")
+        .orderBy(col("pr").desc_nulls_last, col("o_totalprice").desc, col("o_orderkey")),
+    Some("""SELECT o_orderkey, nullif(o_orderpriority, '1-URGENT') AS pr, o_totalprice
+            FROM orders
+            ORDER BY pr DESC NULLS LAST, o_totalprice DESC, o_orderkey"""))
+
+  /** Global top-k → TakeOrderedAndProject: each partition keeps only its
+    * local top 100, so the exchange moves k·partitions rows, not the table.
+    */
+  val limitTopk: Op = Op(
+    "limit_topk",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(100),
+    Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+            LIMIT 100"""))
+
+  // ---- §2.7 set ops -------------------------------------------------------
+
+  private def custNations(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+  private def suppNations(s: SparkSession, dir: String): DataFrame =
+    Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey"))
+
+  val setUnionAll: Op = Op(
+    "set_union_all",
+    (s, dir) =>
+      custNations(s, dir).withColumn("src", lit("cust"))
+        .unionAll(suppNations(s, dir).withColumn("src", lit("supp")))
+        .orderBy("nationkey", "src"),
+    Some("""SELECT c_nationkey AS nationkey, 'cust' AS src FROM customer
+            UNION ALL
+            SELECT s_nationkey AS nationkey, 'supp' AS src FROM supplier
+            ORDER BY nationkey, src"""))
+
+  val setUnionDistinct: Op = Op(
+    "set_union_distinct",
+    (s, dir) =>
+      custNations(s, dir).union(suppNations(s, dir)).distinct().orderBy("nationkey"),
+    Some("""SELECT c_nationkey AS nationkey FROM customer
+            UNION
+            SELECT s_nationkey AS nationkey FROM supplier
+            ORDER BY nationkey"""))
+
+  val setIntersect: Op = Op(
+    "set_intersect",
+    (s, dir) => custNations(s, dir).intersect(suppNations(s, dir)).orderBy("nationkey"),
+    Some("""SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT
+            SELECT s_nationkey AS nationkey FROM supplier
+            ORDER BY nationkey"""))
+
+  val setExcept: Op = Op(
+    "set_except",
+    (s, dir) => custNations(s, dir).except(suppNations(s, dir)).orderBy("nationkey"),
+    Some("""SELECT c_nationkey AS nationkey FROM customer
+            EXCEPT
+            SELECT s_nationkey AS nationkey FROM supplier
+            ORDER BY nationkey"""))
+
+  val ops: Seq[Op] = Seq(
+    scanFull, scanPrune, scanPred, sinkParquet, sinkCsvJson,
+    projectCompute, filterCompound, filterNull3vl,
+    joinInnerEqui, joinBroadcast, joinSortMerge, joinLeftOuter, joinFullOuter,
+    joinSemi, joinAnti, joinCross, joinThetaRange, joinInterval, joinAsof,
+    sortMultiNulls, limitTopk,
+    setUnionAll, setUnionDistinct, setIntersect, setExcept)
 }

@@ -1,5 +1,160 @@
 package graft.ops
 
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.tables.Tables
+import Op._
+
+/** §2.5 window functions. All windows partition by a real key
+  * (nation/customer/user/status), so at 100 TB each executor sorts only
+  * its own key groups after one hash exchange — no global sort. Every
+  * ranking window is tie-broken by a unique key (SURVEY §5.3.1) so results
+  * are hash-deterministic.
+  */
 object Windows {
-  val ops: Seq[Op] = Seq()
+
+  val winRank: Op = Op(
+    "win_rank_dense_rownum",
+    (s, dir) => {
+      val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, dir)
+        .select(
+          col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+          rank().over(w).cast(IntegerType).as("rnk"),
+          dense_rank().over(w).cast(IntegerType).as("drnk"),
+          row_number().over(w).cast(IntegerType).as("rn"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_nationkey, c_acctbal,
+              CAST(rank() OVER w AS INT) AS rnk,
+              CAST(dense_rank() OVER w AS INT) AS drnk,
+              CAST(row_number() OVER w AS INT) AS rn
+            FROM customer
+            WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+            ORDER BY c_custkey"""))
+
+  /** Per-user event deltas: value - lag(value), gap to next event in
+    * whole seconds (second-truncated on both sides — events.ts is ns in
+    * parquet, so raw epoch math would not be portable).
+    */
+  val winLagLead: Op = Op(
+    "win_lag_lead",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(
+          col("user_id"), col("event_id"), sec(col("ts")).as("ts_s"),
+          (col("value") - lag("value", 1).over(w)).as("delta_value"),
+          (unix_timestamp(date_trunc("second", lead("ts", 1).over(w))) -
+            unix_timestamp(date_trunc("second", col("ts")))).as("gap_s"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""SELECT user_id, event_id,
+              strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS ts_s,
+              value - lag(value, 1) OVER w AS delta_value,
+              CAST(date_part('epoch', date_trunc('second', lead(ts, 1) OVER w)) -
+                   date_part('epoch', date_trunc('second', ts)) AS BIGINT) AS gap_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY user_id, event_id"""))
+
+  val winRunningFrame: Op = Op(
+    "win_running_frame",
+    (s, dir) => {
+      val base = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val run = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val last3 = base.rowsBetween(-2, Window.currentRow)
+      Tables.orders(s, dir)
+        .select(
+          col("o_orderkey"), col("o_custkey"),
+          sum(dec2(col("o_totalprice"))).over(run).cast(DoubleType).as("run_total"),
+          (sum(dec2(col("o_totalprice"))).over(last3).cast(DoubleType) /
+            count(lit(1)).over(last3)).as("mavg3"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                / COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mavg3
+            FROM orders
+            ORDER BY o_orderkey"""))
+
+  /** RANGE frame over a numeric ordering key (all orders within 50 000 of
+    * the current price, below it). Expressed via SQL window syntax —
+    * DataFrame rangeBetween only takes long offsets.
+    */
+  val winRangeFrame: Op = Op(
+    "win_range_frame",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .selectExpr(
+          "o_orderkey", "o_orderstatus", "o_totalprice",
+          """CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+             OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                   RANGE BETWEEN 50000.0 PRECEDING AND CURRENT ROW) AS DOUBLE) AS band_sum""",
+          """COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                   RANGE BETWEEN 50000.0 PRECEDING AND CURRENT ROW) AS band_n""")
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey, o_orderstatus, o_totalprice,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS band_sum,
+              COUNT(*) OVER w AS band_n
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                         RANGE BETWEEN 50000.0 PRECEDING AND CURRENT ROW)
+            ORDER BY o_orderkey"""))
+
+  val winNtilePct: Op = Op(
+    "win_ntile_pct",
+    (s, dir) => {
+      val w = Window.partitionBy("o_orderstatus").orderBy(col("o_totalprice"), col("o_orderkey"))
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir)
+        .select(
+          col("o_orderkey"), col("o_orderstatus"),
+          ntile(4).over(w).cast(IntegerType).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"),
+          first_value(col("o_orderkey")).over(full).as("cheapest_key"),
+          last_value(col("o_orderkey")).over(full).as("priciest_key"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_orderstatus,
+              CAST(ntile(4) OVER w AS INT) AS quartile,
+              percent_rank() OVER w AS pct_rank,
+              cume_dist() OVER w AS cume,
+              first_value(o_orderkey) OVER wf AS cheapest_key,
+              last_value(o_orderkey) OVER wf AS priciest_key
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey),
+                   wf AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            ORDER BY o_orderkey"""))
+
+  val winTopkPerGroup: Op = Op(
+    "win_topk_per_group",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w).cast(IntegerType))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rn")
+    },
+    Some("""SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                CAST(row_number() OVER (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+              FROM orders) t
+            WHERE rn <= 3
+            ORDER BY o_custkey, rn"""))
+
+  val ops: Seq[Op] = Seq(
+    winRank, winLagLead, winRunningFrame, winRangeFrame, winNtilePct, winTopkPerGroup)
 }
