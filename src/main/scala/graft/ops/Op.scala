@@ -36,12 +36,16 @@ object Op {
   /** SUM over exact decimals, surfaced as a portable double. */
   def sumMoney(c: Column): Column = sum(c).cast(DoubleType)
 
-  /** timestamp → 'yyyy-MM-dd' string (portable across parquet readers). */
-  def day(c: Column): Column = date_format(c, "yyyy-MM-dd")
+  /** timestamp → 'yyyy-MM-dd' string (portable across parquet readers).
+    * Named fmtDay (not `day`) to avoid colliding with Spark 4's
+    * `functions.day` under wildcard imports.
+    */
+  def fmtDay(c: Column): Column = date_format(c, "yyyy-MM-dd")
 
   /** timestamp → 'yyyy-MM-dd HH:mm:ss' string (second precision — events
     * ts is ns in parquet; both engines truncate ns differently above µs,
-    * so graded queries never emit raw ts).
+    * so graded queries never emit raw ts). Named fmtSec (not `sec`) to
+    * avoid colliding with Spark 4's `functions.sec`.
     */
-  def sec(c: Column): Column = date_format(date_trunc("second", c), "yyyy-MM-dd HH:mm:ss")
+  def fmtSec(c: Column): Column = date_format(date_trunc("second", c), "yyyy-MM-dd HH:mm:ss")
 }

@@ -48,7 +48,7 @@ object Relational {
     (s, dir) =>
       Tables.lineitem(s, dir)
         .filter(col("l_shipdate") >= lit("1999-06-01"))
-        .select(col("l_orderkey"), col("l_linenumber"), day(col("l_shipdate")).as("ship_day"))
+        .select(col("l_orderkey"), col("l_linenumber"), fmtDay(col("l_shipdate")).as("ship_day"))
         .orderBy("l_orderkey", "l_linenumber"),
     Some("""SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS ship_day
             FROM lineitem WHERE l_shipdate >= TIMESTAMP '1999-06-01 00:00:00'
@@ -178,7 +178,7 @@ object Relational {
           col("l_orderkey") === col("o_orderkey"))
         .select(
           col("l_orderkey"), col("l_linenumber"),
-          day(col("o_orderdate")).as("order_day"),
+          fmtDay(col("o_orderdate")).as("order_day"),
           (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
         .orderBy("l_orderkey", "l_linenumber"),
     Some("""SELECT l_orderkey, l_linenumber,

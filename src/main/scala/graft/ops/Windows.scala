@@ -45,7 +45,7 @@ object Windows {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       Tables.events(s, dir)
         .select(
-          col("user_id"), col("event_id"), sec(col("ts")).as("ts_s"),
+          col("user_id"), col("event_id"), fmtSec(col("ts")).as("ts_s"),
           (col("value") - lag("value", 1).over(w)).as("delta_value"),
           (unix_timestamp(date_trunc("second", lead("ts", 1).over(w))) -
             unix_timestamp(date_trunc("second", col("ts")))).as("gap_s"))

@@ -1,6 +1,7 @@
 package graft.tables
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.types._
 
 /** Typed catalog over the fixture lake (parquet files, one per table —
@@ -29,7 +30,17 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame = load(s, dir, "part")
   def orders(s: SparkSession, dir: String): DataFrame = load(s, dir, "orders")
   def lineitem(s: SparkSession, dir: String): DataFrame = load(s, dir, "lineitem")
-  def events(s: SparkSession, dir: String): DataFrame = load(s, dir, "events")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4.1.2 refuses to
+    * read as a timestamp ([PARQUET_TYPE_ILLEGAL]). Read the nanos as a raw
+    * long (legacy conf) and µs-truncate here, so every consumer sees a
+    * normal TimestampType column. Graded queries additionally second-
+    * truncate before emitting (SURVEY §5.3.3), so the lost sub-µs digits
+    * never reach an oracle compare.
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, dir, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
   def documents(s: SparkSession, dir: String): DataFrame = load(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")
 
