@@ -61,5 +61,236 @@ object Aggregates {
       ORDER BY l_returnflag, l_linestatus
     """.stripMargin.trim))
 
-  val ops: Seq[Op] = Seq(aggPricingSummary)
+  /** Ungrouped global aggregate over orders — single partial-agg pass,
+    * one-row exchange to the driver-side final agg. Scan reads only
+    * o_totalprice (column pruning).
+    */
+  val aggGlobal: Op = Op(
+    "agg_global",
+    (s, dir) => {
+      val p = dec2(col("o_totalprice"))
+      Tables.orders(s, dir)
+        .select(p.as("p"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sumMoney(col("p")).as("sum_price"),
+          min(col("p")).cast(DoubleType).as("min_price"),
+          max(col("p")).cast(DoubleType).as("max_price"),
+          (sumMoney(col("p")) / count(lit(1))).as("avg_price"))
+    },
+    Some("""
+      SELECT COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+        CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS min_price,
+        CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price
+      FROM orders
+    """.stripMargin.trim))
+
+  /** Exact COUNT(DISTINCT) per group. Spark plans this as Expand + two-phase
+    * aggregate; the shuffle key is (status, custkey) so distinct counting is
+    * fully distributed — no driver-side set. At 100 TB the same plan holds;
+    * for multi-distinct or memory pressure switch to approx (next op).
+    */
+  val aggCountDistinct: Op = Op(
+    "agg_count_distinct",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(
+          countDistinct(col("o_custkey")).as("n_custs"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderstatus"),
+    Some("""
+      SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_custs, COUNT(*) AS n_orders
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """.stripMargin.trim))
+
+  /** HLL++ approximate distinct — the 100 TB substitute for exact distinct:
+    * constant-size sketch per group, merge is register-wise max, so the
+    * result is independent of partitioning (tier-C tested). No oracle: HLL
+    * implementations differ across engines; accuracy is unit-tested ±5%.
+    */
+  val aggApproxDistinct: Op = Op(
+    "agg_approx_distinct",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy("event_type"),
+    None)
+
+  /** Post-aggregation filter (HAVING). Catalyst evaluates the predicate on
+    * the aggregated rows, so it cannot be pushed below the agg — but the
+    * agg itself stays partial+final and the filter runs on group-cardinality
+    * data (≤ one row per customer).
+    */
+  val aggHaving: Op = Op(
+    "agg_having",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), dec2(col("o_totalprice")).as("p"))
+        .groupBy("o_custkey")
+        .agg(sumMoney(col("p")).as("sum_price"), count(lit(1)).as("n_orders"))
+        .filter(col("sum_price") > lit(2800000.0))
+        .orderBy("o_custkey"),
+    Some("""
+      SELECT o_custkey,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+        COUNT(*) AS n_orders
+      FROM orders GROUP BY o_custkey
+      HAVING CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) > 2800000.0
+      ORDER BY o_custkey
+    """.stripMargin.trim))
+
+  /** Sample stddev/variance. Both engines use numerically stable central-
+    * moment accumulation; residual last-ulp variation is absorbed by
+    * round(·,6) on both sides (SURVEY §5.3.2/.6) and verified
+    * partition-count-invariant by the tier-C suite.
+    */
+  val aggStats: Op = Op(
+    "agg_stats",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 6).as("var_qty"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+    Some("""
+      SELECT l_returnflag,
+        ROUND(STDDEV_SAMP(l_quantity), 6) AS sd_qty,
+        ROUND(VAR_SAMP(l_quantity), 6) AS var_qty,
+        ROUND(AVG(l_quantity), 6) AS avg_qty,
+        COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """.stripMargin.trim))
+
+  private def regionNationCustomer(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+
+  /** Multi-level aggregates. Spark plans grouping sets as a single Expand
+    * (one replicated row per grouping set) + one hash aggregate — one
+    * shuffle total, not one per level. Rolled-up key columns are NULL; we
+    * coalesce them to 'ALL' and emit explicit grouping flags so the output
+    * is null-free and totally ordered (DuckDB default null order differs
+    * from Spark's, so never sort on the nullable originals).
+    */
+  val aggGroupingSets: Op = Op(
+    "agg_grouping_sets",
+    (s, dir) =>
+      regionNationCustomer(s, dir)
+        .groupingSets(
+          Seq(Seq(col("r_name"), col("n_name")), Seq(col("r_name")), Seq()),
+          col("r_name"), col("n_name"))
+        .agg(
+          grouping(col("r_name")).cast(IntegerType).as("g_r"),
+          grouping(col("n_name")).cast(IntegerType).as("g_n"),
+          count(lit(1)).as("n_custs"),
+          sumMoney(dec2(col("c_acctbal"))).as("sum_bal"))
+        .select(
+          coalesce(col("r_name"), lit("ALL")).as("r_name_c"),
+          coalesce(col("n_name"), lit("ALL")).as("n_name_c"),
+          col("g_r"), col("g_n"), col("n_custs"), col("sum_bal"))
+        .orderBy("g_r", "g_n", "r_name_c", "n_name_c"),
+    Some("""
+      SELECT COALESCE(r_name, 'ALL') AS r_name_c, COALESCE(n_name, 'ALL') AS n_name_c,
+        CAST(GROUPING(r_name) AS INTEGER) AS g_r, CAST(GROUPING(n_name) AS INTEGER) AS g_n,
+        COUNT(*) AS n_custs,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+      FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+      ORDER BY g_r, g_n, r_name_c, n_name_c
+    """.stripMargin.trim))
+
+  /** ROLLUP (r_name, n_name) — prefix grouping sets; same Expand plan. */
+  val aggRollup: Op = Op(
+    "agg_rollup",
+    (s, dir) =>
+      regionNationCustomer(s, dir)
+        .rollup(col("r_name"), col("n_name"))
+        .agg(
+          grouping(col("r_name")).cast(IntegerType).as("g_r"),
+          grouping(col("n_name")).cast(IntegerType).as("g_n"),
+          count(lit(1)).as("n_custs"),
+          sumMoney(dec2(col("c_acctbal"))).as("sum_bal"))
+        .select(
+          coalesce(col("r_name"), lit("ALL")).as("r_name_c"),
+          coalesce(col("n_name"), lit("ALL")).as("n_name_c"),
+          col("g_r"), col("g_n"), col("n_custs"), col("sum_bal"))
+        .orderBy("g_r", "g_n", "r_name_c", "n_name_c"),
+    Some("""
+      SELECT COALESCE(r_name, 'ALL') AS r_name_c, COALESCE(n_name, 'ALL') AS n_name_c,
+        CAST(GROUPING(r_name) AS INTEGER) AS g_r, CAST(GROUPING(n_name) AS INTEGER) AS g_n,
+        COUNT(*) AS n_custs,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+      FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP (r_name, n_name)
+      ORDER BY g_r, g_n, r_name_c, n_name_c
+    """.stripMargin.trim))
+
+  /** CUBE (o_orderstatus, o_orderpriority) — all four grouping sets. */
+  val aggCube: Op = Op(
+    "agg_cube",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          grouping(col("o_orderstatus")).cast(IntegerType).as("g_s"),
+          grouping(col("o_orderpriority")).cast(IntegerType).as("g_p"),
+          count(lit(1)).as("n_orders"),
+          sumMoney(dec2(col("o_totalprice"))).as("sum_price"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status_c"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority_c"),
+          col("g_s"), col("g_p"), col("n_orders"), col("sum_price"))
+        .orderBy("g_s", "g_p", "status_c", "priority_c"),
+    Some("""
+      SELECT COALESCE(o_orderstatus, 'ALL') AS status_c,
+        COALESCE(o_orderpriority, 'ALL') AS priority_c,
+        CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_s,
+        CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_p,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY g_s, g_p, status_c, priority_c
+    """.stripMargin.trim))
+
+  /** Per-group ordered list. NEVER bare collect_list (partition-order
+    * nondeterministic): sort_array pins element order, and the list is
+    * emitted as a joined string so the parquet/DuckDB array codecs never
+    * enter the comparison. Group cardinality is bounded (customers per
+    * nation), so the collected list cannot blow a single task at scale;
+    * for unbounded groups prefer a windowed top-k instead.
+    */
+  val aggCollectSorted: Op = Op(
+    "agg_collect_sorted",
+    (s, dir) =>
+      Tables.customer(s, dir)
+        .groupBy("c_nationkey")
+        .agg(
+          count(lit(1)).as("n_custs"),
+          array_join(
+            transform(sort_array(collect_list(col("c_custkey"))), _.cast(StringType)),
+            ",").as("custkeys"))
+        .orderBy("c_nationkey"),
+    Some("""
+      SELECT c_nationkey, COUNT(*) AS n_custs,
+        array_to_string(list_sort(list(c_custkey)), ',') AS custkeys
+      FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+    """.stripMargin.trim))
+
+  val ops: Seq[Op] = Seq(
+    aggPricingSummary, aggGlobal, aggCountDistinct, aggApproxDistinct,
+    aggHaving, aggStats, aggGroupingSets, aggRollup, aggCube,
+    aggCollectSorted)
 }
