@@ -1,5 +1,287 @@
 package graft.ops
 
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.tables.Tables
+import Op._
+
+/** §2.8 scalar-function packs. Every op is a pure per-row projection —
+  * no shuffle at all: the plan is Scan → Project inside one
+  * WholeStageCodegen span (plus the terminal order-by the hash-match
+  * contract demands, which a production caller would drop). At 100 TB
+  * these are embarrassingly parallel and scan-bound; only the referenced
+  * columns are read (parquet column pruning).
+  *
+  * Dialect discipline (SURVEY §5.3.7) is encoded per expression:
+  *   Spark `split`            ⇄ DuckDB `string_split` (lists 1-based)
+  *   Spark `get_json_object`  ⇄ DuckDB `json_extract_string`
+  *   Spark `dayofweek` (1=Sun)⇄ DuckDB `extract(dow)` (0=Sun) — shift ours
+  *   Spark cast(double→int) truncates, DuckDB ROUNDS — always `floor` first
+  *   Spark `signum`→double, DuckDB `sign`→int — cast ours to int
+  */
 object Scalars {
-  val ops: Seq[Op] = Seq()
+
+  /** String pack over `part`: case, substring, length, pad, replace,
+    * regex extract/replace, split-index, LIKE classification.
+    */
+  val fnStringPack: Op = Op(
+    "fn_string_pack",
+    (s, dir) => {
+      val toks = split(col("p_name"), " ")
+      Tables.part(s, dir)
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("up_name"),
+          lower(col("p_brand")).as("lo_brand"),
+          substring(col("p_name"), 1, 6).as("sub6"),
+          length(col("p_name")).as("name_len"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          trim(concat(lit("  "), col("p_brand"), lit("  "))).as("trimmed"),
+          lpad(col("p_partkey").cast(StringType), 8, "0").as("key_pad"),
+          regexp_replace(col("p_name"), " ", "_").as("name_us"),
+          regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"),
+          toks.getItem(0).as("tok0"),
+          when(col("p_type").like("%ECO%"), 1).otherwise(0).as("is_eco"))
+        .orderBy("p_partkey")
+    },
+    Some("""
+      SELECT p_partkey,
+        upper(p_name) AS up_name,
+        lower(p_brand) AS lo_brand,
+        substr(p_name, 1, 6) AS sub6,
+        length(p_name) AS name_len,
+        concat_ws('|', p_brand, p_type) AS brand_type,
+        trim('  ' || p_brand || '  ') AS trimmed,
+        lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_pad,
+        replace(p_name, ' ', '_') AS name_us,
+        regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+        string_split(p_name, ' ')[1] AS tok0,
+        CASE WHEN p_type LIKE '%ECO%' THEN 1 ELSE 0 END AS is_eco
+      FROM part ORDER BY p_partkey
+    """.stripMargin.trim))
+
+  /** Date pack over `orders` (timestamps are exact midnights — verified).
+    * All date-valued outputs leave as yyyy-MM-dd strings (Op.fmtDay) so the
+    * parquet logical types never enter the compare; dow normalized to
+    * 0=Sunday on both engines.
+    */
+  val fnDatePack: Op = Op(
+    "fn_date_pack",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          (dayofweek(col("o_orderdate")) - 1).as("dow"),
+          fmtDay(col("o_orderdate")).as("od"),
+          fmtDay(date_trunc("month", col("o_orderdate"))).as("month_start"),
+          datediff(lit("2025-01-01"), col("o_orderdate")).as("days_to_2025"),
+          fmtDay(date_add(col("o_orderdate"), 30)).as("plus30"),
+          fmtDay(last_day(col("o_orderdate"))).as("month_end"))
+        .orderBy("o_orderkey"),
+    Some("""
+      SELECT o_orderkey,
+        CAST(extract(year FROM o_orderdate) AS INTEGER) AS yr,
+        CAST(extract(month FROM o_orderdate) AS INTEGER) AS mo,
+        CAST(extract(day FROM o_orderdate) AS INTEGER) AS dom,
+        CAST(extract(dow FROM o_orderdate) AS INTEGER) AS dow,
+        strftime(o_orderdate, '%Y-%m-%d') AS od,
+        strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        date_diff('day', CAST(o_orderdate AS DATE), DATE '2025-01-01') AS days_to_2025,
+        strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+        strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end
+      FROM orders ORDER BY o_orderkey
+    """.stripMargin.trim))
+
+  /** Math + CASE over `part`. Transcendentals (sqrt/ln/power) are rounded
+    * to 6 dp on both sides (§5.3.2); floor/ceil surfaced as BIGINT with the
+    * explicit floor-before-int-cast rule; round() goes through decimal so
+    * both engines use identical half-away-from-zero semantics.
+    */
+  val fnMathCase: Op = Op(
+    "fn_math_case",
+    (s, dir) =>
+      Tables.part(s, dir)
+        .select(
+          col("p_partkey"),
+          abs(col("p_size") - 25).as("abs_sz"),
+          (col("p_size") % 7).as("mod7"),
+          floor(col("p_retailprice")).cast(LongType).as("price_floor"),
+          ceil(col("p_retailprice")).cast(LongType).as("price_ceil"),
+          round(dec2(col("p_retailprice")), 0).cast(LongType).as("price_round"),
+          round(sqrt(col("p_retailprice")), 6).as("sqrt_p"),
+          round(log(col("p_retailprice")), 6).as("ln_p"),
+          round(pow(col("p_size").cast(DoubleType), 2), 6).as("sz_sq"),
+          signum(col("p_retailprice") - lit(950.0)).cast(IntegerType).as("sgn"),
+          when(col("p_size") < 10, "small")
+            .when(col("p_size") < 30, "mid")
+            .otherwise("large").as("size_band"))
+        .orderBy("p_partkey"),
+    Some("""
+      SELECT p_partkey,
+        abs(p_size - 25) AS abs_sz,
+        mod(p_size, 7) AS mod7,
+        CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+        CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+        CAST(round(CAST(p_retailprice AS DECIMAL(12,2)), 0) AS BIGINT) AS price_round,
+        round(sqrt(p_retailprice), 6) AS sqrt_p,
+        round(ln(p_retailprice), 6) AS ln_p,
+        round(power(CAST(p_size AS DOUBLE), 2), 6) AS sz_sq,
+        CAST(sign(p_retailprice - 950.0) AS INTEGER) AS sgn,
+        CASE WHEN p_size < 10 THEN 'small'
+             WHEN p_size < 30 THEN 'mid'
+             ELSE 'large' END AS size_band
+      FROM part ORDER BY p_partkey
+    """.stripMargin.trim))
+
+  /** Array pack over `documents.text` tokens: size, contains, slice,
+    * distinct. Arrays leave the query as joined strings (array parquet
+    * codecs/orderings never enter the compare); distinct goes through an
+    * explicit sort because Spark preserves first-occurrence order while
+    * DuckDB list_distinct does not guarantee one.
+    */
+  val fnArrayPack: Op = Op(
+    "fn_array_pack",
+    (s, dir) => {
+      val toks = split(col("text"), " ")
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          size(toks).as("n_toks"),
+          array_contains(toks, "scan").cast(IntegerType).as("has_scan"),
+          array_join(slice(toks, 1, 3), " ").as("first3"),
+          size(array_distinct(toks)).as("n_distinct"),
+          array_join(sort_array(array_distinct(slice(toks, 1, 5))), ",").as("d5"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+        len(string_split(text, ' ')) AS n_toks,
+        CASE WHEN list_contains(string_split(text, ' '), 'scan') THEN 1 ELSE 0 END AS has_scan,
+        array_to_string(string_split(text, ' ')[1:3], ' ') AS first3,
+        len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        array_to_string(list_sort(list_distinct(string_split(text, ' ')[1:5])), ',') AS d5
+      FROM documents ORDER BY doc_id
+    """.stripMargin.trim))
+
+  /** Higher-order functions over the 64-dim float vectors: transform /
+    * filter / aggregate / zip_with. Every element is cast float→double
+    * BEFORE arithmetic (exact conversion) so both engines fold identical
+    * doubles; 6-dp rounding absorbs any summation-order residue. The
+    * self-reverse dot product exercises zip_with against DuckDB's
+    * list_zip-free formulation.
+    */
+  val fnHigherOrder: Op = Op(
+    "fn_higher_order",
+    (s, dir) => {
+      val ed = transform(col("embedding"), x => x.cast(DoubleType))
+      val sumsq = aggregate(transform(ed, x => x * x), lit(0.0), (a, x) => a + x)
+      val revDot = aggregate(
+        zip_with(ed, reverse(ed), (a, b) => a * b), lit(0.0), (a, x) => a + x)
+      Tables.embeddings(s, dir)
+        .select(
+          col("vec_id"),
+          round(aggregate(ed, lit(0.0), (a, x) => a + x), 6).as("sum_e"),
+          round(sumsq, 6).as("sumsq"),
+          round(sqrt(sumsq), 6).as("l2"),
+          size(filter(ed, x => x > 0)).as("n_pos"),
+          round(revDot, 6).as("rev_dot"))
+        .orderBy("vec_id")
+    },
+    Some("""
+      SELECT vec_id,
+        ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS sum_e,
+        ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS sumsq,
+        ROUND(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2,
+        len(list_filter(embedding, x -> x > 0)) AS n_pos,
+        ROUND(list_sum(list_transform(
+          list_zip(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                   list_reverse(list_transform(embedding, x -> CAST(x AS DOUBLE)))),
+          p -> p[1] * p[2])), 6) AS rev_dot
+      FROM embeddings ORDER BY vec_id
+    """.stripMargin.trim))
+
+  /** Map pack (no-oracle: DuckDB map literal/ordering semantics differ —
+    * SURVEY §2.8). Builds a token→length map per document from the sorted
+    * distinct leading tokens, then reads it back via keys/values/lookup.
+    * Deterministic: entry order is pinned by sort_array before
+    * map_from_entries; unit-tested in ScalarsSuite.
+    */
+  val fnMapPack: Op = Op(
+    "fn_map_pack",
+    (s, dir) => {
+      val toks = sort_array(array_distinct(slice(split(col("text"), " "), 1, 8)))
+      val m = map_from_entries(transform(toks, t => struct(t, length(t))))
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          size(m).as("n_keys"),
+          array_join(map_keys(m), ",").as("keys_csv"),
+          aggregate(map_values(m), lit(0), (a, x) => a + x).as("sum_lens"),
+          element_at(m, "the").as("len_the"))
+        .orderBy("doc_id")
+    },
+    None)
+
+  /** JSON extraction from `events.props` (`{"k": 87}`): string-path
+    * get_json_object and fully-typed from_json both land on the same int.
+    */
+  val fnJsonExtract: Op = Op(
+    "fn_json_extract",
+    (s, dir) => {
+      val kSchema = StructType(Seq(StructField("k", IntegerType)))
+      Tables.events(s, dir)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast(IntegerType).as("k_int"),
+          from_json(col("props"), kSchema).getField("k").as("k_typed"),
+          (get_json_object(col("props"), "$.k").cast(IntegerType) * 2).as("k2"))
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT event_id,
+        CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+        CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_typed,
+        CAST(json_extract_string(props, '$.k') AS INTEGER) * 2 AS k2
+      FROM events ORDER BY event_id
+    """.stripMargin.trim))
+
+  /** Cast matrix + conditional scalars over `orders`: string↔long round
+    * trip, floor-then-int (the cast-rounding trap), double→decimal→double
+    * canonicalization, NULLIF/COALESCE, GREATEST/LEAST, timestamp→string.
+    */
+  val fnCastCoalesce: Op = Op(
+    "fn_cast_coalesce",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .select(
+          col("o_orderkey"),
+          col("o_orderkey").cast(StringType).as("key_str"),
+          col("o_orderkey").cast(StringType).cast(LongType).as("key_rt"),
+          floor(col("o_totalprice")).cast(LongType).as("price_int"),
+          dec2(col("o_totalprice")).cast(DoubleType).as("price_d2"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status_c"),
+          greatest(dec2(col("o_totalprice")), lit(BigDecimal(100000))).cast(DoubleType).as("hi"),
+          least(dec2(col("o_totalprice")), lit(BigDecimal(100000))).cast(DoubleType).as("lo"),
+          fmtDay(col("o_orderdate")).as("od_str"))
+        .orderBy("o_orderkey"),
+    Some("""
+      SELECT o_orderkey,
+        CAST(o_orderkey AS VARCHAR) AS key_str,
+        CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_rt,
+        CAST(floor(o_totalprice) AS BIGINT) AS price_int,
+        CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price_d2,
+        COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_c,
+        CAST(greatest(CAST(o_totalprice AS DECIMAL(12,2)), CAST(100000 AS DECIMAL(12,2))) AS DOUBLE) AS hi,
+        CAST(least(CAST(o_totalprice AS DECIMAL(12,2)), CAST(100000 AS DECIMAL(12,2))) AS DOUBLE) AS lo,
+        strftime(o_orderdate, '%Y-%m-%d') AS od_str
+      FROM orders ORDER BY o_orderkey
+    """.stripMargin.trim))
+
+  val ops: Seq[Op] = Seq(
+    fnStringPack, fnDatePack, fnMathCase, fnArrayPack, fnHigherOrder,
+    fnMapPack, fnJsonExtract, fnCastCoalesce)
 }
