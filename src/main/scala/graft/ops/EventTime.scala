@@ -1,5 +1,148 @@
 package graft.ops
 
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.tables.Tables
+import Op._
+
+/** §2.9 event-time semantics over the `events` table, batch form. Each of
+  * these is the exact ground truth its Structured Streaming twin
+  * (StreamingSuite) must converge to on a replay of the same parquet —
+  * "batch-streaming equivalence" per SURVEY §5.2-B.
+  *
+  * Scale notes: all four group/partition by (window, event_type) or
+  * (user_id) — high-cardinality keys, so the shuffle is well spread; the
+  * tumbling/sliding aggregations are partial+final (map-side combine
+  * shrinks the shuffle to one row per (input-partition, window, type)).
+  * In streaming the same plans run incrementally against the state store
+  * with a watermark bounding state size.
+  */
 object EventTime {
-  val ops: Seq[Op] = Seq()
+
+  /** 1-hour tumbling windows per event_type: the canonical streaming agg.
+    * Window starts leave as formatted strings (§5.3.3 — never raw ts).
+    */
+  val streamTumbling: Op = Op(
+    "stream_tumbling",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("ts"), col("event_type"), dec2(col("value")).as("v"))
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sumMoney(col("v")).as("sum_value"))
+        .select(
+          fmtSec(col("w.start")).as("win_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("win_start", "event_type"),
+    Some("""
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+        event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY win_start, event_type
+    """.stripMargin.trim))
+
+  /** 1-hour windows sliding every 15 minutes — each event belongs to 4
+    * overlapping windows. Window starts are emitted as epoch seconds
+    * (exact multiples of 900 — no timezone or format ambiguity); the
+    * oracle replicates Spark's epoch-aligned window origin with integer
+    * arithmetic and a 4-element unnest.
+    */
+  val streamSliding: Op = Op(
+    "stream_sliding",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("ts"), col("event_type"), dec2(col("value")).as("v"))
+        .groupBy(
+          window(col("ts"), "1 hour", "15 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), sumMoney(col("v")).as("sum_value"))
+        .select(
+          col("w.start").cast(LongType).as("win_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("win_start", "event_type"),
+    Some("""
+      SELECT win_start, event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      FROM (
+        SELECT CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 - k.k * 900 AS win_start,
+               event_type, value
+        FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) k
+      ) GROUP BY 1, 2 ORDER BY win_start, event_type
+    """.stripMargin.trim))
+
+  /** Per-user sessions with a 30-minute inactivity gap. Spark's
+    * session_window half-open interval means an event at exactly
+    * prev + 30min opens a NEW session, so the oracle's gaps-and-islands
+    * condition is `gap >= 30 min`. Emits session start, last-event time,
+    * event count and value sum.
+    */
+  val streamSession: Op = Op(
+    "stream_session",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("ts"), col("user_id"), dec2(col("value")).as("v"))
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sumMoney(col("v")).as("sum_value"),
+          max(col("ts")).as("last_ts"))
+        .select(
+          col("user_id"),
+          fmtSec(col("sw.start")).as("sess_start"),
+          fmtSec(col("last_ts")).as("sess_last"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "sess_start"),
+    Some("""
+      WITH g AS (
+        SELECT user_id, ts, value,
+          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+               OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+               THEN 1 ELSE 0 END AS new_sess
+        FROM events
+      ), s AS (
+        SELECT user_id, ts, value,
+          SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM g
+      )
+      SELECT user_id,
+        strftime(date_trunc('second', MIN(ts)), '%Y-%m-%d %H:%M:%S') AS sess_start,
+        strftime(date_trunc('second', MAX(ts)), '%Y-%m-%d %H:%M:%S') AS sess_last,
+        COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      FROM s GROUP BY user_id, sess_id
+      ORDER BY user_id, sess_start
+    """.stripMargin.trim))
+
+  /** Idempotent-replay dedup on the event key. Formulated as
+    * row_number()=1 per event_id ordered by ts (deterministic winner)
+    * rather than dropDuplicates (arbitrary winner) so the result is
+    * hash-stable even if the fixture ever gains real replays; the
+    * streaming twin is dropDuplicatesWithinWatermark. Shuffle key is
+    * event_id — maximal cardinality, perfectly spread; at 100 TB a
+    * watermark bounds the dedup state exactly as it does in streaming.
+    */
+  val streamDedupKeys: Op = Op(
+    "stream_dedup_keys",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("event_id").orderBy("ts")))
+        .filter(col("rn") === 1)
+        .select(
+          col("event_id"), fmtSec(col("ts")).as("ts_s"),
+          col("user_id"), col("event_type"))
+        .orderBy("event_id"),
+    Some("""
+      SELECT event_id,
+        strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS ts_s,
+        user_id, event_type
+      FROM (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts) AS rn
+            FROM events)
+      WHERE rn = 1 ORDER BY event_id
+    """.stripMargin.trim))
+
+  val ops: Seq[Op] = Seq(
+    streamTumbling, streamSliding, streamSession, streamDedupKeys)
 }
