@@ -1,5 +1,379 @@
 package graft.ops
 
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.tables.Tables
+import Op._
+
+/** §2.10 — the north-star LLM-training-data pipeline operators over
+  * `documents` (text) and `embeddings` (64-dim float vectors).
+  *
+  * Scale design (100 TB): nothing here is all-pairs. Near-dedup generates
+  * candidates from per-doc minimum shingles (MinHash-band-shaped — at full
+  * scale swap in k independent hash-min signatures / MinHashLSH, same
+  * plan shape); brute-force similarity search broadcasts a fixed probe
+  * set so the big side never shuffles; the LSH variant buckets with
+  * random hyperplanes so candidate pairs are per-bucket only. Text
+  * pipelines are explode → hash-aggregate, partial-agg'd map-side.
+  */
 object LlmOps {
-  val ops: Seq[Op] = Seq()
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Element-wise double view of the float vector (float→double is exact,
+    * so both engines fold identical doubles — SURVEY §5.3.2/.6).
+    */
+  private def dvec(c: Column): Column = transform(c, x => x.cast(DoubleType))
+
+  private def l2(c: Column): Column =
+    sqrt(aggregate(transform(c, x => x * x), lit(0.0), (a, x) => a + x))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** The standard LLM-corpus quality gate: language, char-length band,
+    * minimum token count. Pure filter — predicate pushdown sends the
+    * lang/n_chars conjuncts to the parquet reader.
+    */
+  val llmQualityFilter: Op = Op(
+    "llm_quality_filter",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("n_toks", size(toks))
+        .filter(
+          col("lang") === "en" &&
+            col("n_chars").between(100, 2000) &&
+            col("n_toks") >= 10)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("n_toks"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id, lang, source, n_chars,
+        len(string_split(text, ' ')) AS n_toks
+      FROM documents
+      WHERE lang = 'en' AND n_chars BETWEEN 100 AND 2000
+        AND len(string_split(text, ' ')) >= 10
+      ORDER BY doc_id
+    """.stripMargin.trim))
+
+  /** Corpus statistics per language: doc/token/term counts, type-token
+    * ratio, mean doc length, and the top-10 terms (count desc, term asc —
+    * fully tie-broken). Term counting is explode → hash-agg (map-side
+    * partial), top-k is a per-lang window over the small aggregated set.
+    */
+  val llmTextStats: Op = Op(
+    "llm_text_stats",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val terms = docs.select(col("lang"), explode(toks).as("term"))
+      val termCounts = terms.groupBy("lang", "term").agg(count(lit(1)).as("cnt"))
+      val top = termCounts
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("lang").orderBy(col("cnt").desc, col("term"))))
+        .filter(col("rn") <= 10)
+        .groupBy("lang")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("rn"), col("term")))),
+            x => x.getField("term")), ",").as("top_terms"))
+      val tok = terms.groupBy("lang").agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("term")).as("n_terms"))
+      val doc = docs.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 6).as("avg_chars"))
+      doc.join(tok, "lang").join(top, "lang")
+        .select(
+          col("lang"), col("n_docs"), col("n_tokens"), col("n_terms"),
+          round(col("n_terms").cast(DoubleType) / col("n_tokens"), 6).as("ttr"),
+          col("avg_chars"), col("top_terms"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH terms AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents
+      ), tc AS (
+        SELECT lang, term, COUNT(*) AS cnt FROM terms GROUP BY 1, 2
+      ), top AS (
+        SELECT lang, string_agg(term, ',' ORDER BY rn) AS top_terms
+        FROM (SELECT lang, term,
+                row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS rn
+              FROM tc)
+        WHERE rn <= 10 GROUP BY lang
+      ), tok AS (
+        SELECT lang, COUNT(*) AS n_tokens, COUNT(DISTINCT term) AS n_terms
+        FROM terms GROUP BY 1
+      ), doc AS (
+        SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 6) AS avg_chars
+        FROM documents GROUP BY 1
+      )
+      SELECT doc.lang, n_docs, n_tokens, n_terms,
+        ROUND(CAST(n_terms AS DOUBLE) / n_tokens, 6) AS ttr,
+        avg_chars, top_terms
+      FROM doc JOIN tok ON doc.lang = tok.lang JOIN top ON doc.lang = top.lang
+      ORDER BY doc.lang
+    """.stripMargin.trim))
+
+  /** Pure-relational TF-IDF (no MLlib, so it stays oracle-checkable):
+    * tf(doc,term) × ln(N/df(term)), top term per doc. The corpus size N
+    * stays in-plan as a broadcast 1-row aggregate — no driver-side count.
+    * Ranking uses the ROUNDED score (both engines rank identical values,
+    * so the winner can't flip on a last-ulp difference).
+    */
+  val llmTextTfidf: Op = Op(
+    "llm_text_tfidf",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tf = docs.select(col("doc_id"), explode(toks).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
+      val n = docs.agg(count(lit(1)).as("n_total"))
+      tf.join(dfreq, "term")
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          round(col("tf") * log(col("n_total").cast(DoubleType) / col("dfreq")), 6))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("term"), col("tf"), col("dfreq"), col("tfidf"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        GROUP BY 1, 2
+      ), dfreq AS (
+        SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY 1
+      ), n AS (
+        SELECT COUNT(*) AS n_total FROM documents
+      ), scored AS (
+        SELECT doc_id, tf.term, tf, dfreq.dfreq,
+          ROUND(tf * ln(CAST(n_total AS DOUBLE) / dfreq.dfreq), 6) AS tfidf
+        FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+      )
+      SELECT doc_id, term, tf, dfreq, tfidf
+      FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY tfidf DESC, term) AS rn FROM scored)
+      WHERE rn = 1 ORDER BY doc_id
+    """.stripMargin.trim))
+
+  /** Exact dedup on normalized text (lower/trim/space-squeeze), keep the
+    * minimum doc_id per group. Groups by the sha256 fingerprint, NOT the
+    * full text — at 100 TB the shuffle carries a 64-char key per row
+    * instead of multi-KB documents. (Fixture plants 0 exact duplicates,
+    * so every group has n_copies = 1 — the near-dup operator below holds
+    * the real signal.)
+    */
+  val llmDedupExact: Op = Op(
+    "llm_dedup_exact",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          sha2(regexp_replace(trim(lower(col("text"))), " +", " "), 256).as("fp"))
+        .groupBy("fp")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"), col("fp"))
+        .orderBy("keep_id"),
+    Some("""
+      SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies, fp
+      FROM (SELECT doc_id,
+              sha256(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fp
+            FROM documents)
+      GROUP BY fp ORDER BY keep_id
+    """.stripMargin.trim))
+
+  /** Near-duplicate pairs: word-5-gram shingles → banded candidate
+    * generation → EXACT Jaccard verify at ≥ 0.8. Never all-pairs: each
+    * doc contributes its 5 lexicographically-smallest shingles as
+    * candidate keys (a deterministic MinHash band — P[miss] ≈ (1−J)⁵,
+    * < 1e-3 at J ≥ 0.8; on this fixture it finds all 25 planted pairs,
+    * verified against the full-join ground truth). At 100 TB swap the
+    * lexicographic band for k seeded hash-min signatures (MinHashLSH) —
+    * identical plan shape: explode → per-doc top-k → equi-join on band →
+    * exact verify on the (tiny) candidate set.
+    */
+  val llmDedupNear: Op = Op(
+    "llm_dedup_near",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), toks.as("toks"))
+        .filter(size(col("toks")) >= 5)
+      val sh = docs.select(col("doc_id"), explode(
+          expr("transform(sequence(1, size(toks) - 4), i -> concat_ws(' ', slice(toks, i, 5)))"))
+          .as("shingle"))
+        .distinct()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val cand = sh
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy("shingle")))
+        .filter(col("rn") <= 5)
+        .select("doc_id", "shingle")
+      val pairs = cand.as("a")
+        .join(cand.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      val inter = pairs
+        .join(sh.as("sa"), col("a_id") === col("sa.doc_id"))
+        .join(sh.as("sb"),
+          col("b_id") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+      val jacc = col("inter").cast(DoubleType) /
+        (col("a_sz") + col("b_sz") - col("inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("a_doc"), col("sz").as("a_sz")),
+          col("a_id") === col("a_doc"))
+        .join(sizes.select(col("doc_id").as("b_doc"), col("sz").as("b_sz")),
+          col("b_id") === col("b_doc"))
+        .filter(jacc >= 0.8)
+        .select(col("a_id"), col("b_id"), round(jacc, 6).as("jacc"))
+        .orderBy("a_id", "b_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      ), idx AS (
+        SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS i
+        FROM t WHERE len(toks) >= 5
+      ), sh AS (
+        SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS shingle FROM idx
+      ), sizes AS (
+        SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1
+      ), cand AS (
+        SELECT doc_id, shingle
+        FROM (SELECT doc_id, shingle,
+                row_number() OVER (PARTITION BY doc_id ORDER BY shingle) AS rn FROM sh)
+        WHERE rn <= 5
+      ), pairs AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM cand a JOIN cand b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      ), inter AS (
+        SELECT p.a_id, p.b_id, COUNT(*) AS inter
+        FROM pairs p
+          JOIN sh sa ON sa.doc_id = p.a_id
+          JOIN sh sb ON sb.doc_id = p.b_id AND sb.shingle = sa.shingle
+        GROUP BY 1, 2
+      )
+      SELECT i.a_id, i.b_id,
+        ROUND(CAST(inter AS DOUBLE) / (za.sz + zb.sz - inter), 6) AS jacc
+      FROM inter i
+        JOIN sizes za ON za.doc_id = i.a_id
+        JOIN sizes zb ON zb.doc_id = i.b_id
+      WHERE CAST(inter AS DOUBLE) / (za.sz + zb.sz - inter) >= 0.8
+      ORDER BY a_id, b_id
+    """.stripMargin.trim))
+
+  /** Brute-force cosine top-5 for a fixed deterministic probe set
+    * (vec_id % 50 = 0). The probe side is broadcast, so the full table is
+    * scanned exactly once with NO shuffle of the big side — cost is
+    * |probes| × N bounded dot products, the correct exact-search baseline.
+    * Ranking happens on the ROUNDED similarity (rank can't flip on a
+    * last-ulp engine difference). The scale path is llm_simsearch_lsh.
+    */
+  val llmSimsearchTopk: Op = Op(
+    "llm_simsearch_topk",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), dvec(col("embedding")).as("v"))
+      val probes = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("p_id"), col("v").as("pv"))
+      e.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("p_id"))
+        .select(
+          col("p_id"), col("vec_id").as("n_id"),
+          round(dot(col("pv"), col("v")) / (l2(col("pv")) * l2(col("v"))), 6).as("sim"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("p_id").orderBy(col("sim").desc, col("n_id"))))
+        .filter(col("rn") <= 5)
+        .select(col("p_id"), col("n_id"), col("sim"), col("rn"))
+        .orderBy("p_id", "rn")
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+      ), probes AS (
+        SELECT vec_id AS p_id, v AS pv FROM e WHERE vec_id % 50 = 0
+      ), sims AS (
+        SELECT p_id, vec_id AS n_id,
+          ROUND(list_sum(list_transform(list_zip(pv, v), z -> z[1] * z[2]))
+            / (sqrt(list_sum(list_transform(pv, x -> x * x)))
+               * sqrt(list_sum(list_transform(v, x -> x * x)))), 6) AS sim
+        FROM probes, e WHERE vec_id != p_id
+      )
+      SELECT p_id, n_id, sim, rn
+      FROM (SELECT *, row_number() OVER (PARTITION BY p_id
+              ORDER BY sim DESC, n_id) AS rn FROM sims)
+      WHERE rn <= 5 ORDER BY p_id, rn
+    """.stripMargin.trim))
+
+  /** Approximate NN via random-hyperplane bucketing
+    * (BucketedRandomProjectionLSH, spark-mllib): candidates are generated
+    * per hash bucket, so the pair space is bucket-local — the 100 TB
+    * scale path where brute force is impossible. Fixed seed ⇒ the
+    * hyperplanes, buckets, and result set are deterministic and
+    * partition-invariant. No oracle (approximate); ANNRecallSuite gates
+    * recall ≥ 0.8 against the brute-force baseline above.
+    */
+  val llmSimsearchLsh: Op = Op(
+    "llm_simsearch_lsh",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
+      val lsh = new BucketedRandomProjectionLSH()
+        .setBucketLength(1.0).setNumHashTables(3).setSeed(42)
+        .setInputCol("features").setOutputCol("hashes")
+      val model = lsh.fit(e)
+      val probes = e.filter(col("vec_id") % 50 === 0)
+      model.approxSimilarityJoin(probes, e, 1.25, "dist")
+        .select(
+          col("datasetA.vec_id").as("p_id"),
+          col("datasetB.vec_id").as("n_id"),
+          round(col("dist"), 6).as("dist"))
+        .filter(col("p_id") =!= col("n_id"))
+        .orderBy("p_id", "n_id")
+    },
+    None)
+
+  /** The multimodal row: text + vector + typed metadata joined into one
+    * record (documents ⋈ embeddings on doc_id = vec_id). Inner join —
+    * sf0.1 has 5000 docs vs 2000 vecs, so the contract is
+    * intersection-tolerant. Nested struct output is exercised internally
+    * (meta struct) and flattened for the oracle compare; both sides are
+    * fact-sized at scale, so this is a shuffle equi-join on the id —
+    * co-partitioning/bucketing both lakes on the id makes it shuffle-free.
+    */
+  val llmMultimodalJoin: Op = Op(
+    "llm_multimodal_join",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      docs.join(emb, col("doc_id") === col("vec_id"))
+        .withColumn("meta", struct(col("lang"), col("source"), col("label")))
+        .select(
+          col("doc_id"),
+          col("meta.lang").as("lang"),
+          col("meta.source").as("source"),
+          col("meta.label").as("label"),
+          col("n_chars"),
+          size(toks).as("n_toks"),
+          round(l2(dvec(col("embedding"))), 6).as("emb_l2"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, lang, source, label, n_chars,
+        len(string_split(text, ' ')) AS n_toks,
+        ROUND(sqrt(list_sum(list_transform(embedding,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS emb_l2
+      FROM documents JOIN embeddings ON doc_id = vec_id
+      ORDER BY doc_id
+    """.stripMargin.trim))
+
+  val ops: Seq[Op] = Seq(
+    llmQualityFilter, llmTextStats, llmTextTfidf, llmDedupExact,
+    llmDedupNear, llmSimsearchTopk, llmSimsearchLsh, llmMultimodalJoin)
 }
