@@ -14,7 +14,8 @@ object Registry {
       Windows.ops ++
       Scalars.ops ++
       EventTime.ops ++
-      LlmOps.ops
+      LlmOps.ops ++
+      Udafs.ops
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(op => op.name -> op.build).toMap
