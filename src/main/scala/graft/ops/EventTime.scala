@@ -72,10 +72,11 @@ object EventTime {
     """.stripMargin.trim))
 
   /** Per-user sessions with a 30-minute inactivity gap. Spark's
-    * session_window half-open interval means an event at exactly
-    * prev + 30min opens a NEW session, so the oracle's gaps-and-islands
-    * condition is `gap >= 30 min`. Emits session start, last-event time,
-    * event count and value sum.
+    * session_window merges an event at EXACTLY prev + 30min into the
+    * running session (verified empirically in UnitSuite — the window
+    * interval is inclusive of its end here), so the oracle's
+    * gaps-and-islands condition is strictly `gap > 30 min`. Emits session
+    * start, last-event time, event count and value sum.
     */
   val streamSession: Op = Op(
     "stream_session",
@@ -97,7 +98,7 @@ object EventTime {
       WITH g AS (
         SELECT user_id, ts, value,
           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-               OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+               OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
                THEN 1 ELSE 0 END AS new_sess
         FROM events
       ), s AS (

@@ -78,7 +78,8 @@ object Tables {
       StructField("o_custkey", LongType),
       StructField("o_orderstatus", StringType),
       StructField("o_totalprice", DoubleType),
-      StructField("o_orderdate", TimestampType),
+      // parquet timestamp[ms] with isAdjustedToUTC=false → Spark 4 NTZ
+      StructField("o_orderdate", TimestampNTZType),
       StructField("o_orderpriority", StringType))),
     "lineitem" -> StructType(Seq(
       StructField("l_orderkey", LongType),
@@ -91,7 +92,7 @@ object Tables {
       StructField("l_tax", DoubleType),
       StructField("l_returnflag", StringType),
       StructField("l_linestatus", StringType),
-      StructField("l_shipdate", TimestampType))),
+      StructField("l_shipdate", TimestampNTZType))),
     "events" -> StructType(Seq(
       StructField("event_id", LongType),
       StructField("ts", TimestampType),

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Aggregates, LlmOps, Relational}
+import graft.tables.Tables
+
+/** Tier B (SURVEY §5.2): algebraic invariants over the real fixtures —
+  * properties that must hold regardless of data values, checked where the
+  * DuckDB oracle can only confirm point values.
+  */
+class PropertySuite extends AnyFunSuite {
+
+  private lazy val s = TestSpark.spark
+  private val sf = TestSpark.Sf0001
+
+  test("set_union_all cardinality = |customers| + |suppliers|") {
+    val n = Relational.setUnionAll.build(s, sf).count()
+    assert(n ==
+      Tables.customer(s, sf).count() + Tables.supplier(s, sf).count())
+  }
+
+  test("limit_topk returns exactly k rows, all >= the excluded maximum") {
+    val top = Relational.limitTopk.build(s, sf).collect()
+    assert(top.length == 100)
+    val prices = top.map(_.getAs[Double]("l_extendedprice"))
+    val minTop = prices.min
+    val below = Tables.lineitem(s, sf)
+      .filter(org.apache.spark.sql.functions.col("l_extendedprice") > minTop)
+      .count()
+    // every row strictly above the cut must already be in the top-k
+    assert(below <= 100)
+  }
+
+  test("llm_dedup_near pairs are canonical (a_id < b_id) with jaccard in [0.8, 1]") {
+    val rows = LlmOps.llmDedupNear.build(s, sf).collect()
+    assert(rows.nonEmpty, "sf0.001 plants near-duplicates; none found")
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      val j = r.getDouble(2)
+      assert(j >= 0.8 && j <= 1.0)
+    }
+  }
+
+  test("llm_dedup_exact partitions the corpus: sum(n_copies) = |documents|") {
+    val out = LlmOps.llmDedupExact.build(s, sf).collect()
+    assert(out.map(_.getAs[Long]("n_copies")).sum == Tables.documents(s, sf).count())
+  }
+
+  test("agg_approx_distinct within 5% of exact distinct per event_type") {
+    val approx = Aggregates.aggApproxDistinct.build(s, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    import org.apache.spark.sql.functions._
+    val exact = Tables.events(s, sf)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      val a = approx(k)
+      assert(math.abs(a - n).toDouble / n <= 0.05, s"$k: approx $a vs exact $n")
+    }
+  }
+}
