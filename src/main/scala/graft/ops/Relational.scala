@@ -54,11 +54,17 @@ object Relational {
             FROM lineitem WHERE l_shipdate >= TIMESTAMP '1999-06-01 00:00:00'
             ORDER BY l_orderkey, l_linenumber"""))
 
+  /** Fixed per-JVM scratch root: repeated invocations overwrite in place
+    * instead of accumulating fresh createTempDirectory dirs in /tmp.
+    */
+  private def scratch(sub: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_scratch/$sub"
+
   /** Writes a derived table to a temp dir, reads it back (parquet sink+source). */
   val sinkParquet: Op = Op(
     "sink_parquet_roundtrip",
     (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_sink_pq").toString
+      val tmp = scratch("sink_pq")
       Tables.supplier(s, dir)
         .groupBy("s_nationkey")
         .agg(count(lit(1)).as("n_supp"), sumMoney(dec2(col("s_acctbal"))).as("bal"))
@@ -73,7 +79,7 @@ object Relational {
   val sinkCsvJson: Op = Op(
     "sink_csv_json_roundtrip",
     (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_sink_cj").toString
+      val tmp = scratch("sink_cj")
       val n = Tables.nation(s, dir)
       n.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
       n.write.mode("overwrite").json(s"$tmp/json")

@@ -66,7 +66,7 @@ def main(sf_dir, out_dir):
             for oc, sc in zip(operm, sperm):
                 a, b = norm(orow[oc]), norm(srow[sc])
                 eq = a == b
-                if not eq and isinstance(a, float) or isinstance(b, float):
+                if not eq and (isinstance(a, float) or isinstance(b, float)):
                     try:
                         eq = float(a) == float(b)
                     except (TypeError, ValueError):
