@@ -272,20 +272,24 @@ object LlmOps {
     * (vec_id % 50 = 0). The probe side is broadcast, so the full table is
     * scanned exactly once with NO shuffle of the big side — cost is
     * |probes| × N bounded dot products, the correct exact-search baseline.
-    * Ranking happens on the ROUNDED similarity (rank can't flip on a
-    * last-ulp engine difference). The scale path is llm_simsearch_lsh.
+    * The pairwise kernel is the native codegen'd CosineSim expression
+    * (one fused array pass; bit-identical to the zip_with composition —
+    * CosineSimSuite proves it). Ranking happens on the ROUNDED similarity
+    * (rank can't flip on a last-ulp engine difference). The scale path is
+    * llm_simsearch_lsh.
     */
   val llmSimsearchTopk: Op = Op(
     "llm_simsearch_topk",
     (s, dir) => {
-      val e = Tables.embeddings(s, dir).select(col("vec_id"), dvec(col("embedding")).as("v"))
+      graft.functions.CosineSim.register(s)
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding").as("v"))
       val probes = e.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("p_id"), col("v").as("pv"))
       e.crossJoin(broadcast(probes))
         .filter(col("vec_id") =!= col("p_id"))
         .select(
           col("p_id"), col("vec_id").as("n_id"),
-          round(dot(col("pv"), col("v")) / (l2(col("pv")) * l2(col("v"))), 6).as("sim"))
+          round(expr("graft_cosine(pv, v)"), 6).as("sim"))
         .withColumn("rn", row_number().over(
           Window.partitionBy("p_id").orderBy(col("sim").desc, col("n_id"))))
         .filter(col("rn") <= 5)
