@@ -57,21 +57,26 @@ class StreamingSuite extends AnyFunSuite {
     assert(streamed == batch)
   }
 
-  test("watermark drops late rows in append mode") {
+  /** Stage one logical batch as a single parquet FILE at the source root
+    * so maxFilesPerTrigger=1 maps it to exactly one micro-batch.
+    */
+  private def stageFile(srcDir: String, sub: String,
+      rows: Seq[(Long, String, Long, String, Double, String)]): Unit = {
     import s.implicits._
+    val stage = Files.createTempDirectory("graft_stage_").toString
+    rows.toDF("event_id", "tss", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("tss").cast(TimestampType))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, java.nio.file.Paths.get(srcDir, s"$sub.parquet"))
+  }
+
+  test("watermark drops late rows in append mode") {
     val srcDir = Files.createTempDirectory("graft_stream_late_").toString
-    // Stage each batch as one parquet FILE at the source root so
-    // maxFilesPerTrigger=1 maps one logical batch to one micro-batch.
-    def mkFile(sub: String, rows: Seq[(Long, String, Long, String, Double, String)]): Unit = {
-      val stage = Files.createTempDirectory("graft_stage_").toString
-      rows.toDF("event_id", "tss", "user_id", "event_type", "value", "props")
-        .withColumn("ts", col("tss").cast(TimestampType))
-        .select("event_id", "ts", "user_id", "event_type", "value", "props")
-        .coalesce(1).write.mode("overwrite").parquet(stage)
-      val part = new java.io.File(stage).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
-      Files.move(part.toPath, java.nio.file.Paths.get(srcDir, s"$sub.parquet"))
-    }
+    def mkFile(sub: String, rows: Seq[(Long, String, Long, String, Double, String)]): Unit =
+      stageFile(srcDir, sub, rows)
 
     // batch 1: events in hours 01,02,03 → watermark after it = 03:00 − 2h = 01:00
     mkFile("f1", Seq(
@@ -112,5 +117,81 @@ class StreamingSuite extends AnyFunSuite {
     assert(emitted.get("2024-01-01 03:00:00").contains(1L))
     // the late 00:30 row was dropped: its window never appears
     assert(!emitted.contains("2024-01-01 00:00:00"))
+  }
+
+  test("streaming session windows converge to the batch stream_session result") {
+    // Replay the fixture, then a far-future sentinel event (user -1) in a
+    // second micro-batch: the watermark passes every real session's end,
+    // so append mode emits exactly the finalized sessions.
+    val srcDir = Files.createTempDirectory("graft_stream_sess_").toString
+    val stage = Files.createTempDirectory("graft_sess_f1_").toString
+    Tables.events(s, TestSpark.Sf0001).coalesce(1)
+      .write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, java.nio.file.Paths.get(srcDir, "f1.parquet"))
+
+    val stream = s.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"),
+        max(col("ts")).as("last_ts"))
+      .select(
+        col("user_id"),
+        date_format(date_trunc("second", col("sw.start")), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
+        date_format(date_trunc("second", col("last_ts")), "yyyy-MM-dd HH:mm:ss").as("sess_last"),
+        col("n_events"), col("sum_value"))
+
+    val q = stream.writeStream
+      .format("memory").queryName("session_stream")
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      stageFile(srcDir, "f2",
+        Seq((999999L, "2030-01-01 00:00:00", -1L, "view", 0.0, "{}")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = s.table("session_stream")
+      .filter(col("user_id") =!= -1L)
+      .orderBy("user_id", "sess_start")
+      .collect().toSeq
+    val batch = EventTime.streamSession.build(s, TestSpark.Sf0001)
+      .collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("streaming dropDuplicates forwards each event_id exactly once across batches") {
+    val srcDir = Files.createTempDirectory("graft_stream_dedup_").toString
+    stageFile(srcDir, "f1", Seq(
+      (1L, "2024-01-01 01:00:00", 1L, "view", 1.0, "{}"),
+      (2L, "2024-01-01 01:05:00", 1L, "view", 1.0, "{}")))
+
+    val stream = s.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .dropDuplicates("event_id")
+      .select("event_id", "user_id", "event_type")
+
+    val q = stream.writeStream
+      .format("memory").queryName("dedup_stream")
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      // replay of id 1 (cross-batch duplicate) plus a genuinely new id 3
+      stageFile(srcDir, "f2", Seq(
+        (1L, "2024-01-01 01:00:00", 1L, "view", 1.0, "{}"),
+        (3L, "2024-01-01 01:10:00", 2L, "click", 1.0, "{}")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val ids = s.table("dedup_stream").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L))
   }
 }
