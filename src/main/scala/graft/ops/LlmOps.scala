@@ -203,6 +203,12 @@ object LlmOps {
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), toks.as("toks"))
         .filter(size(col("toks")) >= 5)
+      // The shingle table feeds four consumers (sizes, candidate bands,
+      // and both sides of the exact-verify join); Catalyst's ReuseExchange
+      // dedupes the identical explode+distinct subplans, so it shuffles
+      // once without explicit caching (persist() measured SLOWER here —
+      // cache materialization costs more than it saves in a single run).
+      // At 100 TB, checkpoint the shingle table instead.
       val sh = docs.select(col("doc_id"), explode(
           expr("transform(sequence(1, size(toks) - 4), i -> concat_ws(' ', slice(toks, i, 5)))"))
           .as("shingle"))
