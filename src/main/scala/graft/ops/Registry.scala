@@ -15,6 +15,7 @@ object Registry {
       Scalars.ops ++
       EventTime.ops ++
       LlmOps.ops ++
+      Multimodal.ops ++
       Udafs.ops
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

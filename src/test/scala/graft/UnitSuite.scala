@@ -130,6 +130,13 @@ class UnitSuite extends AnyFunSuite {
     assert(got == Seq(Row(1L, 2L, 1.0)))
   }
 
+  test("llm_multimodal_features: decode stub matches hand-computed bytes features") {
+    // "ab" = bytes 97,98 → n_bytes 2, mean 97.5, histogram bucket 1 (64-127)
+    val dir = tmpLake("documents" -> docsDf(Seq((1L, "ab"))))
+    val got = graft.ops.Multimodal.llmMultimodalFeatures.build(s, dir).collect().toSeq
+    assert(got == Seq(Row(1L, "audio", 2, 2, 2, 97.5, "0,2,0,0")))
+  }
+
   test("llm_dedup_near is idempotent: surviving docs contain no pairs") {
     val words = (1 to 20).map(i => s"w$i").mkString(" ")
     val other = (1 to 20).map(i => s"z$i").mkString(" ")
