@@ -274,6 +274,85 @@ object LlmOps {
       ORDER BY a_id, b_id
     """.stripMargin.trim))
 
+  /** SimHash near-dedup — the signature-based alternative to the
+    * set-similarity pipeline above: each doc compresses to ONE 60-bit
+    * signature (bitwise majority vote over md5-hashed shingles), so
+    * at 100 TB the heavy state is 8 bytes/doc instead of a shingle
+    * table. Candidates come from 6 banded 10-bit sub-signatures
+    * (guaranteed complete for hamming ≤ 5, overwhelmingly complete at
+    * the ≤ 10 threshold; the oracle replicates the same bands, so the
+    * compared results agree by construction). On this corpus
+    * (word-level tokens fail here — the tiny vocabulary makes unrelated
+    * token SETS near-identical) shingle-level SimHash separates cleanly:
+    * planted pairs at hamming 1–8, noise floor 17+. The 60-bit hash is
+    * md5-prefix based because BOTH engines define it identically
+    * (Spark conv(hex,16,10) ≡ DuckDB CAST('0x'||hex AS BIGINT)).
+    */
+  val llmDedupSimhash: Op = Op(
+    "llm_dedup_simhash",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), toks.as("toks"))
+        .filter(size(col("toks")) >= 5)
+      val sh = docs.select(col("doc_id"), explode(
+          expr("transform(sequence(1, size(toks) - 4), i -> concat_ws(' ', slice(toks, i, 5)))"))
+          .as("shingle"))
+        .distinct()
+      val th = sh.withColumn("h",
+        expr("cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint)"))
+      val bits = th
+        .select(col("doc_id"), col("h"), explode(expr("sequence(0, 59)")).as("i"))
+        .groupBy("doc_id", "i")
+        .agg(sum(expr("CASE WHEN (shiftright(h, i) & 1) = 1 THEN 1 ELSE -1 END")).as("w"))
+      val sig = bits.groupBy("doc_id")
+        .agg(sum(expr("CASE WHEN w > 0 THEN shiftleft(cast(1 as bigint), i) ELSE cast(0 as bigint) END")).as("sig"))
+      val bands = sig
+        .select(col("doc_id"), col("sig"), explode(expr("sequence(0, 5)")).as("j"))
+        .withColumn("band", expr("shiftright(sig, 10 * j) & 1023"))
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.j") === col("b.j") && col("a.band") === col("b.band") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(
+          col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+        .distinct()
+        .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+        .filter(col("hamming") <= 10)
+        .select("a_id", "b_id", "hamming")
+        .orderBy("a_id", "b_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      ), idx AS (
+        SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS i
+        FROM t WHERE len(toks) >= 5
+      ), sh AS (
+        SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS shingle FROM idx
+      ), th AS (
+        SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS h FROM sh
+      ), bits AS (
+        SELECT doc_id, i, SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS w
+        FROM th, (SELECT unnest(generate_series(0, 59)) AS i) GROUP BY 1, 2
+      ), sig AS (
+        SELECT doc_id,
+          SUM(CASE WHEN w > 0 THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END) AS sig
+        FROM bits GROUP BY 1
+      ), bands AS (
+        SELECT doc_id, sig, j, (sig >> (10 * j)) & 1023 AS band
+        FROM sig, (SELECT unnest(generate_series(0, 5)) AS j)
+      ), cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+               a.sig AS sig_a, b.sig AS sig_b
+        FROM bands a JOIN bands b
+          ON a.j = b.j AND a.band = b.band AND a.doc_id < b.doc_id
+      )
+      SELECT a_id, b_id, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+      FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 10
+      ORDER BY a_id, b_id
+    """.stripMargin.trim))
+
   /** Brute-force cosine top-5 for a fixed deterministic probe set
     * (vec_id % 50 = 0). The probe side is broadcast, so the full table is
     * scanned exactly once with NO shuffle of the big side — cost is
@@ -385,5 +464,6 @@ object LlmOps {
 
   val ops: Seq[Op] = Seq(
     llmQualityFilter, llmTextStats, llmTextTfidf, llmDedupExact,
-    llmDedupNear, llmSimsearchTopk, llmSimsearchLsh, llmMultimodalJoin)
+    llmDedupNear, llmDedupSimhash, llmSimsearchTopk, llmSimsearchLsh,
+    llmMultimodalJoin)
 }

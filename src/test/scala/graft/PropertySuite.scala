@@ -42,6 +42,15 @@ class PropertySuite extends AnyFunSuite {
     }
   }
 
+  test("independent near-dup detectors agree: simhash pairs == jaccard pairs") {
+    val jacc = LlmOps.llmDedupNear.build(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = LlmOps.llmDedupSimhash.build(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jacc == sim,
+      s"detectors disagree: jaccard-only=${jacc -- sim}, simhash-only=${sim -- jacc}")
+  }
+
   test("llm_dedup_exact partitions the corpus: sum(n_copies) = |documents|") {
     val out = LlmOps.llmDedupExact.build(s, sf).collect()
     assert(out.map(_.getAs[Long]("n_copies")).sum == Tables.documents(s, sf).count())
