@@ -300,12 +300,11 @@ object LlmOps {
         .distinct()
       val th = sh.withColumn("h",
         expr("cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint)"))
-      val bits = th
-        .select(col("doc_id"), col("h"), explode(expr("sequence(0, 59)")).as("i"))
-        .groupBy("doc_id", "i")
-        .agg(sum(expr("CASE WHEN (shiftright(h, i) & 1) = 1 THEN 1 ELSE -1 END")).as("w"))
-      val sig = bits.groupBy("doc_id")
-        .agg(sum(expr("CASE WHEN w > 0 THEN shiftleft(cast(1 as bigint), i) ELSE cast(0 as bigint) END")).as("sig"))
+      // one-pass majority vote (SimHashAgg) — semantically identical to
+      // the oracle's explode-60-bits formulation, minus the 60× row
+      // blow-up through the shuffle
+      val simhash = udaf(SimHashAgg)
+      val sig = th.groupBy("doc_id").agg(simhash(col("h")).as("sig"))
       val bands = sig
         .select(col("doc_id"), col("sig"), explode(expr("sequence(0, 5)")).as("j"))
         .withColumn("band", expr("shiftright(sig, 10 * j) & 1023"))

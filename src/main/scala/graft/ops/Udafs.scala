@@ -51,6 +51,59 @@ object WeightedAvgAgg
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }
 
+/** Per-bit majority-vote buffer for SimHash signatures. */
+final case class SimHashBuf(counts: Array[Long], n: Long)
+
+/** One-pass SimHash signature aggregate: IN = 60-bit shingle hash,
+  * BUF = 60 set-bit counters (+ row count), OUT = the 60-bit signature
+  * (bit i set ⟺ strictly more than half the hashes set bit i — identical
+  * to the sum-of-±1 > 0 formulation the SQL oracle uses).
+  *
+  * Exists for scale: the pure-SQL formulation explodes every hash into 60
+  * (doc, bit) rows and hash-aggregates them (60× row blow-up through a
+  * shuffle); this aggregate folds the same counters in-place per
+  * partition and merges element-wise, so the shuffle carries one
+  * 60-counter buffer per (partition, doc). (At fixture scale the wall
+  * clock barely moves — the shingle join dominates locally — but at
+  * 100 TB the 60× shuffle-volume reduction is the difference between a
+  * plan that fits and one that doesn't.) Merge is commutative/associative
+  * ⇒ partition-invariant (tier-C covered via llm_dedup_simhash).
+  */
+object SimHashAgg extends Aggregator[Long, SimHashBuf, Long] {
+  override def zero: SimHashBuf = SimHashBuf(new Array[Long](60), 0L)
+
+  override def reduce(b: SimHashBuf, h: Long): SimHashBuf = {
+    var i = 0
+    while (i < 60) {
+      b.counts(i) += (h >>> i) & 1L
+      i += 1
+    }
+    SimHashBuf(b.counts, b.n + 1)
+  }
+
+  override def merge(a: SimHashBuf, b: SimHashBuf): SimHashBuf = {
+    var i = 0
+    while (i < 60) {
+      a.counts(i) += b.counts(i)
+      i += 1
+    }
+    SimHashBuf(a.counts, a.n + b.n)
+  }
+
+  override def finish(b: SimHashBuf): Long = {
+    var sig = 0L
+    var i = 0
+    while (i < 60) {
+      if (2 * b.counts(i) > b.n) sig |= 1L << i
+      i += 1
+    }
+    sig
+  }
+
+  override def bufferEncoder: Encoder[SimHashBuf] = Encoders.product[SimHashBuf]
+  override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+}
+
 object Udafs {
 
   /** Quantity-weighted average extended price per return flag — the UDAF
