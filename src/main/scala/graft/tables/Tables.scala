@@ -36,6 +36,14 @@ object Tables {
     * normal TimestampType column. Graded queries additionally second-
     * truncate before emitting (SURVEY §5.3.3), so the lost sub-µs digits
     * never reach an oracle compare.
+    *
+    * Deliberate contract: this loader SETS the session conf on every
+    * call (idempotent). The grading driver invokes queries with a
+    * session this library didn't build, so the loader must self-
+    * provision — moving the conf to our own entry points would break
+    * exactly that caller. The flag only affects parquet columns
+    * Spark would otherwise refuse to read at all, so no other
+    * consumer's semantics can change underneath it.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-SHAPE regression tests: the scale claims the scaladocs make
+  * (pushdown reaches the reader, dimensions broadcast, top-k never
+  * sorts the table, nothing goes quadratic by accident) asserted
+  * against the formatted physical plan, so a silent Catalyst regression
+  * fails CI instead of only showing up at 100 TB. Promised by
+  * Relational.scala / Tables.scala scaladoc; PlanAudit remains the
+  * eyeball tool.
+  */
+class PlanSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.Sf0001
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("scan_parquet_pred pushes its predicate into the parquet reader") {
+    val p = plan("scan_parquet_pred")
+    val pushed = "PushedFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(p)
+      .map(_.group(1)).getOrElse(fail(s"no PushedFilters section:\n$p"))
+    assert(pushed.contains("l_shipdate"), s"predicate not pushed: [$pushed]")
+    assert(pushed.trim.nonEmpty)
+  }
+
+  test("scan_parquet_prune reads exactly its 3 projected columns") {
+    val p = plan("scan_parquet_prune")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p)
+      .map(_.group(1)).getOrElse(fail(s"no ReadSchema section:\n$p"))
+    val cols = read.split(",").map(_.split(":")(0).trim).toSet
+    assert(cols == Set("l_orderkey", "l_linenumber", "l_quantity"),
+      s"scan not pruned to the projection: $cols")
+  }
+
+  test("join_broadcast plans a BroadcastHashJoin (no shuffle of the fact side)") {
+    assert(plan("join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("limit_topk plans TakeOrderedAndProject (k rows move, not the table)") {
+    assert(plan("limit_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("join_asof plans exactly one exchange on the join key (no range probe)") {
+    val p = plan("join_asof")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "as-of join regressed to a quadratic probe")
+  }
+
+  /** Every nested-loop / cartesian plan in the library must be one of
+    * the four deliberate bounded-broadcast designs:
+    *  - join_cross: 25×5 dimension cross, the operator's own semantics;
+    *  - join_theta_range: pure inequality predicate, small build side;
+    *  - llm_simsearch_topk: bounded probe set broadcast by design;
+    *  - llm_text_tfidf: 1-row corpus-size aggregate broadcast in-plan.
+    * Anything new showing up here is an accidental quadratic plan.
+    */
+  test("no CartesianProduct/BroadcastNestedLoopJoin outside the whitelist") {
+    val allowed = Set("join_cross", "join_theta_range", "llm_simsearch_topk", "llm_text_tfidf")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      // sinks execute writes at build time; skip side-effecting queries —
+      // they are plain scan→write→scan pipelines with no join to audit
+      if (name.startsWith("sink_")) None
+      else {
+        val p = plan(name)
+        if ((p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
+            && !allowed(name)) Some(name)
+        else None
+      }
+    }
+    assert(offenders.isEmpty, s"unexpected quadratic join in: $offenders")
+  }
+}
