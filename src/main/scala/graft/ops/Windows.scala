@@ -98,12 +98,11 @@ object Windows {
     *
     * SCALE NOTE: o_orderstatus has 3 distinct values, so each window
     * partition is ~⅓ of the table on a single task — fine at fixture sf,
-    * a skew ceiling at 100 TB. The production formulation is two-pass:
-    * (1) range-partition rows by (status, price) and compute per-range
-    * partial sums, (2) a prefix-scan over the tiny per-range summary
-    * broadcast back for a map-side band lookup. The graded query keeps
-    * the single-window shape because it is the semantic spec (and what
-    * the oracle can express); only the physical strategy changes at scale.
+    * a skew ceiling at 100 TB. The production formulation IS implemented:
+    * win_range_frame_scale below computes the identical result with
+    * every window keyed by (status, price-bucket) — bit-equality
+    * asserted in WindowScaleSuite and by sharing this op's oracle. This
+    * single-window form is kept as the semantic spec.
     */
   val winRangeFrame: Op = Op(
     "win_range_frame",
@@ -125,11 +124,12 @@ object Windows {
                          RANGE BETWEEN 50000.0 PRECEDING AND CURRENT ROW)
             ORDER BY o_orderkey"""))
 
-  /** SCALE NOTE: same 3-value partition key as win_range_frame. ntile /
-    * percent_rank / cume_dist over a skewed key are two-pass at 100 TB:
-    * distributed percentile boundaries first (approx or exact via
-    * per-partition counts), then a map-side bucket assignment — same
-    * results, no single-task sort. Spec form kept for the oracle.
+  /** SCALE NOTE: same 3-value partition key as win_range_frame. The
+    * two-pass production formulation IS implemented: win_ntile_pct_scale
+    * below derives ntile/percent_rank/cume_dist closed-form from a
+    * distributed global rank — bit-equality asserted in
+    * WindowScaleSuite and by sharing this op's oracle. Spec form kept
+    * as the semantic contract.
     */
   val winNtilePct: Op = Op(
     "win_ntile_pct",
@@ -158,6 +158,140 @@ object Windows {
                           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
             ORDER BY o_orderkey"""))
 
+  /** win_range_frame's SCALE FORMULATION — same semantics, no skewed
+    * window. The single-window spec form sorts ~⅓ of the table per task
+    * (3-value partition key); this one decomposes the RANGE frame over
+    * exact integer-cent buckets of exactly the band width W:
+    * band(p) = [p−W, p] always spans buckets b−1 and b, so
+    *   band_sum(p) = (running sum within bucket b up to p)
+    *               + (total of bucket b−1)
+    *               − (prefix of bucket b−1 strictly below p−W).
+    * Every window is keyed by (status, bucket) — cardinality grows with
+    * the data, so no single-task sort survives at 100 TB. The third
+    * term is an as-of-style union-tag lookup: query points at p−W sort
+    * before equal-valued data rows, so their running sum is the strict
+    * prefix. All partial sums stay in exact DECIMAL until the final
+    * cast, so the result is bit-identical to the spec form (equality
+    * asserted in WindowScaleSuite; the oracle below is the SAME SQL as
+    * win_range_frame).
+    */
+  val winRangeFrameScale: Op = Op(
+    "win_range_frame_scale",
+    (s, dir) => {
+      // Bucket by EXACT integer cents (band width = exactly one bucket
+      // width, so band(p) ⊆ buckets {b−1, b}); but order and threshold
+      // in DOUBLE, because that is the arithmetic both engines use for
+      // the RANGE boundary (p − 50000.0) — an exact-cent membership
+      // test can disagree with them on rows lying exactly on a band
+      // boundary. Double slop is ≪ 1 cent, so bucketing stays exact.
+      val W = 5000000L
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("bkt", expr(s"cast(round(o_totalprice * 100) as bigint) div $W"))
+      val wIn = Window.partitionBy("o_orderstatus", "bkt").orderBy("o_totalprice")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val withIn = o
+        .withColumn("rs_sum", sum(dec2(col("o_totalprice"))).over(wIn))
+        .withColumn("rs_n", count(lit(1)).over(wIn))
+      val totals = o.groupBy("o_orderstatus", "bkt").agg(
+        sum(dec2(col("o_totalprice"))).as("t_sum"), count(lit(1)).as("t_n"))
+      // exclusive-prefix lookup at p − 50000.0 inside bucket b−1:
+      // query points (tag 0) sort before equal-valued data rows (tag 1),
+      // so a query's running sum/count is the strictly-below prefix —
+      // the as-of union-tag shape, keyed by the skew-free (status, bkt)
+      val qpts = o.select(
+        col("o_orderstatus"), (col("bkt") - 1).as("bkt"),
+        (col("o_totalprice") - lit(50000.0)).as("v"),
+        lit(0).as("tag"), lit(null).cast(DecimalType(12, 2)).as("money"),
+        col("o_orderkey").as("q_key"))
+      val dpts = o.select(
+        col("o_orderstatus"), col("bkt"), col("o_totalprice").as("v"),
+        lit(1).as("tag"), dec2(col("o_totalprice")).as("money"),
+        lit(null).cast(LongType).as("q_key"))
+      val wEx = Window.partitionBy("o_orderstatus", "bkt")
+        .orderBy("v", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val excl = qpts.unionByName(dpts)
+        .withColumn("ex_sum", sum(col("money")).over(wEx))
+        .withColumn("ex_n", count(col("money")).over(wEx))
+        .filter(col("tag") === 0)
+        .select(col("q_key"), col("ex_sum"), col("ex_n"))
+      withIn
+        .join(excl, col("o_orderkey") === col("q_key"))
+        .join(broadcast(totals.select(
+            col("o_orderstatus").as("t_status"), (col("bkt") + 1).as("t_bkt"),
+            col("t_sum"), col("t_n"))),
+          col("o_orderstatus") === col("t_status") && col("bkt") === col("t_bkt"),
+          "left")
+        .select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          (col("rs_sum") + coalesce(col("t_sum"), lit(0)) - coalesce(col("ex_sum"), lit(0)))
+            .cast(DoubleType).as("band_sum"),
+          (col("rs_n") + coalesce(col("t_n"), lit(0L)) - coalesce(col("ex_n"), lit(0L)))
+            .as("band_n"))
+        .orderBy("o_orderkey")
+    },
+    winRangeFrame.oracle)
+
+  /** win_ntile_pct's SCALE FORMULATION — distributed global rank via
+    * range partitioning: range-partition by (status, price, key), rank
+    * locally per (partition, status) — a key whose cardinality grows
+    * with the cluster, unlike the 3-value status — then add broadcast
+    * per-partition offsets from a tiny (partitions × statuses) summary.
+    * ntile/percent_rank/cume_dist are closed-form in (rank, N) under a
+    * unique total order, and first/last keys are argmin/argmax struct
+    * aggregates, so no single-task sort remains. Output values depend
+    * only on the total order, not partition boundaries, so the result
+    * is bit-identical to the spec form (equality asserted in
+    * WindowScaleSuite; the oracle is the SAME SQL as win_ntile_pct).
+    */
+  val winNtilePctScale: Op = Op(
+    "win_ntile_pct_scale",
+    (s, dir) => {
+      val parted = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .repartitionByRange(8, col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
+        .withColumn("pid", spark_partition_id())
+      val wLocal = Window.partitionBy("pid", "o_orderstatus")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val local = parted.withColumn("lrn", row_number().over(wLocal).cast(LongType))
+      val summary = local.groupBy("pid", "o_orderstatus").agg(count(lit(1)).as("cnt"))
+      val wOff = Window.partitionBy("o_orderstatus").orderBy("pid")
+      val offsets = summary
+        .withColumn("off",
+          coalesce(sum("cnt").over(wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n", sum("cnt").over(Window.partitionBy("o_orderstatus")))
+        .select(col("pid"), col("o_orderstatus"), col("off"), col("n"))
+      val edges = Tables.orders(s, dir).groupBy("o_orderstatus").agg(
+        min(struct(col("o_totalprice"), col("o_orderkey")))
+          .getField("o_orderkey").as("cheapest_key"),
+        max(struct(col("o_totalprice"), col("o_orderkey")))
+          .getField("o_orderkey").as("priciest_key"))
+      local
+        .join(broadcast(offsets), Seq("pid", "o_orderstatus"))
+        .join(broadcast(edges), "o_orderstatus")
+        .withColumn("rn", col("lrn") + col("off"))
+        .select(
+          col("o_orderkey"), col("o_orderstatus"),
+          // ntile(4) closed form: the first n%4 buckets hold n div 4 + 1
+          // rows, the rest n div 4 (greatest() guards the unreachable
+          // branch when n < 4 from an ANSI div-by-zero)
+          expr("""cast(case
+              when rn <= (n % 4) * (n div 4 + 1)
+              then (rn - 1) div (n div 4 + 1)
+              else (n % 4) + (rn - 1 - (n % 4) * (n div 4 + 1)) div greatest(n div 4, 1)
+            end + 1 as int)""").as("quartile"),
+          // unique total order ⇒ rank = row number, no peers:
+          // percent_rank = (rn−1)/(n−1), cume_dist = rn/n — the same
+          // double divisions the engines' window implementations perform
+          when(col("n") === 1, lit(0.0))
+            .otherwise((col("rn") - 1).cast(DoubleType) / (col("n") - 1)).as("pct_rank"),
+          (col("rn").cast(DoubleType) / col("n")).as("cume"),
+          col("cheapest_key"), col("priciest_key"))
+        .orderBy("o_orderkey")
+    },
+    winNtilePct.oracle)
+
   val winTopkPerGroup: Op = Op(
     "win_topk_per_group",
     (s, dir) => {
@@ -177,5 +311,6 @@ object Windows {
             ORDER BY o_custkey, rn"""))
 
   val ops: Seq[Op] = Seq(
-    winRank, winLagLead, winRunningFrame, winRangeFrame, winNtilePct, winTopkPerGroup)
+    winRank, winLagLead, winRunningFrame, winRangeFrame, winNtilePct,
+    winRangeFrameScale, winNtilePctScale, winTopkPerGroup)
 }

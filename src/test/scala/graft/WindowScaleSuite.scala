@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Windows
+
+/** The scale-safe two-pass window formulations must be BIT-identical to
+  * their single-window spec forms — same rows, same doubles, down to the
+  * last ulp (they share the spec form's DuckDB oracle, so any drift
+  * would also fail the driver's hash compare).
+  */
+class WindowScaleSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.Sf0001
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().toSeq.map(_.toString)
+
+  test("win_range_frame_scale ≡ win_range_frame (bit-identical)") {
+    val spec = rows(Windows.winRangeFrame.build(spark, sf))
+    val scale = rows(Windows.winRangeFrameScale.build(spark, sf))
+    assert(scale.size == spec.size)
+    scale.zip(spec).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a == b, s"row $i differs")
+    }
+  }
+
+  test("win_ntile_pct_scale ≡ win_ntile_pct (bit-identical)") {
+    val spec = rows(Windows.winNtilePct.build(spark, sf))
+    val scale = rows(Windows.winNtilePctScale.build(spark, sf))
+    assert(scale.size == spec.size)
+    scale.zip(spec).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a == b, s"row $i differs")
+    }
+  }
+
+  test("two-pass forms hold under single-partition execution (partition invariance)") {
+    val one = Windows.winNtilePctScale.build(spark, sf).coalesce(1)
+    assert(rows(one) == rows(Windows.winNtilePct.build(spark, sf)))
+  }
+}
