@@ -10,10 +10,37 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.ops.EventTime
 import graft.tables.Tables
 
+/** Arbitrary-state demo processor for the transformWithState test: one
+  * ValueState[Long] running event count per user_id. Top-level because
+  * the processor is shipped to executors (must be serializable without
+  * capturing the suite).
+  */
+class RunningCountProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Long), (Long, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var count: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    count = getHandle.getValueState[Long]("count", Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, Long)],
+      timerValues: TimerValues): Iterator[(Long, Long)] = {
+    val n = (if (count.exists()) count.get() else 0L) + rows.size
+    count.update(n)
+    Iterator.single(key -> n)
+  }
+}
+
 /** §2.9 Structured Streaming capability suite (no-oracle, SURVEY §5.2-B):
   * the micro-batch replay of the same parquet must converge to the batch
-  * queries' ground truth ("batch-streaming equivalence"), and a watermark
-  * must actually drop late rows in append mode.
+  * queries' ground truth ("batch-streaming equivalence"), a watermark
+  * must actually drop late rows in append mode, and the two bounded /
+  * arbitrary state surfaces (dropDuplicatesWithinWatermark,
+  * transformWithState) must hold state exactly as specified.
   */
 class StreamingSuite extends AnyFunSuite {
 
@@ -164,6 +191,107 @@ class StreamingSuite extends AnyFunSuite {
     val batch = EventTime.streamSession.build(s, TestSpark.Sf0001)
       .collect().toSeq
     assert(streamed == batch)
+  }
+
+  /** dropDuplicatesWithinWatermark — the BOUNDED-state dedup (SURVEY
+    * §2.9): duplicates arriving within the watermark delay are dropped,
+    * but the per-key state is purged once the watermark passes, so a
+    * re-occurrence after expiry is forwarded again. That re-emission is
+    * exactly what makes the state bounded at 100 TB — plain
+    * dropDuplicates (previous test) would hold every key forever.
+    */
+  test("dropDuplicatesWithinWatermark dedups within the delay and purges state after it") {
+    val srcDir = Files.createTempDirectory("graft_stream_wmdedup_").toString
+    stageFile(srcDir, "f1", Seq(
+      (1L, "2024-01-01 01:00:00", 1L, "view", 1.0, "{}"),
+      (2L, "2024-01-01 01:05:00", 1L, "view", 1.0, "{}")))
+
+    val stream = s.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select("event_id", "ts")
+
+    val q = stream.writeStream
+      .format("memory").queryName("wmdedup_stream")
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      // batch 2: id 1 again within the watermark → dropped; id 10 at
+      // 10:00 advances the watermark to 08:00, past id 1's expiry
+      // (01:00 + 2 h), purging its dedup state
+      stageFile(srcDir, "f2", Seq(
+        (1L, "2024-01-01 01:00:00", 9L, "view", 1.0, "{}"),
+        (10L, "2024-01-01 10:00:00", 1L, "view", 1.0, "{}")))
+      q.processAllAvailable()
+      // batch 3: id 1 re-occurs AFTER its state expired → forwarded again
+      stageFile(srcDir, "f3", Seq(
+        (1L, "2024-01-01 09:00:00", 1L, "view", 1.0, "{}")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val ids = s.table("wmdedup_stream").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 1L, 2L, 10L),
+      s"expected id 1 twice (pre- and post-expiry), got $ids")
+  }
+
+  /** transformWithState — arbitrary per-key state (SURVEY §2.9): a
+    * ValueState[Long] running count per user, persisting across
+    * micro-batches. Requires the RocksDB state store provider (the
+    * operator's contract); the conf is set per-query and restored.
+    */
+  test("transformWithState keeps a per-user running count across micro-batches") {
+    import s.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val srcDir = Files.createTempDirectory("graft_stream_tws_").toString
+      stageFile(srcDir, "f1", Seq(
+        (1L, "2024-01-01 01:00:00", 1L, "view", 1.0, "{}"),
+        (2L, "2024-01-01 01:01:00", 1L, "view", 1.0, "{}"),
+        (3L, "2024-01-01 01:02:00", 2L, "view", 1.0, "{}")))
+
+      val counts = s.readStream.schema(eventSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+        .select(col("user_id").as[Long], col("event_id").as[Long])
+        .groupByKey(_._1)
+        .transformWithState(
+          new RunningCountProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+
+      val q = counts.toDF("user_id", "n_events").writeStream
+        .format("memory").queryName("tws_stream")
+        .outputMode("update")
+        .start()
+      try {
+        q.processAllAvailable()
+        val after1 = s.table("tws_stream").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(after1 == Map(1L -> 2L, 2L -> 1L))
+        // batch 2: the state must carry over, not restart from zero
+        stageFile(srcDir, "f2", Seq(
+          (4L, "2024-01-01 02:00:00", 1L, "view", 1.0, "{}"),
+          (5L, "2024-01-01 02:01:00", 3L, "view", 1.0, "{}")))
+        q.processAllAvailable()
+      } finally q.stop()
+
+      val latest = s.table("tws_stream").collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+      assert(latest == Map(1L -> 3L, 2L -> 1L, 3L -> 1L),
+        s"running counts wrong: $latest")
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(providerKey, v)
+        case None    => s.conf.unset(providerKey)
+      }
+    }
   }
 
   test("streaming dropDuplicates forwards each event_id exactly once across batches") {
