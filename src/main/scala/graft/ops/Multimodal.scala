@@ -1,5 +1,9 @@
 package graft.ops
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
@@ -11,15 +15,14 @@ import graft.tables.Tables
   * payloads with typed metadata, processed by partition-batched
   * feature extraction.
   *
-  * This container ships no codec libraries, so the decode step is a
-  * clearly-marked STUB (`decodeStub`) over a deterministic fake payload
-  * synthesized from `documents.text` — but every piece of Spark plumbing
-  * a real deployment needs is real and tested: the binary+metadata
-  * schema, the mapPartitions batch shape (one iterator per partition, so
-  * a codec can amortize per-batch init exactly like mapInPandas batches),
-  * the fixed-width feature output schema, and partition-invariant
-  * determinism. Swapping `decodeStub` for a JNI/codec call changes no
-  * plan shape.
+  * `kind = 'image'` rows carry REAL PNG payloads (synthesized
+  * deterministically with the JDK's own javax.imageio — no external
+  * codec library) and the feature extractor REALLY decodes them:
+  * decoded dimensions and channel statistics come from the pixels, not
+  * the metadata. Audio/video kinds keep the clearly-marked
+  * `decodeStub` (this container ships no PCM/video codec), so the two
+  * paths together document the contract: same batch shape, same
+  * fixed-width feature schema, a codec drop-in changes no plan shape.
   *
   * Scale notes: payloads never shuffle — features are extracted in the
   * scan stage (narrow mapPartitions), and only the small typed feature
@@ -28,27 +31,67 @@ import graft.tables.Tables
   */
 object Multimodal {
 
-  /** media table: opaque payload + typed metadata, derived
-    * deterministically from the documents fixture (no binary fixture
-    * exists; text bytes stand in for an encoded blob).
+  /** Deterministic tiny PNG: pixel channels are affine functions of
+    * (seed, x, y) mod 256, encoded with the JDK PNG writer. Stands in
+    * for a real ingested image; being a REAL PNG is the point — the
+    * decode path downstream cannot cheat.
     */
-  def media(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(
-      col("doc_id").as("media_id"),
-      when(col("doc_id") % 3 === 0, "image")
-        .when(col("doc_id") % 3 === 1, "audio")
-        .otherwise("video").as("kind"),
-      (col("n_chars") % 640).cast(IntegerType).as("width"),
-      (col("n_chars") % 480).cast(IntegerType).as("height"),
-      encode(col("text"), "UTF-8").as("payload"))
+  private[graft] def encodePng(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((seed * 31 + x * 7 + y * 13) % 256).toInt
+        val g = ((seed * 17 + x * 3 + y * 11) % 256).toInt
+        val b = ((seed * 23 + x * 5 + y * 19) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
 
-  /** STUB decode: a real implementation would hand `payload` to a codec
-    * (JPEG decode, PCM frames, key-frame sample). The stub derives
+  /** REAL image decode (JDK javax.imageio): dimensions and RGB channel
+    * statistics from the decoded pixels. Returns
+    * (imgW, imgH, meanChannel, hist4) where hist4 buckets channel
+    * values by 64.
+    */
+  private[graft] def decodeImage(payload: Array[Byte]): (Int, Int, Double, Array[Long]) = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    val (w, h) = (img.getWidth, img.getHeight)
+    val hist = new Array[Long](4)
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        var c = 0
+        while (c < 3) {
+          val v = (rgb >> (8 * c)) & 0xff
+          hist(v / 64) += 1
+          sum += v
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val n = 3L * w * h
+    (w, h, if (n == 0) 0.0 else sum.toDouble / n, hist)
+  }
+
+  /** STUB decode for the codec-less kinds (audio/video): derives
     * deterministic pseudo-features from the raw bytes so the pipeline is
     * end-to-end testable; its signature (bytes → fixed-width features)
-    * is the contract a codec drop-in must keep.
+    * is the contract a PCM/video codec drop-in must keep.
     */
-  private[ops] def decodeStub(payload: Array[Byte]): (Int, Double, Array[Long]) = {
+  private[graft] def decodeStub(payload: Array[Byte]): (Int, Double, Array[Long]) = {
     val hist = new Array[Long](4)
     var sum = 0L
     var i = 0
@@ -62,16 +105,58 @@ object Multimodal {
     (payload.length, mean, hist)
   }
 
+  private val mediaSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("kind", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("payload", BinaryType)))
+
+  /** media table: opaque payload + typed metadata, derived
+    * deterministically from the documents fixture. Image rows carry a
+    * real PNG whose dimensions are (media_id % 6 + 2) × (media_id % 4
+    * + 2); audio/video rows carry the document's text bytes standing in
+    * for an encoded blob. Synthesis runs in the same narrow
+    * mapPartitions shape the extractor uses (ImageIO is JVM-local, no
+    * shuffle).
+    */
+  def media(s: SparkSession, dir: String): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    Tables.documents(s, dir).select(
+        col("doc_id").as("media_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("kind"),
+        (col("n_chars") % 640).cast(IntegerType).as("width"),
+        (col("n_chars") % 480).cast(IntegerType).as("height"),
+        encode(col("text"), "UTF-8").as("textbytes"))
+      .mapPartitions { batch =>
+        batch.map { r =>
+          val id = r.getAs[Long]("media_id")
+          val kind = r.getAs[String]("kind")
+          val payload =
+            if (kind == "image") encodePng((id % 6 + 2).toInt, (id % 4 + 2).toInt, id)
+            else r.getAs[Array[Byte]]("textbytes")
+          Row(id, kind, r.getAs[Int]("width"), r.getAs[Int]("height"), payload)
+        }
+      }(enc)
+  }
+
   private val featureSchema = StructType(Seq(
     StructField("media_id", LongType),
     StructField("kind", StringType),
     StructField("width", IntegerType),
     StructField("height", IntegerType),
+    StructField("img_w", IntegerType),
+    StructField("img_h", IntegerType),
     StructField("n_bytes", IntegerType),
     StructField("mean_byte", DoubleType),
     StructField("hist", StringType)))
 
-  /** Partition-batched feature extraction over the opaque payloads. */
+  /** Partition-batched feature extraction over the opaque payloads:
+    * images are pixel-decoded (img_w/img_h/mean/hist from the REAL
+    * decode), other kinds go through the stub (img_w/img_h null).
+    */
   val llmMultimodalFeatures: Op = Op(
     "llm_multimodal_features",
     (s, dir) => {
@@ -80,16 +165,27 @@ object Multimodal {
         .mapPartitions { batch =>
           // per-partition init happens HERE once (codec handles, buffers)
           batch.map { r =>
-            val (n, mean, hist) = decodeStub(r.getAs[Array[Byte]]("payload"))
-            Row(
-              r.getAs[Long]("media_id"), r.getAs[String]("kind"),
-              r.getAs[Int]("width"), r.getAs[Int]("height"),
-              n, math.rint(mean * 1e6) / 1e6, hist.mkString(","))
+            // positional getters: rows from the upstream mapPartitions
+            // carry no name schema (mediaSchema order: id, kind, w, h, payload)
+            val kind = r.getString(1)
+            val payload = r.getAs[Array[Byte]](4)
+            val base = Seq[Any](r.getLong(0), kind, r.getInt(2), r.getInt(3))
+            val feats =
+              if (kind == "image") {
+                val (iw, ih, mean, hist) = decodeImage(payload)
+                Seq[Any](iw, ih, payload.length,
+                  math.rint(mean * 1e6) / 1e6, hist.mkString(","))
+              } else {
+                val (n, mean, hist) = decodeStub(payload)
+                Seq[Any](null, null, n,
+                  math.rint(mean * 1e6) / 1e6, hist.mkString(","))
+              }
+            Row.fromSeq(base ++ feats)
           }
         }(enc)
         .orderBy("media_id")
     },
-    None) // binary pipeline: no SQL oracle; UnitSuite pins hand-computed features
+    None) // binary pipeline: no SQL oracle; UnitSuite pins a hand-built PNG's features
 
   val ops: Seq[Op] = Seq(llmMultimodalFeatures)
 }

@@ -131,10 +131,44 @@ class UnitSuite extends AnyFunSuite {
   }
 
   test("llm_multimodal_features: decode stub matches hand-computed bytes features") {
-    // "ab" = bytes 97,98 → n_bytes 2, mean 97.5, histogram bucket 1 (64-127)
+    // "ab" = bytes 97,98 → n_bytes 2, mean 97.5, histogram bucket 1 (64-127);
+    // doc_id 1 → kind audio → stub path, decoded img dims null
     val dir = tmpLake("documents" -> docsDf(Seq((1L, "ab"))))
     val got = graft.ops.Multimodal.llmMultimodalFeatures.build(s, dir).collect().toSeq
-    assert(got == Seq(Row(1L, "audio", 2, 2, 2, 97.5, "0,2,0,0")))
+    assert(got == Seq(Row(1L, "audio", 2, 2, null, null, 2, 97.5, "0,2,0,0")))
+  }
+
+  test("decodeImage reads a hand-built 2x2 PNG's pixels exactly") {
+    // independent of encodePng: build the PNG here with hand-set pixels
+    val img = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, (10 << 16) | (20 << 8) | 30)
+    img.setRGB(1, 0, (40 << 16) | (50 << 8) | 60)
+    img.setRGB(0, 1, (70 << 16) | (130 << 8) | 200)
+    img.setRGB(1, 1, (255 << 16) | (0 << 8) | 128)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val (w, h, mean, hist) = graft.ops.Multimodal.decodeImage(bos.toByteArray)
+    assert((w, h) == (2, 2))
+    // channels: 10,20,30,40,50,60,70,130,200,255,0,128 → sum 993, mean 993/12
+    assert(mean == 993.0 / 12)
+    // buckets by 64: [0-63]: 10,20,30,40,50,60,0 → 7; [64-127]: 70 → 1;
+    // [128-191]: 130,128 → 2; [192-255]: 200,255 → 2
+    assert(hist.toSeq == Seq(7L, 1L, 2L, 2L))
+  }
+
+  test("llm_multimodal_features really decodes the PNG payload for image rows") {
+    // doc_id 12 → kind image (12 % 3 == 0), synthesized PNG dims
+    // (12 % 6 + 2, 12 % 4 + 2) = 2×2, seed 12. Hand-derived pixels:
+    // r=(116+7x+13y)%256, g=(204+3x+11y)%256, b=(20+5x+19y)%256 →
+    // channel sum 1476, mean 123.0, hist buckets 4,2,2,4.
+    val dir = tmpLake("documents" -> docsDf(Seq((12L, "irrelevant text"))))
+    val row = graft.ops.Multimodal.llmMultimodalFeatures.build(s, dir).collect().head
+    assert(row.getAs[String]("kind") == "image")
+    assert(row.getAs[Int]("img_w") == 2 && row.getAs[Int]("img_h") == 2)
+    assert(row.getAs[Double]("mean_byte") == 123.0)
+    assert(row.getAs[String]("hist") == "4,2,2,4")
+    assert(row.getAs[Int]("n_bytes") > 0) // real PNG container bytes
   }
 
   test("llm_dedup_near is idempotent: surviving docs contain no pairs") {
