@@ -48,6 +48,38 @@ class SinkCapabilitySuite extends AnyFunSuite {
     assert(merged.count() == 2)
   }
 
+  /** Backs llm_multimodal_join's co-partitioning note: bucketing both
+    * lakes on the join id makes the id-equi-join shuffle-free. Broadcast
+    * is disabled for the check so the planner can't sidestep the claim —
+    * the joint must be a sort-merge join with NO Exchange on either side.
+    */
+  test("bucketed write + read-back joins with no shuffle exchange") {
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = s.conf.get(thresholdKey)
+    s.conf.set(thresholdKey, "-1")
+    try {
+      Tables.documents(s, TestSpark.Sf0001)
+        .write.mode("overwrite").bucketBy(4, "doc_id").sortBy("doc_id")
+        .saveAsTable("graft_docs_bucketed")
+      Tables.embeddings(s, TestSpark.Sf0001)
+        .write.mode("overwrite").bucketBy(4, "vec_id").sortBy("vec_id")
+        .saveAsTable("graft_emb_bucketed")
+      val joined = s.table("graft_docs_bucketed")
+        .join(s.table("graft_emb_bucketed"), col("doc_id") === col("vec_id"))
+      val plan = joined.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      // and it is the same join llm_multimodal_join computes
+      assert(joined.count() ==
+        graft.ops.LlmOps.llmMultimodalJoin.build(s, TestSpark.Sf0001).count())
+    } finally {
+      s.conf.set(thresholdKey, prev)
+      s.sql("DROP TABLE IF EXISTS graft_docs_bucketed")
+      s.sql("DROP TABLE IF EXISTS graft_emb_bucketed")
+    }
+  }
+
   test("compression codecs round-trip identically (snappy, zstd, gzip)") {
     val dir = Files.createTempDirectory("graft_sink_codec_").toString
     val src = Tables.nation(s, TestSpark.Sf0001)
