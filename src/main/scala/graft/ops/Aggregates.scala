@@ -289,8 +289,86 @@ object Aggregates {
       FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
     """.stripMargin.trim))
 
+  /** Exact interpolated percentiles per group (p50/p90/p99). Exact —
+    * both engines define quantile_cont/percentile as linear
+    * interpolation at index p·(n−1); results surfaced rounded so an
+    * interpolation-formula ulp can't flip the compare.
+    *
+    * SCALE NOTE: exact percentile needs the group sorted — Spark's
+    * `percentile` aggregates a per-group value buffer, fine for
+    * bounded groups (3 statuses × bounded distinct prices at fixture
+    * sf) but memory-unbounded for huge groups. At 100 TB swap to
+    * `approx_percentile` (t-digest sketch, mergeable map-side) or the
+    * distributed-rank formulation win_ntile_pct_scale demonstrates.
+    */
+  val aggPercentileExact: Op = Op(
+    "agg_percentile_exact",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n"),
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+        .orderBy("o_orderstatus"),
+    Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+        ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """.stripMargin.trim))
+
+  /** Pivot: order-year × status matrix of summed money. Explicit pivot
+    * value list (the 3 statuses) — at scale an implicit pivot runs an
+    * extra distinct-values job and risks a column-count explosion; a
+    * declared dimension domain keeps the plan a single hash aggregate.
+    */
+  val pivotStatusYear: Op = Op(
+    "pivot_status_year",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .select(
+          year(col("o_orderdate")).as("o_year"),
+          col("o_orderstatus"), col("o_totalprice"))
+        .groupBy("o_year")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sumMoney(dec2(col("o_totalprice"))))
+        .orderBy("o_year"),
+    Some("""
+      SELECT year(o_orderdate) AS o_year,
+        CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS "F",
+        CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS "O",
+        CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS "P"
+      FROM orders GROUP BY 1 ORDER BY o_year
+    """.stripMargin.trim))
+
+  /** Unpivot (melt): wide customer money columns → long (key, metric,
+    * value) rows. Narrow per-row transform — no shuffle at any scale.
+    */
+  val unpivotMetrics: Op = Op(
+    "unpivot_metrics",
+    (s, dir) =>
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_acctbal"),
+          (dec2(col("c_acctbal")) * 2).cast(DoubleType).as("c_double"))
+        .unpivot(
+          Array(col("c_custkey")),
+          Array(col("c_acctbal"), col("c_double")),
+          "metric", "value")
+        .orderBy("c_custkey", "metric"),
+    Some("""
+      SELECT c_custkey, metric, value FROM (
+        SELECT c_custkey, 'c_acctbal' AS metric, c_acctbal AS value FROM customer
+        UNION ALL
+        SELECT c_custkey, 'c_double' AS metric,
+          CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 2 AS DOUBLE) AS value FROM customer)
+      ORDER BY c_custkey, metric
+    """.stripMargin.trim))
+
   val ops: Seq[Op] = Seq(
     aggPricingSummary, aggGlobal, aggCountDistinct, aggApproxDistinct,
     aggHaving, aggStats, aggGroupingSets, aggRollup, aggCube,
-    aggCollectSorted)
+    aggCollectSorted, aggPercentileExact, pivotStatusYear, unpivotMetrics)
 }

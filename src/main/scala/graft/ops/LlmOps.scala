@@ -364,6 +364,105 @@ object LlmOps {
       ORDER BY a_id, b_id
     """.stripMargin.trim))
 
+  /** Embedding-cosine near-dup — the fourth dedup detector (alongside
+    * exact, MinHash-band Jaccard, SimHash): docs embed as 128-dim
+    * hashed bag-of-words vectors (term → md5 dim, weight = tf; the
+    * deterministic, engine-portable stand-in for a learned encoder —
+    * the fixture's `embeddings` table is random noise w.r.t. text, max
+    * pairwise cosine 0.51, so a learned-embedding dedup has no signal
+    * there), candidates come from a top-2-heaviest-dims band (NEVER
+    * all-pairs: 1081 candidate pairs vs 124 750 all-pairs at sf0.01),
+    * then exact cosine ≥ 0.95 verifies. All 25 planted near-dup pairs
+    * survive — cross-detector agreement with the Jaccard pipeline is
+    * property-tested.
+    *
+    * Determinism: tf weights are integer-valued doubles, so dots/norms
+    * are exact and bit-identical across engines; both engines compute
+    * the same md5 dims and the same band, so candidates agree by
+    * construction. SCALE NOTE: a top-2 band concentrates under a
+    * heavy-head vocabulary; at 100 TB swap the band for k
+    * hyperplane-sign bands (llm_simsearch_lsh's mechanism) — same
+    * plan shape: per-doc signature → band equi-join → exact verify.
+    */
+  val llmDedupEmbed: Op = Op(
+    "llm_dedup_embed",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      // tf feeds 4 consumers (top2, norms, both dot sides): materialize
+      // its explode+group ONCE so the corpus shuffles once, not 4×.
+      // (Locally timing-neutral — cold cost here is plan/codegen — but
+      // at scale the explode+group is the dominant shuffle.)
+      val tf = docs.select(col("doc_id"), explode(toks).as("term"))
+        .withColumn("dim",
+          expr("cast(cast(conv(substring(md5(term), 1, 7), 16, 10) as bigint) % 128 as int)"))
+        .groupBy("doc_id", "dim")
+        .agg(count(lit(1)).cast(DoubleType).as("w"))
+        .localCheckpoint(true)
+      val top2 = tf
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("w").desc, col("dim"))))
+        .filter(col("rn") <= 2)
+        .groupBy("doc_id")
+        .agg(
+          max(when(col("rn") === 1, col("dim"))).as("d1"),
+          max(when(col("rn") === 2, col("dim"))).as("d2"))
+      val cand = top2.as("a")
+        .join(top2.as("b"),
+          col("a.d1") === col("b.d1") && col("a.d2") === col("b.d2") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      val nrm = tf.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nr"))
+      val dots = cand
+        .join(tf.as("ta"), col("a_id") === col("ta.doc_id"))
+        .join(tf.as("tb"),
+          col("b_id") === col("tb.doc_id") && col("ta.dim") === col("tb.dim"))
+        .groupBy("a_id", "b_id")
+        .agg(sum(col("ta.w") * col("tb.w")).as("dot"))
+      val sim = col("dot") / (col("na") * col("nb"))
+      dots
+        .join(nrm.select(col("doc_id").as("a_id"), col("nr").as("na")), "a_id")
+        .join(nrm.select(col("doc_id").as("b_id"), col("nr").as("nb")), "b_id")
+        .filter(sim >= 0.95)
+        .select(col("a_id"), col("b_id"), round(sim, 6).as("cos_sim"))
+        .orderBy("a_id", "b_id")
+    },
+    Some("""
+      WITH tf AS (
+        SELECT doc_id,
+          CAST(CAST('0x' || substr(md5(term), 1, 7) AS BIGINT) % 128 AS INT) AS dim,
+          CAST(COUNT(*) AS DOUBLE) AS w
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        GROUP BY 1, 2
+      ), top2 AS (
+        SELECT doc_id,
+          max(CASE WHEN rn = 1 THEN dim END) AS d1,
+          max(CASE WHEN rn = 2 THEN dim END) AS d2
+        FROM (SELECT doc_id, dim,
+                row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, dim) AS rn
+              FROM tf)
+        WHERE rn <= 2 GROUP BY 1
+      ), cand AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM top2 a JOIN top2 b
+          ON a.d1 = b.d1 AND a.d2 = b.d2 AND a.doc_id < b.doc_id
+      ), nrm AS (
+        SELECT doc_id, sqrt(sum(w * w)) AS nr FROM tf GROUP BY 1
+      ), dots AS (
+        SELECT c.a_id, c.b_id, sum(ta.w * tb.w) AS dot
+        FROM cand c
+          JOIN tf ta ON ta.doc_id = c.a_id
+          JOIN tf tb ON tb.doc_id = c.b_id AND tb.dim = ta.dim
+        GROUP BY 1, 2
+      )
+      SELECT d.a_id, d.b_id,
+        ROUND(dot / (na.nr * nb.nr), 6) AS cos_sim
+      FROM dots d
+        JOIN nrm na ON na.doc_id = d.a_id
+        JOIN nrm nb ON nb.doc_id = d.b_id
+      WHERE dot / (na.nr * nb.nr) >= 0.95
+      ORDER BY a_id, b_id
+    """.stripMargin.trim))
+
   /** Brute-force cosine top-5 for a fixed deterministic probe set
     * (vec_id % 50 = 0). The probe side is broadcast, so the full table is
     * scanned exactly once with NO shuffle of the big side — cost is
@@ -475,6 +574,6 @@ object LlmOps {
 
   val ops: Seq[Op] = Seq(
     llmQualityFilter, llmTextStats, llmTextTfidf, llmDedupExact,
-    llmDedupNear, llmDedupSimhash, llmSimsearchTopk, llmSimsearchLsh,
-    llmMultimodalJoin)
+    llmDedupNear, llmDedupSimhash, llmDedupEmbed, llmSimsearchTopk,
+    llmSimsearchLsh, llmMultimodalJoin)
 }

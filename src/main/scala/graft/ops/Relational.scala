@@ -413,11 +413,47 @@ object Relational {
             SELECT s_nationkey AS nationkey FROM supplier
             ORDER BY nationkey"""))
 
+  /** Salted-key equi-join — the skew-mitigation pattern for a hot join
+    * key: the big side gets a deterministic salt in [0, S) derived from
+    * its own unique columns (NOT rand() — partition-invariant and
+    * replayable), the small side is replicated S×, and the join key
+    * becomes (key, salt), spreading one hot key over S tasks. The
+    * result is identical to the plain join, so the oracle IS the plain
+    * join SQL.
+    *
+    * SCALE NOTE: on this fixture keys are uniform, so the salt only
+    * demonstrates the mechanism; at 100 TB apply it when one key holds
+    * > a few × the average (or lean on AQE's skewJoin, which splits
+    * oversized partitions without replicating the small side — salting
+    * still wins when ONE key alone exceeds a single executor's share).
+    */
+  val joinSkewSalted: Op = Op(
+    "join_skew_salted",
+    (s, dir) => {
+      val S = 8
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .withColumn("salt", pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(S)))
+      val ords = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .withColumn("salt", explode(expr(s"sequence(0, ${S - 1})")))
+      li.join(ords,
+          li("l_orderkey") === ords("o_orderkey") && li("salt") === ords("salt"))
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("o_orderstatus"),
+          col("l_extendedprice"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, o_orderstatus, l_extendedprice
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            ORDER BY l_orderkey, l_linenumber"""))
+
   val ops: Seq[Op] = Seq(
     scanFull, scanPrune, scanPred, sinkParquet, sinkCsvJson,
     projectCompute, filterCompound, filterNull3vl,
     joinInnerEqui, joinBroadcast, joinSortMerge, joinLeftOuter, joinFullOuter,
     joinSemi, joinAnti, joinCross, joinThetaRange, joinInterval, joinAsof,
+    joinSkewSalted,
     sortMultiNulls, limitTopk,
     setUnionAll, setUnionDistinct, setIntersect, setExcept)
 }

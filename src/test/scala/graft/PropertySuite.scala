@@ -51,6 +51,15 @@ class PropertySuite extends AnyFunSuite {
       s"detectors disagree: jaccard-only=${jacc -- sim}, simhash-only=${sim -- jacc}")
   }
 
+  test("embedding-cosine detector agrees with the jaccard detector") {
+    val jacc = LlmOps.llmDedupNear.build(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val emb = LlmOps.llmDedupEmbed.build(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jacc == emb,
+      s"detectors disagree: jaccard-only=${jacc -- emb}, embed-only=${emb -- jacc}")
+  }
+
   test("llm_dedup_exact partitions the corpus: sum(n_copies) = |documents|") {
     val out = LlmOps.llmDedupExact.build(s, sf).collect()
     assert(out.map(_.getAs[Long]("n_copies")).sum == Tables.documents(s, sf).count())
