@@ -364,6 +364,69 @@ object LlmOps {
       ORDER BY a_id, b_id
     """.stripMargin.trim))
 
+  /** Document fingerprinting by WINNOWING (Schleimer/Wilkerson/Aiken's
+    * local algorithm, the MOSS fingerprint): positional word-5-gram
+    * rolling hashes → per-window-of-8 minimum → distinct fingerprint
+    * set. Guarantees any shared run of ≥ 12 tokens (w + k − 1) between
+    * two docs shares ≥ 1 fingerprint, while keeping only ~2/(w+1) of
+    * the hashes — the standard sublinear dedup/plagiarism index.
+    *
+    * Entirely NARROW per-doc array math (no explode, no shuffle —
+    * same discipline as shingleArr); emits a per-doc digest: count,
+    * min/max, and the 5 smallest fingerprints as the bucket-able
+    * prefix. At 100 TB the fingerprint set is the doc's posting list —
+    * explode it into an inverted index keyed by fingerprint.
+    */
+  /** The winnowing core (k=5 word-grams, window w=8), exposed for the
+    * guarantee test: (doc_id, hs positional hash sequence, fps sorted
+    * distinct fingerprint set). Narrow — safe to reuse anywhere.
+    */
+  private[graft] def winnowFps(docs: DataFrame): DataFrame =
+    docs
+      .filter(size(col("toks")) >= 12) // w + k − 1 tokens minimum
+      .withColumn("hs", expr(
+        """transform(sequence(1, size(toks) - 4),
+             i -> cast(conv(substring(md5(concat_ws(' ', slice(toks, i, 5))), 1, 15), 16, 10) as bigint))"""))
+      .withColumn("fps", expr(
+        """array_sort(array_distinct(transform(sequence(1, size(hs) - 7),
+             j -> array_min(slice(hs, j, 8)))))"""))
+
+  val llmFingerprintWinnow: Op = Op(
+    "llm_fingerprint_winnow",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), toks.as("toks"))
+      winnowFps(docs)
+        .select(
+          col("doc_id"),
+          size(col("hs")).as("n_grams"),
+          size(col("fps")).as("n_fp"),
+          expr("fps[0]").as("fp_min"),
+          expr("element_at(fps, -1)").as("fp_max"),
+          concat_ws(",", expr("transform(slice(fps, 1, 5), x -> cast(x as string))"))
+            .as("fp_head"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      ), h AS (
+        SELECT doc_id, len(toks) AS n_toks,
+          list_transform(generate_series(1, len(toks) - 4),
+            i -> CAST('0x' || substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 15) AS BIGINT)) AS hs
+        FROM t WHERE len(toks) >= 12
+      ), w AS (
+        SELECT doc_id, len(hs) AS n_grams,
+          list_sort(list_distinct(list_transform(generate_series(1, len(hs) - 7),
+            j -> list_min(hs[j:j+7])))) AS fps
+        FROM h
+      )
+      SELECT doc_id, n_grams, len(fps) AS n_fp,
+        fps[1] AS fp_min, fps[-1] AS fp_max,
+        array_to_string(list_transform(fps[1:5], x -> CAST(x AS VARCHAR)), ',') AS fp_head
+      FROM w ORDER BY doc_id
+    """.stripMargin.trim))
+
   /** Embedding-cosine near-dup — the fourth dedup detector (alongside
     * exact, MinHash-band Jaccard, SimHash): docs embed as 128-dim
     * hashed bag-of-words vectors (term → md5 dim, weight = tf; the
@@ -574,6 +637,6 @@ object LlmOps {
 
   val ops: Seq[Op] = Seq(
     llmQualityFilter, llmTextStats, llmTextTfidf, llmDedupExact,
-    llmDedupNear, llmDedupSimhash, llmDedupEmbed, llmSimsearchTopk,
-    llmSimsearchLsh, llmMultimodalJoin)
+    llmDedupNear, llmDedupSimhash, llmDedupEmbed, llmFingerprintWinnow,
+    llmSimsearchTopk, llmSimsearchLsh, llmMultimodalJoin)
 }

@@ -60,6 +60,24 @@ class PropertySuite extends AnyFunSuite {
       s"detectors disagree: jaccard-only=${jacc -- emb}, embed-only=${emb -- jacc}")
   }
 
+  test("winnowing guarantee: docs sharing a >= 12-token run share a fingerprint") {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    // doc 2 embeds doc 1's entire 20-token run after a 6-token prefix;
+    // doc 3 is disjoint — guarantee says 1 and 2 intersect, 3 does not
+    val run = (1 to 20).map(i => s"x$i").mkString(" ")
+    val docs = Seq(
+      (1L, run),
+      (2L, (1 to 6).map(i => s"p$i").mkString(" ") + " " + run),
+      (3L, (1 to 30).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val fps = LlmOps.winnowFps(docs).select("doc_id", "fps").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared 20-token run must share a fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty, "disjoint docs should not collide")
+  }
+
   test("llm_dedup_exact partitions the corpus: sum(n_copies) = |documents|") {
     val out = LlmOps.llmDedupExact.build(s, sf).collect()
     assert(out.map(_.getAs[Long]("n_copies")).sum == Tables.documents(s, sf).count())
