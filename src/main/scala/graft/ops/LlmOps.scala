@@ -601,6 +601,64 @@ object LlmOps {
     },
     None)
 
+  /** IVF (inverted-file) approximate NN — the OTHER classic ANN scale
+    * path next to LSH: a k-means coarse quantizer (spark-mllib KMeans,
+    * fixed seed) partitions the corpus into k cells; each probe
+    * searches only its nprobe nearest cells, so the pair space is
+    * nprobe/k of brute force and each cell is an independent bucket —
+    * at 100 TB cells are the partition/bucket layout of the vector
+    * lake. k=16, nprobe=6 here (uniform-random fixture vectors cluster
+    * weakly, so a real-embedding deployment reaches the same recall
+    * with a smaller nprobe/k ratio); recall vs exact top-5 is gated in
+    * AnnRecallSuite alongside LSH. A production deployment fits the
+    * quantizer ONCE offline and reuses it across queries; this op
+    * refits per call only to stay self-contained — the fit dominates
+    * its bench time.
+    *
+    * Determinism: seeded k-means on fixed data is deterministic at a
+    * fixed partitioning (the driver's config), and the emitted row
+    * count (probes × 5) is invariant to centroid jitter; distances are
+    * exact within searched cells. No oracle (approximate by design).
+    */
+  val llmSimsearchIvf: Op = Op(
+    "llm_simsearch_ivf",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.vector_to_array
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
+      val model = new KMeans().setK(16).setSeed(42).setMaxIter(10)
+        .setFeaturesCol("features").setPredictionCol("cell")
+        .fit(e)
+      val assigned = model.transform(e)
+        .select(col("vec_id"), col("cell"), vector_to_array(col("features")).as("v"))
+      // the 16 centroids are driver-side by construction (the coarse
+      // quantizer IS tiny); broadcast them back as a 16-row dimension
+      val cents = model.clusterCenters.toSeq.zipWithIndex
+        .map { case (c, i) => (i, c.toArray) }
+        .toDF("cell", "cvec")
+      def sqdist(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, z) => acc + z)
+      val probes = assigned.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("p_id"), col("v").as("pv"))
+      val probeCells = probes.crossJoin(broadcast(cents))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("p_id").orderBy(sqdist(col("pv"), col("cvec")), col("cell"))))
+        .filter(col("rn") <= 6) // nprobe
+        .select(col("p_id"), col("pv"), col("cell"))
+      probeCells.join(assigned, "cell")
+        .filter(col("vec_id") =!= col("p_id"))
+        .select(col("p_id"), col("vec_id").as("n_id"),
+          round(sqrt(sqdist(col("pv"), col("v"))), 6).as("dist"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("p_id").orderBy(col("dist"), col("n_id"))))
+        .filter(col("rn") <= 5)
+        .select(col("p_id"), col("n_id"), col("dist"), col("rn"))
+        .orderBy("p_id", "rn")
+    },
+    None)
+
   /** The multimodal row: text + vector + typed metadata joined into one
     * record (documents ⋈ embeddings on doc_id = vec_id). Inner join —
     * sf0.1 has 5000 docs vs 2000 vecs, so the contract is
@@ -638,5 +696,5 @@ object LlmOps {
   val ops: Seq[Op] = Seq(
     llmQualityFilter, llmTextStats, llmTextTfidf, llmDedupExact,
     llmDedupNear, llmDedupSimhash, llmDedupEmbed, llmFingerprintWinnow,
-    llmSimsearchTopk, llmSimsearchLsh, llmMultimodalJoin)
+    llmSimsearchTopk, llmSimsearchLsh, llmSimsearchIvf, llmMultimodalJoin)
 }

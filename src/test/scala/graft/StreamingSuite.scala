@@ -193,6 +193,47 @@ class StreamingSuite extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  /** Stream-stream interval join: views ⋈ clicks of the same user with
+    * the click in [view_ts, view_ts + 30 min]. Both sides carry
+    * watermarks so the join state is bounded (Spark derives the state
+    * retention from watermark + interval bounds); inner-join results
+    * stream out as they match. Must equal the identical batch join.
+    */
+  test("stream-stream interval join converges to the batch equivalent") {
+    val dir = Files.createTempDirectory("graft_stream_ssj_").toString
+    Tables.events(s, TestSpark.Sf0001).write.mode("overwrite").parquet(dir)
+
+    val ev = s.readStream.schema(eventSchema).parquet(dir)
+    val views = ev.filter(col("event_type") === "view")
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("v_user"), col("event_id").as("v_id"), col("ts").as("v_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_id"), col("ts").as("c_ts"))
+    val joined = views.join(clicks,
+      expr("v_user = c_user AND c_ts >= v_ts AND c_ts <= v_ts + interval 30 minutes"))
+      .select("v_user", "v_id", "c_id")
+
+    val q = joined.writeStream
+      .format("memory").queryName("ssj_stream")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val streamed = s.table("ssj_stream")
+      .orderBy("v_user", "v_id", "c_id").collect().toSeq
+    val batchEv = Tables.events(s, TestSpark.Sf0001)
+    val batch = batchEv.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("v_id"), col("ts").as("v_ts"))
+      .join(batchEv.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("event_id").as("c_id"), col("ts").as("c_ts")),
+        expr("v_user = c_user AND c_ts >= v_ts AND c_ts <= v_ts + interval 30 minutes"))
+      .select("v_user", "v_id", "c_id")
+      .orderBy("v_user", "v_id", "c_id").collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   /** dropDuplicatesWithinWatermark — the BOUNDED-state dedup (SURVEY
     * §2.9): duplicates arriving within the watermark delay are dropped,
     * but the per-key state is purged once the watermark passes, so a
