@@ -461,14 +461,18 @@ object LlmOps {
         .groupBy("doc_id", "dim")
         .agg(count(lit(1)).cast(DoubleType).as("w"))
         .localCheckpoint(true)
+      // top-2 dims per doc via hash-agg (collect the per-doc dim list —
+      // ≤ 128 entries — and sort in-row), cheaper than a ranking window:
+      // no per-group sort of the whole tf table, and partial aggregation
+      // runs map-side. struct(-w, dim) ascending ≡ (w DESC, dim ASC),
+      // the oracle's exact tie-break.
       val top2 = tf
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("doc_id").orderBy(col("w").desc, col("dim"))))
-        .filter(col("rn") <= 2)
         .groupBy("doc_id")
-        .agg(
-          max(when(col("rn") === 1, col("dim"))).as("d1"),
-          max(when(col("rn") === 2, col("dim"))).as("d2"))
+        .agg(slice(array_sort(collect_list(struct((-col("w")).as("nw"), col("dim")))), 1, 2)
+          .as("t2"))
+        .select(col("doc_id"),
+          expr("try_element_at(t2, 1).dim").as("d1"),
+          expr("try_element_at(t2, 2).dim").as("d2"))
       val cand = top2.as("a")
         .join(top2.as("b"),
           col("a.d1") === col("b.d1") && col("a.d2") === col("b.d2") &&
