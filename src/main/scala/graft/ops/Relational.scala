@@ -413,6 +413,56 @@ object Relational {
             SELECT s_nationkey AS nationkey FROM supplier
             ORDER BY nationkey"""))
 
+  /** Deterministic hash sampling — the corpus-subsampling primitive: keep
+    * a row iff md5(unique key) mod 100 < rate. Unlike `df.sample()`
+    * (seed-deterministic but PARTITION-dependent, so results drift with
+    * parallelism), a content-hash sample is a pure row-local predicate:
+    * partition-invariant, replayable, pushdown-friendly, and identical
+    * in any engine that can md5 — which is what makes it oracle-checkable
+    * and what a 100 TB corpus pipeline should use for held-out splits.
+    */
+  val sampleHashPct: Op = Op(
+    "sample_hash_pct",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(expr(
+          """cast(conv(substring(md5(concat_ws('|', l_orderkey, l_linenumber)), 1, 7), 16, 10)
+             as bigint) % 100 < 10"""))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity
+            FROM lineitem
+            WHERE CAST('0x' || substr(md5(l_orderkey || '|' || l_linenumber), 1, 7) AS BIGINT) % 100 < 10
+            ORDER BY l_orderkey, l_linenumber"""))
+
+  /** Stratified quota sampling: exactly 20 orders per status, chosen by
+    * deterministic hash order (a content-seeded shuffle, not rand()).
+    *
+    * SCALE NOTE: the quota needs a per-group ranking; at 100 TB with a
+    * skewed stratum key use the hash-threshold form above per stratum
+    * (rate-based, no ranking) or a distributed reservoir — the window
+    * form here is for bounded strata counts like this 3-value status.
+    */
+  val sampleStratified: Op = Op(
+    "sample_stratified",
+    (s, dir) => {
+      val hk = expr("cast(conv(substring(md5(cast(o_orderkey as string)), 1, 7), 16, 10) as bigint)")
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("o_orderstatus").orderBy(hk, col("o_orderkey"))).cast(IntegerType))
+        .filter(col("rn") <= 20)
+        .select(col("o_orderstatus"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_orderstatus", "rn")
+    },
+    Some("""SELECT o_orderstatus, rn, o_orderkey, o_totalprice FROM (
+              SELECT o_orderstatus, o_orderkey, o_totalprice,
+                CAST(row_number() OVER (PARTITION BY o_orderstatus
+                  ORDER BY CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 7) AS BIGINT),
+                           o_orderkey) AS INT) AS rn
+              FROM orders) t
+            WHERE rn <= 20
+            ORDER BY o_orderstatus, rn"""))
+
   /** Salted-key equi-join — the skew-mitigation pattern for a hot join
     * key: the big side gets a deterministic salt in [0, S) derived from
     * its own unique columns (NOT rand() — partition-invariant and
@@ -453,7 +503,7 @@ object Relational {
     projectCompute, filterCompound, filterNull3vl,
     joinInnerEqui, joinBroadcast, joinSortMerge, joinLeftOuter, joinFullOuter,
     joinSemi, joinAnti, joinCross, joinThetaRange, joinInterval, joinAsof,
-    joinSkewSalted,
+    joinSkewSalted, sampleHashPct, sampleStratified,
     sortMultiNulls, limitTopk,
     setUnionAll, setUnionDistinct, setIntersect, setExcept)
 }

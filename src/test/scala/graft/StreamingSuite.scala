@@ -335,6 +335,45 @@ class StreamingSuite extends AnyFunSuite {
     }
   }
 
+  /** Streaming file sink with a checkpoint: the committed-batch log is
+    * what makes file output exactly-once. The query is stopped and
+    * RESTARTED from the same checkpoint with new input — the restart
+    * must append only the new rows, never re-emit batch 1's.
+    */
+  test("parquet file sink + checkpoint restart is exactly-once") {
+    val srcDir = Files.createTempDirectory("graft_stream_fsink_src_").toString
+    val outDir = Files.createTempDirectory("graft_stream_fsink_out_").toString
+    val ckpt = Files.createTempDirectory("graft_stream_fsink_ck_").toString
+
+    def start() = s.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .select("event_id", "user_id", "event_type")
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start()
+
+    stageFile(srcDir, "f1", Seq(
+      (1L, "2024-01-01 01:00:00", 1L, "view", 1.0, "{}"),
+      (2L, "2024-01-01 01:05:00", 1L, "view", 1.0, "{}")))
+    val q1 = start()
+    try q1.processAllAvailable()
+    finally q1.stop()
+    assert(s.read.parquet(outDir).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+
+    // restart from the same checkpoint; only the new file may flow
+    stageFile(srcDir, "f2", Seq(
+      (3L, "2024-01-01 01:10:00", 2L, "click", 1.0, "{}")))
+    val q2 = start()
+    try q2.processAllAvailable()
+    finally q2.stop()
+    val ids = s.read.parquet(outDir).collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L), s"restart broke exactly-once: $ids")
+  }
+
   test("streaming dropDuplicates forwards each event_id exactly once across batches") {
     val srcDir = Files.createTempDirectory("graft_stream_dedup_").toString
     stageFile(srcDir, "f1", Seq(
