@@ -226,6 +226,7 @@ object LlmOps {
   val llmDedupNear: Op = Op(
     "llm_dedup_near",
     (s, dir) => {
+      graft.functions.SortedIntersectCount.register(s)
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), toks.as("toks"))
         .filter(size(col("toks")) >= 5)
@@ -240,8 +241,11 @@ object LlmOps {
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
         .distinct()
       // exact verify: pull both docs' shingle arrays and intersect —
-      // arrays are already distinct, so |intersect| is the true overlap
-      val inter = size(array_intersect(col("a_shs"), col("b_shs"))).cast(DoubleType)
+      // arrays are sorted+distinct, so the native two-pointer
+      // SortedIntersectCount (codegen'd, zero-allocation; proven equal
+      // to size(array_intersect) in SortedIntersectSuite) counts the
+      // true overlap
+      val inter = expr("graft_sorted_intersect_count(a_shs, b_shs)").cast(DoubleType)
       val jacc = inter / (size(col("a_shs")) + size(col("b_shs")) - inter)
       pairs
         .join(withSh.select(col("doc_id").as("a_id"), col("shs").as("a_shs")), "a_id")
