@@ -281,7 +281,37 @@ object Scalars {
       FROM orders ORDER BY o_orderkey
     """.stripMargin.trim))
 
+  /** Bitwise surface: and/or/xor, shifts, popcount, bit extraction —
+    * all codegen'd integer ops, identical two's-complement semantics in
+    * both engines. (The dedup signatures §2.10 lean on exactly these.)
+    */
+  val fnBitwisePack: Op = Op(
+    "fn_bitwise_pack",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .select(
+          col("o_orderkey"),
+          expr("o_orderkey & 255").as("b_and"),
+          expr("o_orderkey | 4096").as("b_or"),
+          expr("cast(o_orderkey ^ 1365 as bigint)").as("b_xor"),
+          expr("shiftleft(o_orderkey, 3)").as("b_shl"),
+          expr("shiftright(o_orderkey, 2)").as("b_shr"),
+          expr("cast(bit_count(o_orderkey) as int)").as("b_pop"),
+          expr("cast((o_orderkey >> 5) & 1 as int)").as("b_bit5"),
+          expr("cast(~o_orderkey as bigint)").as("b_not"))
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+              o_orderkey & 255 AS b_and,
+              o_orderkey | 4096 AS b_or,
+              CAST(xor(o_orderkey, 1365) AS BIGINT) AS b_xor,
+              o_orderkey << 3 AS b_shl,
+              o_orderkey >> 2 AS b_shr,
+              CAST(bit_count(o_orderkey) AS INT) AS b_pop,
+              CAST((o_orderkey >> 5) & 1 AS INT) AS b_bit5,
+              CAST(~o_orderkey AS BIGINT) AS b_not
+            FROM orders ORDER BY o_orderkey"""))
+
   val ops: Seq[Op] = Seq(
     fnStringPack, fnDatePack, fnMathCase, fnArrayPack, fnHigherOrder,
-    fnMapPack, fnJsonExtract, fnCastCoalesce)
+    fnMapPack, fnJsonExtract, fnCastCoalesce, fnBitwisePack)
 }
