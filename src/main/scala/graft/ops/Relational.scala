@@ -413,6 +413,54 @@ object Relational {
             SELECT s_nationkey AS nationkey FROM supplier
             ORDER BY nationkey"""))
 
+  /** MERGE/upsert semantics computed relationally (no table format with
+    * a native MERGE INTO ships offline): source rows override target
+    * rows on the key, unmatched source rows insert. The source here is
+    * synthesized deterministically from the target (every 10th key
+    * updated, every 100th key re-inserted under a shifted key), so the
+    * op is self-contained and oracle-checkable.
+    *
+    * SCALE NOTE: this is a key-equi full-outer join — co-partition/
+    * bucket both sides on the key and the merge is shuffle-free
+    * (SinkCapabilitySuite proves the bucketed-join claim). A production
+    * lake does exactly this under copy-on-write MERGE; merge-on-read
+    * instead logs the source and folds at scan time.
+    */
+  val mergeUpsert: Op = Op(
+    "merge_upsert",
+    (s, dir) => {
+      val t = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val updates = t.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          (dec2(col("o_totalprice")) + 1000).cast(DoubleType).as("o_totalprice"))
+      val inserts = t.filter(col("o_orderkey") % 100 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), col("o_totalprice"))
+      val src = updates.unionByName(inserts)
+      t.as("t").join(src.as("s"), col("t.o_orderkey") === col("s.o_orderkey"), "full_outer")
+        .select(
+          coalesce(col("s.o_orderkey"), col("t.o_orderkey")).as("o_orderkey"),
+          coalesce(col("s.o_orderstatus"), col("t.o_orderstatus")).as("status"),
+          coalesce(col("s.o_totalprice"), col("t.o_totalprice")).as("price"))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      WITH src AS (
+        SELECT o_orderkey, 'U' AS o_orderstatus,
+          CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 1000 AS DOUBLE) AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, 'N', o_totalprice
+        FROM orders WHERE o_orderkey % 100 = 0
+      )
+      SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+             COALESCE(s.o_orderstatus, t.o_orderstatus) AS status,
+             COALESCE(s.o_totalprice, t.o_totalprice) AS price
+      FROM orders t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
+      ORDER BY o_orderkey
+    """.stripMargin.trim))
+
   /** Deterministic hash sampling — the corpus-subsampling primitive: keep
     * a row iff md5(unique key) mod 100 < rate. Unlike `df.sample()`
     * (seed-deterministic but PARTITION-dependent, so results drift with
@@ -503,7 +551,7 @@ object Relational {
     projectCompute, filterCompound, filterNull3vl,
     joinInnerEqui, joinBroadcast, joinSortMerge, joinLeftOuter, joinFullOuter,
     joinSemi, joinAnti, joinCross, joinThetaRange, joinInterval, joinAsof,
-    joinSkewSalted, sampleHashPct, sampleStratified,
+    joinSkewSalted, mergeUpsert, sampleHashPct, sampleStratified,
     sortMultiNulls, limitTopk,
     setUnionAll, setUnionDistinct, setIntersect, setExcept)
 }

@@ -48,6 +48,32 @@ class SinkCapabilitySuite extends AnyFunSuite {
     assert(merged.count() == 2)
   }
 
+  /** Small-files compaction — the standing lake-maintenance job at
+    * 100 TB (streaming sinks and per-task writers fragment tables;
+    * scan cost is dominated by file count once files drop under the
+    * row-group size). Rewrite must change layout ONLY.
+    */
+  test("compaction rewrites many small files into few, data identical") {
+    val frag = Files.createTempDirectory("graft_sink_frag_").toString
+    val compact = Files.createTempDirectory("graft_sink_compact_").toString
+    val orders = Tables.orders(s, TestSpark.Sf0001)
+    orders.write.mode("overwrite").parquet(frag + "/t")
+    s.read.parquet(frag + "/t").repartition(32)
+      .write.mode("overwrite").parquet(frag + "/t32")
+    def files(d: String) = new java.io.File(d).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files(frag + "/t32") == 32)
+
+    s.read.parquet(frag + "/t32").repartition(2)
+      .write.mode("overwrite").parquet(compact + "/t2")
+    assert(files(compact + "/t2") == 2)
+    val before = s.read.parquet(frag + "/t32")
+      .orderBy("o_orderkey").collect().toSeq
+    val after = s.read.parquet(compact + "/t2")
+      .orderBy("o_orderkey").collect().toSeq
+    assert(after == before)
+  }
+
   /** Backs llm_multimodal_join's co-partitioning note: bucketing both
     * lakes on the join id makes the id-equi-join shuffle-free. Broadcast
     * is disabled for the check so the planner can't sidestep the claim —
