@@ -465,34 +465,38 @@ object LlmOps {
         .groupBy("doc_id", "dim")
         .agg(count(lit(1)).cast(DoubleType).as("w"))
         .localCheckpoint(true)
-      // top-2 dims per doc via hash-agg (collect the per-doc dim list —
-      // ≤ 128 entries — and sort in-row), cheaper than a ranking window:
-      // no per-group sort of the whole tf table, and partial aggregation
-      // runs map-side. struct(-w, dim) ascending ≡ (w DESC, dim ASC),
-      // the oracle's exact tie-break.
+      // ONE hash-agg yields both the top-2 band dims (collect the
+      // per-doc dim list — ≤ 128 entries — and sort in-row; cheaper
+      // than a ranking window, partials run map-side) AND the L2 norm,
+      // which then rides along through the candidate join — no separate
+      // norm aggregation, no norm joins. struct(-w, dim) ascending ≡
+      // (w DESC, dim ASC), the oracle's exact tie-break.
       val top2 = tf
         .groupBy("doc_id")
-        .agg(slice(array_sort(collect_list(struct((-col("w")).as("nw"), col("dim")))), 1, 2)
-          .as("t2"))
+        .agg(
+          slice(array_sort(collect_list(struct((-col("w")).as("nw"), col("dim")))), 1, 2)
+            .as("t2"),
+          sqrt(sum(col("w") * col("w"))).as("nr"))
         .select(col("doc_id"),
           expr("try_element_at(t2, 1).dim").as("d1"),
-          expr("try_element_at(t2, 2).dim").as("d2"))
+          expr("try_element_at(t2, 2).dim").as("d2"),
+          col("nr"))
       val cand = top2.as("a")
         .join(top2.as("b"),
           col("a.d1") === col("b.d1") && col("a.d2") === col("b.d2") &&
             col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      val nrm = tf.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nr"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          col("a.nr").as("na"), col("b.nr").as("nb"))
+      // norms are functionally dependent on the ids, so carrying them
+      // through the groupBy keys keeps the dot aggregation exact
       val dots = cand
         .join(tf.as("ta"), col("a_id") === col("ta.doc_id"))
         .join(tf.as("tb"),
           col("b_id") === col("tb.doc_id") && col("ta.dim") === col("tb.dim"))
-        .groupBy("a_id", "b_id")
+        .groupBy("a_id", "b_id", "na", "nb")
         .agg(sum(col("ta.w") * col("tb.w")).as("dot"))
       val sim = col("dot") / (col("na") * col("nb"))
       dots
-        .join(nrm.select(col("doc_id").as("a_id"), col("nr").as("na")), "a_id")
-        .join(nrm.select(col("doc_id").as("b_id"), col("nr").as("nb")), "b_id")
         .filter(sim >= 0.95)
         .select(col("a_id"), col("b_id"), round(sim, 6).as("cos_sim"))
         .orderBy("a_id", "b_id")

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** A session built with GraftExtensions must resolve both native
+  * functions from SQL with no imperative registration. Runs on its own
+  * session (newSession() shares the SparkContext but extensions bind at
+  * builder time, so a full builder round-trip is the honest test).
+  */
+class ExtensionsSuite extends AnyFunSuite {
+
+  test("withExtensions(GraftExtensions) resolves graft_* functions from SQL") {
+    val shared = TestSpark.spark // ensure the shared context exists first
+    // getOrCreate() would hand back the shared session and silently skip
+    // extensions — clear it so a genuinely new session (same context)
+    // binds them, and restore afterwards
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s =
+      try SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      finally {
+        SparkSession.setDefaultSession(shared)
+        SparkSession.setActiveSession(shared)
+      }
+    val row = s.sql(
+      """SELECT
+        |  graft_cosine(array(cast(1.0 as float), cast(0.0 as float)),
+        |               array(cast(1.0 as float), cast(0.0 as float))) AS c,
+        |  graft_sorted_intersect_count(array('a', 'b', 'c'), array('b', 'c', 'd')) AS n
+      """.stripMargin).collect().head
+    assert(row.getDouble(0) == 1.0)
+    assert(row.getInt(1) == 2)
+  }
+}
