@@ -18,8 +18,8 @@ object Windows {
   /** SCALE NOTE: c_nationkey has 25 values, a 25-task parallelism ceiling
     * on the window sort. Acceptable for a dimension-keyed ranking (each
     * group is 1/25 of customers); for a low-cardinality key over a fact
-    * table, re-key on a composite or use the two-pass boundary plan
-    * described at win_range_frame.
+    * table, re-key on a composite or use the two-pass distributed-rank
+    * formulation win_ntile_pct_scale implements.
     */
   val winRank: Op = Op(
     "win_rank_dense_rownum",
