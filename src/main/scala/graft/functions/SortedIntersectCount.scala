@@ -20,7 +20,11 @@ import org.apache.spark.sql.types._
   * shape `LlmOps.shingleArr` emits. Equality with
   * `size(array_intersect(...))` under that contract is asserted in
   * SortedIntersectSuite for both the codegen and interpreted paths.
-  * Assumes non-null array elements.
+  * Null ELEMENTS never match and are skipped (the function is
+  * registered session-wide, so arbitrary SQL callers may pass arrays
+  * containing nulls — `array_sort` places them last, but the skip is
+  * position-independent); a null ARRAY yields null via the
+  * BinaryExpression null-intolerant default.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -47,10 +51,14 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     var j = 0
     var cnt = 0
     while (i < nx && j < ny) {
-      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
-      if (c == 0) { cnt += 1; i += 1; j += 1 }
-      else if (c < 0) i += 1
-      else j += 1
+      if (x.isNullAt(i)) i += 1
+      else if (y.isNullAt(j)) j += 1
+      else {
+        val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        if (c == 0) { cnt += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
     }
     cnt
   }
@@ -68,9 +76,13 @@ case class SortedIntersectCount(left: Expression, right: Expression)
         |int $ny = $b.numElements();
         |int $i = 0, $j = 0, $cnt = 0;
         |while ($i < $nx && $j < $ny) {
-        |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
-        |  if ($c == 0) { $cnt++; $i++; $j++; }
-        |  else if ($c < 0) { $i++; } else { $j++; }
+        |  if ($a.isNullAt($i)) { $i++; }
+        |  else if ($b.isNullAt($j)) { $j++; }
+        |  else {
+        |    int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+        |    if ($c == 0) { $cnt++; $i++; $j++; }
+        |    else if ($c < 0) { $i++; } else { $j++; }
+        |  }
         |}
         |${ev.value} = $cnt;
       """.stripMargin

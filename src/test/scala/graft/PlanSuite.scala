@@ -48,6 +48,35 @@ class PlanSuite extends AnyFunSuite {
     val p = plan("join_asof")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "as-of join regressed to a quadratic probe")
+    // the union-tag + window formulation moves the data ONCE: a single
+    // hash exchange on the join key feeds the window; the only other
+    // exchange is the final total-order range partition. An extra hash
+    // exchange here means the single-shuffle invariant regressed.
+    val hashEx = "hashpartitioning\\(([^,]+)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(hashEx.length == 1, s"expected 1 hash exchange, got $hashEx:\n$p")
+    assert(hashEx.head.startsWith("user_id"), s"hash exchange not on the join key: $hashEx")
+    val rangeEx = "rangepartitioning\\(".r.findAllIn(p).length
+    assert(rangeEx == 1, s"expected 1 range exchange (final ORDER BY), got $rangeEx")
+  }
+
+  test("join_skew_salted stays a hash join (salt must not break the equi-key)") {
+    val p = plan("join_skew_salted")
+    // the salted key is still an equi-join: replicated small side joins
+    // broadcast/hash, never a nested-loop fallback
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("SortMergeJoin"), s"no equi hash join in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "salted join regressed to a quadratic probe")
+  }
+
+  test("win_ntile_pct_scale range-partitions for the distributed global rank") {
+    val p = plan("win_ntile_pct_scale")
+    // the scale formulation's whole point: an explicit repartitionByRange
+    // (REPARTITION_BY_NUM rangepartitioning over the order key) replaces
+    // the single-task global sort of the spec form
+    assert(p.contains("REPARTITION_BY_NUM"), s"explicit range repartition missing:\n$p")
+    assert("rangepartitioning\\([^)]*o_totalprice".r.findFirstIn(p).isDefined,
+      "range partition is not over the ranking order key")
   }
 
   /** Every nested-loop / cartesian plan in the library must be one of

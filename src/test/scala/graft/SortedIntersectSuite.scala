@@ -52,4 +52,27 @@ class SortedIntersectSuite extends AnyFunSuite {
   test("native == size(array_intersect), interpreted path") {
     compare(fixtures, "NO_CODEGEN")
   }
+
+  test("null elements are skipped, not NPE'd, in both paths") {
+    // session-wide registration means arbitrary SQL can pass nulls; the
+    // defined behavior is null-never-matches (= array_intersect's view
+    // of nulls... array_intersect treats null==null as a match, so
+    // assert hand-computed expectations instead of the builtin)
+    for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      s.conf.set("spark.sql.codegen.factoryMode", mode)
+      try {
+        SortedIntersectCount.register(s)
+        val rows = s.sql(
+          """SELECT
+            |  graft_sorted_intersect_count(array('a', 'b', NULL), array('a', NULL, 'c')) AS c1,
+            |  graft_sorted_intersect_count(CAST(array(NULL, NULL) AS array<string>),
+            |                               CAST(array(NULL) AS array<string>)) AS c2,
+            |  graft_sorted_intersect_count(CAST(NULL AS array<string>), array('a')) AS c3
+            |""".stripMargin).collect().head
+        assert(rows.getInt(0) == 1, s"$mode: null elements must not match")
+        assert(rows.getInt(1) == 0, s"$mode: all-null arrays intersect empty")
+        assert(rows.isNullAt(2), s"$mode: null array yields null")
+      } finally s.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
 }

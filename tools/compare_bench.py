@@ -46,8 +46,12 @@ def main():
     print(f"{'query':32s} {'old':>7s} {'new':>7s} {'delta':>8s}")
     for k in both:
         d = new[k] - old[k]
-        flag = "  <-- regression" if d > max(0.5, 0.5 * old[k]) else ""
-        print(f"{k:32s} {old[k]:7.2f} {new[k]:7.2f} {d:+8.2f}{flag}")
+        # absolute floor 0.5s filters cold-start jitter; 20% relative keeps
+        # large regressions on slow queries visible (a 6s query must not be
+        # able to drift to 8.9s unflagged)
+        flag = "  <-- regression" if d > max(0.5, 0.2 * old[k]) else ""
+        rel = f" ({d / old[k]:+4.0%})" if old[k] > 0 else ""
+        print(f"{k:32s} {old[k]:7.2f} {new[k]:7.2f} {d:+8.2f}{rel}{flag}")
     for k in sorted(set(new) - set(old)):
         print(f"{k:32s} {'-':>7s} {new[k]:7.2f}    (new)")
     for k in sorted(set(old) - set(new)):
