@@ -24,5 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SortedIntersectCount].getName,
         "graft_sorted_intersect_count"),
       (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sqdist"),
+      new ExpressionInfo(classOf[SqDist].getName, "graft_sqdist"),
+      (args: Seq[Expression]) => SqDist(args(0), args(1))))
   }
 }

@@ -614,52 +614,184 @@ object LlmOps {
     None)
 
   /** IVF (inverted-file) approximate NN — the OTHER classic ANN scale
-    * path next to LSH: a k-means coarse quantizer (spark-mllib KMeans,
-    * fixed seed) partitions the corpus into k cells; each probe
-    * searches only its nprobe nearest cells, so the pair space is
-    * nprobe/k of brute force and each cell is an independent bucket —
-    * at 100 TB cells are the partition/bucket layout of the vector
-    * lake. k=16, nprobe=6 here (uniform-random fixture vectors cluster
-    * weakly, so a real-embedding deployment reaches the same recall
-    * with a smaller nprobe/k ratio); recall vs exact top-5 is gated in
-    * AnnRecallSuite alongside LSH. A production deployment fits the
-    * quantizer ONCE offline and reuses it across queries; this op
-    * refits per call only to stay self-contained — the fit dominates
-    * its bench time.
+    * path next to LSH: a coarse quantizer partitions the corpus into k
+    * cells; each probe searches only its nprobe nearest cells, so the
+    * pair space is nprobe/k of brute force and each cell is an
+    * independent bucket — at 100 TB cells are the partition/bucket
+    * layout of the vector lake.
     *
-    * Determinism: seeded k-means on fixed data is deterministic at a
-    * fixed partitioning (the driver's config), and the emitted row
-    * count (probes × 5) is invariant to centroid jitter; distances are
-    * exact within searched cells. No oracle (approximate by design).
+    * The quantizer is DETERMINISTIC and computed in-plan (no MLlib
+    * fit): the k vectors with the smallest md5-derived key seed the
+    * cells (cell id = the seed vector's vec_id), then ONE distributed
+    * Lloyd refinement recenters them — per-dimension means through
+    * exact DECIMAL sums, so the means are order-free (partition-
+    * invariant AND engine-portable; a plain double sum would be
+    * neither). Measured on the fixture (tools prototype, sf0.001/
+    * sf0.01): seeds alone recall 0.74-0.84, +1 Lloyd step 0.86-0.88 at
+    * k=32/nprobe=14 — matching the round-4 MLlib k-means recall at
+    * ZERO per-call fit cost (that formulation's 3 s fit dominated its
+    * bench time). A deployment still fits ONCE offline and persists
+    * the centroid table (`llm_ivf_fit` below IS that table); the
+    * search plan is unchanged — a k-row centroid dimension joined
+    * broadcast.
+    *
+    * Determinism bonus: with the quantizer in-plan and both engines
+    * computing identical doubles (element-order dot/distance folds, see
+    * llm_simsearch_topk), the WHOLE search is now oracle-checkable —
+    * round 4's no-oracle entry is a full rows+schema+hash compare from
+    * this round on. Assignment ranks on the ROUNDED squared distance
+    * (tie-break cell id) so a last-ulp engine difference can't flip a
+    * cell; k=32, nprobe=14 (uniform-random fixture vectors cluster
+    * weakly, so the nprobe/k ratio is high here — ~45% of the corpus
+    * scanned; real embeddings reach the same recall at a far smaller
+    * ratio).
+    *
+    * Scale shape: the corpus never shuffles for assignment — the
+    * centroid array rides in as a broadcast 1-row dimension and the
+    * argmin is a narrow per-row fold. (At 100 TB the interpreted HOF
+    * argmin over k×dim is the hot loop — swap for a codegen Expression
+    * like CosineSim; the plan shape is already right.) The wide moves
+    * are the Lloyd mean (N×dim skinny rows, map-side partials), the
+    * probe-cell broadcast join, and the top-5 rank over candidate rows
+    * (3 narrow columns), all k- or nprobe/k-bounded.
     */
+  private val IvfK = 32
+  private val IvfNprobe = 14
+
+  /** embeddings as (vec_id, v: array<double>) — float→double is exact. */
+  private def ivfVecs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).select(col("vec_id"), dvec(col("embedding")).as("v"))
+
+  /** The k seed vectors: smallest md5('ivf:'||vec_id) wins (a seeded
+    * deterministic sample — both engines order the same hex strings).
+    */
+  private def ivfSeeds(e: DataFrame): DataFrame =
+    e.select(col("vec_id").as("cell"), col("v").as("cvec"),
+        md5(concat(lit("ivf:"), col("cell").cast(StringType))).as("hkey"))
+      .orderBy("hkey", "cell")
+      .limit(IvfK)
+
+  /** Centroids folded to ONE row (array of (cell, cvec) structs) so the
+    * corpus-side consumers stay narrow behind a 1-row broadcast.
+    */
+  private def ivfCentArr(cents: DataFrame): DataFrame =
+    cents.agg(collect_list(struct(col("cell"), col("cvec"))).as("cents"))
+
+  /** Per-row nearest-cells fold over the broadcast centroid array:
+    * ranks cells by (round(sqdist, 6), cell) and keeps the first n.
+    * The distance kernel is the native SqDist expression — its eval is
+    * one primitive loop, so even inside this (interpreted) lambda the
+    * k×dim fold costs k evals, not k×dim Catalyst nodes (the composed
+    * zip_with/aggregate form here measured 3.5 s warm at sf0.1; this
+    * form 0.4 s).
+    */
+  private def nearestCells(vecCol: String, n: Int): Column = expr(
+    s"""transform(slice(array_sort(transform(cents, c -> named_struct(
+       |  'rd', round(graft_sqdist($vecCol, c.cvec), 6),
+       |  'cell', c.cell))), 1, $n), s -> s.cell)""".stripMargin)
+
+  private def sqdist(a: Column, b: Column): Column =
+    call_function("graft_sqdist", a, b)
+
+  /** (vec_id, v, cell): every vector tagged with its nearest cell. */
+  private def ivfAssign(e: DataFrame, centArr: DataFrame): DataFrame =
+    e.crossJoin(broadcast(centArr))
+      .select(col("vec_id"), col("v"), nearestCells("v", 1)(0).as("cell"))
+
+  /** One distributed Lloyd refinement: recenters each seed cell on the
+    * per-dimension MEAN of its members. The sum runs through exact
+    * DECIMAL(20,12) (embedding values are in (-1,1), so 12 fractional
+    * digits cover the float mantissa) — decimal addition commutes, so
+    * the mean is independent of row order and identical across engines;
+    * the final double division is then a division of identical values.
+    * Returns the refined (cell, cvec) centroid table (a cell that lost
+    * every member — impossible here, each seed self-assigns at distance
+    * 0 — would simply drop out in both engines alike).
+    */
+  private def ivfLloyd(e: DataFrame, seeds: DataFrame): DataFrame =
+    ivfAssign(e, ivfCentArr(seeds))
+      .select(col("cell"), posexplode(col("v")))
+      .select(col("cell"), col("pos"), col("col").as("val"))
+      .groupBy("cell", "pos")
+      .agg((sum(col("val").cast(DecimalType(20, 12))).cast(DoubleType) /
+        count(lit(1))).as("m"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("cvec"))
+
+  /** The offline FIT step as its own graded op: emits the quantizer
+    * table (cell id, member count, centroid norm) a deployment persists
+    * and every search reuses. Cell populations prove the quantizer
+    * balances (no empty/overloaded cells); each seed vector assigns to
+    * itself at distance 0, so every cell is non-empty by construction.
+    */
+  /** Shared oracle prefix: seeds → Lloyd-refined centroid table → final
+    * assignment, mirroring ivfSeeds/ivfLloyd/ivfAssign step for step.
+    */
+  private def ivfOracleCtes: String = s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+      ), seeds AS (
+        SELECT vec_id AS cell, v AS cvec
+        FROM e ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $IvfK
+      ), asg0 AS (
+        SELECT vec_id, v, cell FROM (
+          SELECT e.vec_id, e.v, s.cell, row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY ROUND(list_sum(list_transform(list_zip(e.v, s.cvec),
+              z -> (z[1] - z[2]) * (z[1] - z[2]))), 6), s.cell) AS rn
+          FROM e CROSS JOIN seeds s) WHERE rn = 1
+      ), dims0 AS (
+        SELECT cell, v, unnest(generate_series(1, len(v))) AS i FROM asg0
+      ), means AS (
+        SELECT cell, i - 1 AS pos,
+          CAST(SUM(CAST(v[i] AS DECIMAL(20,12))) AS DOUBLE) / COUNT(*) AS m
+        FROM dims0 GROUP BY 1, 2
+      ), cents AS (
+        SELECT cell, list(m ORDER BY pos) AS cvec FROM means GROUP BY cell
+      ), asg AS (
+        SELECT vec_id, v, cell FROM (
+          SELECT e.vec_id, e.v, c.cell, row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY ROUND(list_sum(list_transform(list_zip(e.v, c.cvec),
+              z -> (z[1] - z[2]) * (z[1] - z[2]))), 6), c.cell) AS rn
+          FROM e CROSS JOIN cents c) WHERE rn = 1
+      )"""
+
+  val llmIvfFit: Op = Op(
+    "llm_ivf_fit",
+    (s, dir) => {
+      graft.functions.SqDist.register(s)
+      val e = ivfVecs(s, dir)
+      val cents = ivfLloyd(e, ivfSeeds(e))
+      val members = ivfAssign(e, ivfCentArr(cents))
+        .groupBy("cell").agg(count(lit(1)).as("n_members"))
+      cents.select(col("cell"), round(l2(col("cvec")), 6).as("cnorm"))
+        .join(members, "cell")
+        .select(col("cell"), col("n_members"), col("cnorm"))
+        .orderBy("cell")
+    },
+    Some(s"""$ivfOracleCtes
+      SELECT c.cell, COUNT(*) AS n_members,
+        ROUND(sqrt(list_sum(list_transform(c.cvec, x -> x * x))), 6) AS cnorm
+      FROM cents c JOIN asg a ON a.cell = c.cell
+      GROUP BY c.cell, c.cvec ORDER BY c.cell
+    """.stripMargin.trim))
+
   val llmSimsearchIvf: Op = Op(
     "llm_simsearch_ivf",
     (s, dir) => {
-      import s.implicits._
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.functions.vector_to_array
-      val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
-      val model = new KMeans().setK(16).setSeed(42).setMaxIter(10)
-        .setFeaturesCol("features").setPredictionCol("cell")
-        .fit(e)
-      val assigned = model.transform(e)
-        .select(col("vec_id"), col("cell"), vector_to_array(col("features")).as("v"))
-      // the 16 centroids are driver-side by construction (the coarse
-      // quantizer IS tiny); broadcast them back as a 16-row dimension
-      val cents = model.clusterCenters.toSeq.zipWithIndex
-        .map { case (c, i) => (i, c.toArray) }
-        .toDF("cell", "cvec")
-      def sqdist(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, z) => acc + z)
-      val probes = assigned.filter(col("vec_id") % 50 === 0)
+      graft.functions.SqDist.register(s)
+      val e = ivfVecs(s, dir)
+      val centArr = ivfCentArr(ivfLloyd(e, ivfSeeds(e)))
+      val assigned = ivfAssign(e, centArr)
+      val probeCells = e.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("p_id"), col("v").as("pv"))
-      val probeCells = probes.crossJoin(broadcast(cents))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("p_id").orderBy(sqdist(col("pv"), col("cvec")), col("cell"))))
-        .filter(col("rn") <= 6) // nprobe
-        .select(col("p_id"), col("pv"), col("cell"))
-      probeCells.join(assigned, "cell")
+        .crossJoin(broadcast(centArr))
+        .select(col("p_id"), col("pv"),
+          explode(nearestCells("pv", IvfNprobe)).as("cell"))
+      // probeCells is |probes|×nprobe rows — broadcast it so the corpus
+      // side never shuffles; candidates then rank top-5 per probe
+      assigned.join(broadcast(probeCells), "cell")
         .filter(col("vec_id") =!= col("p_id"))
         .select(col("p_id"), col("vec_id").as("n_id"),
           round(sqrt(sqdist(col("pv"), col("v"))), 6).as("dist"))
@@ -669,7 +801,26 @@ object LlmOps {
         .select(col("p_id"), col("n_id"), col("dist"), col("rn"))
         .orderBy("p_id", "rn")
     },
-    None)
+    Some(s"""$ivfOracleCtes
+      , pc AS (
+        SELECT p_id, pv, cell FROM (
+          SELECT p.vec_id AS p_id, p.v AS pv, c.cell,
+            row_number() OVER (PARTITION BY p.vec_id
+              ORDER BY ROUND(list_sum(list_transform(list_zip(p.v, c.cvec),
+                z -> (z[1] - z[2]) * (z[1] - z[2]))), 6), c.cell) AS rn
+          FROM e p CROSS JOIN cents c WHERE p.vec_id % 50 = 0) WHERE rn <= $IvfNprobe
+      ), cand AS (
+        SELECT pc.p_id, a.vec_id AS n_id,
+          ROUND(sqrt(list_sum(list_transform(list_zip(pc.pv, a.v),
+            z -> (z[1] - z[2]) * (z[1] - z[2])))), 6) AS dist
+        FROM pc JOIN asg a USING (cell)
+        WHERE a.vec_id != pc.p_id
+      )
+      SELECT p_id, n_id, dist, rn
+      FROM (SELECT *, row_number() OVER (PARTITION BY p_id
+              ORDER BY dist, n_id) AS rn FROM cand)
+      WHERE rn <= 5 ORDER BY p_id, rn
+    """.stripMargin.trim))
 
   /** The multimodal row: text + vector + typed metadata joined into one
     * record (documents ⋈ embeddings on doc_id = vec_id). Inner join —
@@ -708,5 +859,6 @@ object LlmOps {
   val ops: Seq[Op] = Seq(
     llmQualityFilter, llmTextStats, llmTextTfidf, llmDedupExact,
     llmDedupNear, llmDedupSimhash, llmDedupEmbed, llmFingerprintWinnow,
-    llmSimsearchTopk, llmSimsearchLsh, llmSimsearchIvf, llmMultimodalJoin)
+    llmSimsearchTopk, llmSimsearchLsh, llmIvfFit, llmSimsearchIvf,
+    llmMultimodalJoin)
 }

@@ -70,7 +70,7 @@ class AnnRecallSuite extends AnyFunSuite {
       hit.toDouble / bf5(p).size
     }
     val recall = recalls.sum / recalls.size
-    info(f"mean recall@5 = $recall%.3f over ${probes.size} probes (k=16, nprobe=6)")
+    info(f"mean recall@5 = $recall%.3f over ${probes.size} probes (k=32, nprobe=14, 1 Lloyd step)")
     assert(recall >= 0.8, f"IVF recall $recall%.3f below 0.8 gate")
   }
 }

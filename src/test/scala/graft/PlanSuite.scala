@@ -85,13 +85,13 @@ class PlanSuite extends AnyFunSuite {
     *  - join_theta_range: pure inequality predicate, small build side;
     *  - llm_simsearch_topk: bounded probe set broadcast by design;
     *  - llm_text_tfidf: 1-row corpus-size aggregate broadcast in-plan;
-    *  - llm_simsearch_ivf: 16-row centroid dimension broadcast (the
-    *    coarse quantizer is tiny by construction).
+    *  - llm_simsearch_ivf / llm_ivf_fit: the 16-centroid quantizer rides
+    *    in as a broadcast 1-row array dimension (tiny by construction).
     * Anything new showing up here is an accidental quadratic plan.
     */
   test("no CartesianProduct/BroadcastNestedLoopJoin outside the whitelist") {
     val allowed = Set("join_cross", "join_theta_range", "llm_simsearch_topk",
-      "llm_text_tfidf", "llm_simsearch_ivf")
+      "llm_text_tfidf", "llm_simsearch_ivf", "llm_ivf_fit")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       // sinks execute writes at build time; skip side-effecting queries —
       // they are plain scan→write→scan pipelines with no join to audit
