@@ -223,39 +223,54 @@ object LlmOps {
     * localCheckpoint for a reliable checkpoint dir if executor loss
     * mid-query must be survivable.
     */
+  /** The verified near-dup pair set (a_id < b_id, exact Jaccard ≥ 0.8)
+    * — the llm_dedup_near pipeline pre-sort, factored out so the
+    * cluster-resolution op below consumes the SAME detector output.
+    */
+  private def nearPairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    graft.functions.SortedIntersectCount.register(s)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 5)
+    val withSh = shingleArr(docs).localCheckpoint(true)
+    // candidate bands: 5 lexicographically-min shingles = first 5 of
+    // the sorted array (narrow — the round-3 window+filter needed a
+    // full shuffle on doc_id just to rank shingles)
+    val cand = withSh.select(col("doc_id"), explode(slice(col("shs"), 1, 5)).as("shingle"))
+    val pairs = cand.as("a")
+      .join(cand.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    // exact verify: pull both docs' shingle arrays and intersect —
+    // arrays are sorted+distinct, so the native two-pointer
+    // SortedIntersectCount (codegen'd, zero-allocation; proven equal
+    // to size(array_intersect) in SortedIntersectSuite) counts the
+    // true overlap
+    val inter = expr("graft_sorted_intersect_count(a_shs, b_shs)").cast(DoubleType)
+    val jacc = inter / (size(col("a_shs")) + size(col("b_shs")) - inter)
+    pairs
+      .join(withSh.select(col("doc_id").as("a_id"), col("shs").as("a_shs")), "a_id")
+      .join(withSh.select(col("doc_id").as("b_id"), col("shs").as("b_shs")), "b_id")
+      .filter(jacc >= 0.8)
+      .select(col("a_id"), col("b_id"), round(jacc, 6).as("jacc"))
+  }
+
   val llmDedupNear: Op = Op(
     "llm_dedup_near",
-    (s, dir) => {
-      graft.functions.SortedIntersectCount.register(s)
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), toks.as("toks"))
-        .filter(size(col("toks")) >= 5)
-      val withSh = shingleArr(docs).localCheckpoint(true)
-      // candidate bands: 5 lexicographically-min shingles = first 5 of
-      // the sorted array (narrow — the round-3 window+filter needed a
-      // full shuffle on doc_id just to rank shingles)
-      val cand = withSh.select(col("doc_id"), explode(slice(col("shs"), 1, 5)).as("shingle"))
-      val pairs = cand.as("a")
-        .join(cand.as("b"),
-          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .distinct()
-      // exact verify: pull both docs' shingle arrays and intersect —
-      // arrays are sorted+distinct, so the native two-pointer
-      // SortedIntersectCount (codegen'd, zero-allocation; proven equal
-      // to size(array_intersect) in SortedIntersectSuite) counts the
-      // true overlap
-      val inter = expr("graft_sorted_intersect_count(a_shs, b_shs)").cast(DoubleType)
-      val jacc = inter / (size(col("a_shs")) + size(col("b_shs")) - inter)
-      pairs
-        .join(withSh.select(col("doc_id").as("a_id"), col("shs").as("a_shs")), "a_id")
-        .join(withSh.select(col("doc_id").as("b_id"), col("shs").as("b_shs")), "b_id")
-        .filter(jacc >= 0.8)
-        .select(col("a_id"), col("b_id"), round(jacc, 6).as("jacc"))
-        .orderBy("a_id", "b_id")
-    },
-    Some("""
-      WITH t AS (
+    (s, dir) => nearPairs(s, dir).orderBy("a_id", "b_id"),
+    Some(s"""
+      WITH $nearPairsSqlCtes
+      SELECT a_id, b_id, jacc FROM vp ORDER BY a_id, b_id
+    """.stripMargin.trim))
+
+  /** The near-dup CTE chain up to the verified-pair set `vp(a_id, b_id,
+    * jacc)` — shared by the pair op's oracle and the cluster op's
+    * (which prepends RECURSIVE and appends the component CTEs).
+    */
+  /** Shingle-table prefix (doc → distinct word-5-gram rows + set sizes)
+    * — shared by the near-dup, cluster, and minhash oracles. */
+  private def shingleSqlCtes: String = """t AS (
         SELECT doc_id, string_split(text, ' ') AS toks FROM documents
       ), idx AS (
         SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS i
@@ -264,7 +279,9 @@ object LlmOps {
         SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS shingle FROM idx
       ), sizes AS (
         SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1
-      ), cand AS (
+      )"""
+
+  private def nearPairsSqlCtes: String = s"""$shingleSqlCtes, cand AS (
         SELECT doc_id, shingle
         FROM (SELECT doc_id, shingle,
                 row_number() OVER (PARTITION BY doc_id ORDER BY shingle) AS rn FROM sh)
@@ -278,10 +295,160 @@ object LlmOps {
           JOIN sh sa ON sa.doc_id = p.a_id
           JOIN sh sb ON sb.doc_id = p.b_id AND sb.shingle = sa.shingle
         GROUP BY 1, 2
+      ), vp AS (
+        SELECT i.a_id, i.b_id,
+          ROUND(CAST(inter AS DOUBLE) / (za.sz + zb.sz - inter), 6) AS jacc
+        FROM inter i
+          JOIN sizes za ON za.doc_id = i.a_id
+          JOIN sizes zb ON zb.doc_id = i.b_id
+        WHERE CAST(inter AS DOUBLE) / (za.sz + zb.sz - inter) >= 0.8
+      )"""
+
+  /** Cluster resolution: verified near-dup PAIRS → connected components
+    * → a keep-one verdict per clustered doc (the step SURVEY §2.10's
+    * "connected keep-one" promises; a real dedup pipeline drops every
+    * keep=0 row). Components come from min-label propagation over the
+    * symmetric edge list: each round every node takes the min label
+    * among itself and its neighbors, so after k rounds a node's label
+    * is the min doc_id within graph distance k. Three rounds cover
+    * diameter ≤ 3; the ORACLE computes the TRUE components (DuckDB
+    * recursive-CTE transitive closure), so the hash compare also
+    * PROVES the propagation converged on this corpus (planted clusters
+    * are pairs — diameter 1 — with occasional transitive chains).
+    *
+    * Scale shape: the pair set is detector-bounded (band join output),
+    * orders of magnitude smaller than the corpus; it materializes ONCE
+    * (localCheckpoint) so the loop's 3 joins reread executor-local
+    * blocks instead of re-running the detector. Each round is one
+    * shuffle on the edge key. At 100 TB run the same loop to a
+    * changed-count=0 fixed point (or alternate large-star/small-star
+    * to bound skew on giant components); label state is 16 bytes/node.
+    */
+  val llmDedupCluster: Op = Op(
+    "llm_dedup_cluster",
+    (s, dir) => {
+      val vp = nearPairs(s, dir).select("a_id", "b_id")
+      val edges = vp.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .union(vp.select(col("b_id").as("src"), col("a_id").as("dst")))
+        .localCheckpoint(true)
+      var lbl = edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl"))
+      for (_ <- 1 to 3) {
+        val peerMin = edges
+          .join(lbl.select(col("id").as("dst"), col("lbl").as("plbl")), "dst")
+          .groupBy(col("src").as("id")).agg(min(col("plbl")).as("pmin"))
+        lbl = lbl.join(peerMin, "id")
+          .select(col("id"), least(col("lbl"), col("pmin")).as("lbl"))
+      }
+      val sz = lbl.groupBy(col("lbl").as("cluster_id"))
+        .agg(count(lit(1)).as("cluster_sz"))
+      lbl.select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+          when(col("id") === col("lbl"), 1).otherwise(0).as("keep"))
+        .join(sz, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_sz"), col("keep"))
+        .orderBy("cluster_id", "doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE $nearPairsSqlCtes
+      , edges AS (
+        SELECT a_id AS src, b_id AS dst FROM vp
+        UNION ALL
+        SELECT b_id, a_id FROM vp
+      ), cc AS (
+        SELECT src AS id, dst AS r FROM edges
+        UNION
+        SELECT cc.id, e.dst FROM cc JOIN edges e ON cc.r = e.src
+      ), lbl AS (
+        SELECT id, LEAST(id, MIN(r)) AS cluster_id FROM cc GROUP BY id
+      ), sz AS (
+        SELECT cluster_id, COUNT(*) AS cluster_sz FROM lbl GROUP BY 1
+      )
+      SELECT l.id AS doc_id, l.cluster_id, s.cluster_sz,
+        CASE WHEN l.id = l.cluster_id THEN 1 ELSE 0 END AS keep
+      FROM lbl l JOIN sz s USING (cluster_id)
+      ORDER BY cluster_id, doc_id
+    """.stripMargin.trim))
+
+  /** MinHash-LSH parameters: Carter–Wegman family h_j(x) = (a_j·x + b_j)
+    * mod M over a 60-bit md5-derived base hash reduced mod M. M is the
+    * Mersenne prime 2^31−1, so a_j·x < 2^51 — exact in int64 in BOTH
+    * engines (the portability requirement; md5 arithmetic per the
+    * SimHash note above). k=5 one-row bands: P[candidate] = 1−(1−J)^5 —
+    * the SAME banding geometry as llm_dedup_near's 5
+    * lexicographic-min-shingle bands (P[miss] < 1e-3 at J ≥ 0.8), but
+    * with SEEDED hashes, which is what survives at 100 TB: lexicographic
+    * minima concentrate on corpus-common prefixes ("the quick brown…"
+    * shingles band half the corpus together), while seeded hash minima
+    * are uniform over each doc's shingle set regardless of vocabulary
+    * skew. This op IS the "swap the lexicographic band for k seeded
+    * hash-min signatures" upgrade that llm_dedup_near's scaladoc
+    * promises — same plan shape (narrow per-doc signature → equi-join
+    * on band key → exact verify on the tiny candidate set), now graded
+    * end-to-end with its own oracle.
+    */
+  private val MhM = 2147483647L
+  private val MhA = Seq(999983L, 1000003L, 1000033L, 1000037L, 1000039L)
+  private val MhB = Seq(17L, 8191L, 131071L, 524287L, 6700417L)
+
+  val llmDedupMinhash: Op = Op(
+    "llm_dedup_minhash",
+    (s, dir) => {
+      graft.functions.SortedIntersectCount.register(s)
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), toks.as("toks"))
+        .filter(size(col("toks")) >= 5)
+      // narrow per-doc state: sorted shingle set + one base hash per
+      // shingle (md5 runs ONCE per shingle; the k hash functions are
+      // integer affine maps over hv, not k md5 passes)
+      val withSh = shingleArr(docs)
+        .withColumn("hv", expr(
+          s"transform(shs, x -> cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint) % ${MhM}L)"))
+        .localCheckpoint(true)
+      val sigs = (0 until 5).map { j =>
+        struct(lit(j).as("j"),
+          array_min(transform(col("hv"),
+            h => (h * lit(MhA(j)) + lit(MhB(j))) % lit(MhM))).as("s"))
+      }
+      val cand = withSh.select(col("doc_id"), explode(array(sigs: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.j").as("j"), col("bk.s").as("s"))
+      val pairs = cand.as("a")
+        .join(cand.as("b"),
+          col("a.j") === col("b.j") && col("a.s") === col("b.s") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      val inter = expr("graft_sorted_intersect_count(a_shs, b_shs)").cast(DoubleType)
+      val jacc = inter / (size(col("a_shs")) + size(col("b_shs")) - inter)
+      pairs
+        .join(withSh.select(col("doc_id").as("a_id"), col("shs").as("a_shs")), "a_id")
+        .join(withSh.select(col("doc_id").as("b_id"), col("shs").as("b_shs")), "b_id")
+        .filter(jacc >= 0.8)
+        .select(col("a_id"), col("b_id"), round(jacc, 6).as("jacc"))
+        .orderBy("a_id", "b_id")
+    },
+    Some(s"""
+      WITH $shingleSqlCtes
+      , h AS (
+        SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % $MhM AS hv
+        FROM sh
+      ), seeds(j, a, b) AS (
+        VALUES ${MhA.indices.map(j => s"(${j}, ${MhA(j)}, ${MhB(j)})").mkString(", ")}
+      ), sig AS (
+        SELECT doc_id, j, MIN((a * hv + b) % $MhM) AS s
+        FROM h CROSS JOIN seeds GROUP BY 1, 2
+      ), mpairs AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM sig a JOIN sig b ON a.j = b.j AND a.s = b.s AND a.doc_id < b.doc_id
+      ), minter AS (
+        SELECT p.a_id, p.b_id, COUNT(*) AS inter
+        FROM mpairs p
+          JOIN sh sa ON sa.doc_id = p.a_id
+          JOIN sh sb ON sb.doc_id = p.b_id AND sb.shingle = sa.shingle
+        GROUP BY 1, 2
       )
       SELECT i.a_id, i.b_id,
         ROUND(CAST(inter AS DOUBLE) / (za.sz + zb.sz - inter), 6) AS jacc
-      FROM inter i
+      FROM minter i
         JOIN sizes za ON za.doc_id = i.a_id
         JOIN sizes zb ON zb.doc_id = i.b_id
       WHERE CAST(inter AS DOUBLE) / (za.sz + zb.sz - inter) >= 0.8
@@ -858,7 +1025,8 @@ object LlmOps {
 
   val ops: Seq[Op] = Seq(
     llmQualityFilter, llmTextStats, llmTextTfidf, llmDedupExact,
-    llmDedupNear, llmDedupSimhash, llmDedupEmbed, llmFingerprintWinnow,
+    llmDedupNear, llmDedupCluster, llmDedupMinhash, llmDedupSimhash,
+    llmDedupEmbed, llmFingerprintWinnow,
     llmSimsearchTopk, llmSimsearchLsh, llmIvfFit, llmSimsearchIvf,
     llmMultimodalJoin)
 }

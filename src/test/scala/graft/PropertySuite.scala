@@ -51,6 +51,32 @@ class PropertySuite extends AnyFunSuite {
       s"detectors disagree: jaccard-only=${jacc -- sim}, simhash-only=${sim -- jacc}")
   }
 
+  test("seeded minhash detector agrees with the jaccard detector") {
+    val jacc = LlmOps.llmDedupNear.build(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = LlmOps.llmDedupMinhash.build(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jacc == mh,
+      s"detectors disagree: jaccard-only=${jacc -- mh}, minhash-only=${mh -- jacc}")
+  }
+
+  test("cluster resolution: every verified pair lands in one cluster; exactly one keep per cluster") {
+    val pairs = LlmOps.llmDedupNear.build(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val rows = LlmOps.llmDedupCluster.build(s, sf).collect()
+    val cluster = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { case (a, b) =>
+      assert(cluster(a) == cluster(b), s"pair ($a,$b) split across clusters")
+    }
+    // keep-one: per cluster exactly one keep=1, and it is the min doc_id
+    rows.groupBy(_.getLong(1)).foreach { case (cid, members) =>
+      val keeps = members.filter(_.getInt(3) == 1).map(_.getLong(0))
+      assert(keeps.toSeq == Seq(cid), s"cluster $cid keeps ${keeps.mkString(",")}")
+      assert(cid == members.map(_.getLong(0)).min)
+      assert(members.forall(_.getLong(2) == members.size))
+    }
+  }
+
   test("embedding-cosine detector agrees with the jaccard detector") {
     val jacc = LlmOps.llmDedupNear.build(s, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
