@@ -28,5 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_sqdist"),
       new ExpressionInfo(classOf[SqDist].getName, "graft_sqdist"),
       (args: Seq[Expression]) => SqDist(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hyperplane_bands"),
+      new ExpressionInfo(classOf[HyperplaneBands].getName, "graft_hyperplane_bands"),
+      (args: Seq[Expression]) => HyperplaneBands(args)))
   }
 }

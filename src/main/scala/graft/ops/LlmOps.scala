@@ -598,62 +598,109 @@ object LlmOps {
       FROM w ORDER BY doc_id
     """.stripMargin.trim))
 
+  /** Hyperplane LSH parameters for the embedding detector: P = r·b
+    * random ±1 hyperplanes, signature split into b bands of r bits. At
+    * the verify threshold (raw cosine 0.95 ⇒ centered cosine ≥ 0.98 on
+    * this corpus, measured) a bit agrees w.p. ~0.94, so a 16-bit band
+    * matches w.p. 0.36 and 16 bands miss w.p. (1−0.36)^16 ≈ 8·10⁻⁴ per
+    * true pair; noise pairs sit near centered-cosine 0 (bit agreement
+    * 0.5 ⇒ band match 1.5·10⁻⁵) so buckets stay thin. The fixed seed
+    * string makes the draw deterministic; with it, all planted pairs
+    * are found at sf0.001 and sf0.01 (cross-detector agreement is
+    * property-tested, and the oracle replays the identical planes).
+    */
+  private val HpPlanes = 256
+  private val HpBandBits = 16
+
   /** Embedding-cosine near-dup — the fourth dedup detector (alongside
     * exact, MinHash-band Jaccard, SimHash): docs embed as 128-dim
     * hashed bag-of-words vectors (term → md5 dim, weight = tf; the
     * deterministic, engine-portable stand-in for a learned encoder —
     * the fixture's `embeddings` table is random noise w.r.t. text, max
     * pairwise cosine 0.51, so a learned-embedding dedup has no signal
-    * there), candidates come from a top-2-heaviest-dims band (NEVER
-    * all-pairs: 1081 candidate pairs vs 124 750 all-pairs at sf0.01),
-    * then exact cosine ≥ 0.95 verifies. All 25 planted near-dup pairs
-    * survive — cross-detector agreement with the Jaccard pipeline is
+    * there). Candidates come from random-hyperplane sign bands — the
+    * mechanism that SURVIVES a heavy-head vocabulary (the round-4
+    * top-2-heaviest-dims band concentrated there) — then exact cosine
+    * ≥ 0.95 verifies. NEVER all-pairs. All planted near-dup pairs are
+    * found; cross-detector agreement with the Jaccard pipeline is
     * property-tested.
     *
-    * Determinism: tf weights are integer-valued doubles, so dots/norms
-    * are exact and bit-identical across engines; both engines compute
-    * the same md5 dims and the same band, so candidates agree by
-    * construction. SCALE NOTE: a top-2 band concentrates under a
-    * heavy-head vocabulary; at 100 TB swap the band for k
-    * hyperplane-sign bands (llm_simsearch_lsh's mechanism) — same
-    * plan shape: per-doc signature → band equi-join → exact verify.
+    * The hyperplanes are drawn THROUGH THE CORPUS MEAN, not the origin
+    * — on a shared-vocabulary corpus every tf vector shares the same
+    * dominant direction, so origin hyperplanes see raw cosines with
+    * median 0.68 / p99 0.87 (measured) and band everything together;
+    * after centering, noise pairs sit at centered-cosine ≈ 0 while
+    * true near-dups stay ≥ 0.98. Centering is algebra, not a new
+    * shuffle: bit_p = ((v − m)·r_p > 0) ⇔ (N·(v·r_p) > Σ_d S_d·r_p[d])
+    * with S the corpus dim-sum vector and N the doc count — ALL int64
+    * arithmetic, so both engines agree bit for bit (no float summation
+    * order to pin). S, N, and the P×128 ±1 plane matrix ride in as a
+    * 1-row broadcast; the per-doc P×nnz fold is the native
+    * HyperplaneBands expression (functions/HyperplaneBands.scala — the
+    * interpreted-HOF formulation is the measured 6× SimHash trap).
+    *
+    * Scale shape: corpus never shuffles for signatures (narrow scan →
+    * per-doc band keys); the wide moves are the tf explode+group (one
+    * checkpoint, 4 consumers), the band equi-join (bucket-local; keys
+    * are ~uniform because centered projections are sign-balanced), and
+    * the dot verify on the detector-bounded candidate set.
     */
   val llmDedupEmbed: Op = Op(
     "llm_dedup_embed",
     (s, dir) => {
+      graft.functions.HyperplaneBands.register(s)
       val docs = Tables.documents(s, dir)
-      // tf feeds 4 consumers (top2, norms, both dot sides): materialize
-      // its explode+group ONCE so the corpus shuffles once, not 4×.
-      // (Locally timing-neutral — cold cost here is plan/codegen — but
-      // at scale the explode+group is the dominant shuffle.)
+      // tf feeds 4 consumers (signatures, corpus stats, both dot
+      // sides): materialize its explode+group ONCE so the corpus
+      // shuffles once, not 4×. Integer counts — the signature path is
+      // exact int64 end to end.
       val tf = docs.select(col("doc_id"), explode(toks).as("term"))
         .withColumn("dim",
           expr("cast(cast(conv(substring(md5(term), 1, 7), 16, 10) as bigint) % 128 as int)"))
         .groupBy("doc_id", "dim")
-        .agg(count(lit(1)).cast(DoubleType).as("w"))
+        .agg(count(lit(1)).as("cnt"))
         .localCheckpoint(true)
-      // ONE hash-agg yields both the top-2 band dims (collect the
-      // per-doc dim list — ≤ 128 entries — and sort in-row; cheaper
-      // than a ranking window, partials run map-side) AND the L2 norm,
-      // which then rides along through the candidate join — no separate
-      // norm aggregation, no norm joins. struct(-w, dim) ascending ≡
-      // (w DESC, dim ASC), the oracle's exact tie-break.
-      val top2 = tf
-        .groupBy("doc_id")
-        .agg(
-          slice(array_sort(collect_list(struct((-col("w")).as("nw"), col("dim")))), 1, 2)
-            .as("t2"),
-          sqrt(sum(col("w") * col("w"))).as("nr"))
-        .select(col("doc_id"),
-          expr("try_element_at(t2, 1).dim").as("d1"),
-          expr("try_element_at(t2, 2).dim").as("d2"),
-          col("nr"))
-      val cand = top2.as("a")
-        .join(top2.as("b"),
-          col("a.d1") === col("b.d1") && col("a.d2") === col("b.d2") &&
+      // ---- 1-row broadcast quantizer: planes, mean-sums, doc count ----
+      // ±1 signs from md5 so both engines draw the identical planes
+      val planes = s.range(1)
+        .select(explode(expr(s"sequence(0, ${HpPlanes - 1})")).as("p"))
+        .select(col("p"), expr(
+          """transform(sequence(0, 127), d -> cast(1 - 2 * (
+            |  cast(conv(substring(md5(concat('hp:', cast(p as string), ':', cast(d as string))), 1, 15), 16, 10) as bigint)
+            |  % 2) as int))""".stripMargin).as("sp"))
+      // dense corpus dim-sum vector (dims nobody hashed to stay 0)
+      val sDense = tf.groupBy("dim").agg(sum("cnt").as("sd"))
+        .agg(map_from_entries(collect_list(struct(col("dim"), col("sd")))).as("sm"))
+        .select(expr(
+          "transform(sequence(0, 127), d -> coalesce(element_at(sm, d), cast(0 as bigint)))")
+          .as("sarr"))
+      val nRow = tf.agg(countDistinct(col("doc_id")).as("n"))
+      val quant = planes.crossJoin(broadcast(sDense))
+        .select(col("p"), col("sp"), expr(
+          "aggregate(zip_with(sarr, sp, (x, y) -> x * y), cast(0 as bigint), (a, z) -> a + z)")
+          .as("ms"))
+        .agg(array_sort(collect_list(struct(col("p"), col("sp"), col("ms")))).as("arr"))
+        .select(expr("transform(arr, x -> x.sp)").as("signs"),
+          expr("transform(arr, x -> x.ms)").as("msum"))
+        .crossJoin(broadcast(nRow))
+      // ---- per-doc signatures (narrow; native band kernel) ----
+      val docArr = tf.groupBy("doc_id")
+        .agg(collect_list(struct(col("dim"), col("cnt"))).as("dw"),
+          sqrt(sum((col("cnt") * col("cnt")).cast(DoubleType))).as("nr"))
+        .select(col("doc_id"), col("nr"),
+          expr("transform(dw, x -> x.dim)").as("dims"),
+          expr("transform(dw, x -> x.cnt)").as("ws"))
+      val bands = docArr.crossJoin(broadcast(quant))
+        .select(col("doc_id"), col("nr"),
+          posexplode(expr(s"graft_hyperplane_bands(dims, ws, signs, msum, n, $HpBandBits)")))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
           col("a.nr").as("na"), col("b.nr").as("nb"))
+        .distinct()
       // norms are functionally dependent on the ids, so carrying them
       // through the groupBy keys keeps the dot aggregation exact
       val dots = cand
@@ -661,36 +708,49 @@ object LlmOps {
         .join(tf.as("tb"),
           col("b_id") === col("tb.doc_id") && col("ta.dim") === col("tb.dim"))
         .groupBy("a_id", "b_id", "na", "nb")
-        .agg(sum(col("ta.w") * col("tb.w")).as("dot"))
+        .agg(sum(col("ta.cnt") * col("tb.cnt")).cast(DoubleType).as("dot"))
       val sim = col("dot") / (col("na") * col("nb"))
       dots
         .filter(sim >= 0.95)
         .select(col("a_id"), col("b_id"), round(sim, 6).as("cos_sim"))
         .orderBy("a_id", "b_id")
     },
-    Some("""
+    Some(s"""
       WITH tf AS (
         SELECT doc_id,
           CAST(CAST('0x' || substr(md5(term), 1, 7) AS BIGINT) % 128 AS INT) AS dim,
-          CAST(COUNT(*) AS DOUBLE) AS w
+          COUNT(*) AS cnt
         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
         GROUP BY 1, 2
-      ), top2 AS (
-        SELECT doc_id,
-          max(CASE WHEN rn = 1 THEN dim END) AS d1,
-          max(CASE WHEN rn = 2 THEN dim END) AS d2
-        FROM (SELECT doc_id, dim,
-                row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, dim) AS rn
-              FROM tf)
-        WHERE rn <= 2 GROUP BY 1
+      ), nd AS (
+        SELECT COUNT(DISTINCT doc_id) AS n FROM tf
+      ), planes AS (
+        SELECT p, d,
+          CAST(1 - 2 * (CAST('0x' || substr(md5('hp:' || p || ':' || d), 1, 15) AS BIGINT) % 2) AS INT) AS s
+        FROM (SELECT unnest(generate_series(0, ${HpPlanes - 1})) AS p),
+             (SELECT unnest(generate_series(0, 127)) AS d)
+      ), dimsum AS (
+        SELECT dim, SUM(cnt) AS sd FROM tf GROUP BY 1
+      ), msum AS (
+        SELECT pl.p, SUM(COALESCE(ds.sd, 0) * pl.s) AS ms
+        FROM planes pl LEFT JOIN dimsum ds ON ds.dim = pl.d GROUP BY 1
+      ), vdot AS (
+        SELECT t.doc_id, pl.p, SUM(t.cnt * pl.s) AS vd
+        FROM tf t JOIN planes pl ON pl.d = t.dim GROUP BY 1, 2
+      ), bands AS (
+        SELECT v.doc_id, v.p // $HpBandBits AS band,
+          SUM(CASE WHEN (SELECT n FROM nd) * v.vd > m.ms
+              THEN CAST(1 AS BIGINT) << (v.p % $HpBandBits) ELSE 0 END) AS key
+        FROM vdot v JOIN msum m ON m.p = v.p
+        GROUP BY 1, 2
       ), cand AS (
-        SELECT a.doc_id AS a_id, b.doc_id AS b_id
-        FROM top2 a JOIN top2 b
-          ON a.d1 = b.d1 AND a.d2 = b.d2 AND a.doc_id < b.doc_id
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
       ), nrm AS (
-        SELECT doc_id, sqrt(sum(w * w)) AS nr FROM tf GROUP BY 1
+        SELECT doc_id, sqrt(SUM(CAST(cnt * cnt AS DOUBLE))) AS nr FROM tf GROUP BY 1
       ), dots AS (
-        SELECT c.a_id, c.b_id, sum(ta.w * tb.w) AS dot
+        SELECT c.a_id, c.b_id, CAST(SUM(ta.cnt * tb.cnt) AS DOUBLE) AS dot
         FROM cand c
           JOIN tf ta ON ta.doc_id = c.a_id
           JOIN tf tb ON tb.doc_id = c.b_id AND tb.dim = ta.dim

@@ -85,13 +85,17 @@ class PlanSuite extends AnyFunSuite {
     *  - join_theta_range: pure inequality predicate, small build side;
     *  - llm_simsearch_topk: bounded probe set broadcast by design;
     *  - llm_text_tfidf: 1-row corpus-size aggregate broadcast in-plan;
-    *  - llm_simsearch_ivf / llm_ivf_fit: the 16-centroid quantizer rides
-    *    in as a broadcast 1-row array dimension (tiny by construction).
+    *  - llm_simsearch_ivf / llm_ivf_fit: the k=32-centroid quantizer
+    *    rides in as a broadcast 1-row array dimension (tiny by
+    *    construction);
+    *  - llm_dedup_embed: the 256×128 hyperplane matrix + corpus stats
+    *    ride in as broadcast 1-row dimensions (same in-plan-quantizer
+    *    pattern as IVF).
     * Anything new showing up here is an accidental quadratic plan.
     */
   test("no CartesianProduct/BroadcastNestedLoopJoin outside the whitelist") {
     val allowed = Set("join_cross", "join_theta_range", "llm_simsearch_topk",
-      "llm_text_tfidf", "llm_simsearch_ivf", "llm_ivf_fit")
+      "llm_text_tfidf", "llm_simsearch_ivf", "llm_ivf_fit", "llm_dedup_embed")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       // sinks execute writes at build time; skip side-effecting queries —
       // they are plain scan→write→scan pipelines with no join to audit
