@@ -3,6 +3,7 @@ package graft.ops
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
 import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
@@ -19,10 +20,14 @@ import graft.tables.Tables
   * deterministically with the JDK's own javax.imageio — no external
   * codec library) and the feature extractor REALLY decodes them:
   * decoded dimensions and channel statistics come from the pixels, not
-  * the metadata. Audio/video kinds keep the clearly-marked
-  * `decodeStub` (this container ships no PCM/video codec), so the two
-  * paths together document the contract: same batch shape, same
-  * fixed-width feature schema, a codec drop-in changes no plan shape.
+  * the metadata. `kind = 'audio'` rows likewise carry REAL 16-bit PCM
+  * WAV payloads (JDK javax.sound.sampled — still zero external deps)
+  * and the extractor parses the container and decodes the samples:
+  * sample rate, frame count, and amplitude statistics come from the
+  * PCM stream. Only `kind = 'video'` keeps the clearly-marked
+  * `decodeStub` (no JDK video codec exists), so the three paths
+  * together document the contract: same batch shape, same fixed-width
+  * feature schema, a codec drop-in changes no plan shape.
   *
   * Scale notes: payloads never shuffle — features are extracted in the
   * scan stage (narrow mapPartitions), and only the small typed feature
@@ -86,7 +91,51 @@ object Multimodal {
     (w, h, if (n == 0) 0.0 else sum.toDouble / n, hist)
   }
 
-  /** STUB decode for the codec-less kinds (audio/video): derives
+  /** Deterministic tiny WAV: 16-bit signed little-endian mono PCM whose
+    * samples are an affine function of (seed, i) mod 2^16, wrapped in a
+    * real RIFF/WAVE container by the JDK writer. Like encodePng, being
+    * a REAL WAV is the point — the decode path cannot cheat.
+    */
+  private[graft] def encodeWav(nSamples: Int, sampleRate: Float, seed: Long): Array[Byte] = {
+    val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+    val data = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val v = (((seed * 31 + i.toLong * 7919) % 65536) - 32768).toInt
+      data(2 * i) = (v & 0xff).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(new ByteArrayInputStream(data), fmt, nSamples.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode (JDK javax.sound.sampled): parses the WAV
+    * container, then amplitude statistics from the decoded 16-bit PCM
+    * samples. Returns (sampleRate, nSamples, meanSample, hist4) where
+    * hist4 buckets the signed sample range by 16384.
+    */
+  private[graft] def decodeWav(payload: Array[Byte]): (Int, Int, Double, Array[Long]) = {
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+    val sr = ais.getFormat.getSampleRate.toInt
+    val bytes = ais.readAllBytes()
+    ais.close()
+    val n = bytes.length / 2
+    val hist = new Array[Long](4)
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      val v = (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)
+      hist((v + 32768) / 16384) += 1
+      sum += v
+      i += 1
+    }
+    (sr, n, if (n == 0) 0.0 else sum.toDouble / n, hist)
+  }
+
+  /** STUB decode for the codec-less kind (video): derives
     * deterministic pseudo-features from the raw bytes so the pipeline is
     * end-to-end testable; its signature (bytes → fixed-width features)
     * is the contract a PCM/video codec drop-in must keep.
@@ -115,9 +164,10 @@ object Multimodal {
   /** media table: opaque payload + typed metadata, derived
     * deterministically from the documents fixture. Image rows carry a
     * real PNG whose dimensions are (media_id % 6 + 2) × (media_id % 4
-    * + 2); audio/video rows carry the document's text bytes standing in
-    * for an encoded blob. Synthesis runs in the same narrow
-    * mapPartitions shape the extractor uses (ImageIO is JVM-local, no
+    * + 2); audio rows a real WAV of (media_id % 200 + 50) samples at
+    * 8 kHz; video rows carry the document's text bytes standing in for
+    * an encoded blob. Synthesis runs in the same narrow mapPartitions
+    * shape the extractor uses (ImageIO/AudioSystem are JVM-local, no
     * shuffle).
     */
   def media(s: SparkSession, dir: String): DataFrame = {
@@ -134,9 +184,11 @@ object Multimodal {
         batch.map { r =>
           val id = r.getAs[Long]("media_id")
           val kind = r.getAs[String]("kind")
-          val payload =
-            if (kind == "image") encodePng((id % 6 + 2).toInt, (id % 4 + 2).toInt, id)
-            else r.getAs[Array[Byte]]("textbytes")
+          val payload = kind match {
+            case "image" => encodePng((id % 6 + 2).toInt, (id % 4 + 2).toInt, id)
+            case "audio" => encodeWav((id % 200 + 50).toInt, 8000f, id)
+            case _ => r.getAs[Array[Byte]]("textbytes")
+          }
           Row(id, kind, r.getAs[Int]("width"), r.getAs[Int]("height"), payload)
         }
       }(enc)
@@ -149,13 +201,17 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("img_w", IntegerType),
     StructField("img_h", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_samples", IntegerType),
     StructField("n_bytes", IntegerType),
     StructField("mean_byte", DoubleType),
     StructField("hist", StringType)))
 
   /** Partition-batched feature extraction over the opaque payloads:
     * images are pixel-decoded (img_w/img_h/mean/hist from the REAL
-    * decode), other kinds go through the stub (img_w/img_h null).
+    * PNG decode), audio is sample-decoded (sample_rate/n_samples/mean/
+    * hist from the REAL WAV decode; mean_byte is the mean signed PCM
+    * sample there), video goes through the stub (decode columns null).
     */
   val llmMultimodalFeatures: Op = Op(
     "llm_multimodal_features",
@@ -170,22 +226,26 @@ object Multimodal {
             val kind = r.getString(1)
             val payload = r.getAs[Array[Byte]](4)
             val base = Seq[Any](r.getLong(0), kind, r.getInt(2), r.getInt(3))
-            val feats =
-              if (kind == "image") {
+            val feats = kind match {
+              case "image" =>
                 val (iw, ih, mean, hist) = decodeImage(payload)
-                Seq[Any](iw, ih, payload.length,
+                Seq[Any](iw, ih, null, null, payload.length,
                   math.rint(mean * 1e6) / 1e6, hist.mkString(","))
-              } else {
+              case "audio" =>
+                val (sr, n, mean, hist) = decodeWav(payload)
+                Seq[Any](null, null, sr, n, payload.length,
+                  math.rint(mean * 1e6) / 1e6, hist.mkString(","))
+              case _ =>
                 val (n, mean, hist) = decodeStub(payload)
-                Seq[Any](null, null, n,
+                Seq[Any](null, null, null, null, n,
                   math.rint(mean * 1e6) / 1e6, hist.mkString(","))
-              }
+            }
             Row.fromSeq(base ++ feats)
           }
         }(enc)
         .orderBy("media_id")
     },
-    None) // binary pipeline: no SQL oracle; UnitSuite pins a hand-built PNG's features
+    None) // binary pipeline: no SQL oracle; UnitSuite pins hand-built PNG/WAV features
 
   val ops: Seq[Op] = Seq(llmMultimodalFeatures)
 }

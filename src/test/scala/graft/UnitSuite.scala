@@ -132,10 +132,43 @@ class UnitSuite extends AnyFunSuite {
 
   test("llm_multimodal_features: decode stub matches hand-computed bytes features") {
     // "ab" = bytes 97,98 → n_bytes 2, mean 97.5, histogram bucket 1 (64-127);
-    // doc_id 1 → kind audio → stub path, decoded img dims null
-    val dir = tmpLake("documents" -> docsDf(Seq((1L, "ab"))))
+    // doc_id 2 → kind video → stub path, all decode columns null
+    val dir = tmpLake("documents" -> docsDf(Seq((2L, "ab"))))
     val got = graft.ops.Multimodal.llmMultimodalFeatures.build(s, dir).collect().toSeq
-    assert(got == Seq(Row(1L, "audio", 2, 2, null, null, 2, 97.5, "0,2,0,0")))
+    assert(got == Seq(Row(2L, "video", 2, 2, null, null, null, null, 2, 97.5, "0,2,0,0")))
+  }
+
+  test("decodeWav reads a hand-built 4-sample WAV's PCM exactly") {
+    // independent of encodeWav: hand-pack 16-bit LE samples
+    // [-32768, -1, 0, 16384] into a WAV via the JDK writer
+    val samples = Seq(-32768, -1, 0, 16384)
+    val data = samples.flatMap(v => Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)).toArray
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.size.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val (sr, n, mean, hist) = graft.ops.Multimodal.decodeWav(bos.toByteArray)
+    assert((sr, n) == (8000, 4))
+    assert(mean == (-32768 - 1 + 0 + 16384) / 4.0)
+    // signed range bucketed by 16384: one sample per bucket
+    assert(hist.toSeq == Seq(1L, 1L, 1L, 1L))
+  }
+
+  test("llm_multimodal_features really decodes the WAV payload for audio rows") {
+    // doc_id 1 → kind audio (1 % 3 == 1), synthesized WAV of
+    // 1 % 200 + 50 = 51 samples at 8 kHz; expected mean recomputed here
+    // from the synthesis formula, independent of the decoder
+    val dir = tmpLake("documents" -> docsDf(Seq((1L, "irrelevant text"))))
+    val row = graft.ops.Multimodal.llmMultimodalFeatures.build(s, dir).collect().head
+    assert(row.getAs[String]("kind") == "audio")
+    assert(row.getAs[Int]("sample_rate") == 8000)
+    assert(row.getAs[Int]("n_samples") == 51)
+    val expected = (0 until 51).map(i => ((31L + i.toLong * 7919) % 65536) - 32768)
+    assert(row.getAs[Double]("mean_byte") ==
+      math.rint(expected.sum.toDouble / 51 * 1e6) / 1e6)
+    assert(row.getAs[Int]("n_bytes") > 51 * 2) // real RIFF container bytes
   }
 
   test("decodeImage reads a hand-built 2x2 PNG's pixels exactly") {
