@@ -60,6 +60,97 @@ object LlmOps {
       ORDER BY doc_id
     """.stripMargin.trim))
 
+  /** Quality SCORING — the graded companion to the boolean gate above
+    * (a real pipeline ranks/thresholds on a score, it doesn't just
+    * drop): per-doc length/stopword/punctuation/type-token features and
+    * a documented linear composite. Everything is narrow per-row math
+    * over integer counts (ratios are int/int double divisions, the
+    * composite is literal-weighted add/multiply — deterministic and
+    * engine-identical; no exp/log whose libm rounding could differ).
+    * The punctuation ratio is honestly ~0 on this all-lowercase fixture
+    * — the regexp path still exercises the real formula. Pushdown: the
+    * whole op is scan → project, no shuffle but the final presentation
+    * sort.
+    */
+  val llmQualityScore: Op = Op(
+    "llm_quality_score",
+    (s, dir) => {
+      val nToks = size(toks)
+      val nStop = size(filter(toks, t => t.isin("the", "a")))
+      val nDistinct = size(array_distinct(toks))
+      val punct = length(regexp_replace(col("text"), lit("[a-zA-Z0-9 ]"), lit("")))
+      val stopR = nStop.cast(DoubleType) / nToks
+      val ttr = nDistinct.cast(DoubleType) / nToks
+      val punctR = punct.cast(DoubleType) / col("n_chars")
+      val lenScore = least(nToks.cast(DoubleType) / 100.0, lit(1.0))
+      Tables.documents(s, dir)
+        .filter(nToks >= 1)
+        .select(col("doc_id"), nToks.as("n_toks"),
+          round(ttr, 6).as("type_token_ratio"),
+          round(stopR, 6).as("stop_ratio"),
+          round(punctR, 6).as("punct_ratio"),
+          round(lit(0.35) * ttr + lit(0.25) * least(stopR * 10.0, lit(1.0)) +
+            lit(0.25) * lenScore + lit(0.15) * (lit(1.0) - punctR), 6).as("score"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH f AS (
+        SELECT doc_id, n_chars,
+          len(string_split(text, ' ')) AS n_toks,
+          len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS n_stop,
+          len(list_distinct(string_split(text, ' '))) AS n_distinct,
+          length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS n_punct
+        FROM documents
+      )
+      SELECT doc_id, n_toks,
+        ROUND(CAST(n_distinct AS DOUBLE) / n_toks, 6) AS type_token_ratio,
+        ROUND(CAST(n_stop AS DOUBLE) / n_toks, 6) AS stop_ratio,
+        ROUND(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+        ROUND(0.35 * (CAST(n_distinct AS DOUBLE) / n_toks)
+          + 0.25 * LEAST(CAST(n_stop AS DOUBLE) / n_toks * 10.0, 1.0)
+          + 0.25 * LEAST(CAST(n_toks AS DOUBLE) / 100.0, 1.0)
+          + 0.15 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars), 6) AS score
+      FROM f WHERE n_toks >= 1
+      ORDER BY doc_id
+    """.stripMargin.trim))
+
+  /** Token counting beyond whitespace: a BPE-ish regex tokenizer —
+    * alpha runs split into ≤4-char subword chunks, digit runs into
+    * ≤3-digit groups (the GPT-family number rule), punctuation runs as
+    * single tokens. The pattern is a pure alternation of character
+    * classes (no lookaround), which Java regex (Spark) and RE2 (DuckDB)
+    * match identically with the same greedy-leftmost semantics. The
+    * per-doc token count and the tokens-per-word / chars-per-token
+    * ratios are the capacity-planning numbers an LLM-corpus budget is
+    * priced in. Narrow scan → project; no shuffle.
+    */
+  val llmTokenCount: Op = Op(
+    "llm_token_count",
+    (s, dir) => {
+      val pat = "[a-zA-Z]{1,4}|[0-9]{1,3}|[^a-zA-Z0-9 ]+"
+      val nWs = size(toks)
+      val nBpe = size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+      Tables.documents(s, dir)
+        .filter(nWs >= 1)
+        .select(col("doc_id"), nWs.as("n_ws_tokens"), nBpe.as("n_bpe_tokens"),
+          round(nBpe.cast(DoubleType) / nWs, 6).as("bpe_per_word"),
+          round(col("n_chars").cast(DoubleType) / nBpe, 6).as("chars_per_token"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH f AS (
+        SELECT doc_id, n_chars,
+          len(string_split(text, ' ')) AS n_ws,
+          len(regexp_extract_all(text, '[a-zA-Z]{1,4}|[0-9]{1,3}|[^a-zA-Z0-9 ]+')) AS n_bpe
+        FROM documents
+      )
+      SELECT doc_id, n_ws AS n_ws_tokens, n_bpe AS n_bpe_tokens,
+        ROUND(CAST(n_bpe AS DOUBLE) / n_ws, 6) AS bpe_per_word,
+        ROUND(CAST(n_chars AS DOUBLE) / n_bpe, 6) AS chars_per_token
+      FROM f WHERE n_ws >= 1
+      ORDER BY doc_id
+    """.stripMargin.trim))
+
   /** Corpus statistics per language: doc/token/term counts, type-token
     * ratio, mean doc length, and the top-10 terms (count desc, term asc —
     * fully tie-broken). Term counting is explode → hash-agg (map-side
@@ -1084,7 +1175,8 @@ object LlmOps {
     """.stripMargin.trim))
 
   val ops: Seq[Op] = Seq(
-    llmQualityFilter, llmTextStats, llmTextTfidf, llmDedupExact,
+    llmQualityFilter, llmQualityScore, llmTokenCount,
+    llmTextStats, llmTextTfidf, llmDedupExact,
     llmDedupNear, llmDedupCluster, llmDedupMinhash, llmDedupSimhash,
     llmDedupEmbed, llmFingerprintWinnow,
     llmSimsearchTopk, llmSimsearchLsh, llmIvfFit, llmSimsearchIvf,
