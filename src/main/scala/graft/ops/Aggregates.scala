@@ -61,6 +61,47 @@ object Aggregates {
       ORDER BY l_returnflag, l_linestatus
     """.stripMargin.trim))
 
+  /** Conditional aggregation — the SQL FILTER clause, expressed in the
+    * DataFrame API as `agg(f(when(cond, x)))`: aggregates ignore nulls,
+    * so `sum(when(cond, x))` ≡ `SUM(x) FILTER (WHERE cond)` exactly,
+    * and the whole family stays ONE hash-aggregate pass (no self-joins,
+    * no second scan — the plan is identical to the unconditional agg).
+    * Money goes through the exact DECIMAL path (Op.dec2/sumMoney) so
+    * partial-agg order can't wiggle a double sum.
+    */
+  val aggFilterClause: Op = Op(
+    "agg_filter_clause",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val ret = col("l_returnflag") === "R"
+      val hiQty = col("l_quantity") > 30
+      li.select(col("l_linestatus"),
+          dec2(col("l_extendedprice")).as("price"),
+          dec2(col("l_quantity")).as("qty"),
+          ret.as("ret"), hiQty.as("hi"))
+        .groupBy("l_linestatus")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(when(col("ret"), lit(1))).as("n_returned"),
+          sumMoney(when(col("ret"), col("qty"))).as("sum_ret_qty"),
+          sumMoney(when(col("hi"), col("price"))).as("sum_hi_price"),
+          (sumMoney(when(col("hi"), col("price"))) /
+            count(when(col("hi"), lit(1)))).as("avg_hi_price"))
+        .orderBy("l_linestatus")
+    },
+    Some("""
+      SELECT l_linestatus,
+        COUNT(*) AS n_rows,
+        COUNT(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) FILTER (WHERE l_returnflag = 'R') AS DOUBLE) AS sum_ret_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) FILTER (WHERE l_quantity > 30) AS DOUBLE) AS sum_hi_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) FILTER (WHERE l_quantity > 30) AS DOUBLE)
+          / COUNT(*) FILTER (WHERE l_quantity > 30) AS avg_hi_price
+      FROM lineitem
+      GROUP BY l_linestatus
+      ORDER BY l_linestatus
+    """.stripMargin.trim))
+
   /** Ungrouped global aggregate over orders — single partial-agg pass,
     * one-row exchange to the driver-side final agg. Scan reads only
     * o_totalprice (column pruning).
@@ -368,7 +409,7 @@ object Aggregates {
     """.stripMargin.trim))
 
   val ops: Seq[Op] = Seq(
-    aggPricingSummary, aggGlobal, aggCountDistinct, aggApproxDistinct,
+    aggPricingSummary, aggFilterClause, aggGlobal, aggCountDistinct, aggApproxDistinct,
     aggHaving, aggStats, aggGroupingSets, aggRollup, aggCube,
     aggCollectSorted, aggPercentileExact, pivotStatusYear, unpivotMetrics)
 }

@@ -413,6 +413,31 @@ object Relational {
             SELECT s_nationkey AS nationkey FROM supplier
             ORDER BY nationkey"""))
 
+  /** BAG-semantics set ops (`Dataset.intersectAll`/`exceptAll` ≡ SQL
+    * INTERSECT ALL / EXCEPT ALL): a value appearing m times left and n
+    * times right survives min(m,n) / max(m−n, 0) times. Spark plans
+    * both as one aggregate-count + generate — the same one-shuffle
+    * shape as the distinct variants, not a join. Output rows per key
+    * are identical, so the presentation sort is fully deterministic.
+    */
+  val setIntersectAll: Op = Op(
+    "set_intersect_all",
+    (s, dir) =>
+      custNations(s, dir).intersectAll(suppNations(s, dir)).orderBy("nationkey"),
+    Some("""SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT ALL
+            SELECT s_nationkey AS nationkey FROM supplier
+            ORDER BY nationkey"""))
+
+  val setExceptAll: Op = Op(
+    "set_except_all",
+    (s, dir) =>
+      custNations(s, dir).exceptAll(suppNations(s, dir)).orderBy("nationkey"),
+    Some("""SELECT c_nationkey AS nationkey FROM customer
+            EXCEPT ALL
+            SELECT s_nationkey AS nationkey FROM supplier
+            ORDER BY nationkey"""))
+
   /** MERGE/upsert semantics computed relationally (no table format with
     * a native MERGE INTO ships offline): source rows override target
     * rows on the key, unmatched source rows insert. The source here is
@@ -553,5 +578,6 @@ object Relational {
     joinSemi, joinAnti, joinCross, joinThetaRange, joinInterval, joinAsof,
     joinSkewSalted, mergeUpsert, sampleHashPct, sampleStratified,
     sortMultiNulls, limitTopk,
-    setUnionAll, setUnionDistinct, setIntersect, setExcept)
+    setUnionAll, setUnionDistinct, setIntersect, setExcept,
+    setIntersectAll, setExceptAll)
 }

@@ -311,7 +311,38 @@ object Scalars {
               CAST(~o_orderkey AS BIGINT) AS b_not
             FROM orders ORDER BY o_orderkey"""))
 
+  /** Regexp surface beyond fn_string_pack's single extract/replace:
+    * match counting, all-matches extraction, boolean match, global
+    * replace, and regex split. Every pattern is a lookaround- and
+    * backreference-free alternation/char-class, the subset Java regex
+    * (Spark) and RE2 (DuckDB) define identically — RE2 has no
+    * lookaround or backrefs at all, so staying in that subset is what
+    * makes a cross-engine regexp contract possible.
+    */
+  val fnRegexpPack: Op = Op(
+    "fn_regexp_pack",
+    (s, dir) =>
+      Tables.part(s, dir)
+        .select(
+          col("p_partkey"),
+          regexp_count(col("p_name"), lit("[aeiou]+")).as("vowel_runs"),
+          regexp_extract(col("p_name"), "([aeiou]+)", 1).as("first_vowel_run"),
+          concat_ws(",", regexp_extract_all(col("p_name"), lit("[aeiou]+"), lit(0)))
+            .as("all_vowel_runs"),
+          col("p_brand").rlike("[0-9][0-9]").as("brand_2dig"),
+          regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+          size(split(col("p_name"), "[aeiou]+")).as("n_split"))
+        .orderBy("p_partkey"),
+    Some("""SELECT p_partkey,
+              CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS INT) AS vowel_runs,
+              regexp_extract(p_name, '([aeiou]+)', 1) AS first_vowel_run,
+              array_to_string(regexp_extract_all(p_name, '[aeiou]+'), ',') AS all_vowel_runs,
+              regexp_matches(p_brand, '[0-9][0-9]') AS brand_2dig,
+              regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+              CAST(len(regexp_split_to_array(p_name, '[aeiou]+')) AS INT) AS n_split
+            FROM part ORDER BY p_partkey"""))
+
   val ops: Seq[Op] = Seq(
     fnStringPack, fnDatePack, fnMathCase, fnArrayPack, fnHigherOrder,
-    fnMapPack, fnJsonExtract, fnCastCoalesce, fnBitwisePack)
+    fnMapPack, fnJsonExtract, fnCastCoalesce, fnBitwisePack, fnRegexpPack)
 }

@@ -66,6 +66,42 @@ object Windows {
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ORDER BY user_id, event_id"""))
 
+  /** first_value / last_value / nth_value with EXPLICIT frames. The
+    * default window frame stops at CURRENT ROW, which makes last_value
+    * a silent identity — the classic window footgun — so every frame
+    * here is spelled out (full-partition for first/last/nth, trailing
+    * 2-row for the moving first). Order (ts, event_id) is a total
+    * order, so all four outputs are deterministic in both engines.
+    */
+  val winFirstLastFrame: Op = Op(
+    "win_first_last_frame",
+    (s, dir) => {
+      val full = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val trail = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-2, Window.currentRow)
+      Tables.events(s, dir)
+        .select(
+          col("user_id"), col("event_id"),
+          first("event_id").over(full).as("first_ev"),
+          last("event_id").over(full).as("last_ev"),
+          nth_value(col("event_id"), 2).over(full).as("second_ev"),
+          first("event_id").over(trail).as("trail3_first_ev"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""SELECT user_id, event_id,
+              first_value(event_id) OVER wfull AS first_ev,
+              last_value(event_id) OVER wfull AS last_ev,
+              nth_value(event_id, 2) OVER wfull AS second_ev,
+              first_value(event_id) OVER wtrail AS trail3_first_ev
+            FROM events
+            WINDOW
+              wfull AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+              wtrail AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            ORDER BY user_id, event_id"""))
+
   val winRunningFrame: Op = Op(
     "win_running_frame",
     (s, dir) => {
@@ -311,6 +347,6 @@ object Windows {
             ORDER BY o_custkey, rn"""))
 
   val ops: Seq[Op] = Seq(
-    winRank, winLagLead, winRunningFrame, winRangeFrame, winNtilePct,
+    winRank, winLagLead, winFirstLastFrame, winRunningFrame, winRangeFrame, winNtilePct,
     winRangeFrameScale, winNtilePctScale, winTopkPerGroup)
 }
