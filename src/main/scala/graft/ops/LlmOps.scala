@@ -910,6 +910,14 @@ object LlmOps {
     * hyperplanes, buckets, and result set are deterministic and
     * partition-invariant. No oracle (approximate); ANNRecallSuite gates
     * recall ≥ 0.8 against the brute-force baseline above.
+    *
+    * Offline-fit note (the IVF fit/search split does not apply here):
+    * unlike IVF centroids, random projections are DATA-INDEPENDENT —
+    * the "index" is just the seeded hyperplane draw, so there is no
+    * corpus-derived state to fit or persist; a deployment ships the
+    * seed. The model.fit below reads nothing but the schema. The
+    * deterministic seeded-hyperplane mechanism itself is exercised
+    * oracle-checked in llm_dedup_embed's band machinery.
     */
   val llmSimsearchLsh: Op = Op(
     "llm_simsearch_lsh",

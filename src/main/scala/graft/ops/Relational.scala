@@ -343,6 +343,43 @@ object Relational {
               ON p.user_id = c.user_id AND c.ts <= p.ts
             ORDER BY purchase_id"""))
 
+  /** Correlated subqueries through the library's SQL surface: a
+    * correlated scalar COUNT and a correlated EXISTS per outer row.
+    * This is deliberately `spark.sql` over temp views — the point is
+    * that Catalyst DECORRELATES both declaratively: the scalar COUNT
+    * becomes an aggregate + left outer join (with the COUNT-over-empty
+    * → 0 coalesce) and the EXISTS becomes a left semi join, so the
+    * "per-row subquery" a user writes never executes per row; at
+    * 100 TB both run as two ordinary shuffled joins. DuckDB performs
+    * the same rewrite, making the pair oracle-comparable.
+    */
+  val subqueryCorrelated: Op = Op(
+    "subquery_correlated",
+    (s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("g_sq_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("g_sq_lineitem")
+      s.sql("""
+        SELECT o_orderkey, o_totalprice,
+          (SELECT COUNT(*) FROM g_sq_lineitem l
+            WHERE l.l_orderkey = o.o_orderkey) AS n_items,
+          EXISTS(SELECT 1 FROM g_sq_lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R') AS has_return
+        FROM g_sq_orders o
+        WHERE o_orderkey % 7 = 0
+        ORDER BY o_orderkey
+      """)
+    },
+    Some("""
+      SELECT o_orderkey, o_totalprice,
+        (SELECT COUNT(*) FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey) AS n_items,
+        EXISTS(SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R') AS has_return
+      FROM orders o
+      WHERE o_orderkey % 7 = 0
+      ORDER BY o_orderkey
+    """.stripMargin.trim))
+
   // ---- §2.6 sorts / limits ------------------------------------------------
 
   val sortMultiNulls: Op = Op(
@@ -576,7 +613,7 @@ object Relational {
     projectCompute, filterCompound, filterNull3vl,
     joinInnerEqui, joinBroadcast, joinSortMerge, joinLeftOuter, joinFullOuter,
     joinSemi, joinAnti, joinCross, joinThetaRange, joinInterval, joinAsof,
-    joinSkewSalted, mergeUpsert, sampleHashPct, sampleStratified,
+    joinSkewSalted, mergeUpsert, subqueryCorrelated, sampleHashPct, sampleStratified,
     sortMultiNulls, limitTopk,
     setUnionAll, setUnionDistinct, setIntersect, setExcept,
     setIntersectAll, setExceptAll)
