@@ -318,9 +318,14 @@ object LlmOps {
     * — the llm_dedup_near pipeline pre-sort, factored out so the
     * cluster-resolution op below consumes the SAME detector output.
     */
-  private def nearPairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+  private def nearPairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    nearPairsFrom(s, Tables.documents(s, dir))
+
+  /** Same pipeline over an arbitrary (doc_id, text, …) relation — the
+    * curation pipeline op feeds it the post-exact-dedup survivor set. */
+  private def nearPairsFrom(s: org.apache.spark.sql.SparkSession, docsRaw: DataFrame): DataFrame = {
     graft.functions.SortedIntersectCount.register(s)
-    val docs = Tables.documents(s, dir)
+    val docs = docsRaw
       .select(col("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= 5)
     val withSh = shingleArr(docs).localCheckpoint(true)
@@ -351,7 +356,7 @@ object LlmOps {
     "llm_dedup_near",
     (s, dir) => nearPairs(s, dir).orderBy("a_id", "b_id"),
     Some(s"""
-      WITH $nearPairsSqlCtes
+      WITH ${nearPairsSqlCtes()}
       SELECT a_id, b_id, jacc FROM vp ORDER BY a_id, b_id
     """.stripMargin.trim))
 
@@ -360,9 +365,10 @@ object LlmOps {
     * (which prepends RECURSIVE and appends the component CTEs).
     */
   /** Shingle-table prefix (doc → distinct word-5-gram rows + set sizes)
-    * — shared by the near-dup, cluster, and minhash oracles. */
-  private def shingleSqlCtes: String = """t AS (
-        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    * — shared by the near-dup, cluster, minhash, and pipeline oracles;
+    * `src` is the document relation to shingle. */
+  private def shingleSqlCtes(src: String = "documents"): String = s"""t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM $src
       ), idx AS (
         SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS i
         FROM t WHERE len(toks) >= 5
@@ -372,7 +378,8 @@ object LlmOps {
         SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1
       )"""
 
-  private def nearPairsSqlCtes: String = s"""$shingleSqlCtes, cand AS (
+  private def nearPairsSqlCtes(src: String = "documents"): String =
+    s"""${shingleSqlCtes(src)}, cand AS (
         SELECT doc_id, shingle
         FROM (SELECT doc_id, shingle,
                 row_number() OVER (PARTITION BY doc_id ORDER BY shingle) AS rn FROM sh)
@@ -415,33 +422,29 @@ object LlmOps {
     * changed-count=0 fixed point (or alternate large-star/small-star
     * to bound skew on giant components); label state is 16 bytes/node.
     */
-  val llmDedupCluster: Op = Op(
-    "llm_dedup_cluster",
-    (s, dir) => {
-      val vp = nearPairs(s, dir).select("a_id", "b_id")
-      val edges = vp.select(col("a_id").as("src"), col("b_id").as("dst"))
-        .union(vp.select(col("b_id").as("src"), col("a_id").as("dst")))
-        .localCheckpoint(true)
-      var lbl = edges.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("lbl"))
-      for (_ <- 1 to 3) {
-        val peerMin = edges
-          .join(lbl.select(col("id").as("dst"), col("lbl").as("plbl")), "dst")
-          .groupBy(col("src").as("id")).agg(min(col("plbl")).as("pmin"))
-        lbl = lbl.join(peerMin, "id")
-          .select(col("id"), least(col("lbl"), col("pmin")).as("lbl"))
-      }
-      val sz = lbl.groupBy(col("lbl").as("cluster_id"))
-        .agg(count(lit(1)).as("cluster_sz"))
-      lbl.select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
-          when(col("id") === col("lbl"), 1).otherwise(0).as("keep"))
-        .join(sz, "cluster_id")
-        .select(col("doc_id"), col("cluster_id"), col("cluster_sz"), col("keep"))
-        .orderBy("cluster_id", "doc_id")
-    },
-    Some(s"""
-      WITH RECURSIVE $nearPairsSqlCtes
-      , edges AS (
+  /** 3-round min-label propagation over a verified pair set → (id, lbl)
+    * component labels (shared by the cluster op and the curation
+    * pipeline; convergence argument in llm_dedup_cluster's scaladoc).
+    */
+  private def clusterLabels(vp: DataFrame): DataFrame = {
+    val edges = vp.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(vp.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint(true)
+    var lbl = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+    for (_ <- 1 to 3) {
+      val peerMin = edges
+        .join(lbl.select(col("id").as("dst"), col("lbl").as("plbl")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("plbl")).as("pmin"))
+      lbl = lbl.join(peerMin, "id")
+        .select(col("id"), least(col("lbl"), col("pmin")).as("lbl"))
+    }
+    lbl
+  }
+
+  /** Connected components + min-label SQL suffix over a `vp(a_id, b_id)`
+    * CTE — must appear under WITH RECURSIVE. */
+  private def ccSqlCtes: String = """edges AS (
         SELECT a_id AS src, b_id AS dst FROM vp
         UNION ALL
         SELECT b_id, a_id FROM vp
@@ -451,13 +454,104 @@ object LlmOps {
         SELECT cc.id, e.dst FROM cc JOIN edges e ON cc.r = e.src
       ), lbl AS (
         SELECT id, LEAST(id, MIN(r)) AS cluster_id FROM cc GROUP BY id
-      ), sz AS (
+      )"""
+
+  val llmDedupCluster: Op = Op(
+    "llm_dedup_cluster",
+    (s, dir) => {
+      val lbl = clusterLabels(nearPairs(s, dir).select("a_id", "b_id"))
+      val sz = lbl.groupBy(col("lbl").as("cluster_id"))
+        .agg(count(lit(1)).as("cluster_sz"))
+      lbl.select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+          when(col("id") === col("lbl"), 1).otherwise(0).as("keep"))
+        .join(sz, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_sz"), col("keep"))
+        .orderBy("cluster_id", "doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE ${nearPairsSqlCtes()}
+      , $ccSqlCtes, sz AS (
         SELECT cluster_id, COUNT(*) AS cluster_sz FROM lbl GROUP BY 1
       )
       SELECT l.id AS doc_id, l.cluster_id, s.cluster_sz,
         CASE WHEN l.id = l.cluster_id THEN 1 ELSE 0 END AS keep
       FROM lbl l JOIN sz s USING (cluster_id)
       ORDER BY cluster_id, doc_id
+    """.stripMargin.trim))
+
+  /** The END-TO-END corpus curation pipeline as ONE query — the actual
+    * user story every piece above exists for: quality gate → exact
+    * dedup keep-one → near-dup cluster keep-one → per-language summary.
+    * Each stage is the already-oracle-proven building block (the sha256
+    * fingerprint of llm_dedup_exact, the shingle/Jaccard detector of
+    * llm_dedup_near via nearPairsFrom on the SURVIVOR set, the
+    * min-label components of llm_dedup_cluster), composed in the order
+    * a deployment runs them: cheap exact dedup FIRST shrinks the input
+    * the quadratic-ish near-dup detector sees.
+    *
+    * Scale shape: the gate is a pushdown-friendly filter; exact
+    * keep-one is one groupBy on the 64-char fingerprint + a semi join;
+    * the survivor set materializes ONCE (localCheckpoint — consumed by
+    * the detector, the anti join, and the per-lang aggregate); drops
+    * flow back as a left ANTI join (survivors never widen); the final
+    * summary is three tiny per-lang aggregates. The oracle recomputes
+    * the whole pipeline, components via recursive CTE.
+    */
+  val llmPipelineCurate: Op = Op(
+    "llm_pipeline_curate",
+    (s, dir) => {
+      val base = Tables.documents(s, dir).withColumn("n_toks", size(toks))
+      val gated = base.filter(col("n_toks") >= 10)
+      val fp = gated.withColumn("fp",
+        sha2(regexp_replace(trim(lower(col("text"))), " +", " "), 256))
+      val keepIds = fp.groupBy("fp").agg(min("doc_id").as("doc_id"))
+      val afterExact = fp.join(keepIds, Seq("fp", "doc_id"), "left_semi")
+        .localCheckpoint(true)
+      val lbl = clusterLabels(
+        nearPairsFrom(s, afterExact).select("a_id", "b_id"))
+      val drops = lbl.filter(col("id") =!= col("lbl")).select(col("id").as("doc_id"))
+      val afterNear = afterExact.join(drops, Seq("doc_id"), "left_anti")
+      val inAgg = base.groupBy("lang").agg(count(lit(1)).as("n_in"))
+      val exAgg = afterExact.groupBy("lang").agg(count(lit(1)).as("n_after_exact"))
+      val nrAgg = afterNear.groupBy("lang").agg(
+        count(lit(1)).as("n_after_near"),
+        sum("n_toks").as("n_tokens"),
+        round(sum("n_toks").cast(DoubleType) / count(lit(1)), 6).as("avg_toks"))
+      inAgg.join(exAgg, "lang").join(nrAgg, "lang")
+        .select(col("lang"), col("n_in"), col("n_after_exact"),
+          col("n_after_near"), col("n_tokens"), col("avg_toks"))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH RECURSIVE base AS (
+        SELECT doc_id, lang, text, len(string_split(text, ' ')) AS n_toks
+        FROM documents
+      ), gated AS (
+        SELECT * FROM base WHERE n_toks >= 10
+      ), fpd AS (
+        SELECT *, sha256(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS h
+        FROM gated
+      ), keepids AS (
+        SELECT h, min(doc_id) AS doc_id FROM fpd GROUP BY h
+      ), ae AS (
+        SELECT f.doc_id, f.lang, f.text, f.n_toks
+        FROM fpd f JOIN keepids k ON k.h = f.h AND k.doc_id = f.doc_id
+      ), ${nearPairsSqlCtes("ae")}
+      , $ccSqlCtes, an AS (
+        SELECT * FROM ae
+        WHERE doc_id NOT IN (SELECT id FROM lbl WHERE id != cluster_id)
+      ), i AS (
+        SELECT lang, COUNT(*) AS n_in FROM base GROUP BY 1
+      ), e2 AS (
+        SELECT lang, COUNT(*) AS n_after_exact FROM ae GROUP BY 1
+      ), n2 AS (
+        SELECT lang, COUNT(*) AS n_after_near, SUM(n_toks) AS n_tokens,
+          ROUND(CAST(SUM(n_toks) AS DOUBLE) / COUNT(*), 6) AS avg_toks
+        FROM an GROUP BY 1
+      )
+      SELECT i.lang, n_in, n_after_exact, n_after_near, n_tokens, avg_toks
+      FROM i JOIN e2 USING (lang) JOIN n2 USING (lang)
+      ORDER BY lang
     """.stripMargin.trim))
 
   /** MinHash-LSH parameters: Carter–Wegman family h_j(x) = (a_j·x + b_j)
@@ -518,7 +612,7 @@ object LlmOps {
         .orderBy("a_id", "b_id")
     },
     Some(s"""
-      WITH $shingleSqlCtes
+      WITH ${shingleSqlCtes()}
       , h AS (
         SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % $MhM AS hv
         FROM sh
@@ -1186,7 +1280,7 @@ object LlmOps {
     llmQualityFilter, llmQualityScore, llmTokenCount,
     llmTextStats, llmTextTfidf, llmDedupExact,
     llmDedupNear, llmDedupCluster, llmDedupMinhash, llmDedupSimhash,
-    llmDedupEmbed, llmFingerprintWinnow,
+    llmDedupEmbed, llmFingerprintWinnow, llmPipelineCurate,
     llmSimsearchTopk, llmSimsearchLsh, llmIvfFit, llmSimsearchIvf,
     llmMultimodalJoin)
 }
