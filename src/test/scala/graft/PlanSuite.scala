@@ -59,6 +59,35 @@ class PlanSuite extends AnyFunSuite {
     assert(rangeEx == 1, s"expected 1 range exchange (final ORDER BY), got $rangeEx")
   }
 
+  test("subquery_correlated is decorrelated: joins in the plan, no per-row subquery") {
+    val p = plan("subquery_correlated")
+    assert(!p.toLowerCase.contains("scalar-subquery") && !p.contains("Subquery "),
+      s"correlated subquery survived to the physical plan (per-row execution):\n$p")
+    // the scalar COUNT becomes an aggregate + outer join; EXISTS a semi
+    // join — at least two join nodes must appear
+    val joins = "Join|HashJoin".r.findAllIn(p).length
+    assert(joins >= 2, s"expected >=2 join nodes after decorrelation, got $joins")
+  }
+
+  test("agg_filter_clause stays ONE aggregation pass (partial+final, one exchange)") {
+    val p = plan("agg_filter_clause")
+    // count plan NODES ("(n) HashAggregate" detail headers), not raw
+    // text hits — formatted explain prints each node in both the tree
+    // and the detail section
+    val aggs = "\\(\\d+\\) HashAggregate".r.findAllIn(p).length
+    assert(aggs == 2, s"expected partial+final HashAggregate, got $aggs:\n$p")
+    val hashEx = "hashpartitioning\\(".r.findAllIn(p).length
+    assert(hashEx == 1, s"conditional aggregation grew extra shuffles: $hashEx")
+  }
+
+  test("set_intersect_all plans as aggregate + replicate-rows, not a join") {
+    val p = plan("set_intersect_all")
+    assert(p.contains("Generate") && p.contains("replicaterows"),
+      s"INTERSECT ALL lost the count-replicate shape:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "bag intersect regressed to a join")
+  }
+
   test("join_skew_salted stays a hash join (salt must not break the equi-key)") {
     val p = plan("join_skew_salted")
     // the salted key is still an equi-join: replicated small side joins
