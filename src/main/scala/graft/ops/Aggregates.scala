@@ -189,6 +189,41 @@ object Aggregates {
     * round(·,6) on both sides (SURVEY §5.3.2/.6) and verified
     * partition-count-invariant by the tier-C suite.
     */
+  /** Arg-extrema aggregation (`max_by`/`min_by` ≡ DuckDB
+    * `arg_max`/`arg_min`): the value of one column at another column's
+    * extremum, in ONE aggregation pass — the idiom that replaces the
+    * self-join-on-groupwise-max anti-pattern. Neither engine defines
+    * which row wins a TIE on the ordering column, so the ordering key
+    * here is made provably unique: acctbal is exact cents (×100 is an
+    * integer), so cents · 2^20 + custkey is a collision-free int64 and
+    * both engines must pick the same row.
+    */
+  val aggArgExtrema: Op = Op(
+    "agg_arg_extrema",
+    (s, dir) => {
+      val key = (dec2(col("c_acctbal")) * 100).cast(LongType) * lit(1048576L) +
+        col("c_custkey")
+      Tables.customer(s, dir)
+        .select(col("c_nationkey"), col("c_name"), col("c_acctbal"), key.as("k"))
+        .groupBy("c_nationkey")
+        .agg(
+          max_by(col("c_name"), col("k")).as("richest"),
+          min_by(col("c_name"), col("k")).as("poorest"),
+          max(dec2(col("c_acctbal"))).cast(DoubleType).as("max_bal"),
+          min(dec2(col("c_acctbal"))).cast(DoubleType).as("min_bal"))
+        .orderBy("c_nationkey")
+    },
+    Some("""
+      SELECT c_nationkey,
+        arg_max(c_name, CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) * 1048576 + c_custkey) AS richest,
+        arg_min(c_name, CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) * 1048576 + c_custkey) AS poorest,
+        CAST(MAX(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS max_bal,
+        CAST(MIN(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS min_bal
+      FROM customer
+      GROUP BY c_nationkey
+      ORDER BY c_nationkey
+    """.stripMargin.trim))
+
   val aggStats: Op = Op(
     "agg_stats",
     (s, dir) =>
@@ -410,6 +445,6 @@ object Aggregates {
 
   val ops: Seq[Op] = Seq(
     aggPricingSummary, aggFilterClause, aggGlobal, aggCountDistinct, aggApproxDistinct,
-    aggHaving, aggStats, aggGroupingSets, aggRollup, aggCube,
+    aggHaving, aggArgExtrema, aggStats, aggGroupingSets, aggRollup, aggCube,
     aggCollectSorted, aggPercentileExact, pivotStatusYear, unpivotMetrics)
 }
