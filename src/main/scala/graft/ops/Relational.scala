@@ -210,6 +210,29 @@ object Relational {
             GROUP BY c_custkey, c_name
             ORDER BY c_custkey"""))
 
+  /** RIGHT outer join — closes the join-form inventory. Catalyst
+    * canonicalizes RightOuter by swapping the sides into a LeftOuter
+    * (there is no physical right-outer hash join to regress to), so
+    * this op grades the API surface and the preserved-side null
+    * semantics: customers without orders survive with NULL order
+    * columns, counted as 0 / latest NULL.
+    */
+  val joinRightOuter: Op = Op(
+    "join_right_outer",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"), "right")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+          count(col("o_orderkey")).as("order_cnt"),
+          fmtDay(max(col("o_orderdate"))).as("latest_order"))
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name, COUNT(o_orderkey) AS order_cnt,
+              strftime(MAX(o_orderdate), '%Y-%m-%d') AS latest_order
+            FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name
+            ORDER BY c_custkey"""))
+
   val joinFullOuter: Op = Op(
     "join_full_outer",
     (s, dir) => {
@@ -611,7 +634,8 @@ object Relational {
   val ops: Seq[Op] = Seq(
     scanFull, scanPrune, scanPred, sinkParquet, sinkCsvJson,
     projectCompute, filterCompound, filterNull3vl,
-    joinInnerEqui, joinBroadcast, joinSortMerge, joinLeftOuter, joinFullOuter,
+    joinInnerEqui, joinBroadcast, joinSortMerge, joinLeftOuter, joinRightOuter,
+    joinFullOuter,
     joinSemi, joinAnti, joinCross, joinThetaRange, joinInterval, joinAsof,
     joinSkewSalted, mergeUpsert, subqueryCorrelated, sampleHashPct, sampleStratified,
     sortMultiNulls, limitTopk,
