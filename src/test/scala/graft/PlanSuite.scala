@@ -59,6 +59,16 @@ class PlanSuite extends AnyFunSuite {
     assert(rangeEx == 1, s"expected 1 range exchange (final ORDER BY), got $rangeEx")
   }
 
+  test("win_topk_per_group gets the WindowGroupLimit pushdown (partial top-k before the shuffle)") {
+    // Spark's RankLimit/WindowGroupLimit optimization turns
+    // filter(row_number <= k) into per-partition bounded top-k BEFORE
+    // the exchange — the difference between shuffling k rows per group
+    // and shuffling the whole table at 100 TB. Assert it stays applied.
+    val p = plan("win_topk_per_group")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank-filter pushdown (WindowGroupLimit) missing — full-table shuffle regressed:\n$p")
+  }
+
   test("subquery_correlated is decorrelated: joins in the plan, no per-row subquery") {
     val p = plan("subquery_correlated")
     assert(!p.toLowerCase.contains("scalar-subquery") && !p.contains("Subquery "),
