@@ -35,6 +35,18 @@ def load(path):
                 return d
         except json.JSONDecodeError:
             continue
+    # last resort: the driver's tail capture can truncate the FRONT of
+    # the line (no opening brace survives) — scrape "name":float pairs
+    # directly; harness keys are snake_case query names, so drop the
+    # envelope fields. A partial map still beats no diff, but warn.
+    pairs = {m.group(1): float(m.group(2)) for m in
+             re.finditer(r'"([a-z][a-z0-9_]+)"\s*:\s*([0-9.]+)', text)
+             if m.group(1) not in ("value", "sf", "total", "n", "rc", "cpus")}
+    if pairs:
+        print(f"note: {path} parsed from a truncated tail — "
+              f"{len(pairs)} queries recovered, early entries may be missing",
+              file=sys.stderr)
+        return pairs
     sys.exit(f"{path}: no queries map found")
 
 
