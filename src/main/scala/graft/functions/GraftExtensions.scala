@@ -32,5 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_hyperplane_bands"),
       new ExpressionInfo(classOf[HyperplaneBands].getName, "graft_hyperplane_bands"),
       (args: Seq[Expression]) => HyperplaneBands(args)))
+    // algebraic identities over the native functions (see SelfDistanceFold)
+    ext.injectOptimizerRule(_ => SelfDistanceFold)
   }
 }

@@ -830,55 +830,65 @@ object LlmOps {
     * are ~uniform because centered projections are sign-balanced), and
     * the dot verify on the detector-bounded candidate set.
     */
+  /** The embed detector's tf table — materialized ONCE (4 consumers:
+    * signatures, corpus stats, both dot sides). Integer counts: the
+    * signature path is exact int64 end to end. */
+  private def embedTf(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"), explode(toks).as("term"))
+      .withColumn("dim",
+        expr("cast(cast(conv(substring(md5(term), 1, 7), 16, 10) as bigint) % 128 as int)"))
+      .groupBy("doc_id", "dim")
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+
+  /** (doc_id, nr, band, key) hyperplane band rows for a given tf table
+    * — the candidate-generation half of llm_dedup_embed, exposed so
+    * PropertySuite can assert band selectivity (never all-pairs, no
+    * giant bucket) directly on the production subplan. */
+  private[graft] def embedBandsOf(s: org.apache.spark.sql.SparkSession, tf: DataFrame): DataFrame = {
+    graft.functions.HyperplaneBands.register(s)
+    val planes = s.range(1)
+      .select(explode(expr(s"sequence(0, ${HpPlanes - 1})")).as("p"))
+      .select(col("p"), expr(
+        """transform(sequence(0, 127), d -> cast(1 - 2 * (
+          |  cast(conv(substring(md5(concat('hp:', cast(p as string), ':', cast(d as string))), 1, 15), 16, 10) as bigint)
+          |  % 2) as int))""".stripMargin).as("sp"))
+    val sDense = tf.groupBy("dim").agg(sum("cnt").as("sd"))
+      .agg(map_from_entries(collect_list(struct(col("dim"), col("sd")))).as("sm"))
+      .select(expr(
+        "transform(sequence(0, 127), d -> coalesce(element_at(sm, d), cast(0 as bigint)))")
+        .as("sarr"))
+    val nRow = tf.agg(countDistinct(col("doc_id")).as("n"))
+    val quant = planes.crossJoin(broadcast(sDense))
+      .select(col("p"), col("sp"), expr(
+        "aggregate(zip_with(sarr, sp, (x, y) -> x * y), cast(0 as bigint), (a, z) -> a + z)")
+        .as("ms"))
+      .agg(array_sort(collect_list(struct(col("p"), col("sp"), col("ms")))).as("arr"))
+      .select(expr("transform(arr, x -> x.sp)").as("signs"),
+        expr("transform(arr, x -> x.ms)").as("msum"))
+      .crossJoin(broadcast(nRow))
+    val docArr = tf.groupBy("doc_id")
+      .agg(collect_list(struct(col("dim"), col("cnt"))).as("dw"),
+        sqrt(sum((col("cnt") * col("cnt")).cast(DoubleType))).as("nr"))
+      .select(col("doc_id"), col("nr"),
+        expr("transform(dw, x -> x.dim)").as("dims"),
+        expr("transform(dw, x -> x.cnt)").as("ws"))
+    docArr.crossJoin(broadcast(quant))
+      .select(col("doc_id"), col("nr"),
+        posexplode(expr(s"graft_hyperplane_bands(dims, ws, signs, msum, n, $HpBandBits)")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+  }
+
+  private[graft] def embedBandsFor(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    embedBandsOf(s, embedTf(s, dir))
+
   val llmDedupEmbed: Op = Op(
     "llm_dedup_embed",
     (s, dir) => {
-      graft.functions.HyperplaneBands.register(s)
-      val docs = Tables.documents(s, dir)
-      // tf feeds 4 consumers (signatures, corpus stats, both dot
-      // sides): materialize its explode+group ONCE so the corpus
-      // shuffles once, not 4×. Integer counts — the signature path is
-      // exact int64 end to end.
-      val tf = docs.select(col("doc_id"), explode(toks).as("term"))
-        .withColumn("dim",
-          expr("cast(cast(conv(substring(md5(term), 1, 7), 16, 10) as bigint) % 128 as int)"))
-        .groupBy("doc_id", "dim")
-        .agg(count(lit(1)).as("cnt"))
-        .localCheckpoint(true)
-      // ---- 1-row broadcast quantizer: planes, mean-sums, doc count ----
-      // ±1 signs from md5 so both engines draw the identical planes
-      val planes = s.range(1)
-        .select(explode(expr(s"sequence(0, ${HpPlanes - 1})")).as("p"))
-        .select(col("p"), expr(
-          """transform(sequence(0, 127), d -> cast(1 - 2 * (
-            |  cast(conv(substring(md5(concat('hp:', cast(p as string), ':', cast(d as string))), 1, 15), 16, 10) as bigint)
-            |  % 2) as int))""".stripMargin).as("sp"))
-      // dense corpus dim-sum vector (dims nobody hashed to stay 0)
-      val sDense = tf.groupBy("dim").agg(sum("cnt").as("sd"))
-        .agg(map_from_entries(collect_list(struct(col("dim"), col("sd")))).as("sm"))
-        .select(expr(
-          "transform(sequence(0, 127), d -> coalesce(element_at(sm, d), cast(0 as bigint)))")
-          .as("sarr"))
-      val nRow = tf.agg(countDistinct(col("doc_id")).as("n"))
-      val quant = planes.crossJoin(broadcast(sDense))
-        .select(col("p"), col("sp"), expr(
-          "aggregate(zip_with(sarr, sp, (x, y) -> x * y), cast(0 as bigint), (a, z) -> a + z)")
-          .as("ms"))
-        .agg(array_sort(collect_list(struct(col("p"), col("sp"), col("ms")))).as("arr"))
-        .select(expr("transform(arr, x -> x.sp)").as("signs"),
-          expr("transform(arr, x -> x.ms)").as("msum"))
-        .crossJoin(broadcast(nRow))
-      // ---- per-doc signatures (narrow; native band kernel) ----
-      val docArr = tf.groupBy("doc_id")
-        .agg(collect_list(struct(col("dim"), col("cnt"))).as("dw"),
-          sqrt(sum((col("cnt") * col("cnt")).cast(DoubleType))).as("nr"))
-        .select(col("doc_id"), col("nr"),
-          expr("transform(dw, x -> x.dim)").as("dims"),
-          expr("transform(dw, x -> x.cnt)").as("ws"))
-      val bands = docArr.crossJoin(broadcast(quant))
-        .select(col("doc_id"), col("nr"),
-          posexplode(expr(s"graft_hyperplane_bands(dims, ws, signs, msum, n, $HpBandBits)")))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+      val tf = embedTf(s, dir)
+      // 1-row broadcast quantizer (planes, mean-sums, doc count) +
+      // per-doc signatures via the native band kernel — see embedBandsOf
+      val bands = embedBandsOf(s, tf)
       val cand = bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.key") === col("b.key") &&

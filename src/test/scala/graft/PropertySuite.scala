@@ -86,6 +86,29 @@ class PropertySuite extends AnyFunSuite {
       s"detectors disagree: jaccard-only=${jacc -- emb}, embed-only=${emb -- jacc}")
   }
 
+  test("embed band is selective: candidates far below all-pairs, no giant bucket") {
+    // guards the "never all-pairs" claim: the hyperplane band must emit
+    // a small fraction of the N·(N−1)/2 pair space, and no single
+    // (band, key) bucket may hold a large share of the corpus (bucket
+    // size bounds the quadratic blowup of the band self-join at scale)
+    val docs = graft.tables.Tables.documents(s, sf)
+    val n = docs.count()
+    val bands = LlmOps.embedBandsFor(s, sf)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        org.apache.spark.sql.functions.col("a.band") === org.apache.spark.sql.functions.col("b.band") &&
+          org.apache.spark.sql.functions.col("a.key") === org.apache.spark.sql.functions.col("b.key") &&
+          org.apache.spark.sql.functions.col("a.doc_id") < org.apache.spark.sql.functions.col("b.doc_id"))
+      .select("a.doc_id", "b.doc_id").distinct().count()
+    val allPairs = n * (n - 1) / 2
+    info(s"candidates $cand of $allPairs pairs (${"%.2f".format(100.0 * cand / allPairs)}%)")
+    assert(cand < allPairs / 5, s"band emits $cand of $allPairs pairs — not selective")
+    val maxBucket = bands.groupBy("band", "key")
+      .count().agg(org.apache.spark.sql.functions.max("count")).collect()(0).getLong(0)
+    info(s"max bucket $maxBucket of $n docs")
+    assert(maxBucket < n / 2, s"a band bucket holds $maxBucket of $n docs")
+  }
+
   test("winnowing guarantee: docs sharing a >= 12-token run share a fingerprint") {
     import org.apache.spark.sql.functions._
     import s.implicits._
