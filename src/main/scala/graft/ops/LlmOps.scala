@@ -740,12 +740,23 @@ object LlmOps {
   private[graft] def winnowFps(docs: DataFrame): DataFrame =
     docs
       .filter(size(col("toks")) >= 12) // w + k − 1 tokens minimum
+      // the transforms are guarded to be TOTAL (empty array below the
+      // minimum length) even though the filter above excludes those
+      // rows: Spark infers a size(<fps-expr>) > 0 predicate under a
+      // downstream explode (InferFiltersFromGenerate) and may evaluate
+      // it BEFORE this filter after pushdown — an unguarded
+      // sequence(1, n-4) is descending-into-0 for short docs and makes
+      // slice() throw on rows the filter was about to drop
       .withColumn("hs", expr(
-        """transform(sequence(1, size(toks) - 4),
-             i -> cast(conv(substring(md5(concat_ws(' ', slice(toks, i, 5))), 1, 15), 16, 10) as bigint))"""))
+        """if(size(toks) >= 5,
+             transform(sequence(1, size(toks) - 4),
+               i -> cast(conv(substring(md5(concat_ws(' ', slice(toks, i, 5))), 1, 15), 16, 10) as bigint)),
+             array())"""))
       .withColumn("fps", expr(
-        """array_sort(array_distinct(transform(sequence(1, size(hs) - 7),
-             j -> array_min(slice(hs, j, 8)))))"""))
+        """if(size(hs) >= 8,
+             array_sort(array_distinct(transform(sequence(1, size(hs) - 7),
+               j -> array_min(slice(hs, j, 8))))),
+             array())"""))
 
   val llmFingerprintWinnow: Op = Op(
     "llm_fingerprint_winnow",
@@ -1252,6 +1263,57 @@ object LlmOps {
       WHERE rn <= 5 ORDER BY p_id, rn
     """.stripMargin.trim))
 
+  /** Benchmark DECONTAMINATION — the other job winnowing fingerprints
+    * exist for in an LLM pipeline: find train docs that share verbatim
+    * runs with a held-out eval set, so eval contamination can be
+    * dropped before training. The winnowing guarantee (any shared run
+    * of ≥ w+k−1 = 12 tokens shares ≥ 1 fingerprint — property-tested
+    * in PropertySuite) makes fingerprint overlap a NO-FALSE-NEGATIVE
+    * screen at run length 12+. Eval set here is the doc_id % 20 slice;
+    * output is every (eval, train) pair with their shared-fingerprint
+    * count.
+    *
+    * Scale shape: docs reduce to fingerprint sets in the narrow scan;
+    * only (fp, doc_id) longs shuffle for the join. A real deployment's
+    * eval set (a benchmark suite) is tiny — broadcast it and the train
+    * corpus never shuffles at all; the fixture's 5% slice exercises the
+    * general hash-join path.
+    */
+  val llmDecontaminate: Op = Op(
+    "llm_decontaminate",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), toks.as("toks"))
+      val f = winnowFps(docs).select(col("doc_id"), explode(col("fps")).as("fp"))
+      val evalF = f.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("eval_id"), col("fp"))
+      val trainF = f.filter(col("doc_id") % 20 =!= 0)
+        .select(col("doc_id").as("train_id"), col("fp"))
+      trainF.join(evalF, "fp")
+        .groupBy("eval_id", "train_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy("eval_id", "train_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      ), h AS (
+        SELECT doc_id, list_transform(generate_series(1, len(toks) - 4),
+          i -> CAST('0x' || substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 15) AS BIGINT)) AS hs
+        FROM t WHERE len(toks) >= 12
+      ), w AS (
+        SELECT doc_id, list_sort(list_distinct(list_transform(generate_series(1, len(hs) - 7),
+          j -> list_min(hs[j:j+7])))) AS fps
+        FROM h
+      ), f AS (
+        SELECT doc_id, unnest(fps) AS fp FROM w
+      )
+      SELECT e.doc_id AS eval_id, tr.doc_id AS train_id, COUNT(*) AS n_shared
+      FROM f e JOIN f tr ON tr.fp = e.fp
+      WHERE e.doc_id % 20 = 0 AND tr.doc_id % 20 != 0
+      GROUP BY 1, 2
+      ORDER BY eval_id, train_id
+    """.stripMargin.trim))
+
   /** The multimodal row: text + vector + typed metadata joined into one
     * record (documents ⋈ embeddings on doc_id = vec_id). Inner join —
     * sf0.1 has 5000 docs vs 2000 vecs, so the contract is
@@ -1290,7 +1352,7 @@ object LlmOps {
     llmQualityFilter, llmQualityScore, llmTokenCount,
     llmTextStats, llmTextTfidf, llmDedupExact,
     llmDedupNear, llmDedupCluster, llmDedupMinhash, llmDedupSimhash,
-    llmDedupEmbed, llmFingerprintWinnow, llmPipelineCurate,
+    llmDedupEmbed, llmFingerprintWinnow, llmDecontaminate, llmPipelineCurate,
     llmSimsearchTopk, llmSimsearchLsh, llmIvfFit, llmSimsearchIvf,
     llmMultimodalJoin)
 }
