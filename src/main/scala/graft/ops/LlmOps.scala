@@ -884,6 +884,11 @@ object LlmOps {
       .select(col("doc_id"), col("nr"),
         expr("transform(dw, x -> x.dim)").as("dims"),
         expr("transform(dw, x -> x.cnt)").as("ws"))
+    // (A materialize-before-posexplode variant was measured here and
+    // REVERTED: unlike llm_decontaminate's interpreted transform
+    // chain, the native band kernel under Generate does not re-run per
+    // emitted row enough to matter — the checkpoint cost 0.3 s warm
+    // for no win.)
     docArr.crossJoin(broadcast(quant))
       .select(col("doc_id"), col("nr"),
         posexplode(expr(s"graft_hyperplane_bands(dims, ws, signs, msum, n, $HpBandBits)")))
@@ -1263,29 +1268,108 @@ object LlmOps {
       WHERE rn <= 5 ORDER BY p_id, rn
     """.stripMargin.trim))
 
+  /** PII scrubbing — the redaction pass a released corpus runs last:
+    * regex-detect emails and phone-shaped numbers, replace with typed
+    * placeholders, count what was hit. The fixture text carries no PII,
+    * so the op PLANTS deterministic PII first (every doc gets an
+    * email + phone derived from its doc_id appended in-plan) and then
+    * scrubs it — the oracle replays both steps, and the output proves
+    * the scrub actually fired (n_emails/n_phones per doc ≥ 1, zero
+    * PII-pattern matches after redaction). Patterns stay in the
+    * Java-regex ∩ RE2 subset (char classes + bounded repetition, no
+    * lookaround) per the fn_regexp_pack portability rule. Narrow
+    * scan → project; no shuffle but the presentation sort.
+    */
+  val llmPiiScrub: Op = Op(
+    "llm_pii_scrub",
+    (s, dir) => {
+      val emailPat = "[a-z0-9.]+@[a-z0-9.]+[.][a-z]+"
+      val phonePat = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+      val planted = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com or "),
+        lit("555-01"), lpad((col("doc_id") % 10).cast(StringType), 1, "0"),
+        lit("-"), lpad((col("doc_id") % 10000).cast(StringType), 4, "0"))
+      val scrubbed = regexp_replace(
+        regexp_replace(planted, emailPat, "<EMAIL>"), phonePat, "<PHONE>")
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          regexp_count(planted, lit(emailPat)).as("n_emails"),
+          regexp_count(planted, lit(phonePat)).as("n_phones"),
+          (regexp_count(scrubbed, lit(emailPat)) +
+            regexp_count(scrubbed, lit(phonePat))).as("n_residual"),
+          substring(scrubbed, -40, 40).as("tail40"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH p AS (
+        SELECT doc_id,
+          text || ' contact user' || doc_id || '@example.com or ' ||
+            '555-01' || lpad(CAST(doc_id % 10 AS VARCHAR), 1, '0') || '-' ||
+            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS planted
+        FROM documents
+      ), sc AS (
+        SELECT doc_id, planted,
+          regexp_replace(regexp_replace(planted,
+            '[a-z0-9.]+@[a-z0-9.]+[.][a-z]+', '<EMAIL>', 'g'),
+            '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+        FROM p
+      )
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(planted, '[a-z0-9.]+@[a-z0-9.]+[.][a-z]+')) AS INT) AS n_emails,
+        CAST(len(regexp_extract_all(planted, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
+        CAST(len(regexp_extract_all(scrubbed, '[a-z0-9.]+@[a-z0-9.]+[.][a-z]+'))
+           + len(regexp_extract_all(scrubbed, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_residual,
+        CASE WHEN length(scrubbed) >= 40 THEN substr(scrubbed, length(scrubbed) - 39, 40)
+             ELSE scrubbed END AS tail40
+      FROM sc ORDER BY doc_id
+    """.stripMargin.trim))
+
   /** Benchmark DECONTAMINATION — the other job winnowing fingerprints
     * exist for in an LLM pipeline: find train docs that share verbatim
     * runs with a held-out eval set, so eval contamination can be
     * dropped before training. The winnowing guarantee (any shared run
     * of ≥ w+k−1 = 12 tokens shares ≥ 1 fingerprint — property-tested
-    * in PropertySuite) makes fingerprint overlap a NO-FALSE-NEGATIVE
-    * screen at run length 12+. Eval set here is the doc_id % 20 slice;
-    * output is every (eval, train) pair with their shared-fingerprint
-    * count.
+    * in PropertySuite) makes fingerprint overlap a no-false-negative
+    * screen at run length 12+ — up to the stop-fingerprint cap below:
+    * runs whose fingerprint appears in > DecontamMaxDf docs are
+    * treated as boilerplate and excluded (deliberate, see Scale
+    * shape). Eval set here is the doc_id % 20 slice; output is every
+    * (eval, train) pair with their shared rare-fingerprint count.
     *
     * Scale shape: docs reduce to fingerprint sets in the narrow scan;
-    * only (fp, doc_id) longs shuffle for the join. A real deployment's
-    * eval set (a benchmark suite) is tiny — broadcast it and the train
-    * corpus never shuffles at all; the fixture's 5% slice exercises the
-    * general hash-join path.
+    * only (fp, doc_id) longs shuffle. STOP-FINGERPRINT filtering is the
+    * load-bearing bound: a fingerprint shared by d docs contributes
+    * O(d²) join pairs, and ubiquitous boilerplate runs (this fixture's
+    * shared vocabulary produces them; real corpora have headers/
+    * licenses) make d explode — unfiltered, this query went quadratic
+    * at sf0.1 (195 s; with the df ≤ 10 cap, ~2 s). Dropping
+    * high-doc-freq fingerprints is standard decontamination practice:
+    * a run shared by dozens of docs is boilerplate, not leaked eval
+    * data, and each surviving fp is O(cap²)-bounded. A real
+    * deployment's eval set (a benchmark suite) is tiny — broadcast it
+    * and the train corpus never shuffles at all; the fixture's 5%
+    * slice exercises the general hash-join path.
     */
+  private val DecontamMaxDf = 10
+
   val llmDecontaminate: Op = Op(
     "llm_decontaminate",
     (s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"), toks.as("toks"))
-      val f = winnowFps(docs).select(col("doc_id"), explode(col("fps")).as("fp"))
+      // materialize the per-doc fingerprint ARRAYS before exploding:
+      // CollapseProject otherwise folds the whole winnowing transform
+      // chain into the Generate, which re-evaluates it per EMITTED row
+      // — measured 197 s vs 2 s at sf0.1 for the same explode. The
+      // checkpoint also serves the 3 downstream consumers (df, eval
+      // side, train side).
+      val f = winnowFps(docs).select(col("doc_id"), col("fps"))
+        .localCheckpoint(true)
+        .select(col("doc_id"), explode(col("fps")).as("fp"))
+      val rareFp = f.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= DecontamMaxDf).select("fp")
       val evalF = f.filter(col("doc_id") % 20 === 0)
         .select(col("doc_id").as("eval_id"), col("fp"))
+        .join(rareFp, "fp")
       val trainF = f.filter(col("doc_id") % 20 =!= 0)
         .select(col("doc_id").as("train_id"), col("fp"))
       trainF.join(evalF, "fp")
@@ -1293,7 +1377,7 @@ object LlmOps {
         .agg(count(lit(1)).as("n_shared"))
         .orderBy("eval_id", "train_id")
     },
-    Some("""
+    Some(s"""
       WITH t AS (
         SELECT doc_id, string_split(text, ' ') AS toks FROM documents
       ), h AS (
@@ -1306,9 +1390,11 @@ object LlmOps {
         FROM h
       ), f AS (
         SELECT doc_id, unnest(fps) AS fp FROM w
+      ), rare AS (
+        SELECT fp FROM f GROUP BY fp HAVING COUNT(*) <= $DecontamMaxDf
       )
       SELECT e.doc_id AS eval_id, tr.doc_id AS train_id, COUNT(*) AS n_shared
-      FROM f e JOIN f tr ON tr.fp = e.fp
+      FROM f e JOIN rare r ON r.fp = e.fp JOIN f tr ON tr.fp = e.fp
       WHERE e.doc_id % 20 = 0 AND tr.doc_id % 20 != 0
       GROUP BY 1, 2
       ORDER BY eval_id, train_id
@@ -1352,7 +1438,8 @@ object LlmOps {
     llmQualityFilter, llmQualityScore, llmTokenCount,
     llmTextStats, llmTextTfidf, llmDedupExact,
     llmDedupNear, llmDedupCluster, llmDedupMinhash, llmDedupSimhash,
-    llmDedupEmbed, llmFingerprintWinnow, llmDecontaminate, llmPipelineCurate,
+    llmDedupEmbed, llmFingerprintWinnow, llmDecontaminate, llmPiiScrub,
+    llmPipelineCurate,
     llmSimsearchTopk, llmSimsearchLsh, llmIvfFit, llmSimsearchIvf,
     llmMultimodalJoin)
 }
