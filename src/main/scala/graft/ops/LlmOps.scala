@@ -554,6 +554,83 @@ object LlmOps {
       ORDER BY lang
     """.stripMargin.trim))
 
+  /** One star-contraction round (Kiveris et al., "Connected Components
+    * in MapReduce and Beyond"): for each node u with closed
+    * neighborhood min m(u), LARGE-star reattaches u's strictly-larger
+    * neighbors to m(u); SMALL-star reattaches the ≤-u neighbors (and u
+    * itself) to m(u). Each round is two shuffles (a min-aggregate and
+    * an edge re-emit) over an edge set that only SHRINKS toward the
+    * star forest; edges re-symmetrize and checkpoint between rounds so
+    * the loop's plan stays flat.
+    */
+  private def starRound(e: DataFrame, large: Boolean): DataFrame = {
+    val m = e.select(col("src"), col("dst"))
+      .union(e.select(col("src"), col("src").as("dst")))
+      .groupBy("src").agg(min(col("dst")).as("m"))
+    val withM = e.join(m, "src")
+    val emitted = (
+      if (large) withM.filter(col("dst") > col("src"))
+        .select(col("dst").as("a"), col("m").as("b"))
+      else withM.filter(col("dst") <= col("src"))
+        .select(col("dst").as("a"), col("m").as("b"))
+        .union(withM.select(col("src").as("a"), col("m").as("b")))
+    ).filter(col("a") =!= col("b")).distinct()
+    emitted.select(col("a").as("src"), col("b").as("dst"))
+      .union(emitted.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+      // fresh attribute ids: the next round unions/joins this frame
+      // with projections of ITSELF, and reused post-checkpoint ids can
+      // trip analyzer dedup (NoSuchElementException in AttributeMap)
+      .toDF("src", "dst")
+  }
+
+  /** SAME semantics as llm_dedup_cluster, 100 TB physical form — the
+    * scale-twin pattern (win_*_scale precedent): alternating
+    * large-star/small-star contraction instead of fixed-round
+    * min-label propagation. Propagation needs diameter-many rounds (a
+    * path component of length 10⁶ needs 10⁶ shuffles); star
+    * contraction converges in O(log²) rounds on ANY topology, which is
+    * why it is the canonical MapReduce/Spark components algorithm. Two
+    * LS/SS alternations suffice for this corpus's star-and-chain
+    * components; the shared oracle computes TRUE components (recursive
+    * CTE), so the rows+schema+hash match PROVES convergence, and
+    * PropertySuite asserts bit-equality with llm_dedup_cluster's
+    * output. At 100 TB, loop until the edge count stops changing (the
+    * count is a cheap byproduct of each round's aggregate).
+    */
+  /** (id, lbl) component labels by `rounds` LS/SS alternations over a
+    * pair set — exposed for PropertySuite's long-path convergence test
+    * (the topology where fixed-round min-label propagation fails). */
+  private[graft] def starLabels(vp: DataFrame, rounds: Int): DataFrame = {
+    var e = vp.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(vp.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint(true)
+      .toDF("src", "dst")
+    for (_ <- 1 to rounds) {
+      e = starRound(e, large = true)
+      e = starRound(e, large = false)
+    }
+    // star forest: every node's component is its closed-neighborhood min
+    e.select(col("src"), col("dst"))
+      .union(e.select(col("src"), col("src").as("dst")))
+      .groupBy(col("src").as("id")).agg(min(col("dst")).as("lbl"))
+  }
+
+  val llmDedupClusterScale: Op = Op(
+    "llm_dedup_cluster_scale",
+    (s, dir) => {
+      val lbl = starLabels(nearPairs(s, dir).select("a_id", "b_id"), rounds = 2)
+      val sz = lbl.groupBy(col("lbl").as("cluster_id"))
+        .agg(count(lit(1)).as("cluster_sz"))
+      lbl.select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+          when(col("id") === col("lbl"), 1).otherwise(0).as("keep"))
+        .join(sz, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_sz"), col("keep"))
+        .orderBy("cluster_id", "doc_id")
+    },
+    llmDedupCluster.oracle)
+
   /** MinHash-LSH parameters: Carter–Wegman family h_j(x) = (a_j·x + b_j)
     * mod M over a 60-bit md5-derived base hash reduced mod M. M is the
     * Mersenne prime 2^31−1, so a_j·x < 2^51 — exact in int64 in BOTH
@@ -1437,7 +1514,8 @@ object LlmOps {
   val ops: Seq[Op] = Seq(
     llmQualityFilter, llmQualityScore, llmTokenCount,
     llmTextStats, llmTextTfidf, llmDedupExact,
-    llmDedupNear, llmDedupCluster, llmDedupMinhash, llmDedupSimhash,
+    llmDedupNear, llmDedupCluster, llmDedupClusterScale, llmDedupMinhash,
+    llmDedupSimhash,
     llmDedupEmbed, llmFingerprintWinnow, llmDecontaminate, llmPiiScrub,
     llmPipelineCurate,
     llmSimsearchTopk, llmSimsearchLsh, llmIvfFit, llmSimsearchIvf,

@@ -86,6 +86,27 @@ class PropertySuite extends AnyFunSuite {
       s"detectors disagree: jaccard-only=${jacc -- emb}, embed-only=${emb -- jacc}")
   }
 
+  test("cluster scale twin is bit-equal to the min-label spec form") {
+    val spec = LlmOps.llmDedupCluster.build(s, sf).collect().toSeq
+    val scale = LlmOps.llmDedupClusterScale.build(s, sf).collect().toSeq
+    assert(spec == scale)
+  }
+
+  test("star contraction converges on a 16-node path in 4 alternations (propagation would need 15 rounds)") {
+    import s.implicits._
+    // a path graph has diameter 15: min-label propagation moves the
+    // min ONE hop per round (15 rounds); star contraction HALVES the
+    // distance-to-min per LS/SS alternation (observed: nodes within
+    // 2^k of the min are labeled after k alternations), so log2(16)=4
+    // alternations suffice. This is the topology that justifies the
+    // scale twin.
+    val path = (0L until 15L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val lbl = LlmOps.starLabels(path, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lbl.size == 16 && lbl.values.forall(_ == 0L),
+      s"path not contracted to one component: $lbl")
+  }
+
   test("embed band is selective: candidates far below all-pairs, no giant bucket") {
     // guards the "never all-pairs" claim: the hyperplane band must emit
     // a small fraction of the N·(N−1)/2 pair space, and no single
