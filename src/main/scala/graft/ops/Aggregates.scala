@@ -161,6 +161,33 @@ object Aggregates {
         .orderBy("event_type"),
     None)
 
+  /** Mergeable-sketch aggregation: per-group Apache DataSketches HLL
+    * sketches (`hll_sketch_agg`) whose BINARY state then UNIONS across
+    * groups (`hll_union_agg`) — the property that makes sketches THE
+    * 100 TB cardinality tool: pre-aggregate once per partition/day,
+    * merge arbitrary rollups later without rescanning, at ~1 KB of
+    * state per group instead of a distinct-values shuffle. Emits each
+    * event_type's estimate + the merged all-types estimate computed
+    * ONLY from the sketches. No oracle (DuckDB's HLL is a different
+    * sketch); PropertySuite bounds both estimate layers against exact
+    * distinct counts and asserts merge consistency.
+    */
+  val aggSketchMerge: Op = Op(
+    "agg_sketch_merge",
+    (s, dir) => {
+      val sk = Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .localCheckpoint(true) // two consumers: per-group + merged union
+      val merged = sk.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      sk.select(col("event_type"),
+          hll_sketch_estimate(col("sk")).as("est"))
+        .unionAll(merged.select(lit("ALL").as("event_type"), col("est")))
+        .orderBy("event_type")
+    },
+    None)
+
   /** Post-aggregation filter (HAVING). Catalyst evaluates the predicate on
     * the aggregated rows, so it cannot be pushed below the agg — but the
     * agg itself stays partial+final and the filter runs on group-cardinality
@@ -445,6 +472,6 @@ object Aggregates {
 
   val ops: Seq[Op] = Seq(
     aggPricingSummary, aggFilterClause, aggGlobal, aggCountDistinct, aggApproxDistinct,
-    aggHaving, aggArgExtrema, aggStats, aggGroupingSets, aggRollup, aggCube,
+    aggSketchMerge, aggHaving, aggArgExtrema, aggStats, aggGroupingSets, aggRollup, aggCube,
     aggCollectSorted, aggPercentileExact, pivotStatusYear, unpivotMetrics)
 }

@@ -153,6 +153,24 @@ class PropertySuite extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("n_copies")).sum == Tables.documents(s, sf).count())
   }
 
+  test("agg_sketch_merge: per-group and merged HLL estimates within 5% of exact") {
+    import org.apache.spark.sql.functions._
+    val rows = Aggregates.aggSketchMerge.build(s, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val e = graft.tables.Tables.events(s, sf)
+    val exact = e.groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactAll = e.agg(countDistinct("user_id")).collect()(0).getLong(0)
+    exact.foreach { case (k, n) =>
+      assert(math.abs(rows(k) - n) <= math.max(1.0, 0.05 * n),
+        s"$k: sketch ${rows(k)} vs exact $n")
+    }
+    // the merged estimate comes ONLY from unioning the per-group
+    // sketches — it must still track the exact global distinct
+    assert(math.abs(rows("ALL") - exactAll) <= math.max(1.0, 0.05 * exactAll),
+      s"merged sketch ${rows("ALL")} vs exact $exactAll")
+  }
+
   test("agg_approx_distinct within 5% of exact distinct per event_type") {
     val approx = Aggregates.aggApproxDistinct.build(s, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
