@@ -1,0 +1,153 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Minimal read-only DataSource V2 — the custom-SOURCE extension
+  * surface (SURVEY §2.1), complementing the custom expressions /
+  * optimizer rule / UDAF demos elsewhere. A connector to an external
+  * system a reference user would read (a feed, a key-value store, a
+  * proprietary format) looks exactly like this; the "external system"
+  * here is a deterministic generator so the capability is testable
+  * offline.
+  *
+  * `spark.read.format("graft.sources.SeqSource")
+  *   .option("rows", n).option("parts", p).load()`
+  * yields rows `(id BIGINT, val DOUBLE, tag STRING)` with
+  * `val = id · 0.5` and `tag = "t" + id % 10`, split into `parts`
+  * contiguous range partitions — each an independent
+  * `InputPartition`, the unit Spark schedules per executor (the
+  * 100 TB contract: a source must split, or one task reads
+  * everything).
+  *
+  * Implements BOTH pushdown hooks a scan-heavy source needs:
+  *  - column pruning (`SupportsPushDownRequiredColumns`): readers
+  *    materialize only requested fields — the DSv2 equivalent of
+  *    parquet's ReadSchema;
+  *  - filter pushdown (`SupportsPushDownFilters`) for range predicates
+  *    on `id`: partition GENERATION narrows to the surviving id range,
+  *    so pruned partitions are never scheduled at all (partition
+  *    pruning, not per-row filtering). Non-id filters are reported
+  *    back as residuals for Spark to evaluate.
+  *
+  * SourceSuite asserts content vs an equivalent `spark.range`
+  * computation, the partition count, the pruned read schema, and that
+  * a pushed `id < k` range shrinks the planned partitions.
+  */
+class SeqSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SeqSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new SeqTable(
+      properties.getOrDefault("rows", "1000").toLong,
+      properties.getOrDefault("parts", "4").toInt)
+}
+
+object SeqSource {
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("val", DoubleType, nullable = false),
+    StructField("tag", StringType, nullable = false)))
+}
+
+private class SeqTable(rows: Long, parts: Int) extends Table with SupportsRead {
+  override def name(): String = s"graft_seq($rows, $parts)"
+  override def schema(): StructType = SeqSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SeqScanBuilder(rows, parts)
+}
+
+private class SeqScanBuilder(rows: Long, parts: Int)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  private var required: StructType = SeqSource.schema
+  private var lo: Long = 0L          // inclusive id lower bound
+  private var hi: Long = rows        // exclusive id upper bound
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, residual) = filters.partition {
+      case GreaterThan("id", _: Long) | GreaterThanOrEqual("id", _: Long) |
+           LessThan("id", _: Long) | LessThanOrEqual("id", _: Long) => true
+      case _ => false
+    }
+    accepted.foreach {
+      case GreaterThan("id", v: Long) => lo = math.max(lo, v + 1)
+      case GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v)
+      case LessThan("id", v: Long) => hi = math.min(hi, v)
+      case LessThanOrEqual("id", v: Long) => hi = math.min(hi, v + 1)
+      case _ =>
+    }
+    pushed = accepted
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new SeqScan(rows, lo, math.max(lo, hi), parts, required)
+}
+
+private class SeqScan(rows: Long, lo: Long, hi: Long, parts: Int,
+    required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_seq range [$lo, $hi) cols=${required.fieldNames.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    if (hi <= lo) return Array.empty
+    // the partition grid is fixed by the TABLE (rows/parts), like file
+    // splits — a pushed id range DROPS non-overlapping grid cells
+    // (partition pruning) rather than re-slicing the surviving range
+    val span = math.max(1L, (rows + parts - 1) / parts)
+    val first = lo / span * span
+    (first until hi by span)
+      .map(s => SeqPartition(math.max(s, lo), math.min(s + span, hi)))
+      .filter(p => p.end > p.start)
+      .map(p => p: InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SeqReaderFactory(required)
+}
+
+private case class SeqPartition(start: Long, end: Long) extends InputPartition
+
+private class SeqReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val sp = p.asInstanceOf[SeqPartition]
+    // resolve field positions ONCE per partition, not per row
+    val getters: Array[Long => Any] = required.fieldNames.map {
+      case "id" => (id: Long) => id
+      case "val" => (id: Long) => id * 0.5
+      case "tag" => (id: Long) => UTF8String.fromString("t" + (id % 10))
+      case other => throw new IllegalArgumentException(s"unknown column $other")
+    }
+    new PartitionReader[InternalRow] {
+      private var cur = sp.start - 1
+      override def next(): Boolean = { cur += 1; cur < sp.end }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(getters.map(_(cur)).toIndexedSeq)
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The custom DSv2 source (graft.sources.SeqSource): content parity
+  * with an equivalent spark.range computation, partition planning,
+  * column pruning, and pushdown-driven partition PRUNING (a pushed id
+  * range must shrink what gets scheduled, not just filter rows).
+  */
+class SourceSuite extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+
+  private def seq(rows: Int, parts: Int) =
+    s.read.format("graft.sources.SeqSource")
+      .option("rows", rows.toString).option("parts", parts.toString).load()
+
+  test("content matches the generator contract") {
+    val got = seq(100, 4).orderBy("id").collect()
+    assert(got.length == 100)
+    val expected = s.range(100).select(col("id"), (col("id") * 0.5).as("val"),
+      concat(lit("t"), col("id") % 10).as("tag")).orderBy("id").collect()
+    assert(got.toSeq == expected.toSeq)
+  }
+
+  test("plans exactly `parts` input partitions") {
+    assert(seq(1000, 7).rdd.getNumPartitions == 7)
+  }
+
+  test("column pruning reaches the reader") {
+    val df = seq(100, 2).select("tag")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("cols=tag"), s"reader not pruned: $scan")
+    assert(df.distinct().count() == 10)
+  }
+
+  test("pushed id range prunes PARTITIONS, not just rows") {
+    // 1000 rows in 10 partitions of 100; id < 250 must survive in
+    // 3 partitions (and produce exactly 250 rows)
+    val df = seq(1000, 10).filter(col("id") < 250)
+    assert(df.count() == 250)
+    assert(df.rdd.getNumPartitions == 3,
+      s"expected 3 surviving partitions, got ${df.rdd.getNumPartitions}")
+    // conjunctive range: 300 <= id < 420 -> 120 rows
+    val band = seq(1000, 10).filter(col("id") >= 300 && col("id") < 420)
+    assert(band.count() == 120)
+    assert(band.agg(min("id"), max("id")).collect()(0).toSeq == Seq(300L, 419L))
+  }
+}
