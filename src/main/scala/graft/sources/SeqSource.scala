@@ -49,10 +49,13 @@ class SeqSource extends TableProvider {
     SeqSource.schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new SeqTable(
-      properties.getOrDefault("rows", "1000").toLong,
-      properties.getOrDefault("parts", "4").toInt)
+      properties: util.Map[String, String]): Table = {
+    val rows = properties.getOrDefault("rows", "1000").toLong
+    val parts = properties.getOrDefault("parts", "4").toInt
+    require(rows >= 0, s"rows must be >= 0, got $rows")
+    require(parts >= 1, s"parts must be >= 1, got $parts")
+    new SeqTable(rows, parts)
+  }
 }
 
 object SeqSource {
@@ -83,9 +86,13 @@ private class SeqScanBuilder(rows: Long, parts: Int)
     required = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // the two `v + 1` rules overflow at Long.MaxValue — and an accepted
+    // filter is NOT re-checked by Spark, so overflow would be a silent
+    // wrong answer; leave the boundary values as residuals instead
     val (accepted, residual) = filters.partition {
-      case GreaterThan("id", _: Long) | GreaterThanOrEqual("id", _: Long) |
-           LessThan("id", _: Long) | LessThanOrEqual("id", _: Long) => true
+      case GreaterThan("id", v: Long) => v != Long.MaxValue
+      case LessThanOrEqual("id", v: Long) => v != Long.MaxValue
+      case GreaterThanOrEqual("id", _: Long) | LessThan("id", _: Long) => true
       case _ => false
     }
     accepted.foreach {
@@ -144,9 +151,16 @@ private class SeqReaderFactory(required: StructType)
     }
     new PartitionReader[InternalRow] {
       private var cur = sp.start - 1
+      private val values = new Array[Any](getters.length)
       override def next(): Boolean = { cur += 1; cur < sp.end }
-      override def get(): InternalRow =
-        InternalRow.fromSeq(getters.map(_(cur)).toIndexedSeq)
+      override def get(): InternalRow = {
+        // fill the reused buffer with a primitive loop; the clone is
+        // the one unavoidable per-row allocation — downstream operators
+        // may buffer returned rows, so the backing array can't be shared
+        var i = 0
+        while (i < getters.length) { values(i) = getters(i)(cur); i += 1 }
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values.clone())
+      }
       override def close(): Unit = ()
     }
   }

@@ -46,4 +46,16 @@ class SourceSuite extends AnyFunSuite {
     assert(band.count() == 120)
     assert(band.agg(min("id"), max("id")).collect()(0).toSeq == Seq(300L, 419L))
   }
+
+  test("Long.MaxValue boundary filters stay residual and answer correctly") {
+    // v + 1 on these bounds would overflow; they must NOT be accepted
+    // into the pushed range (a pushed filter is never re-checked)
+    assert(seq(100, 4).filter(col("id") <= Long.MaxValue).count() == 100)
+    assert(seq(100, 4).filter(col("id") > Long.MaxValue).count() == 0)
+  }
+
+  test("invalid parts option fails fast with a clear message") {
+    val e = intercept[Exception](seq(100, 0).count())
+    assert(e.getMessage.contains("parts"), e.getMessage)
+  }
 }
