@@ -34,9 +34,12 @@ import org.apache.spark.sql.types._
   *
   * Contract: dims indexes within signs' dimension bound (enforced by the
   * builder's `% 128` hashing); r divides P. Null array / n / r inputs →
-  * null result; null ELEMENTS inside the arrays are not expected from
-  * the builder but skip safely (contribute nothing) for session-SQL
-  * callers, per the SortedIntersectCount precedent.
+  * null result, as does an INVALID r (≤ 0 or not dividing P) — the
+  * defensive choice for session-SQL callers over an executor-side
+  * throw. Null ELEMENTS inside any array are not expected from the
+  * builder but skip safely (a null dim/weight contributes nothing to a
+  * projection; a plane with a null sign row or null mean-sum emits bit
+  * 0), per the SortedIntersectCount precedent.
   */
 case class HyperplaneBands(children: Seq[Expression])
     extends Expression with CodegenFallback {
@@ -69,20 +72,26 @@ case class HyperplaneBands(children: Seq[Expression])
     val n = vals(4).asInstanceOf[Long]
     val r = vals(5).asInstanceOf[Int]
     val planes = msum.numElements()
+    if (r <= 0 || planes % r != 0) return null
     val keys = new Array[Long](planes / r)
     val nnz = math.min(dims.numElements(), ws.numElements())
     var p = 0
     while (p < planes) {
-      val sp = signs.getArray(p)
-      var vd = 0L
-      var i = 0
-      while (i < nnz) {
-        if (!dims.isNullAt(i) && !ws.isNullAt(i)) {
-          vd += ws.getLong(i) * sp.getInt(dims.getInt(i))
+      if (p < signs.numElements() && !signs.isNullAt(p) && !msum.isNullAt(p)) {
+        val sp = signs.getArray(p)
+        var vd = 0L
+        var i = 0
+        while (i < nnz) {
+          if (!dims.isNullAt(i) && !ws.isNullAt(i)) {
+            val d = dims.getInt(i)
+            if (d >= 0 && d < sp.numElements() && !sp.isNullAt(d)) {
+              vd += ws.getLong(i) * sp.getInt(d)
+            }
+          }
+          i += 1
         }
-        i += 1
+        if (n * vd > msum.getLong(p)) keys(p / r) |= (1L << (p % r))
       }
-      if (n * vd > msum.getLong(p)) keys(p / r) |= (1L << (p % r))
       p += 1
     }
     new GenericArrayData(keys)

@@ -84,7 +84,10 @@ object LlmOps {
       val punctR = punct.cast(DoubleType) / col("n_chars")
       val lenScore = least(nToks.cast(DoubleType) / 100.0, lit(1.0))
       Tables.documents(s, dir)
-        .filter(nToks >= 1)
+        // guard the ACTUAL denominators: size(split('')) is 1, so the
+        // token guard alone lets an empty doc through to n_chars = 0 and
+        // the engines then diverge (Spark NULL vs DuckDB Infinity)
+        .filter(nToks >= 1 && col("n_chars") >= 1)
         .select(col("doc_id"), nToks.as("n_toks"),
           round(ttr, 6).as("type_token_ratio"),
           round(stopR, 6).as("stop_ratio"),
@@ -110,7 +113,7 @@ object LlmOps {
           + 0.25 * LEAST(CAST(n_stop AS DOUBLE) / n_toks * 10.0, 1.0)
           + 0.25 * LEAST(CAST(n_toks AS DOUBLE) / 100.0, 1.0)
           + 0.15 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars), 6) AS score
-      FROM f WHERE n_toks >= 1
+      FROM f WHERE n_toks >= 1 AND n_chars >= 1
       ORDER BY doc_id
     """.stripMargin.trim))
 
@@ -131,7 +134,7 @@ object LlmOps {
       val nWs = size(toks)
       val nBpe = size(regexp_extract_all(col("text"), lit(pat), lit(0)))
       Tables.documents(s, dir)
-        .filter(nWs >= 1)
+        .filter(nWs >= 1 && nBpe >= 1) // whitespace-only docs have 0 BPE tokens
         .select(col("doc_id"), nWs.as("n_ws_tokens"), nBpe.as("n_bpe_tokens"),
           round(nBpe.cast(DoubleType) / nWs, 6).as("bpe_per_word"),
           round(col("n_chars").cast(DoubleType) / nBpe, 6).as("chars_per_token"))
@@ -147,7 +150,7 @@ object LlmOps {
       SELECT doc_id, n_ws AS n_ws_tokens, n_bpe AS n_bpe_tokens,
         ROUND(CAST(n_bpe AS DOUBLE) / n_ws, 6) AS bpe_per_word,
         ROUND(CAST(n_chars AS DOUBLE) / n_bpe, 6) AS chars_per_token
-      FROM f WHERE n_ws >= 1
+      FROM f WHERE n_ws >= 1 AND n_bpe >= 1
       ORDER BY doc_id
     """.stripMargin.trim))
 
@@ -1285,7 +1288,10 @@ object LlmOps {
     (s, dir) => {
       graft.functions.SqDist.register(s)
       val e = ivfVecs(s, dir)
-      val cents = ivfLloyd(e, ivfSeeds(e))
+      // 32 tiny rows feeding TWO consumers (the assignment's broadcast
+      // and the output projection) — materialize once or the whole
+      // corpus-wide Lloyd chain re-executes per consumer
+      val cents = ivfLloyd(e, ivfSeeds(e)).localCheckpoint(true)
       val members = ivfAssign(e, ivfCentArr(cents))
         .groupBy("cell").agg(count(lit(1)).as("n_members"))
       cents.select(col("cell"), round(l2(col("cvec")), 6).as("cnorm"))

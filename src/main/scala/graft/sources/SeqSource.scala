@@ -50,8 +50,12 @@ class SeqSource extends TableProvider {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val rows = properties.getOrDefault("rows", "1000").toLong
-    val parts = properties.getOrDefault("parts", "4").toInt
+    // properties arrive CASE-PRESERVED here (unlike inferSchema's
+    // CaseInsensitiveStringMap) — rewrap, or .option("Rows", …) would
+    // silently fall back to the default
+    val opts = new CaseInsensitiveStringMap(properties)
+    val rows = opts.getOrDefault("rows", "1000").toLong
+    val parts = opts.getOrDefault("parts", "4").toInt
     require(rows >= 0, s"rows must be >= 0, got $rows")
     require(parts >= 1, s"parts must be >= 1, got $parts")
     new SeqTable(rows, parts)
