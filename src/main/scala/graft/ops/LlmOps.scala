@@ -488,7 +488,9 @@ object LlmOps {
     * Each stage is the already-oracle-proven building block (the sha256
     * fingerprint of llm_dedup_exact, the shingle/Jaccard detector of
     * llm_dedup_near via nearPairsFrom on the SURVIVOR set, the
-    * min-label components of llm_dedup_cluster), composed in the order
+    * star-contraction components of llm_dedup_cluster_scale — the
+    * O(log²)-round form, so a long transitive chain in the survivor set
+    * cannot under-merge at scale), composed in the order
     * a deployment runs them: cheap exact dedup FIRST shrinks the input
     * the quadratic-ish near-dup detector sees.
     *
@@ -510,8 +512,8 @@ object LlmOps {
       val keepIds = fp.groupBy("fp").agg(min("doc_id").as("doc_id"))
       val afterExact = fp.join(keepIds, Seq("fp", "doc_id"), "left_semi")
         .localCheckpoint(true)
-      val lbl = clusterLabels(
-        nearPairsFrom(s, afterExact).select("a_id", "b_id"))
+      val lbl = starLabels(
+        nearPairsFrom(s, afterExact).select("a_id", "b_id"), rounds = 2)
       val drops = lbl.filter(col("id") =!= col("lbl")).select(col("id").as("doc_id"))
       val afterNear = afterExact.join(drops, Seq("doc_id"), "left_anti")
       val inAgg = base.groupBy("lang").agg(count(lit(1)).as("n_in"))
@@ -548,7 +550,8 @@ object LlmOps {
       ), e2 AS (
         SELECT lang, COUNT(*) AS n_after_exact FROM ae GROUP BY 1
       ), n2 AS (
-        SELECT lang, COUNT(*) AS n_after_near, SUM(n_toks) AS n_tokens,
+        SELECT lang, COUNT(*) AS n_after_near,
+          CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
           ROUND(CAST(SUM(n_toks) AS DOUBLE) / COUNT(*), 6) AS avg_toks
         FROM an GROUP BY 1
       )

@@ -204,11 +204,17 @@ object Scalars {
       FROM embeddings ORDER BY vec_id
     """.stripMargin.trim))
 
-  /** Map pack (no-oracle: DuckDB map literal/ordering semantics differ —
-    * SURVEY §2.8). Builds a token→length map per document from the sorted
+  /** Map pack. Builds a token→length map per document from the sorted
     * distinct leading tokens, then reads it back via keys/values/lookup.
     * Deterministic: entry order is pinned by sort_array before
-    * map_from_entries; unit-tested in ScalarsSuite.
+    * map_from_entries. ORACLE-CHECKED (round 6): the output columns are
+    * all scalars PROJECTED OUT of the map (count, joined keys, value
+    * sum, one lookup), so DuckDB can recompute them straight from the
+    * sorted-distinct token list without sharing Spark's map literal /
+    * ordering semantics — the map is exercised on the Spark side, the
+    * values are engine-portable. sum_lens/len_the cast to BIGINT on the
+    * oracle side (DuckDB list_sum yields HUGEINT, the one int width the
+    * driver's hash does NOT normalize — round-5 verdict).
     */
   val fnMapPack: Op = Op(
     "fn_map_pack",
@@ -224,7 +230,20 @@ object Scalars {
           element_at(m, "the").as("len_the"))
         .orderBy("doc_id")
     },
-    None)
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+          list_sort(list_distinct(string_split(text, ' ')[1:8])) AS toks
+        FROM documents
+      )
+      SELECT doc_id,
+        CAST(len(toks) AS INTEGER) AS n_keys,
+        array_to_string(toks, ',') AS keys_csv,
+        CAST(list_sum(list_transform(toks, x -> length(x))) AS INTEGER) AS sum_lens,
+        CASE WHEN list_contains(toks, 'the')
+             THEN CAST(length('the') AS INTEGER) END AS len_the
+      FROM t ORDER BY doc_id
+    """.stripMargin.trim))
 
   /** JSON extraction from `events.props` (`{"k": 87}`): string-path
     * get_json_object and fully-typed from_json both land on the same int.
