@@ -118,6 +118,34 @@ class PlanSuite extends AnyFunSuite {
       "range partition is not over the ranking order key")
   }
 
+  test("sink_partitioned_prune answers its lang filter from directory pruning") {
+    val p = plan("sink_partitioned_prune")
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(p)
+      .map(_.group(1)).getOrElse(fail(s"no PartitionFilters section:\n$p"))
+    assert(pf.contains("lang"), s"lang filter not answered at partition level: [$pf]")
+    // the filter must NOT degrade to a row-level pushed filter on lang —
+    // partition pruning skips whole directories before any row is read
+    val pushed = "PushedFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(p).map(_.group(1))
+    assert(!pushed.exists(_.contains("lang")),
+      s"lang landed in PushedFilters (row-level) instead of partition pruning: $pushed")
+  }
+
+  test("join_bucketed joins with ZERO exchange on the join key (bucketed co-location)") {
+    // disable broadcast for the audit: at the test SF the small side fits
+    // a broadcast, which also needs no join-key shuffle but would leave
+    // the bucketed co-location path unexercised
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("join_bucketed")
+      assert(p.contains("Bucketed: true"), s"scan not bucketed:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"no co-located equi join in:\n$p")
+      assert("hashpartitioning\\((l_orderkey|o_orderkey)".r.findFirstIn(p).isEmpty,
+        s"join-key exchange present — bucketing not honored:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   /** Every nested-loop / cartesian plan in the library must be one of
     * the five deliberate bounded-broadcast designs:
     *  - join_cross: 25×5 dimension cross, the operator's own semantics;
