@@ -1207,17 +1207,16 @@ object LlmOps {
     cents.agg(collect_list(struct(col("cell"), col("cvec"))).as("cents"))
 
   /** Per-row nearest-cells fold over the broadcast centroid array:
-    * ranks cells by (round(sqdist, 6), cell) and keeps the first n.
-    * The distance kernel is the native SqDist expression — its eval is
-    * one primitive loop, so even inside this (interpreted) lambda the
-    * k×dim fold costs k evals, not k×dim Catalyst nodes (the composed
-    * zip_with/aggregate form here measured 3.5 s warm at sf0.1; this
-    * form 0.4 s).
+    * ranks cells by (round(sqdist, 6), cell) and keeps the first n —
+    * the native NearestCells expression (round 6; the round-5 scaladoc
+    * named this interpreted lambda the 100 TB hot loop and this is the
+    * promised codegen swap). One JIT-compiled insertion pass per row
+    * replaces the per-row k×(struct alloc + array_sort) lambda tree;
+    * rounding/tie-break semantics are bit-identical (NearestCellsSuite
+    * asserts equality with the composed form on the fixture).
     */
-  private def nearestCells(vecCol: String, n: Int): Column = expr(
-    s"""transform(slice(array_sort(transform(cents, c -> named_struct(
-       |  'rd', round(graft_sqdist($vecCol, c.cvec), 6),
-       |  'cell', c.cell))), 1, $n), s -> s.cell)""".stripMargin)
+  private def nearestCells(vecCol: String, n: Int): Column =
+    expr(s"graft_nearest_cells($vecCol, cents, $n)")
 
   private def sqdist(a: Column, b: Column): Column =
     call_function("graft_sqdist", a, b)
@@ -1290,6 +1289,7 @@ object LlmOps {
     "llm_ivf_fit",
     (s, dir) => {
       graft.functions.SqDist.register(s)
+      graft.functions.NearestCells.register(s)
       val e = ivfVecs(s, dir)
       // 32 tiny rows feeding TWO consumers (the assignment's broadcast
       // and the output projection) — materialize once or the whole
@@ -1313,6 +1313,7 @@ object LlmOps {
     "llm_simsearch_ivf",
     (s, dir) => {
       graft.functions.SqDist.register(s)
+      graft.functions.NearestCells.register(s)
       val e = ivfVecs(s, dir)
       val centArr = ivfCentArr(ivfLloyd(e, ivfSeeds(e)))
       val assigned = ivfAssign(e, centArr)
