@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -271,6 +272,69 @@ object Aggregates {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """.stripMargin.trim))
 
+  /** Bivariate statistics per group: Pearson correlation and both
+    * covariance flavors over (l_quantity, l_discount) — small-magnitude
+    * columns by design, so the engines' one-pass co-moment accumulations
+    * agree far below the 6-dp rounding both sides apply (same precedent
+    * as agg_stats; partition-order drift sits at 1e-16 relative and the
+    * round absorbs it — DeterminismSuite enforces). One hash-agg pass,
+    * map-side partials; the co-moment state is 5 doubles per group at
+    * any scale.
+    */
+  val aggCorr: Op = Op(
+    "agg_corr",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          round(corr(col("l_quantity"), col("l_discount")), 6).as("corr_qd"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_s"),
+          round(covar_pop(col("l_quantity"), col("l_discount")), 6).as("cov_p"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+    Some("""
+      SELECT l_returnflag,
+        ROUND(CORR(l_quantity, l_discount), 6) AS corr_qd,
+        ROUND(COVAR_SAMP(l_quantity, l_discount), 6) AS cov_s,
+        ROUND(COVAR_POP(l_quantity, l_discount), 6) AS cov_p,
+        COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """.stripMargin.trim))
+
+  /** Deterministic MODE: the most frequent l_quantity per returnflag,
+    * ties broken toward the SMALLEST value — neither engine defines its
+    * built-in mode()'s tie winner (same class of nondeterminism as bare
+    * first()), so the op is formulated as count + rank with an explicit
+    * (count desc, value asc) order both engines share. Two hash
+    * aggregations + a per-group rank over the tiny (group × distinct
+    * value) table — the heavy input collapses at the FIRST aggregate,
+    * so the window sees thousands of rows, not billions, at any scale.
+    */
+  val aggModeDet: Op = Op(
+    "agg_mode_det",
+    (s, dir) => {
+      val counts = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), floor(col("l_quantity")).cast(LongType).as("qty"))
+        .agg(count(lit(1)).as("cnt"))
+      counts
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("l_returnflag").orderBy(col("cnt").desc, col("qty"))))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("qty").as("mode_qty"), col("cnt").as("mode_n"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      WITH c AS (
+        SELECT l_returnflag, CAST(floor(l_quantity) AS BIGINT) AS qty,
+          COUNT(*) AS cnt
+        FROM lineitem GROUP BY 1, 2
+      )
+      SELECT l_returnflag, qty AS mode_qty, cnt AS mode_n
+      FROM (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+              ORDER BY cnt DESC, qty) AS rn FROM c)
+      WHERE rn = 1 ORDER BY l_returnflag
+    """.stripMargin.trim))
+
   private def regionNationCustomer(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)
       .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
@@ -472,6 +536,7 @@ object Aggregates {
 
   val ops: Seq[Op] = Seq(
     aggPricingSummary, aggFilterClause, aggGlobal, aggCountDistinct, aggApproxDistinct,
-    aggSketchMerge, aggHaving, aggArgExtrema, aggStats, aggGroupingSets, aggRollup, aggCube,
+    aggSketchMerge, aggHaving, aggArgExtrema, aggStats, aggCorr, aggModeDet,
+    aggGroupingSets, aggRollup, aggCube,
     aggCollectSorted, aggPercentileExact, pivotStatusYear, unpivotMetrics)
 }

@@ -229,7 +229,44 @@ object EventTime {
     },
     streamDedupKeys.oracle)
 
+  /** Cohort retention — the standard event-analytics matrix: users
+    * cohorted by their FIRST active day, then counted at each day
+    * offset they return on. Three shuffles, all on high-cardinality or
+    * collapsing keys: distinct (user, day) pairs (the fact table
+    * collapses to ≤ users×days rows here — at 100 TB this is the only
+    * pass that sees raw events, and it is a partial-agg distinct);
+    * per-user min for the cohort; the final (cohort, offset) rollup is
+    * tiny. The user→cohort join is co-keyed on user_id, so it reuses
+    * the distinct's partitioning (no extra exchange of the big side).
+    */
+  val eventsCohortRetention: Op = Op(
+    "events_cohort_retention",
+    (s, dir) => {
+      val days = Tables.events(s, dir)
+        .select(col("user_id"), to_date(date_trunc("day", col("ts"))).as("day"))
+        .distinct()
+      val cohorts = days.groupBy("user_id").agg(min("day").as("cohort_day"))
+      days.join(cohorts, "user_id")
+        .groupBy(
+          date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+          datediff(col("day"), col("cohort_day")).cast(LongType).as("offset_days"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_day", "offset_days")
+    },
+    Some("""
+      WITH days AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+      ), coh AS (
+        SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id
+      )
+      SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+        date_diff('day', c.cohort_day, d.day) AS offset_days,
+        COUNT(*) AS n_users
+      FROM days d JOIN coh c USING (user_id)
+      GROUP BY 1, 2 ORDER BY cohort_day, offset_days
+    """.stripMargin.trim))
+
   val ops: Seq[Op] = Seq(
     streamTumbling, streamSliding, streamSession, streamDedupKeys,
-    streamReplayTumbling, streamReplayDedup)
+    streamReplayTumbling, streamReplayDedup, eventsCohortRetention)
 }

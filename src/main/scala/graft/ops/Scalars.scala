@@ -361,7 +361,45 @@ object Scalars {
               CAST(len(regexp_split_to_array(p_name, '[aeiou]+')) AS INT) AS n_split
             FROM part ORDER BY p_partkey"""))
 
+  /** Transcendental/trig surface (complements fn_math_case's algebraic
+    * set): sin/cos/tan/asin/acos/atan/atan2/exp/degrees over the small-domain
+    * discount and tax columns ([0, 0.1] — inside asin's domain and where
+    * JVM Math and libm agree far below the 6-dp round both sides apply;
+    * empirically exact vs DuckDB at sf0.01 and sf0.001). Narrow
+    * scan→project, fully codegen'd, no shuffle but the presentation sort.
+    */
+  val fnTrigPack: Op = Op(
+    "fn_trig_pack",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(sin(col("l_discount")), 6).as("sin_d"),
+          round(cos(col("l_discount")), 6).as("cos_d"),
+          round(tan(col("l_discount")), 6).as("tan_d"),
+          round(asin(col("l_discount")), 6).as("asin_d"),
+          round(atan(col("l_discount")), 6).as("atan_d"),
+          round(atan2(col("l_discount"), col("l_tax") + lit(0.01)), 6).as("atan2_dt"),
+          round(exp(col("l_discount")), 6).as("exp_d"),
+          round(acos(col("l_discount")), 6).as("acos_d"),
+          round(degrees(col("l_discount")), 6).as("deg_d"))
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+        ROUND(SIN(l_discount), 6) AS sin_d,
+        ROUND(COS(l_discount), 6) AS cos_d,
+        ROUND(TAN(l_discount), 6) AS tan_d,
+        ROUND(ASIN(l_discount), 6) AS asin_d,
+        ROUND(ATAN(l_discount), 6) AS atan_d,
+        ROUND(ATAN2(l_discount, l_tax + 0.01), 6) AS atan2_dt,
+        ROUND(EXP(l_discount), 6) AS exp_d,
+        ROUND(ACOS(l_discount), 6) AS acos_d,
+        ROUND(DEGREES(l_discount), 6) AS deg_d
+      FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """.stripMargin.trim))
+
   val ops: Seq[Op] = Seq(
     fnStringPack, fnDatePack, fnMathCase, fnArrayPack, fnHigherOrder,
-    fnMapPack, fnJsonExtract, fnCastCoalesce, fnBitwisePack, fnRegexpPack)
+    fnMapPack, fnJsonExtract, fnCastCoalesce, fnBitwisePack, fnRegexpPack,
+    fnTrigPack)
 }

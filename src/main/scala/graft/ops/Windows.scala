@@ -346,7 +346,52 @@ object Windows {
             WHERE rn <= 3
             ORDER BY o_custkey, rn"""))
 
+  /** Running DISTINCT count over a window — a surface Spark has no
+    * native form for (no DISTINCT inside window aggregates) and DuckDB's
+    * is version-dependent, so BOTH sides use the portable two-window
+    * decomposition: flag each row that is the FIRST occurrence of its
+    * (status, custkey) in the running order, then running-sum the flags.
+    * Semantics: per order status ordered by (order date, orderkey), how
+    * many distinct customers have appeared so far. Scale: both windows
+    * share one (status) partitioning — a single exchange and sort; the
+    * first-occurrence flag costs a second pass over the SAME sorted run,
+    * not a second shuffle (vs a naive per-row set which is O(n²) state).
+    */
+  val winCountDistinct: Op = Op(
+    "win_count_distinct",
+    (s, dir) => {
+      val byKey = Window.partitionBy("o_orderstatus", "o_custkey")
+        .orderBy("day", "o_orderkey")
+      val running = Window.partitionBy("o_orderstatus")
+        .orderBy("day", "o_orderkey").rowsBetween(Window.unboundedPreceding, 0)
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          fmtDay(col("o_orderdate")).as("day"))
+        .withColumn("first_seen",
+          when(row_number().over(byKey) === 1, 1).otherwise(0))
+        .withColumn("n_distinct_cust", sum("first_seen").over(running))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("day"),
+          col("n_distinct_cust"))
+        .orderBy("o_orderstatus", "day", "o_orderkey")
+    },
+    Some("""
+      WITH d AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+          strftime(o_orderdate, '%Y-%m-%d') AS day
+        FROM orders
+      ), f AS (
+        SELECT *, CASE WHEN row_number() OVER (
+            PARTITION BY o_orderstatus, o_custkey ORDER BY day, o_orderkey) = 1
+          THEN 1 ELSE 0 END AS first_seen
+        FROM d
+      )
+      SELECT o_orderkey, o_orderstatus, day,
+        CAST(SUM(first_seen) OVER (PARTITION BY o_orderstatus ORDER BY day, o_orderkey
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_distinct_cust
+      FROM f ORDER BY o_orderstatus, day, o_orderkey
+    """.stripMargin.trim))
+
   val ops: Seq[Op] = Seq(
     winRank, winLagLead, winFirstLastFrame, winRunningFrame, winRangeFrame, winNtilePct,
-    winRangeFrameScale, winNtilePctScale, winTopkPerGroup)
+    winRangeFrameScale, winNtilePctScale, winTopkPerGroup, winCountDistinct)
 }
