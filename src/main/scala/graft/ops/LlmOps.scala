@@ -1521,6 +1521,79 @@ object LlmOps {
       ORDER BY doc_id
     """.stripMargin.trim))
 
+  /** Scalar (int8) embedding quantization — the compression stage of a
+    * production ANN stack: per-dimension corpus min/max define a linear
+    * [0,255] code, vectors quantize to 64 bytes (16× smaller than f32×64,
+    * the footprint that lets a 100 TB vector lake fit executor memory for
+    * bucket-local search), and the op reports each vector's code sum and
+    * L2 reconstruction error. Everything is engine-portable double
+    * arithmetic: min/max are exact, the code is floor((x−lo)/(hi−lo)·255)
+    * clamped — identical IEEE ops both sides, so even boundary codes
+    * agree bit-for-bit; a degenerate constant dimension (hi = lo) codes 0
+    * on both sides by the same CASE guard. Scale shape: the per-dim stats
+    * collapse via partial min/max into one 2×64-array row broadcast back
+    * over the corpus (the in-plan-quantizer pattern IVF uses); the corpus
+    * never shuffles. The per-row HOF codec is interpreted — at 100 TB
+    * swap it for a native Expression exactly like NearestCells (same
+    * kernel shape, documented precedent).
+    */
+  val llmEmbedQuantize: Op = Op(
+    "llm_embed_quantize",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), dvec(col("embedding")).as("v"))
+      val stats = e.select(posexplode(col("v")))
+        .groupBy("pos")
+        .agg(min("col").as("lo"), max("col").as("hi"))
+        .agg(
+          transform(array_sort(collect_list(struct(col("pos"), col("lo")))),
+            x => x.getField("lo")).as("lo"),
+          transform(array_sort(collect_list(struct(col("pos"), col("hi")))),
+            x => x.getField("hi")).as("hi"))
+      e.crossJoin(broadcast(stats))
+        .select(col("vec_id"), col("v"), col("lo"), col("hi"),
+          expr("""transform(v, (x, i) -> CASE WHEN hi[i] > lo[i]
+                 THEN CAST(least(greatest(floor((x - lo[i]) / (hi[i] - lo[i]) * 255.0), 0.0), 255.0) AS INT)
+                 ELSE 0 END)""").as("qc"))
+        .select(col("vec_id"),
+          expr("aggregate(qc, CAST(0 AS BIGINT), (a, c) -> a + c)").as("q_sum"),
+          expr("""round(sqrt(aggregate(zip_with(v,
+              transform(qc, (c, i) -> CASE WHEN hi[i] > lo[i]
+                THEN lo[i] + CAST(c AS DOUBLE) * (hi[i] - lo[i]) / 255.0
+                ELSE lo[i] END),
+              (x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (a, z) -> a + z)), 6)""")
+            .as("recon_err"))
+        .orderBy("vec_id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+      ), d AS (
+        SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM e
+      ), st AS (
+        SELECT i, MIN(x) AS lo, MAX(x) AS hi FROM d GROUP BY i
+      ), arr AS (
+        SELECT list(lo ORDER BY i) AS lo, list(hi ORDER BY i) AS hi FROM st
+      ), q AS (
+        SELECT e.vec_id, e.v, a.lo, a.hi,
+          list_transform(list_zip(e.v, a.lo, a.hi), z ->
+            CASE WHEN z[3] > z[2]
+              THEN CAST(least(greatest(floor((z[1] - z[2]) / (z[3] - z[2]) * 255.0), 0.0), 255.0) AS INTEGER)
+              ELSE 0 END) AS qc
+        FROM e CROSS JOIN arr a
+      )
+      SELECT vec_id,
+        CAST(list_sum(qc) AS BIGINT) AS q_sum,
+        ROUND(sqrt(list_sum(list_transform(list_zip(v,
+          list_transform(list_zip(qc, lo, hi), z ->
+            CASE WHEN z[3] > z[2]
+              THEN z[2] + CAST(z[1] AS DOUBLE) * (z[3] - z[2]) / 255.0
+              ELSE z[2] END)),
+          p -> (p[1] - p[2]) * (p[1] - p[2])))), 6) AS recon_err
+      FROM q ORDER BY vec_id
+    """.stripMargin.trim))
+
   val ops: Seq[Op] = Seq(
     llmQualityFilter, llmQualityScore, llmTokenCount,
     llmTextStats, llmTextTfidf, llmDedupExact,
@@ -1529,5 +1602,5 @@ object LlmOps {
     llmDedupEmbed, llmFingerprintWinnow, llmDecontaminate, llmPiiScrub,
     llmPipelineCurate,
     llmSimsearchTopk, llmSimsearchLsh, llmIvfFit, llmSimsearchIvf,
-    llmMultimodalJoin)
+    llmEmbedQuantize, llmMultimodalJoin)
 }

@@ -128,6 +128,41 @@ object Relational {
             FROM documents WHERE lang IN ('en', 'fr')
             GROUP BY lang ORDER BY lang"""))
 
+  /** Schema evolution on read — the lake reality that files written in
+    * different eras carry different columns: two parquet writes into one
+    * directory with DISJOINT column tails (era 'a': doc_id, tag, lang;
+    * era 'b': doc_id, tag, source, n_chars), read back with
+    * `mergeSchema=true`, which unions the footers and null-fills the
+    * columns a file lacks. ORACLE-CHECKED: the oracle rebuilds the same
+    * union + NULL fill from the original table, so the hash match pins
+    * both the union-schema shape AND the null-fill semantics. Scale
+    * note: schema merge is a FOOTER-only operation (one task per file
+    * footer, no data read) — safe at 100 TB file counts; the read path
+    * stays vectorized per file.
+    */
+  val sinkSchemaEvolution: Op = Op(
+    "sink_schema_evolution",
+    (s, dir) => {
+      val tmp = scratch("sink_evo")
+      val d = Tables.documents(s, dir)
+      d.select(col("doc_id"), lit("a").as("tag"), col("lang"))
+        .write.mode("overwrite").parquet(s"$tmp/evo")
+      d.select(col("doc_id"), lit("b").as("tag"), col("source"), col("n_chars"))
+        .write.mode("append").parquet(s"$tmp/evo")
+      s.read.option("mergeSchema", "true").parquet(s"$tmp/evo")
+        .select(col("doc_id"), col("tag"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id", "tag")
+    },
+    Some("""SELECT doc_id, tag, lang, source, n_chars FROM (
+              SELECT doc_id, 'a' AS tag, lang,
+                CAST(NULL AS VARCHAR) AS source, CAST(NULL AS BIGINT) AS n_chars
+              FROM documents
+              UNION ALL
+              SELECT doc_id, 'b' AS tag, CAST(NULL AS VARCHAR) AS lang,
+                source, n_chars
+              FROM documents)
+            ORDER BY doc_id, tag"""))
+
   /** Bucketed co-located join — the zero-shuffle join layout: both sides
     * written with `bucketBy(8, key)` + `sortBy(key)` into external
     * tables (explicit paths under the scratch root; metastore entries
@@ -708,7 +743,7 @@ object Relational {
 
   val ops: Seq[Op] = Seq(
     scanFull, scanPrune, scanPred, sinkParquet, sinkCsvJson,
-    sinkPartitionedPrune, joinBucketed,
+    sinkPartitionedPrune, sinkSchemaEvolution, joinBucketed,
     projectCompute, filterCompound, filterNull3vl,
     joinInnerEqui, joinBroadcast, joinSortMerge, joinLeftOuter, joinRightOuter,
     joinFullOuter,

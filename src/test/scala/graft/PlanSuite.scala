@@ -157,12 +157,15 @@ class PlanSuite extends AnyFunSuite {
     *    construction);
     *  - llm_dedup_embed: the 256×128 hyperplane matrix + corpus stats
     *    ride in as broadcast 1-row dimensions (same in-plan-quantizer
-    *    pattern as IVF).
+    *    pattern as IVF);
+    *  - llm_embed_quantize: the per-dim min/max arrays ride in as a
+    *    broadcast 1-row dimension (same pattern).
     * Anything new showing up here is an accidental quadratic plan.
     */
   test("no CartesianProduct/BroadcastNestedLoopJoin outside the whitelist") {
     val allowed = Set("join_cross", "join_theta_range", "llm_simsearch_topk",
-      "llm_text_tfidf", "llm_simsearch_ivf", "llm_ivf_fit", "llm_dedup_embed")
+      "llm_text_tfidf", "llm_simsearch_ivf", "llm_ivf_fit", "llm_dedup_embed",
+      "llm_embed_quantize")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       // sinks execute writes at build time; skip side-effecting queries —
       // they are plain scan→write→scan pipelines with no join to audit
