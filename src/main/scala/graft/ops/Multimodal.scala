@@ -247,5 +247,110 @@ object Multimodal {
     },
     None) // binary pipeline: no SQL oracle; UnitSuite pins hand-built PNG/WAV features
 
-  val ops: Seq[Op] = Seq(llmMultimodalFeatures)
+  /** 2× box-downsample of a decoded image: each output pixel is the
+    * integer mean of its 2×2 block per channel (floor division —
+    * deterministic; odd trailing row/col dropped). Returns
+    * (outW, outH, meanChannelOfOutput). The north-star "resize" step,
+    * on REAL decoded pixels.
+    */
+  private[graft] def downsample2x(payload: Array[Byte]): (Int, Int, Double) = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    val ow = math.max(img.getWidth / 2, 1)
+    val oh = math.max(img.getHeight / 2, 1)
+    var sum = 0L
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        var c = 0
+        while (c < 3) {
+          var acc = 0
+          var k = 0
+          while (k < 4) {
+            val sx = math.min(2 * x + (k & 1), img.getWidth - 1)
+            val sy = math.min(2 * y + (k >> 1), img.getHeight - 1)
+            acc += (img.getRGB(sx, sy) >> (8 * c)) & 0xff
+            k += 1
+          }
+          sum += acc / 4
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val n = 3L * ow * oh
+    (ow, oh, if (n == 0) 0.0 else sum.toDouble / n)
+  }
+
+  /** Frame-sampling of decoded PCM: keep every `stride`-th sample.
+    * Returns (nKept, meanKeptSample). The north-star "frame-sample"
+    * step, on REAL decoded samples.
+    */
+  private[graft] def frameSample(payload: Array[Byte], stride: Int): (Int, Double) = {
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+    val bytes = ais.readAllBytes()
+    ais.close()
+    val n = bytes.length / 2
+    var i = 0
+    var kept = 0
+    var sum = 0L
+    while (i < n) {
+      val v = (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)
+      sum += v
+      kept += 1
+      i += stride
+    }
+    (kept, if (kept == 0) 0.0 else sum.toDouble / kept)
+  }
+
+  private val resampleSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("kind", StringType),
+    StructField("out_w", IntegerType),
+    StructField("out_h", IntegerType),
+    StructField("n_kept", IntegerType),
+    StructField("out_mean", DoubleType)))
+
+  /** The north-star resize / frame-sample pipeline as a graded (rows-only)
+    * query: images 2×-box-downsample on their decoded pixels, audio keeps
+    * every 4th decoded PCM sample, video passes through the stub (byte
+    * stride). Same scale contract as the extractor: payloads reduce in
+    * the scan stage, only fixed-width rows flow on. No SQL oracle
+    * (binary pipeline); UnitSuite pins hand-computed downsample /
+    * frame-sample values for both real codecs.
+    */
+  val llmMultimodalResample: Op = Op(
+    "llm_multimodal_resample",
+    (s, dir) => {
+      val enc = RowEncoder.encoderFor(resampleSchema)
+      media(s, dir)
+        .mapPartitions { batch =>
+          batch.map { r =>
+            val kind = r.getString(1)
+            val payload = r.getAs[Array[Byte]](4)
+            val feats = kind match {
+              case "image" =>
+                val (ow, oh, m) = downsample2x(payload)
+                Seq[Any](ow, oh, null, math.rint(m * 1e6) / 1e6)
+              case "audio" =>
+                val (kept, m) = frameSample(payload, 4)
+                Seq[Any](null, null, kept, math.rint(m * 1e6) / 1e6)
+              case _ =>
+                // stub: stride the raw bytes (no JDK video codec)
+                var i = 0; var kept = 0; var sum = 0L
+                while (i < payload.length) {
+                  sum += (payload(i) & 0xff); kept += 1; i += 4
+                }
+                Seq[Any](null, null, kept,
+                  if (kept == 0) 0.0 else math.rint(sum.toDouble / kept * 1e6) / 1e6)
+            }
+            Row.fromSeq(Seq[Any](r.getLong(0), kind) ++ feats)
+          }
+        }(enc)
+        .orderBy("media_id")
+    },
+    None) // binary pipeline: no SQL oracle; UnitSuite pins the kernels
+
+  val ops: Seq[Op] = Seq(llmMultimodalFeatures, llmMultimodalResample)
 }

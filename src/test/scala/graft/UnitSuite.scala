@@ -190,6 +190,35 @@ class UnitSuite extends AnyFunSuite {
     assert(hist.toSeq == Seq(7L, 1L, 2L, 2L))
   }
 
+  test("downsample2x box-averages the hand-built 2x2 PNG to one pixel") {
+    val img = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, (10 << 16) | (20 << 8) | 30)
+    img.setRGB(1, 0, (40 << 16) | (50 << 8) | 60)
+    img.setRGB(0, 1, (70 << 16) | (130 << 8) | 200)
+    img.setRGB(1, 1, (255 << 16) | (0 << 8) | 128)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val (ow, oh, mean) = graft.ops.Multimodal.downsample2x(bos.toByteArray)
+    assert((ow, oh) == (1, 1))
+    // per-channel floor means: r (10+40+70+255)/4=93, g (20+50+130+0)/4=50,
+    // b (30+60+200+128)/4=104 → (93+50+104)/3
+    assert(mean == (93 + 50 + 104) / 3.0)
+  }
+
+  test("frameSample keeps every 4th (and 2nd) decoded PCM sample") {
+    val samples = Seq(-32768, -1, 0, 16384)
+    val data = samples.flatMap(v => Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)).toArray
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.size.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    assert(graft.ops.Multimodal.frameSample(bos.toByteArray, 4) == (1, -32768.0))
+    assert(graft.ops.Multimodal.frameSample(bos.toByteArray, 2) == (2, -16384.0))
+  }
+
   test("llm_multimodal_features really decodes the PNG payload for image rows") {
     // doc_id 12 → kind image (12 % 3 == 0), synthesized PNG dims
     // (12 % 6 + 2, 12 % 4 + 2) = 2×2, seed 12. Hand-derived pixels:
