@@ -1521,6 +1521,71 @@ object LlmOps {
       ORDER BY doc_id
     """.stripMargin.trim))
 
+  /** Bigram language-model scoring — the corpus-statistics quality
+    * signal real pipelines add next to heuristic ratios (a KenLM-style
+    * perplexity filter, relationally): corpus-wide bigram and unigram
+    * counts form an add-one-smoothed conditional model
+    * P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V), and every document scores
+    * its mean log-probability under it. Low scorers are boilerplate-free
+    * gibberish; high scorers are corpus-typical text — the op emits the
+    * per-doc score a gate would threshold. Portability: counts are
+    * exact ints, V rides in as a broadcast 1-row aggregate (in-plan-N
+    * pattern from tfidf), ln of identical rationals agrees to the ulp
+    * and the per-doc mean is rounded to 6 dp (drift ~1e-14; round
+    * absorbs — same discipline as agg_stats). Scale shape: one
+    * explode→count pass per n-gram order over the corpus (partial
+    * aggs), then the per-doc explode joins the two count tables on
+    * their natural keys — high-cardinality shuffles, no all-pairs
+    * anywhere; the model tables are the artifact a deployment persists.
+    */
+  val llmNgramLogprob: Op = Op(
+    "llm_ngram_logprob",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        expr("""zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+                         slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
+                         (a, b) -> named_struct('w1', a, 'bg', concat(a, ' ', b)))""").as("bgs"))
+      val pairs = d.select(col("doc_id"), explode(col("bgs")).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.bg").as("bg"))
+        .localCheckpoint(true) // consumed by the model build AND the scoring join
+      val bgCounts = pairs.groupBy("bg").agg(count(lit(1)).as("cb"))
+      val uniCounts = pairs.groupBy("w1").agg(count(lit(1)).as("cu"))
+      val vocab = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .agg(count_distinct(col("w")).as("v"))
+      pairs.join(bgCounts, "bg").join(uniCounts, "w1")
+        .crossJoin(broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(log((col("cb") + 1).cast(DoubleType) /
+              (col("cu") + col("v")).cast(DoubleType))) / count(lit(1)), 6)
+            .as("avg_logp"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      ), pairs AS (
+        SELECT doc_id, p AS bg, string_split(p, ' ')[1] AS w1
+        FROM (SELECT doc_id,
+                unnest(list_transform(list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+                  z -> z[1] || ' ' || z[2])) AS p
+              FROM t)
+      ), bgc AS (
+        SELECT bg, COUNT(*) AS cb FROM pairs GROUP BY bg
+      ), unic AS (
+        SELECT w1, COUNT(*) AS cu FROM pairs GROUP BY w1
+      ), voc AS (
+        SELECT COUNT(DISTINCT w) AS v
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      )
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+        ROUND(SUM(ln(CAST(cb + 1 AS DOUBLE) / CAST(cu + v AS DOUBLE))) / COUNT(*), 6)
+          AS avg_logp
+      FROM pairs JOIN bgc USING (bg) JOIN unic USING (w1) CROSS JOIN voc
+      GROUP BY doc_id ORDER BY doc_id
+    """.stripMargin.trim))
+
   /** Scalar (int8) embedding quantization — the compression stage of a
     * production ANN stack: per-dimension corpus min/max define a linear
     * [0,255] code, vectors quantize to 64 bytes (16× smaller than f32×64,
@@ -1602,5 +1667,5 @@ object LlmOps {
     llmDedupEmbed, llmFingerprintWinnow, llmDecontaminate, llmPiiScrub,
     llmPipelineCurate,
     llmSimsearchTopk, llmSimsearchLsh, llmIvfFit, llmSimsearchIvf,
-    llmEmbedQuantize, llmMultimodalJoin)
+    llmEmbedQuantize, llmNgramLogprob, llmMultimodalJoin)
 }
