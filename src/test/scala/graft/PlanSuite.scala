@@ -159,13 +159,15 @@ class PlanSuite extends AnyFunSuite {
     *    ride in as broadcast 1-row dimensions (same in-plan-quantizer
     *    pattern as IVF);
     *  - llm_embed_quantize: the per-dim min/max arrays ride in as a
-    *    broadcast 1-row dimension (same pattern).
+    *    broadcast 1-row dimension (same pattern);
+    *  - llm_ngram_logprob: the vocabulary size V rides in as a broadcast
+    *    1-row aggregate (the in-plan-N pattern, same as tfidf).
     * Anything new showing up here is an accidental quadratic plan.
     */
   test("no CartesianProduct/BroadcastNestedLoopJoin outside the whitelist") {
     val allowed = Set("join_cross", "join_theta_range", "llm_simsearch_topk",
       "llm_text_tfidf", "llm_simsearch_ivf", "llm_ivf_fit", "llm_dedup_embed",
-      "llm_embed_quantize")
+      "llm_embed_quantize", "llm_ngram_logprob")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       // sinks execute writes at build time; skip side-effecting queries —
       // they are plain scan→write→scan pipelines with no join to audit
