@@ -148,13 +148,20 @@ object EventTime {
   /** Scratch dir for the re-materialized streaming source (the file
     * source refuses the fixture's ns-timestamp parquet exactly as the
     * batch reader does, so the replay first writes events with µs ts).
-    * Fixed path: repeated invocations overwrite in place.
+    * Written ONCE per (session, fixture dir) — both replay ops read the
+    * same copy within a run; a fresh session always rewrites, so a
+    * changed fixture can never be served stale across driver runs.
     */
-  private def replaySrc(s: org.apache.spark.sql.SparkSession, dir: String, sub: String): String = {
-    val p = s"${sys.props("java.io.tmpdir")}/graft_scratch/$sub"
-    Tables.events(s, dir).write.mode("overwrite").parquet(p)
-    p
-  }
+  private val replaySrcWritten =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), String]()
+  private def replaySrc(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    replaySrcWritten.computeIfAbsent(
+      (System.identityHashCode(s.sparkContext), dir), { _ =>
+        val p = s"${sys.props("java.io.tmpdir")}/graft_scratch/stream_replay_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_")
+        Tables.events(s, dir).write.mode("overwrite").parquet(p)
+        p
+      })
 
   /** Runs `agg` as a REAL Structured Streaming query (MicroBatchExecution,
     * state store, AvailableNow trigger) into a memory sink and returns the
@@ -191,7 +198,7 @@ object EventTime {
   val streamReplayTumbling: Op = Op(
     "stream_replay_tumbling",
     (s, dir) => {
-      val src = replaySrc(s, dir, "stream_replay_tumb")
+      val src = replaySrc(s, dir)
       val agg = s.readStream.schema(Tables.expectedSchemas("events")).parquet(src)
         .select(col("ts"), col("event_type"), dec2(col("value")).as("v"))
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -218,7 +225,7 @@ object EventTime {
   val streamReplayDedup: Op = Op(
     "stream_replay_dedup",
     (s, dir) => {
-      val src = replaySrc(s, dir, "stream_replay_dedup")
+      val src = replaySrc(s, dir)
       val dedup = s.readStream.schema(Tables.expectedSchemas("events")).parquet(src)
         .dropDuplicates("event_id")
         .select(
