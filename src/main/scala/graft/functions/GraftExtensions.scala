@@ -35,15 +35,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_nearest_cells"),
       new ExpressionInfo(classOf[NearestCells].getName, "graft_nearest_cells"),
-      (args: Seq[Expression]) => {
-        val n = args(2) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
-            org.apache.spark.sql.types.IntegerType) => v
-          case other => throw new IllegalArgumentException(
-            s"graft_nearest_cells: n must be an int literal, got $other")
-        }
-        NearestCells(args(0), args(1), n)
-      }))
+      (args: Seq[Expression]) => NearestCells.builder(args)))
     // algebraic identities over the native functions (see SelfDistanceFold)
     ext.injectOptimizerRule(_ => SelfDistanceFold)
   }

@@ -69,13 +69,23 @@ case class NearestCells(left: Expression, right: Expression, n: Int)
     val topRd = new Array[Double](keep)
     val topCell = new Array[Long](keep)
     var filled = 0
+    // (rd, cell) total order: doubles via Double.compare — the ordering
+    // Spark's array_sort uses (NaN greater than any value, -0.0 < 0.0),
+    // so a non-finite distance ranks exactly where the composed form
+    // put it instead of corrupting the insertion
+    @inline def before(rd: Double, cell: Long, rd2: Double, cell2: Long): Boolean = {
+      val c = java.lang.Double.compare(rd, rd2)
+      c < 0 || (c == 0 && cell < cell2)
+    }
     var ci = 0
     while (ci < k) {
-      // skip null entries (session-registered: arbitrary SQL callers may
-      // pass arrays with null structs; collect_list never produces them)
-      if (cents.isNullAt(ci)) { ci += 1 }
+      // skip entries with a null struct OR null fields (session-registered:
+      // arbitrary SQL callers may pass them; collect_list(struct(cell,
+      // cvec)) over non-null columns never does — under that contract the
+      // result is bit-identical to the composed form)
+      val c = if (cents.isNullAt(ci)) null else cents.getStruct(ci, 2)
+      if (c == null || c.isNullAt(0) || c.isNullAt(1)) { ci += 1 }
       else {
-      val c = cents.getStruct(ci, 2)
       val cell = c.getLong(0)
       val cvec = c.getArray(1)
       val m = math.min(vec.numElements(), cvec.numElements())
@@ -88,16 +98,16 @@ case class NearestCells(left: Expression, right: Expression, n: Int)
         }
         i += 1
       }
-      // Spark round(double, 6): shortest-repr BigDecimal + HALF_UP
-      val rd = JBigDecimal.valueOf(acc).setScale(6, RoundingMode.HALF_UP)
-        .doubleValue()
+      // Spark round(double, 6): shortest-repr BigDecimal + HALF_UP;
+      // non-finite values pass through untouched (Spark's Round guards
+      // isNaN/isInfinite the same way — BigDecimal.valueOf would throw)
+      val rd = if (java.lang.Double.isFinite(acc))
+        JBigDecimal.valueOf(acc).setScale(6, RoundingMode.HALF_UP).doubleValue()
+      else acc
       // find insertion slot (rd asc, cell asc)
-      if (filled < keep || rd < topRd(filled - 1) ||
-          (rd == topRd(filled - 1) && cell < topCell(filled - 1))) {
+      if (filled < keep || before(rd, cell, topRd(filled - 1), topCell(filled - 1))) {
         var pos = if (filled < keep) filled else keep - 1
-        while (pos > 0 &&
-            (rd < topRd(pos - 1) ||
-              (rd == topRd(pos - 1) && cell < topCell(pos - 1)))) {
+        while (pos > 0 && before(rd, cell, topRd(pos - 1), topCell(pos - 1))) {
           topRd(pos) = topRd(pos - 1)
           topCell(pos) = topCell(pos - 1)
           pos -= 1
@@ -126,19 +136,23 @@ case class NearestCells(left: Expression, right: Expression, n: Int)
 }
 
 object NearestCells {
-  /** Registers `graft_nearest_cells(v, cents, n)`; `n` must be a
-    * foldable integer literal.
+  /** The one arg-list → expression builder both registration paths
+    * (imperative register and GraftExtensions injection) share; `n`
+    * must be an int literal.
     */
+  def builder(args: Seq[Expression]): NearestCells = {
+    if (args.length != 3) throw new IllegalArgumentException(
+      s"graft_nearest_cells expects 3 arguments (v, cents, n), got ${args.length}")
+    val n = args(2) match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"graft_nearest_cells: n must be an int literal, got $other")
+    }
+    NearestCells(args(0), args(1), n)
+  }
+
+  /** Registers `graft_nearest_cells(v, cents, n)` on this session. */
   def register(s: SparkSession): Unit =
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_nearest_cells",
-      args => {
-        val n = args(2) match {
-          case Literal(v: Int, IntegerType) => v
-          case other => throw new IllegalArgumentException(
-            s"graft_nearest_cells: n must be an int literal, got $other")
-        }
-        NearestCells(args(0), args(1), n)
-      },
-      "built-in")
+      "graft_nearest_cells", builder, "built-in")
 }

@@ -238,13 +238,14 @@ object EventTime {
 
   /** Cohort retention — the standard event-analytics matrix: users
     * cohorted by their FIRST active day, then counted at each day
-    * offset they return on. Three shuffles, all on high-cardinality or
-    * collapsing keys: distinct (user, day) pairs (the fact table
+    * offset they return on. Three exchanges, all on high-cardinality
+    * or collapsing keys: distinct (user, day) pairs (the fact table
     * collapses to ≤ users×days rows here — at 100 TB this is the only
     * pass that sees raw events, and it is a partial-agg distinct);
-    * per-user min for the cohort; the final (cohort, offset) rollup is
-    * tiny. The user→cohort join is co-keyed on user_id, so it reuses
-    * the distinct's partitioning (no extra exchange of the big side).
+    * the per-user cohort min as a WINDOW over user_id (one exchange of
+    * the already-collapsed day table — cheaper than the aggregate+join
+    * formulation, which re-shuffles the same rows a second time for
+    * the join); the final (cohort, offset) rollup is tiny.
     */
   val eventsCohortRetention: Op = Op(
     "events_cohort_retention",
@@ -252,8 +253,8 @@ object EventTime {
       val days = Tables.events(s, dir)
         .select(col("user_id"), to_date(date_trunc("day", col("ts"))).as("day"))
         .distinct()
-      val cohorts = days.groupBy("user_id").agg(min("day").as("cohort_day"))
-      days.join(cohorts, "user_id")
+      days
+        .withColumn("cohort_day", min("day").over(Window.partitionBy("user_id")))
         .groupBy(
           date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
           datediff(col("day"), col("cohort_day")).cast(LongType).as("offset_days"))

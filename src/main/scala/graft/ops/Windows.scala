@@ -352,10 +352,17 @@ object Windows {
     * decomposition: flag each row that is the FIRST occurrence of its
     * (status, custkey) in the running order, then running-sum the flags.
     * Semantics: per order status ordered by (order date, orderkey), how
-    * many distinct customers have appeared so far. Scale: both windows
-    * share one (status) partitioning — a single exchange and sort; the
-    * first-occurrence flag costs a second pass over the SAME sorted run,
-    * not a second shuffle (vs a naive per-row set which is O(n²) state).
+    * many distinct customers have appeared so far. Scale: TWO hash
+    * exchanges by design — the flag window shuffles on the composite
+    * (status, custkey) key, which is high-cardinality and well-spread,
+    * then the running sum re-shuffles on status. The second stage is
+    * the skew-bound one (3 status values ⇒ 3 active reducers — the
+    * win_*_scale caveat class); collapsing to a single status-only
+    * exchange is POSSIBLE (derive the flag with lag(custkey) under the
+    * status partitioning) but concentrates the flag stage on the same
+    * 3 partitions, so the two-exchange form is the better 100 TB plan:
+    * only the final prefix-sum runs on the low-cardinality key. Either
+    * way state is O(1) per row — never a per-row distinct set.
     */
   val winCountDistinct: Op = Op(
     "win_count_distinct",

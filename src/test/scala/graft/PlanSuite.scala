@@ -169,9 +169,14 @@ class PlanSuite extends AnyFunSuite {
       "llm_text_tfidf", "llm_simsearch_ivf", "llm_ivf_fit", "llm_dedup_embed",
       "llm_embed_quantize", "llm_ngram_logprob")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
-      // sinks execute writes at build time; skip side-effecting queries —
-      // they are plain scan→write→scan pipelines with no join to audit
-      if (name.startsWith("sink_")) None
+      // sinks execute writes at build time (plain scan→write→scan, no join
+      // to audit) and the streaming replays run whole MicroBatchExecution
+      // jobs whose returned plan is only the memory-sink table scan — the
+      // real streaming plan is audited by StreamingSuite, so building them
+      // here costs full executions for zero audit signal. join_bucketed
+      // stays IN the audit: its writes are the price of auditing the
+      // bucketed join plan itself.
+      if (name.startsWith("sink_") || name.startsWith("stream_replay_")) None
       else {
         val p = plan(name)
         if ((p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
