@@ -15,12 +15,16 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver keeps only the tail of stdout: "total" is printed LAST so
+    // the headline number survives head-truncation of a long line, and the
+    // per-query map is sorted ASCENDING by duration so the truncated head
+    // drops only the fastest (least interesting) queries. 3-decimal values
+    // keep the line as short as possible.
+    val qs = results.toSeq.sortBy(_._2)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // "total" is printed LAST: the driver keeps only the tail of stdout,
-    // so the headline number must survive head-truncation of a long line.
-    println(s"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","value":$total}""")
+    println(s"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","value":${f"$total%.3f"}}""")
     spark.stop()
   }
 }

@@ -274,7 +274,209 @@ object EventTime {
       GROUP BY 1, 2 ORDER BY cohort_day, offset_days
     """.stripMargin.trim))
 
+  /** Row-level sessionization — the companion to `stream_session`'s
+    * AGGREGATE view: every event keeps its identity and gains
+    * (session_seq, event_seq) labels, the shape a downstream
+    * feature-extraction or replay pipeline consumes (per-session
+    * training sequences need the rows, not the rollup). Classic
+    * gaps-and-islands: a session break is a >30-min gap to the previous
+    * event of the same user; the session id is a running sum of break
+    * flags. Gap arithmetic runs on µs longs (`unix_micros`) so both
+    * engines compare the same integers (the fixture's ns parquet reads
+    * as µs in Spark and ns in DuckDB; a sub-µs difference could only
+    * flip a gap within 1 µs of exactly 30:00.000000, which the
+    * random-fractional fixture gaps never hit — same exposure
+    * stream_session already carries).
+    *
+    * Scale shape: ONE exchange on user_id feeds both windows (lag and
+    * the two running sums share the same (user_id, ts) sort), then the
+    * final total order. user_id is the natural high-cardinality session
+    * key at 100 TB; no per-session state ever materializes outside the
+    * window operator.
+    */
+  val eventsSessionize: Op = Op(
+    "events_sessionize",
+    (s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser)))
+        .withColumn("new_sess",
+          when(col("gap_us").isNull || col("gap_us") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_seq",
+          sum("new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("event_seq", row_number().over(
+          Window.partitionBy("user_id", "session_seq").orderBy("ts", "event_id"))
+          .cast(LongType))
+        .select(col("event_id"), col("user_id"),
+          fmtSec(col("ts")).as("ts_s"), col("session_seq"), col("event_seq"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH g AS (
+        SELECT event_id, user_id, ts,
+          epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), sess AS (
+        SELECT event_id, user_id, ts,
+          CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000
+              THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        FROM g
+      )
+      SELECT event_id, user_id,
+        strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS ts_s,
+        session_seq,
+        row_number() OVER (PARTITION BY user_id, session_seq
+                           ORDER BY ts, event_id) AS event_seq
+      FROM sess ORDER BY event_id
+    """.stripMargin.trim))
+
+  /** Ordered funnel analysis: of the users who VIEWed, how many went on
+    * to CLICK within 24 h of that first view, and then PURCHASE within
+    * 24 h of that first qualifying click — the product-analytics query
+    * every event store answers. The ORDER + WINDOW constraints (each
+    * stage's first event must be at-or-after the previous stage's, and
+    * inside the conversion window) are what distinguish a funnel from
+    * three independent counts; on this fixture they produce a real
+    * drop-off (150 → 60 → 25 users at sf0.01). Composes as three
+    * chained min-aggregates joined on user_id. Stage timestamps compare
+    * at second granularity (both engines truncate identically; raw
+    * ns/µs precision differs across engines, §5.4).
+    *
+    * Scale shape: three partial-agg passes over a once-filtered event
+    * projection, all joined co-keyed on user_id (one shuffle key
+    * reused); the stage summaries are 1-row aggregates unioned, with the
+    * baseline count riding in as a broadcast 1-row dimension (the
+    * in-plan-N pattern, same as tfidf).
+    */
+  val eventsFunnel: Op = Op(
+    "events_funnel",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"),
+        date_trunc("second", col("ts")).cast(LongType).as("tsec"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("tsec").as("vt"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(col("tsec") >= col("vt") && col("tsec") < col("vt") + 86400L)
+        .groupBy("user_id").agg(min("tsec").as("ct"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .filter(col("tsec") >= col("ct") && col("tsec") < col("ct") + 86400L)
+        .groupBy("user_id").agg(min("tsec").as("pt"))
+      val stages =
+        v.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("1_view"))
+          .unionByName(
+            c.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("2_click")))
+          .unionByName(
+            p.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("3_purchase")))
+      val base = v.agg(count(lit(1)).as("n_base"))
+      stages.crossJoin(broadcast(base))
+        .select(col("stage"), col("n_users"),
+          round(col("n_users").cast(DoubleType) / col("n_base"), 6).as("conv"))
+        .orderBy("stage")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_type,
+          CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS tsec
+        FROM events
+      ), v AS (
+        SELECT user_id, MIN(tsec) AS vt FROM e
+        WHERE event_type = 'view' GROUP BY 1
+      ), c AS (
+        SELECT e.user_id, MIN(tsec) AS ct FROM e JOIN v USING (user_id)
+        WHERE event_type = 'click' AND tsec >= vt AND tsec < vt + 86400
+        GROUP BY 1
+      ), p AS (
+        SELECT e.user_id, MIN(tsec) AS pt FROM e JOIN c USING (user_id)
+        WHERE event_type = 'purchase' AND tsec >= ct AND tsec < ct + 86400
+        GROUP BY 1
+      ), stages AS (
+        SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+        UNION ALL SELECT '2_click', COUNT(*) FROM c
+        UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+      )
+      SELECT stage, n_users,
+        ROUND(CAST(n_users AS DOUBLE) / (SELECT COUNT(*) FROM v), 6) AS conv
+      FROM stages ORDER BY stage
+    """.stripMargin.trim))
+
+  /** Time-series gap fill: the regularized hourly (event_type, hour)
+    * grid every dashboard and forecast model wants — missing hours
+    * appear with n=0 (215 of 3600 cells at sf0.01 — real gaps), and the
+    * hourly money metric forward-fills from the last observed hour (the
+    * portable two-step: a running count of non-null observations
+    * numbers each fill GROUP, then the group's max is the carried
+    * value — no IGNORE NULLS dependence). The time spine is generated
+    * IN-PLAN from the observed min/max hour, so the query stays
+    * self-contained.
+    *
+    * Scale shape: the raw-event pass is one partial+final hourly
+    * aggregate; the spine is hours×types rows (bounded by calendar
+    * time, not data volume) built from a broadcast 1-row bounds
+    * aggregate, and the fill windows partition by event_type over
+    * hour — everything after the first aggregate is dimension-sized
+    * work. (The hourly aggregate appears twice in the plan — bounds and
+    * join input; Spark's ReuseExchange collapses the identical
+    * subplans, and even re-computed it is one map-side-combined pass.)
+    */
+  val timeseriesGapfill: Op = Op(
+    "timeseries_gapfill",
+    (s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sumMoney(dec2(col("value"))).as("v"))
+      val bounds = hourly.agg(min("h").as("hmin"), max("h").as("hmax"))
+      val hours = bounds.select(
+        explode(sequence(col("hmin"), col("hmax"), expr("interval 1 hour"))).as("h"))
+      val types = Tables.events(s, dir).select(col("event_type")).distinct()
+      val spine = hours.crossJoin(broadcast(types))
+      val filled = spine.join(hourly, Seq("h", "event_type"), "left")
+        .withColumn("n0", coalesce(col("n"), lit(0L)))
+        .withColumn("grp", count("v").over(Window.partitionBy("event_type")
+          .orderBy("h").rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("v_fill",
+          max("v").over(Window.partitionBy("event_type", "grp")))
+      filled.select(fmtSec(col("h")).as("hour"),
+          col("event_type"), col("n0").as("n"), col("v_fill"))
+        .orderBy("event_type", "hour")
+    },
+    Some("""
+      WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, event_type,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+      ), b AS (
+        SELECT MIN(h) AS hmin, MAX(h) AS hmax FROM hourly
+      ), hrs AS (
+        SELECT unnest(generate_series(hmin, hmax, INTERVAL 1 HOUR)) AS h
+        FROM b
+      ), spine AS (
+        SELECT h, event_type
+        FROM hrs CROSS JOIN (SELECT DISTINCT event_type FROM events)
+      ), j AS (
+        SELECT s.h, s.event_type, COALESCE(hourly.n, 0) AS n, hourly.v
+        FROM spine s LEFT JOIN hourly ON hourly.h = s.h
+          AND hourly.event_type = s.event_type
+      ), f AS (
+        SELECT *, COUNT(v) OVER (PARTITION BY event_type ORDER BY h
+          ROWS UNBOUNDED PRECEDING) AS grp
+        FROM j
+      )
+      SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, event_type, n,
+        MAX(v) OVER (PARTITION BY event_type, grp) AS v_fill
+      FROM f ORDER BY event_type, hour
+    """.stripMargin.trim))
+
   val ops: Seq[Op] = Seq(
     streamTumbling, streamSliding, streamSession, streamDedupKeys,
-    streamReplayTumbling, streamReplayDedup, eventsCohortRetention)
+    streamReplayTumbling, streamReplayDedup, eventsCohortRetention,
+    eventsSessionize, eventsFunnel, timeseriesGapfill)
 }

@@ -161,13 +161,18 @@ class PlanSuite extends AnyFunSuite {
     *  - llm_embed_quantize: the per-dim min/max arrays ride in as a
     *    broadcast 1-row dimension (same pattern);
     *  - llm_ngram_logprob: the vocabulary size V rides in as a broadcast
-    *    1-row aggregate (the in-plan-N pattern, same as tfidf).
+    *    1-row aggregate (the in-plan-N pattern, same as tfidf);
+    *  - events_funnel: the stage summaries (three 1-row aggregates) pick
+    *    up the baseline count as a broadcast 1-row dimension (in-plan-N);
+    *  - timeseries_gapfill: the date spine is days × the 5-value type
+    *    dimension — both sides calendar/domain-bounded, never data-sized.
     * Anything new showing up here is an accidental quadratic plan.
     */
   test("no CartesianProduct/BroadcastNestedLoopJoin outside the whitelist") {
     val allowed = Set("join_cross", "join_theta_range", "llm_simsearch_topk",
       "llm_text_tfidf", "llm_simsearch_ivf", "llm_ivf_fit", "llm_dedup_embed",
-      "llm_embed_quantize", "llm_ngram_logprob")
+      "llm_embed_quantize", "llm_ngram_logprob", "events_funnel",
+      "timeseries_gapfill")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       // sinks execute writes at build time (plain scan→write→scan, no join
       // to audit) and the streaming replays run whole MicroBatchExecution
