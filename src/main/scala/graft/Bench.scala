@@ -10,11 +10,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // One uncounted warmup absorbs JVM/codegen startup (~6-8 s) that
+    // otherwise lands on whichever query happens to iterate first, and
+    // queries run in sorted-name order so per-query times are
+    // comparable across rounds even as the query set grows (Map
+    // iteration order used to reshuffle the run order — and the
+    // cold-start penalty — every time a query was added; BASELINE.md
+    // records the round-4 llm_dedup_exact misdiagnosis that caused).
+    try { SparkEntry.queries("agg_global")(spark, sfDir).count() }
+    catch { case _: Throwable => () }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
     // The driver keeps only the tail of stdout: "total" is printed LAST so
     // the headline number survives head-truncation of a long line, and the
     // per-query map is sorted ASCENDING by duration so the truncated head

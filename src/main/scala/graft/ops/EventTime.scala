@@ -236,6 +236,39 @@ object EventTime {
     },
     streamDedupKeys.oracle)
 
+  /** TRUE-STREAMING twin of `stream_session`, graded — the third and
+    * hardest member of the replay family: session windows MERGE across
+    * micro-batches (two sessions open in different batches fuse when a
+    * bridging event arrives), exercising the state store's
+    * session-merge path rather than the keyed/windowed paths the other
+    * two replays cover. Complete mode keeps all session state, so the
+    * replay must reproduce the batch result bit-for-bit regardless of
+    * how AvailableNow splits the source — the strongest
+    * batch-streaming-equivalence statement the session operator can
+    * make. SAME oracle as the batch twin. At 100 TB the same query
+    * runs unbounded in update mode with a watermark closing sessions.
+    */
+  val streamReplaySession: Op = Op(
+    "stream_replay_session",
+    (s, dir) => {
+      val src = replaySrc(s, dir)
+      val agg = s.readStream.schema(Tables.expectedSchemas("events")).parquet(src)
+        .select(col("ts"), col("user_id"), dec2(col("value")).as("v"))
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sumMoney(col("v")).as("sum_value"),
+          max(col("ts")).as("last_ts"))
+        .select(
+          col("user_id"),
+          fmtSec(col("sw.start")).as("sess_start"),
+          fmtSec(col("last_ts")).as("sess_last"),
+          col("n_events"), col("sum_value"))
+      runReplay(s, "graft_stream_replay_session", agg, "complete")
+        .orderBy("user_id", "sess_start")
+    },
+    streamSession.oracle)
+
   /** Cohort retention — the standard event-analytics matrix: users
     * cohorted by their FIRST active day, then counted at each day
     * offset they return on. Three exchanges, all on high-cardinality
@@ -475,8 +508,64 @@ object EventTime {
       FROM f ORDER BY event_type, hour
     """.stripMargin.trim))
 
+  /** Last-touch attribution — the marketing-analytics query every event
+    * warehouse runs: each purchase is attributed to the user's most
+    * recent PRECEDING non-purchase touch within a 7-day lookback, and
+    * revenue rolls up per attributed channel (plus a 'none' bucket for
+    * purchases with no in-window touch). Single-table as-of semantics:
+    * the same union-tag + last(ignoreNulls) window pattern as
+    * `join_asof`, but self-contained over events — no join at all, one
+    * pass, one exchange on user_id. Tie order (ts, event_id) makes the
+    * as-of winner deterministic in both engines.
+    */
+  val eventsAttribution: Op = Op(
+    "events_attribution",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"), dec2(col("value")).as("v"),
+          unix_micros(col("ts")).as("tus"))
+        .withColumn("touch_type", last(
+          when(col("event_type") =!= "purchase", col("event_type")), true).over(w))
+        .withColumn("touch_tus", last(
+          when(col("event_type") =!= "purchase", col("tus")), true).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("channel",
+          when(col("touch_tus").isNotNull &&
+            col("touch_tus") >= col("tus") - 7L * 86400L * 1000000L,
+            col("touch_type")).otherwise("none"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_purchases"),
+          sumMoney(col("v")).as("attributed_value"))
+        .orderBy("channel")
+    },
+    Some("""
+      WITH t AS (
+        SELECT event_id, user_id, ts, event_type,
+          CAST(value AS DECIMAL(12,2)) AS v,
+          epoch_us(ts) AS tus,
+          last_value(CASE WHEN event_type != 'purchase' THEN event_type END
+            IGNORE NULLS) OVER w AS touch_type,
+          last_value(CASE WHEN event_type != 'purchase' THEN epoch_us(ts) END
+            IGNORE NULLS) OVER w AS touch_tus
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      )
+      SELECT CASE WHEN touch_tus IS NOT NULL
+                   AND touch_tus >= tus - CAST(604800000000 AS BIGINT)
+                  THEN touch_type ELSE 'none' END AS channel,
+        COUNT(*) AS n_purchases,
+        CAST(SUM(v) AS DOUBLE) AS attributed_value
+      FROM t WHERE event_type = 'purchase'
+      GROUP BY 1 ORDER BY channel
+    """.stripMargin.trim))
+
   val ops: Seq[Op] = Seq(
     streamTumbling, streamSliding, streamSession, streamDedupKeys,
-    streamReplayTumbling, streamReplayDedup, eventsCohortRetention,
-    eventsSessionize, eventsFunnel, timeseriesGapfill)
+    streamReplayTumbling, streamReplayDedup, streamReplaySession,
+    eventsCohortRetention,
+    eventsSessionize, eventsFunnel, timeseriesGapfill, eventsAttribution)
 }

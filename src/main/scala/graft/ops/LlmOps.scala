@@ -1860,8 +1860,66 @@ object LlmOps {
       FROM starts ORDER BY doc_id, chunk_id
     """.stripMargin.trim))
 
+  /** Cross-corpus (incremental-ingestion) dedup — the op a lake runs on
+    * every NEW BATCH: drop arriving documents whose normalized-text
+    * fingerprint already exists in the reference corpus, then keep-one
+    * within the batch itself. Corpora derive in-plan from the `source`
+    * column (src15-19 arrive, the rest are the lake). Verdicts are
+    * per-row flags (dup_of_ref / keep) so the output is the exact
+    * decision feed an ingestion job applies.
+    *
+    * Scale shape: only 64-char fingerprints ever shuffle, never
+    * documents; the reference side pre-collapses to DISTINCT
+    * fingerprints (partial-agg) before the join, and both the ref
+    * membership probe and the within-batch keep-one hash on the same
+    * fp key — at 100 TB this is two co-keyed narrow shuffles, with the
+    * new batch typically small enough to broadcast instead.
+    */
+  val llmCrossDedup: Op = Op(
+    "llm_cross_dedup",
+    (s, dir) => {
+      val fp = sha2(regexp_replace(trim(lower(col("text"))), " +", " "), 256)
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), fp.as("fp"))
+      val isNew = regexp_extract(col("source"), "src1[5-9]", 0) =!= ""
+      val refFps = docs.filter(!isNew).select("fp").distinct()
+        .withColumn("in_ref", lit(1L))
+      val batch = docs.filter(isNew)
+      val keepIds = batch.join(refFps, Seq("fp"), "left_anti")
+        .groupBy("fp").agg(min("doc_id").as("keep_id"))
+      batch.join(refFps, Seq("fp"), "left")
+        .join(keepIds, Seq("fp"), "left")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("in_ref"), lit(0L)).as("dup_of_ref"),
+          when(col("keep_id") === col("doc_id"), 1L).otherwise(0L).as("keep"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, source,
+          sha256(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fp,
+          source SIMILAR TO '.*src1[5-9].*' AS is_new
+        FROM documents
+      ), ref AS (
+        SELECT DISTINCT fp FROM d WHERE NOT is_new
+      ), batch AS (
+        SELECT doc_id, source, fp FROM d WHERE is_new
+      ), keepids AS (
+        SELECT fp, MIN(doc_id) AS keep_id
+        FROM batch WHERE fp NOT IN (SELECT fp FROM ref)
+        GROUP BY fp
+      )
+      SELECT b.doc_id, b.source,
+        CASE WHEN r.fp IS NOT NULL THEN 1 ELSE 0 END AS dup_of_ref,
+        CASE WHEN k.keep_id = b.doc_id THEN 1 ELSE 0 END AS keep
+      FROM batch b
+        LEFT JOIN ref r ON r.fp = b.fp
+        LEFT JOIN keepids k ON k.fp = b.fp
+      ORDER BY b.doc_id
+    """.stripMargin.trim))
+
   val ops: Seq[Op] = Seq(
-    llmPackSequences, llmRepetitionFilter, llmDocChunk,
+    llmPackSequences, llmRepetitionFilter, llmDocChunk, llmCrossDedup,
     llmQualityFilter, llmQualityScore, llmTokenCount,
     llmTextStats, llmTextTfidf, llmDedupExact,
     llmDedupNear, llmDedupCluster, llmDedupClusterScale, llmDedupMinhash,

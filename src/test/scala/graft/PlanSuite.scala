@@ -168,6 +168,32 @@ class PlanSuite extends AnyFunSuite {
     *    dimension — both sides calendar/domain-bounded, never data-sized.
     * Anything new showing up here is an accidental quadratic plan.
     */
+  test("q3_shipping_priority broadcasts the filtered dimension and top-10s via TakeOrderedAndProject") {
+    val p = plan("q3_shipping_priority")
+    assert(p.contains("BroadcastHashJoin"),
+      s"filtered customer dimension should broadcast into orders:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"revenue top-10 should move 10 rows, not sort the aggregate:\n$p")
+  }
+
+  test("q5_local_supplier_volume joins all three dimension hops broadcast") {
+    // region→nation→supplier are dimension joins (5/25/1000 rows) and the
+    // supplier-side residual into the fact chain is also broadcast-sized:
+    // every BroadcastHashJoin here is a join the 100 TB plan gets for free.
+    val p = plan("q5_local_supplier_volume")
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(nBroadcast >= 3,
+      s"expected >=3 broadcast joins (region, nation, supplier chain), got $nBroadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("cdc_snapshot_diff shuffles each snapshot exactly once (co-partitioned outer join)") {
+    val p = plan("cdc_snapshot_diff")
+    val hashEx = "hashpartitioning\\(([a-zA-Z_]+)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(hashEx.length == 2 && hashEx.forall(_.startsWith("k_")),
+      s"expected exactly the two snapshot-key exchanges, got $hashEx:\n$p")
+  }
+
   test("no CartesianProduct/BroadcastNestedLoopJoin outside the whitelist") {
     val allowed = Set("join_cross", "join_theta_range", "llm_simsearch_topk",
       "llm_text_tfidf", "llm_simsearch_ivf", "llm_ivf_fit", "llm_dedup_embed",

@@ -13,11 +13,13 @@ sbt -batch test
 for sf in sf0.01 sf0.001; do
   echo "== verify + oracle @$sf =="
   out="/tmp/gate_$sf"
+  rm -rf "$out"   # stale dirs from dropped/renamed queries must not linger
   sbt -batch "runMain graft.Verify /root/testdata/$sf $out"
   python3 tools/check_oracle.py "/root/testdata/$sf" "$out"
 done
 
 echo "== partition invariance (CPUS=1 vs 4, sf0.01) =="
+rm -rf /tmp/gate_p1
 SPARK_GRAFT_CPUS=1 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/gate_p1"
 python3 - <<'EOF'
 import duckdb, os
