@@ -162,6 +162,28 @@ object Aggregates {
         .orderBy("event_type"),
     None)
 
+  /** Approximate percentiles — the quantile-sketch sibling of the HLL
+    * family: `percentile_approx` (Greenwald-Khanna style mergeable
+    * summary) at p50/p90/p99 per group with accuracy 10 000. At 100 TB
+    * the exact interpolated form (`agg_percentile_exact`) needs the
+    * full value multiset per group; the sketch keeps O(1/ε) state per
+    * group, merges across partitions map-side, and answers within ε·n
+    * ranks. No oracle (DuckDB's approx_quantile is t-digest — a
+    * different sketch); PropertySuite bounds every estimate between
+    * true neighboring order statistics at the sketch's rank tolerance.
+    */
+  val aggApproxPercentile: Op = Op(
+    "agg_approx_percentile",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("p50"),
+          percentile_approx(col("o_totalprice"), lit(0.9), lit(10000)).as("p90"),
+          percentile_approx(col("o_totalprice"), lit(0.99), lit(10000)).as("p99"))
+        .orderBy("o_orderstatus"),
+    None)
+
   /** Mergeable-sketch aggregation: per-group Apache DataSketches HLL
     * sketches (`hll_sketch_agg`) whose BINARY state then UNIONS across
     * groups (`hll_union_agg`) — the property that makes sketches THE
@@ -538,5 +560,6 @@ object Aggregates {
     aggPricingSummary, aggFilterClause, aggGlobal, aggCountDistinct, aggApproxDistinct,
     aggSketchMerge, aggHaving, aggArgExtrema, aggStats, aggCorr, aggModeDet,
     aggGroupingSets, aggRollup, aggCube,
-    aggCollectSorted, aggPercentileExact, pivotStatusYear, unpivotMetrics)
+    aggCollectSorted, aggPercentileExact, aggApproxPercentile,
+    pivotStatusYear, unpivotMetrics)
 }

@@ -563,9 +563,50 @@ object EventTime {
       GROUP BY 1 ORDER BY channel
     """.stripMargin.trim))
 
+  /** Event-type transition matrix — first-order Markov statistics over
+    * each user's event stream: count every (previous type → type)
+    * transition and its conditional probability. The sequence-mining
+    * primitive behind next-event prediction, anomaly scoring, and
+    * journey analysis. One exchange on user_id orders each stream for
+    * the lag; the transition rollup is a 25-cell aggregate; the
+    * per-source normalizer joins on the tiny from_type key.
+    */
+  val eventsTransitions: Op = Op(
+    "events_transitions",
+    (s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("from_type", lag("event_type", 1).over(byUser))
+        .filter(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        // normalize over the 25-cell aggregate, not the raw stream: the
+        // window shuffles 25 rows on from_type
+        .withColumn("p", round(col("n").cast(DoubleType) /
+          sum("n").over(Window.partitionBy("from_type")), 6))
+        .orderBy("from_type", "to_type")
+    },
+    Some("""
+      WITH t AS (
+        SELECT from_type, event_type AS to_type, COUNT(*) AS n
+        FROM (SELECT event_type,
+                lag(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS from_type
+              FROM events)
+        WHERE from_type IS NOT NULL
+        GROUP BY 1, 2
+      )
+      SELECT from_type, to_type, n,
+        ROUND(CAST(n AS DOUBLE) /
+          SUM(n) OVER (PARTITION BY from_type), 6) AS p
+      FROM t ORDER BY from_type, to_type
+    """.stripMargin.trim))
+
   val ops: Seq[Op] = Seq(
     streamTumbling, streamSliding, streamSession, streamDedupKeys,
     streamReplayTumbling, streamReplayDedup, streamReplaySession,
     eventsCohortRetention,
-    eventsSessionize, eventsFunnel, timeseriesGapfill, eventsAttribution)
+    eventsSessionize, eventsFunnel, timeseriesGapfill, eventsAttribution,
+    eventsTransitions)
 }

@@ -1918,8 +1918,54 @@ object LlmOps {
       ORDER BY b.doc_id
     """.stripMargin.trim))
 
+  /** BPE vocabulary induction, step one: count adjacent-symbol pairs
+    * across every word OCCURRENCE in the corpus (the statistic the
+    * first byte-pair-encoding merge maximizes) and rank the top 50
+    * merge candidates. A real tokenizer-training pipeline iterates
+    * this count-merge loop; the counting pass — the part that touches
+    * corpus-scale data — is exactly this query, so its plan shape is
+    * the one that matters at 100 TB: explode words, explode character
+    * positions (an index sequence, never a computed string array — see
+    * the Generate-trap note on llm_repetition_filter), then ONE
+    * partial+final hash aggregate on the pair key; the top-50 rank
+    * runs on the tiny distinct-pair table. Rank ties break
+    * alphabetically so the cut line is deterministic in both engines.
+    */
+  val llmVocabInduce: Op = Op(
+    "llm_vocab_induce",
+    (s, dir) => {
+      val words = Tables.documents(s, dir)
+        .select(explode(toks).as("w"))
+        .filter(length(col("w")) >= 2)
+      val pairs = words
+        .select(col("w"), explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+        .select(col("w").substr(col("i"), lit(2)).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+      pairs
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n").desc, col("pair"))).cast(LongType))
+        .filter(col("rank") <= 50)
+        .select(col("rank"), col("pair"), col("n"))
+        .orderBy("rank")
+    },
+    Some("""
+      WITH w AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+      ), p AS (
+        SELECT substring(w, i, 2) AS pair, COUNT(*) AS n
+        FROM (SELECT w, unnest(generate_series(1, length(w) - 1)) AS i
+              FROM w WHERE length(w) >= 2)
+        GROUP BY 1
+      )
+      SELECT rank, pair, n FROM (
+        SELECT row_number() OVER (ORDER BY n DESC, pair) AS rank, pair, n
+        FROM p)
+      WHERE rank <= 50 ORDER BY rank
+    """.stripMargin.trim))
+
   val ops: Seq[Op] = Seq(
     llmPackSequences, llmRepetitionFilter, llmDocChunk, llmCrossDedup,
+    llmVocabInduce,
     llmQualityFilter, llmQualityScore, llmTokenCount,
     llmTextStats, llmTextTfidf, llmDedupExact,
     llmDedupNear, llmDedupCluster, llmDedupClusterScale, llmDedupMinhash,

@@ -184,4 +184,28 @@ class PropertySuite extends AnyFunSuite {
       assert(math.abs(a - n).toDouble / n <= 0.05, s"$k: approx $a vs exact $n")
     }
   }
+
+  test("agg_approx_percentile estimates sit at their exact rank within sketch tolerance") {
+    import org.apache.spark.sql.functions._
+    val est = Aggregates.aggApproxPercentile.build(s, sf).collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val byStatus = Tables.orders(s, sf)
+      .select(col("o_orderstatus"), col("o_totalprice")).collect()
+      .groupBy(_.getString(0)).map { case (k, rs) =>
+        k -> rs.map(_.getDouble(1)).sorted }
+    assert(est.keySet == byStatus.keySet)
+    for ((status, sorted) <- byStatus; (p, i) <- Seq(0.5, 0.9, 0.99).zipWithIndex) {
+      val n = sorted.length
+      // GK guarantee: the returned value's rank is within eps*n of p*n
+      // (eps = 1/accuracy = 1e-4); allow one extra rank for the
+      // floor/ceil convention at the target rank itself
+      val tol = math.max(1, math.ceil(1e-4 * n).toInt)
+      val lo = sorted(math.max(0, math.floor(p * (n - 1)).toInt - tol))
+      val hi = sorted(math.min(n - 1, math.ceil(p * (n - 1)).toInt + tol))
+      val v = est(status)(i)
+      assert(v >= lo && v <= hi,
+        s"$status p$p: $v outside exact-rank band [$lo, $hi] (n=$n)")
+    }
+  }
 }
