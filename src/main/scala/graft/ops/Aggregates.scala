@@ -323,6 +323,34 @@ object Aggregates {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """.stripMargin.trim))
 
+  /** OLS regression aggregates — the trend-line family completing the
+    * bivariate stats surface next to `agg_corr`: slope, intercept, R²,
+    * and the co-moment count per group, all in ONE hash-aggregate pass
+    * over the same 5-double co-moment state corr/covar use. 6-dp
+    * rounding absorbs partial-aggregate merge-order drift, the same
+    * discipline as agg_corr/agg_stats.
+    */
+  val aggRegression: Op = Op(
+    "agg_regression",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 6).as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 6).as("icept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"),
+          regr_count(col("l_extendedprice"), col("l_quantity"))
+            .cast(LongType).as("n"))
+        .orderBy("l_returnflag"),
+    Some("""
+      SELECT l_returnflag,
+        ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 6) AS slope,
+        ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 6) AS icept,
+        ROUND(REGR_R2(l_extendedprice, l_quantity), 6) AS r2,
+        CAST(REGR_COUNT(l_extendedprice, l_quantity) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """.stripMargin.trim))
+
   /** Deterministic MODE: the most frequent l_quantity per returnflag,
     * ties broken toward the SMALLEST value — neither engine defines its
     * built-in mode()'s tie winner (same class of nondeterminism as bare
@@ -558,7 +586,8 @@ object Aggregates {
 
   val ops: Seq[Op] = Seq(
     aggPricingSummary, aggFilterClause, aggGlobal, aggCountDistinct, aggApproxDistinct,
-    aggSketchMerge, aggHaving, aggArgExtrema, aggStats, aggCorr, aggModeDet,
+    aggSketchMerge, aggHaving, aggArgExtrema, aggStats, aggCorr, aggRegression,
+    aggModeDet,
     aggGroupingSets, aggRollup, aggCube,
     aggCollectSorted, aggPercentileExact, aggApproxPercentile,
     pivotStatusYear, unpivotMetrics)

@@ -603,10 +603,73 @@ object EventTime {
       FROM t ORDER BY from_type, to_type
     """.stripMargin.trim))
 
+  /** Trailing-window anomaly scoring — the observability query every
+    * event platform runs on its metric grid: each (event_type, hour)
+    * count is z-scored against the trailing 24 OBSERVED hourly buckets
+    * (rows with no events don't enter the frame — compose with
+    * timeseries_gapfill upstream when a calendar-strict window is
+    * wanted; rows without a full 24-bucket history are suppressed).
+    * The mean/variance come from exact INTEGER window sums (Σn, Σn²)
+    * rather than avg/stddev window aggregates, so both engines perform
+    * the identical double arithmetic in the identical order — a
+    * stddev_samp window would accumulate in engine-specific order and
+    * could flip the 6th decimal (§5.3 discipline, same reason the
+    * range frames keep thresholds in double).
+    *
+    * Scale shape: one partial+final hourly aggregate over raw events,
+    * then the z-window runs on the calendar-bounded grid (hours ×
+    * types rows), partitioned by type — dimension-sized work after the
+    * first pass, exactly like timeseries_gapfill.
+    */
+  val eventsAnomalyZscore: Op = Op(
+    "events_anomaly_zscore",
+    (s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(-24, -1)
+      Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("k", count("n").over(w))
+        .withColumn("s1", sum("n").over(w))
+        .withColumn("s2", sum(col("n") * col("n")).over(w))
+        .filter(col("k") === 24)
+        .withColumn("mu", col("s1").cast(DoubleType) / 24)
+        .withColumn("variance",
+          (col("s2").cast(DoubleType) - col("s1").cast(DoubleType) *
+            col("s1").cast(DoubleType) / 24) / 23)
+        .filter(col("variance") > 0)
+        .select(fmtSec(col("h")).as("hour"), col("event_type"), col("n"),
+          round((col("n").cast(DoubleType) - col("mu")) /
+            sqrt(col("variance")), 6).as("z"))
+        .orderBy("event_type", "hour")
+    },
+    Some("""
+      WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+      ), win AS (
+        SELECT h, event_type, n,
+          COUNT(n) OVER w AS k,
+          CAST(SUM(n) OVER w AS BIGINT) AS s1,
+          CAST(SUM(n * n) OVER w AS BIGINT) AS s2
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY h
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+      )
+      SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, event_type, n,
+        ROUND((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / 24) /
+          sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / 24) / 23),
+          6) AS z
+      FROM win
+      WHERE k = 24
+        AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / 24) / 23 > 0
+      ORDER BY event_type, hour
+    """.stripMargin.trim))
+
   val ops: Seq[Op] = Seq(
     streamTumbling, streamSliding, streamSession, streamDedupKeys,
     streamReplayTumbling, streamReplayDedup, streamReplaySession,
     eventsCohortRetention,
     eventsSessionize, eventsFunnel, timeseriesGapfill, eventsAttribution,
-    eventsTransitions)
+    eventsTransitions, eventsAnomalyZscore)
 }

@@ -929,6 +929,57 @@ object Relational {
       GROUP BY n_name ORDER BY revenue DESC, n_name
     """.stripMargin.trim))
 
+  /** TPC-H Q10 shape — the returned-items customer ranking: revenue
+    * lost to 'R'-flag lineitems in a half-year order window, grouped
+    * per customer with their nation, top 20. Completes the Q-series
+    * trio (Q3 selective-dim topk, Q5 snowflake, Q10 fact-heavy group
+    * on a WIDE key set): the group key carries customer attributes, so
+    * the plan must aggregate on the fact join output without a second
+    * pass over customer. Nation broadcasts; customer⋈orders and
+    * orders⋈lineitem are the co-keyed fact shuffles.
+    */
+  val q10ReturnedItems: Op = Op(
+    "q10_returned_items",
+    (s, dir) => {
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1997-01-01") &&
+          col("o_orderdate") < lit("1997-07-01"))
+        .select("o_orderkey", "o_custkey")
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (dec2(col("l_extendedprice")) *
+            (lit(1) - rate2(col("l_discount"))).cast(DecimalType(4, 2)))
+            .cast(DecimalType(18, 4)).as("rev"))
+      Tables.customer(s, dir)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+        .join(ord, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.nation(s, dir).select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(sumMoney(col("rev")).as("revenue"),
+          dec2(min(col("c_acctbal"))).cast(DoubleType).as("c_acctbal"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some("""
+      SELECT c_custkey, c_name, n_name,
+        CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+          CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))
+          AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        CAST(CAST(MIN(c_acctbal) AS DECIMAL(12,2)) AS DOUBLE) AS c_acctbal
+      FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+      GROUP BY c_custkey, c_name, n_name
+      ORDER BY revenue DESC, c_custkey LIMIT 20
+    """.stripMargin.trim))
+
   /** CDC snapshot diff — the lake-maintenance op that turns two table
     * snapshots into a change feed: full-outer join on the key,
     * classify each key as insert / delete / update (dropping the
@@ -1006,7 +1057,7 @@ object Relational {
     """.stripMargin.trim))
 
   val ops: Seq[Op] = Seq(
-    q3ShippingPriority, q5LocalSupplierVolume, cdcSnapshotDiff,
+    q3ShippingPriority, q5LocalSupplierVolume, q10ReturnedItems, cdcSnapshotDiff,
     scanFull, scanPrune, scanPred, sinkParquet, sinkCsvJson,
     sinkPartitionedPrune, sinkSchemaEvolution, joinBucketed,
     projectCompute, filterCompound, filterNull3vl,

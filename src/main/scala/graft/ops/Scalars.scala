@@ -398,8 +398,56 @@ object Scalars {
       FROM lineitem ORDER BY l_orderkey, l_linenumber
     """.stripMargin.trim))
 
+  /** Struct surface: build named structs (flat and nested), extract
+    * fields at both depths, and compare structs memberwise — the typed
+    * record semantics a Dataset[T] user relies on, exercised through
+    * the Column API. Output is FLATTENED to scalars (§5.3 dtype rule;
+    * DuckDB's struct literals would not hash-compare anyway — the same
+    * flatten-for-the-oracle treatment as llm_multimodal_join's struct).
+    * Struct build/extract is a pure projection: narrow, codegen'd, no
+    * shuffle at any scale.
+    */
+  val fnStructPack: Op = Op(
+    "fn_struct_pack",
+    (s, dir) =>
+      Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          struct(col("c_name").as("name"), dec2(col("c_acctbal")).as("bal")).as("c"),
+          struct(col("c_nationkey").as("nk"),
+            struct(col("c_mktsegment").as("seg")).as("deep")).as("nested"))
+        .select(
+          col("c_custkey"),
+          col("c.name").as("name_out"),
+          col("c.bal").cast(DoubleType).as("bal_out"),
+          col("nested.nk").cast(LongType).as("nk_out"),
+          col("nested.deep.seg").as("seg_out"),
+          // memberwise struct equality: same (nk, seg) pair rebuilt from
+          // scratch must compare equal to the projected struct
+          (col("nested") === struct(col("nested.nk").as("nk"),
+            struct(col("nested.deep.seg").as("seg")).as("deep")))
+            .cast(LongType).as("eq_rebuilt"))
+        .orderBy("c_custkey"),
+    Some("""
+      WITH b AS (
+        SELECT c_custkey,
+          struct_pack(name := c_name,
+                      bal := CAST(c_acctbal AS DECIMAL(12,2))) AS c,
+          struct_pack(nk := c_nationkey,
+                      deep := struct_pack(seg := c_mktsegment)) AS nested
+        FROM customer
+      )
+      SELECT c_custkey,
+        c.name AS name_out,
+        CAST(c.bal AS DOUBLE) AS bal_out,
+        CAST(nested.nk AS BIGINT) AS nk_out,
+        nested.deep.seg AS seg_out,
+        CAST(nested = struct_pack(nk := nested.nk,
+          deep := struct_pack(seg := nested.deep.seg)) AS BIGINT) AS eq_rebuilt
+      FROM b ORDER BY c_custkey
+    """.stripMargin.trim))
+
   val ops: Seq[Op] = Seq(
     fnStringPack, fnDatePack, fnMathCase, fnArrayPack, fnHigherOrder,
     fnMapPack, fnJsonExtract, fnCastCoalesce, fnBitwisePack, fnRegexpPack,
-    fnTrigPack)
+    fnTrigPack, fnStructPack)
 }

@@ -106,6 +106,21 @@ class InvariantSuite extends AnyFunSuite {
       "chunk token sums diverge from the slice arithmetic")
   }
 
+  test("ChunkSplit generator is row-equal to the composed sequence+slice chunking") {
+    graft.functions.ChunkSplit.register(s)
+    val viaGenerator = Tables.documents(s, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .selectExpr("doc_id", "graft_chunk_split(tk, 64, 48) AS (chunk_id, chunk)")
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).cast("long").as("n_chunk_toks"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_fp"))
+      .orderBy("doc_id", "chunk_id")
+      .collect().toSeq
+    val viaComposed = LlmOps.llmDocChunk.build(s, sf).collect().toSeq
+    assert(viaGenerator == viaComposed,
+      "custom Generator diverged from the composed chunking pipeline")
+  }
+
   test("llm_cross_dedup: at most one keeper per fingerprint, ref-dups never kept") {
     val d = LlmOps.llmCrossDedup.build(s, sf)
     assert(d.filter(col("dup_of_ref") === 1 && col("keep") === 1).count() == 0,
