@@ -66,7 +66,12 @@ object Relational {
   private val bucketedWritten =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), String]()
 
-  /** Writes a derived table to a temp dir, reads it back (parquet sink+source). */
+  /** Writes a derived table to a temp dir, reads it back (parquet
+    * sink+source). ORACLE-CHECKED against the ORIGINAL table (round-7,
+    * the sink_partitioned_prune treatment): DuckDB never sees the
+    * roundtrip, so the hash match proves the parquet write+read
+    * preserved every value and dtype bit-exactly.
+    */
   val sinkParquet: Op = Op(
     "sink_parquet_roundtrip",
     (s, dir) => {
@@ -77,10 +82,18 @@ object Relational {
         .write.mode("overwrite").parquet(s"$tmp/supp_by_nation")
       s.read.parquet(s"$tmp/supp_by_nation").orderBy("s_nationkey")
     },
-    None)
+    Some("""
+      SELECT s_nationkey, COUNT(*) AS n_supp,
+        CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+      FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+    """.stripMargin.trim))
 
   /** CSV and JSON-lines writers/readers with explicit schema; the union of
     * both round-trips must contain every nation exactly twice.
+    * ORACLE-CHECKED against nation ⊎ nation (round-7): the hash match
+    * proves BOTH text-format roundtrips reproduced every key and name
+    * exactly — a csv quoting bug or json type coercion would surface as
+    * a value or copies mismatch.
     */
   val sinkCsvJson: Op = Op(
     "sink_csv_json_roundtrip",
@@ -97,7 +110,11 @@ object Relational {
         .agg(count(lit(1)).as("copies"))
         .orderBy("n_nationkey")
     },
-    None)
+    Some("""
+      SELECT n_nationkey, n_name, COUNT(*) AS copies
+      FROM (SELECT * FROM nation UNION ALL SELECT * FROM nation)
+      GROUP BY 1, 2 ORDER BY n_nationkey
+    """.stripMargin.trim))
 
   /** Partitioned lake write + partition-PRUNED read-back — the layout
     * every real data lake runs on (round-5 verdict "What's missing" #1,

@@ -194,6 +194,23 @@ class PlanSuite extends AnyFunSuite {
       s"expected exactly the two snapshot-key exchanges, got $hashEx:\n$p")
   }
 
+  test("llm_pack_sequences reuses the shard partitioning: window and pack agg share one exchange") {
+    // the cumulative-sum window hashes on source; the (source, pack_id)
+    // aggregate is a strict refinement of that partitioning, so Spark
+    // must NOT re-shuffle between them — one hash exchange total plus
+    // the final total-order range partition
+    val p = plan("llm_pack_sequences")
+    val hashEx = "hashpartitioning\\(".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected 1 hash exchange (the shard window), got $hashEx:\n$p")
+  }
+
+  test("events_sessionize computes all three windows over one user_id exchange") {
+    val p = plan("events_sessionize")
+    val hashEx = "hashpartitioning\\(([a-zA-Z_]+)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(hashEx.length == 1 && hashEx.head.startsWith("user_id"),
+      s"lag + running-sum + row_number should share ONE user_id exchange, got $hashEx:\n$p")
+  }
+
   test("no CartesianProduct/BroadcastNestedLoopJoin outside the whitelist") {
     val allowed = Set("join_cross", "join_theta_range", "llm_simsearch_topk",
       "llm_text_tfidf", "llm_simsearch_ivf", "llm_ivf_fit", "llm_dedup_embed",

@@ -245,4 +245,31 @@ class UnitSuite extends AnyFunSuite {
     val dir2 = tmpLake("documents" -> docsDf(survivors))
     assert(LlmOps.llmDedupNear.build(s, dir2).collect().isEmpty)
   }
+
+  test("typed Dataset entry point: groupByKey.mapGroups matches the untyped aggregate") {
+    // SURVEY §1.1/§3: the Dataset[T] surface a type-safe caller uses —
+    // case-class Encoders + KeyValueGroupedDataset. mapGroups is the
+    // arbitrary-per-group escape hatch; prove it agrees with the
+    // Catalyst-optimized untyped aggregate on order-free statistics
+    // (count/max — a double SUM would be partition-order-sensitive in
+    // the typed path, which is exactly why graded ops stay untyped).
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val typed = graft.tables.Tables.orders(s, TestSpark.Sf0001)
+      .select(col("o_orderstatus"), col("o_totalprice"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (status, rows) =>
+        var n = 0L
+        var mx = Double.MinValue
+        rows.foreach { r => n += 1; if (r._2 > mx) mx = r._2 }
+        (status, n, mx)
+      }
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    val untyped = graft.tables.Tables.orders(s, TestSpark.Sf0001)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), max("o_totalprice").as("mx"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(typed == untyped)
+  }
 }
