@@ -446,8 +446,38 @@ object Scalars {
       FROM b ORDER BY c_custkey
     """.stripMargin.trim))
 
+  /** OUTER generator semantics — the explode variant every ETL hits
+    * eventually: `explode_outer` keeps a row (with a NULL element) for
+    * documents whose derived array is EMPTY, where plain `explode`
+    * silently drops them. The derived array (words of ≥ 8 chars) is
+    * empty for a real subset of the fixture, so the hash match proves
+    * the null-preserving row set, not just the happy path. Output stays
+    * row-level — aggregating would hide exactly the rows at stake;
+    * NULLS FIRST is pinned in both engines (their defaults differ).
+    */
+  val fnGeneratorOuter: Op = Op(
+    "fn_generator_outer",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), w -> length(w) >= 8)").as("lw"))
+        .select(col("doc_id"), explode_outer(col("lw")).as("tok"))
+        .orderBy(col("doc_id"), col("tok").asc_nulls_first),
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+          list_filter(string_split(text, ' '), w -> length(w) >= 8) AS lw
+        FROM documents
+      )
+      SELECT doc_id, tok FROM (
+        SELECT doc_id, NULL AS tok FROM d WHERE len(lw) = 0
+        UNION ALL
+        SELECT doc_id, unnest(lw) AS tok FROM d WHERE len(lw) > 0)
+      ORDER BY doc_id, tok NULLS FIRST
+    """.stripMargin.trim))
+
   val ops: Seq[Op] = Seq(
     fnStringPack, fnDatePack, fnMathCase, fnArrayPack, fnHigherOrder,
     fnMapPack, fnJsonExtract, fnCastCoalesce, fnBitwisePack, fnRegexpPack,
-    fnTrigPack, fnStructPack)
+    fnTrigPack, fnStructPack, fnGeneratorOuter)
 }
