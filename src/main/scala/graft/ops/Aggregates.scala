@@ -351,6 +351,56 @@ object Aggregates {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """.stripMargin.trim))
 
+  /** Ordered string aggregation — LISTAGG/STRING_AGG, the report-layer
+    * aggregate every SQL surface ships: nation names concatenated per
+    * region with an explicit WITHIN GROUP order (a bare listagg is
+    * partition-order-dependent — same nondeterminism class as bare
+    * collect_list, §5.3). Goes through `spark.sql` because WITHIN
+    * GROUP is parser-level syntax. Output strings are group-bounded
+    * (dimension-sized), never data-sized.
+    */
+  val aggListagg: Op = Op(
+    "agg_listagg",
+    (s, dir) => {
+      Tables.nation(s, dir).createOrReplaceTempView("graft_nation_la")
+      s.sql("""
+        SELECT n_regionkey,
+          listagg(n_name, '|') WITHIN GROUP (ORDER BY n_name) AS names,
+          count(*) AS n
+        FROM graft_nation_la GROUP BY n_regionkey ORDER BY n_regionkey""")
+    },
+    Some("""
+      SELECT n_regionkey,
+        string_agg(n_name, '|' ORDER BY n_name) AS names,
+        COUNT(*) AS n
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """.stripMargin.trim))
+
+  /** Boolean aggregate pack — count_if / bool_and / bool_or per group
+    * (the predicate-rollup surface): flags surfaced as BIGINT 0/1 for
+    * dtype portability. One hash-aggregate pass, same plan as any
+    * partial+final agg.
+    */
+  val aggBooleanPack: Op = Op(
+    "agg_boolean_pack",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(
+          count_if(col("o_totalprice") > 200000).as("n_big"),
+          bool_and(col("o_totalprice") > 0).cast(LongType).as("all_pos"),
+          bool_or(col("o_totalprice") > 450000).cast(LongType).as("any_huge"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus"),
+    Some("""
+      SELECT o_orderstatus,
+        COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+        CAST(bool_and(o_totalprice > 0) AS BIGINT) AS all_pos,
+        CAST(bool_or(o_totalprice > 450000) AS BIGINT) AS any_huge,
+        COUNT(*) AS n
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """.stripMargin.trim))
+
   /** Deterministic MODE: the most frequent l_quantity per returnflag,
     * ties broken toward the SMALLEST value — neither engine defines its
     * built-in mode()'s tie winner (same class of nondeterminism as bare
@@ -587,7 +637,7 @@ object Aggregates {
   val ops: Seq[Op] = Seq(
     aggPricingSummary, aggFilterClause, aggGlobal, aggCountDistinct, aggApproxDistinct,
     aggSketchMerge, aggHaving, aggArgExtrema, aggStats, aggCorr, aggRegression,
-    aggModeDet,
+    aggModeDet, aggListagg, aggBooleanPack,
     aggGroupingSets, aggRollup, aggCube,
     aggCollectSorted, aggPercentileExact, aggApproxPercentile,
     pivotStatusYear, unpivotMetrics)

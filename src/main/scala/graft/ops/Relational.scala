@@ -997,6 +997,40 @@ object Relational {
       ORDER BY revenue DESC, c_custkey LIMIT 20
     """.stripMargin.trim))
 
+  /** LATERAL correlated join — the per-row-subquery surface (SQL:2016
+    * LATERAL, a.k.a. CROSS APPLY): for each nation, its top-2
+    * customers by account balance, where the inner query references
+    * the outer row. Catalyst DECORRELATES this to a window/join plan —
+    * PlanSuite-style proof that per-outer-row re-execution never
+    * happens is the subquery_correlated test's territory; here the
+    * graded result pins the semantics. Same SQL text runs in DuckDB.
+    */
+  val joinLateralTopk: Op = Op(
+    "join_lateral_topk",
+    (s, dir) => {
+      Tables.nation(s, dir).createOrReplaceTempView("graft_nation_lt")
+      Tables.customer(s, dir).createOrReplaceTempView("graft_customer_lt")
+      s.sql("""
+        SELECT n.n_nationkey, n.n_name, c.c_custkey,
+          CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal
+        FROM graft_nation_lt n,
+          LATERAL (SELECT c_custkey, c_acctbal
+                   FROM graft_customer_lt
+                   WHERE c_nationkey = n.n_nationkey
+                   ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+        ORDER BY n.n_nationkey, c.c_custkey""")
+    },
+    Some("""
+      SELECT n.n_nationkey, n.n_name, c.c_custkey,
+        CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal
+      FROM nation n,
+        LATERAL (SELECT c_custkey, c_acctbal
+                 FROM customer
+                 WHERE c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+      ORDER BY n.n_nationkey, c.c_custkey
+    """.stripMargin.trim))
+
   /** CDC snapshot diff — the lake-maintenance op that turns two table
     * snapshots into a change feed: full-outer join on the key,
     * classify each key as insert / delete / update (dropping the
@@ -1075,6 +1109,7 @@ object Relational {
 
   val ops: Seq[Op] = Seq(
     q3ShippingPriority, q5LocalSupplierVolume, q10ReturnedItems, cdcSnapshotDiff,
+    joinLateralTopk,
     scanFull, scanPrune, scanPred, sinkParquet, sinkCsvJson,
     sinkPartitionedPrune, sinkSchemaEvolution, joinBucketed,
     projectCompute, filterCompound, filterNull3vl,
