@@ -36,6 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_nearest_cells"),
       new ExpressionInfo(classOf[NearestCells].getName, "graft_nearest_cells"),
       (args: Seq[Expression]) => NearestCells.builder(args)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_chunk_split"),
+      new ExpressionInfo(classOf[ChunkSplit].getName, "graft_chunk_split"),
+      (args: Seq[Expression]) => ChunkSplit(args(0), args(1), args(2))))
     // algebraic identities over the native functions (see SelfDistanceFold)
     ext.injectOptimizerRule(_ => SelfDistanceFold)
   }

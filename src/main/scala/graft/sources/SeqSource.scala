@@ -6,8 +6,9 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -80,11 +81,12 @@ private class SeqTable(rows: Long, parts: Int) extends Table with SupportsRead {
 
 private class SeqScanBuilder(rows: Long, parts: Int)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
   private var required: StructType = SeqSource.schema
   private var lo: Long = 0L          // inclusive id lower bound
   private var hi: Long = rows        // exclusive id upper bound
   private var pushed: Array[Filter] = Array.empty
+  private var aggFuncs: Seq[String] = Nil  // "count" | "min" | "max", in output order
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -112,8 +114,88 @@ private class SeqScanBuilder(rows: Long, parts: Int)
 
   override def pushedFilters(): Array[Filter] = pushed
 
+  /** Aggregate pushdown (`SupportsPushDownAggregates`) — the most
+    * powerful DSv2 hook: ungrouped COUNT(*) / COUNT(id) / MIN(id) /
+    * MAX(id) are answered from the (already filter-narrowed) id range
+    * IN O(1), so the "scan" emits ONE row and zero data moves — the
+    * DSv2 equivalent of parquet footer statistics, and what a 100 TB
+    * connector does for metadata-answerable queries. Complete pushdown
+    * is declared only for the exactly-translatable shape (no grouping,
+    * every aggregate on the non-null generated id), so Spark elides its
+    * own Aggregate node entirely; anything else is declined and planned
+    * normally.
+    */
+  private def translate(agg: Aggregation): Option[Seq[String]] = {
+    if (agg.groupByExpressions.nonEmpty) return None
+    def isId(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case r: NamedReference => r.fieldNames.sameElements(Array("id"))
+        case _ => false
+      }
+    val fns = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some("count")
+      case c: Count if !c.isDistinct && isId(c.column) => Some("count")
+      case m: Min if isId(m.column) => Some("min")
+      case m: Max if isId(m.column) => Some("max")
+      case _ => None
+    }
+    if (fns.nonEmpty && fns.forall(_.isDefined)) Some(fns.flatten) else None
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    translate(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    translate(agg) match {
+      case Some(fns) => aggFuncs = fns; true
+      case None => false
+    }
+
   override def build(): Scan =
-    new SeqScan(rows, lo, math.max(lo, hi), parts, required)
+    if (aggFuncs.nonEmpty) new SeqAggScan(lo, math.max(lo, hi), aggFuncs)
+    else new SeqScan(rows, lo, math.max(lo, hi), parts, required)
+}
+
+/** One-row, one-partition scan answering a fully-pushed aggregation
+  * from range arithmetic: count = hi−lo, min = lo, max = hi−1 (min/max
+  * NULL on an empty range, count 0 — standard SQL aggregate semantics).
+  */
+private class SeqAggScan(lo: Long, hi: Long, funcs: Seq[String])
+    extends Scan with Batch {
+  override def readSchema(): StructType = StructType(funcs.zipWithIndex.map {
+    case (f, i) => StructField(s"${f}_$i", LongType, nullable = f != "count")
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_seq agg [$lo, $hi) -> ${funcs.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SeqPartition(lo, hi))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SeqAggReaderFactory(funcs)
+}
+
+/** Serializable factory for the pushed-aggregate scan (a factory must
+  * ship to executors; an inner class would drag the Scan along). */
+private class SeqAggReaderFactory(funcs: Seq[String])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val sp = p.asInstanceOf[SeqPartition]
+    val empty = sp.end <= sp.start
+    val values: Array[Any] = funcs.map {
+      case "count" => if (empty) 0L else sp.end - sp.start
+      case "min" => if (empty) null else sp.start
+      case "max" => if (empty) null else sp.end - 1
+    }.toArray
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
+      override def close(): Unit = ()
+    }
+  }
 }
 
 private class SeqScan(rows: Long, lo: Long, hi: Long, parts: Int,

@@ -35,6 +35,17 @@ class ExtensionsSuite extends AnyFunSuite {
     assert(row.getDouble(0) == 1.0)
     assert(row.getInt(1) == 2)
 
+    // the injected GENERATOR resolves from SQL too (table-function
+    // position), same analyzer path as explode
+    val chunks = s.sql(
+      """SELECT chunk_id, chunk
+        |FROM (SELECT array('a','b','c','d','e') AS tk)
+        |LATERAL VIEW graft_chunk_split(tk, 3, 2) AS chunk_id, chunk
+      """.stripMargin).collect()
+    assert(chunks.map(r =>
+      r.getLong(0) -> r.getSeq[String](1).mkString("")).toSeq ==
+      Seq(0L -> "abc", 1L -> "cde", 2L -> "e"))
+
     // the injected optimizer rule folds graft_sqdist(x, x) to a
     // null-preserving 0.0 — assert both the REWRITE (no sqdist left in
     // the optimized plan) and the SEMANTICS (0.0 on a value, null on a

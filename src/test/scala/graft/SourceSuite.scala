@@ -58,4 +58,35 @@ class SourceSuite extends AnyFunSuite {
     val e = intercept[Exception](seq(100, 0).count())
     assert(e.getMessage.contains("parts"), e.getMessage)
   }
+
+  test("ungrouped count/min/max push down COMPLETELY: one row from range arithmetic, no Aggregate node") {
+    val df = seq(1000, 8)
+      .filter(col("id") >= 100 && col("id") < 900)
+      .agg(count(col("id")).as("n"), min(col("id")).as("lo"), max(col("id")).as("hi"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_seq agg"),
+      s"aggregation not pushed into the source:\n$plan")
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"complete pushdown should elide Spark's Aggregate:\n$plan")
+    assert(df.collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      == Seq((800L, 100L, 899L)))
+  }
+
+  test("grouped or untranslatable aggregates are declined and planned normally") {
+    val grouped = seq(100, 2).groupBy("tag").agg(count(lit(1)).as("n"))
+    assert(grouped.queryExecution.executedPlan.toString.contains("HashAggregate"),
+      "grouped agg must fall back to Spark's aggregate")
+    assert(grouped.collect().map(_.getLong(1)).sum == 100)
+    val onVal = seq(100, 2).agg(sum(col("val")))
+    assert(onVal.queryExecution.executedPlan.toString.contains("HashAggregate"),
+      "SUM(val) is not range-answerable and must be declined")
+    assert(onVal.collect()(0).getDouble(0) == (0 until 100).map(_ * 0.5).sum)
+  }
+
+  test("aggregate pushdown on an empty pushed range: count 0, null extrema") {
+    val df = seq(1000, 4).filter(col("id") >= 500 && col("id") < 500)
+      .agg(count(col("id")), min(col("id")), max(col("id")))
+    val r = df.collect()(0)
+    assert(r.getLong(0) == 0L && r.isNullAt(1) && r.isNullAt(2))
+  }
 }
