@@ -844,11 +844,14 @@ object Relational {
     * Revenue ties break on l_orderkey so the LIMIT frontier is
     * deterministic in both engines.
     *
-    * Scale shape: customer(filtered) is small → broadcast into orders;
-    * orders⋈lineitem is the one big co-keyed shuffle; the rank moves 10
-    * rows per partition. At 100 TB this plan is exactly TPC-H's
-    * reference shape — no step materializes more than the filtered
-    * join output.
+    * Scale shape: customer(filtered) is small at this SF and the
+    * planner broadcasts it into orders (PlanSuite-asserted) — but the
+    * choice is left to AQE ON PURPOSE: customer SCALES with the data,
+    * so a hard broadcast() hint would be a 100 TB OOM; AQE flips this
+    * exact plan to a shuffled join when the filtered side outgrows the
+    * threshold. orders⋈lineitem is the one big co-keyed shuffle; the
+    * rank moves 10 rows per partition. At 100 TB this plan is exactly
+    * TPC-H's reference shape.
     */
   val q3ShippingPriority: Op = Op(
     "q3_shipping_priority",
@@ -865,7 +868,7 @@ object Relational {
           (dec2(col("l_extendedprice")) *
             (lit(1) - rate2(col("l_discount"))).cast(DecimalType(4, 2)))
             .cast(DecimalType(18, 4)).as("rev"))
-      broadcast(cust).join(ord, col("c_custkey") === col("o_custkey"))
+      cust.join(ord, col("c_custkey") === col("o_custkey"))
         .join(li, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("l_orderkey"), fmtDay(col("o_orderdate")).as("o_orderdate"),
           col("o_orderpriority"))
@@ -899,7 +902,11 @@ object Relational {
     *
     * Scale shape: the canonical demonstration that dimension joins are
     * FREE at any scale (broadcast) and only the fact-fact shuffles pay
-    * — exactly the plan a 100 TB star schema wants.
+    * — exactly the plan a 100 TB star schema wants. Only the
+    * CONSTANT-size dimensions (region 5 rows, nation 25 — fixed at
+    * every SF) carry broadcast() hints; supplier SCALES with the data,
+    * so its join is left to AQE (it broadcasts here, shuffles at
+    * 100 TB — a hard hint would OOM).
     */
   val q5LocalSupplierVolume: Op = Op(
     "q5_local_supplier_volume",
@@ -909,9 +916,9 @@ object Relational {
           broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
           col("n_regionkey") === col("r_regionkey"))
           .select("n_nationkey", "n_name"))
-      val supp = broadcast(Tables.supplier(s, dir)
+      val supp = Tables.supplier(s, dir)
         .join(asiaNations, col("s_nationkey") === col("n_nationkey"))
-        .select(col("s_suppkey"), col("s_nationkey"), col("n_name")))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
       val ord = Tables.orders(s, dir)
         .filter(col("o_orderdate") >= lit("1996-01-01") &&
           col("o_orderdate") < lit("1997-01-01"))
