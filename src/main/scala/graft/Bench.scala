@@ -29,11 +29,15 @@ object Bench {
     // per-query map is sorted ASCENDING by duration so the truncated head
     // drops only the fastest (least interesting) queries. 3-decimal values
     // keep the line as short as possible.
+    // Locale.ROOT: f"%.3f" under a comma-decimal default locale would
+    // emit 0,123 and break the JSON line for every downstream parser
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.toSeq.sortBy(_._2)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","value":${f"$total%.3f"}}""")
+    println(s"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","value":${f3(total)}}""")
     spark.stop()
   }
 }

@@ -152,16 +152,14 @@ object EventTime {
     * same copy within a run; a fresh session always rewrites, so a
     * changed fixture can never be served stale across driver runs.
     */
-  private val replaySrcWritten =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), String]()
+  private val replaySrcWritten = new SessionArtifact[String]
   private def replaySrc(s: org.apache.spark.sql.SparkSession, dir: String): String =
-    replaySrcWritten.computeIfAbsent(
-      (System.identityHashCode(s.sparkContext), dir), { _ =>
-        val p = s"${sys.props("java.io.tmpdir")}/graft_scratch/stream_replay_" +
-          dir.replaceAll("[^A-Za-z0-9]", "_")
-        Tables.events(s, dir).write.mode("overwrite").parquet(p)
-        p
-      })
+    replaySrcWritten(s, dir) {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_scratch/stream_replay_" +
+        SessionArtifact.dirTag(dir)
+      Tables.events(s, dir).write.mode("overwrite").parquet(p)
+      p
+    }
 
   /** Runs `agg` as a REAL Structured Streaming query (MicroBatchExecution,
     * state store, AvailableNow trigger) into a memory sink and returns the
@@ -268,6 +266,32 @@ object EventTime {
         .orderBy("user_id", "sess_start")
     },
     streamSession.oracle)
+
+  /** TRUE-STREAMING twin of `stream_sliding`, graded — completes the
+    * replay family across all four window types (tumbling, dedup state,
+    * merging sessions, OVERLAPPING sliding): each event updates FOUR
+    * window states per micro-batch, the state-store write-amplification
+    * case; complete mode must still reproduce the batch twin
+    * bit-for-bit under any micro-batch split. SAME oracle as the batch
+    * form.
+    */
+  val streamReplaySliding: Op = Op(
+    "stream_replay_sliding",
+    (s, dir) => {
+      val src = replaySrc(s, dir)
+      val agg = s.readStream.schema(Tables.expectedSchemas("events")).parquet(src)
+        .select(col("ts"), col("event_type"), dec2(col("value")).as("v"))
+        .groupBy(
+          window(col("ts"), "1 hour", "15 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), sumMoney(col("v")).as("sum_value"))
+        .select(
+          col("w.start").cast(LongType).as("win_start"),
+          col("event_type"), col("n"), col("sum_value"))
+      runReplay(s, "graft_stream_replay_sliding", agg, "complete")
+        .orderBy("win_start", "event_type")
+    },
+    streamSliding.oracle)
 
   /** Cohort retention — the standard event-analytics matrix: users
     * cohorted by their FIRST active day, then counted at each day
@@ -669,6 +693,7 @@ object EventTime {
   val ops: Seq[Op] = Seq(
     streamTumbling, streamSliding, streamSession, streamDedupKeys,
     streamReplayTumbling, streamReplayDedup, streamReplaySession,
+    streamReplaySliding,
     eventsCohortRetention,
     eventsSessionize, eventsFunnel, timeseriesGapfill, eventsAttribution,
     eventsTransitions, eventsAnomalyZscore)

@@ -48,4 +48,20 @@ object Op {
     * avoid colliding with Spark 4's `functions.sec`.
     */
   def fmtSec(c: Column): Column = date_format(date_trunc("second", c), "yyyy-MM-dd HH:mm:ss")
+
+  /** TPC-H discounted revenue `l_extendedprice·(1−l_discount)` through
+    * the exact decimal chain (DECIMAL(12,2) × DECIMAL(4,2) →
+    * DECIMAL(18,4)) — ONE definition for the Q-series ops, with
+    * `revenueSql` the verbatim DuckDB chain their oracles embed: the
+    * precision/scale ladder is the part most likely to need a
+    * coordinated cross-engine fix, so it must not fork per query.
+    */
+  def revenue: Column =
+    (dec2(col("l_extendedprice")) *
+      (lit(1) - rate2(col("l_discount"))).cast(DecimalType(4, 2)))
+      .cast(DecimalType(18, 4))
+  val revenueSql: String =
+    "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+      "CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)) " +
+      "AS DECIMAL(18,4))"
 }

@@ -63,8 +63,7 @@ object Relational {
   /** Tracks which (session, fixture dir) pairs already wrote the bucketed
     * tables for `join_bucketed` — the write is the op's "once at write
     * time" cost and must not repeat per build. */
-  private val bucketedWritten =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), String]()
+  private val bucketedWritten = new SessionArtifact[String]
 
   /** Writes a derived table to a temp dir, reads it back (parquet
     * sink+source). ORACLE-CHECKED against the ORIGINAL table (round-7,
@@ -206,26 +205,26 @@ object Relational {
       // write therefore happens once per (session, fixture dir) — exactly
       // the deployment lifecycle — instead of on every build (plan audits
       // and repeated runs within a session reuse the tables).
-      // table names carry a fixture-dir tag so two dirs in one session
-      // can't serve each other stale buckets
-      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-      bucketedWritten.computeIfAbsent(
-        (System.identityHashCode(s.sparkContext), dir), { _ =>
-          val tmp = scratch(s"bucketed_$tag")
-          def writeBucketed(df: DataFrame, key: String, table: String): Unit = {
-            s.sql(s"DROP TABLE IF EXISTS $table")
-            df.write.mode("overwrite")
-              .bucketBy(8, key).sortBy(key)
-              .option("path", s"$tmp/$table")
-              .format("parquet")
-              .saveAsTable(table)
-          }
-          writeBucketed(Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice"),
-            "o_orderkey", s"graft_b_orders_$tag")
-          writeBucketed(Tables.lineitem(s, dir).select("l_orderkey", "l_linenumber", "l_quantity"),
-            "l_orderkey", s"graft_b_lineitem_$tag")
-          tmp
-        })
+      // table names carry a COLLISION-FREE fixture-dir tag (sanitized
+      // path + path hash, see SessionArtifact.dirTag) so two dirs in
+      // one session can't serve each other stale buckets
+      val tag = SessionArtifact.dirTag(dir)
+      bucketedWritten(s, dir) {
+        val tmp = scratch(s"bucketed_$tag")
+        def writeBucketed(df: DataFrame, key: String, table: String): Unit = {
+          s.sql(s"DROP TABLE IF EXISTS $table")
+          df.write.mode("overwrite")
+            .bucketBy(8, key).sortBy(key)
+            .option("path", s"$tmp/$table")
+            .format("parquet")
+            .saveAsTable(table)
+        }
+        writeBucketed(Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice"),
+          "o_orderkey", s"graft_b_orders_$tag")
+        writeBucketed(Tables.lineitem(s, dir).select("l_orderkey", "l_linenumber", "l_quantity"),
+          "l_orderkey", s"graft_b_lineitem_$tag")
+        tmp
+      }
       s.table(s"graft_b_lineitem_$tag")
         .join(s.table(s"graft_b_orders_$tag"),
           col("l_orderkey") === col("o_orderkey"))
@@ -864,10 +863,7 @@ object Relational {
         .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
       val li = Tables.lineitem(s, dir)
         .filter(col("l_shipdate") > lit(cutoff))
-        .select(col("l_orderkey"),
-          (dec2(col("l_extendedprice")) *
-            (lit(1) - rate2(col("l_discount"))).cast(DecimalType(4, 2)))
-            .cast(DecimalType(18, 4)).as("rev"))
+        .select(col("l_orderkey"), revenue.as("rev"))
       cust.join(ord, col("c_custkey") === col("o_custkey"))
         .join(li, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("l_orderkey"), fmtDay(col("o_orderdate")).as("o_orderdate"),
@@ -876,12 +872,10 @@ object Relational {
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     },
-    Some("""
+    Some(s"""
       SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
         o_orderpriority,
-        CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
-          CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))
-          AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        CAST(SUM($revenueSql) AS DOUBLE) AS revenue
       FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
@@ -924,10 +918,8 @@ object Relational {
           col("o_orderdate") < lit("1997-01-01"))
         .select("o_orderkey", "o_custkey")
       val cust = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
-      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"),
-        (dec2(col("l_extendedprice")) *
-          (lit(1) - rate2(col("l_discount"))).cast(DecimalType(4, 2)))
-          .cast(DecimalType(18, 4)).as("rev"))
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), revenue.as("rev"))
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(cust, col("o_custkey") === col("c_custkey"))
         .join(supp, col("l_suppkey") === col("s_suppkey") &&
@@ -936,11 +928,9 @@ object Relational {
         .agg(sumMoney(col("rev")).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     },
-    Some("""
+    Some(s"""
       SELECT n_name,
-        CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
-          CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))
-          AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        CAST(SUM($revenueSql) AS DOUBLE) AS revenue
       FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -971,10 +961,7 @@ object Relational {
         .select("o_orderkey", "o_custkey")
       val li = Tables.lineitem(s, dir)
         .filter(col("l_returnflag") === "R")
-        .select(col("l_orderkey"),
-          (dec2(col("l_extendedprice")) *
-            (lit(1) - rate2(col("l_discount"))).cast(DecimalType(4, 2)))
-            .cast(DecimalType(18, 4)).as("rev"))
+        .select(col("l_orderkey"), revenue.as("rev"))
       Tables.customer(s, dir)
         .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
         .join(ord, col("c_custkey") === col("o_custkey"))
@@ -987,11 +974,9 @@ object Relational {
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     },
-    Some("""
+    Some(s"""
       SELECT c_custkey, c_name, n_name,
-        CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
-          CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))
-          AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        CAST(SUM($revenueSql) AS DOUBLE) AS revenue,
         CAST(CAST(MIN(c_acctbal) AS DECIMAL(12,2)) AS DOUBLE) AS c_acctbal
       FROM customer
         JOIN orders ON c_custkey = o_custkey

@@ -82,9 +82,16 @@ class InvariantSuite extends AnyFunSuite {
       .groupBy("source").agg(sum(size(split(col("text"), " "))).as("toks"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(packTotals.keySet == rawTotals.keySet)
+    // contiguity holds only while no single doc spans a full 2048-token
+    // window (such a doc legitimately leaves a pack with no STARTING
+    // doc) — guard on the fixture's max doc length so a regenerated
+    // fixture with longer docs can't turn a correct output into a red
+    val maxDoc = Tables.documents(s, sf)
+      .agg(max(size(split(col("text"), " ")))).collect()(0).getInt(0)
     packTotals.foreach { case (src, (toks, hiPack, nPacks)) =>
       assert(toks == rawTotals(src), s"$src: packed $toks != raw ${rawTotals(src)}")
-      assert(hiPack == nPacks - 1, s"$src: pack ids not contiguous from 0")
+      if (maxDoc <= 2048)
+        assert(hiPack == nPacks - 1, s"$src: pack ids not contiguous from 0")
     }
   }
 

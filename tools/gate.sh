@@ -24,8 +24,14 @@ SPARK_GRAFT_CPUS=1 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/g
 python3 - <<'EOF'
 import duckdb, os
 con = duckdb.connect()
+# GK percentile summaries are partition-structure-dependent WITHIN their
+# rank tolerance: CPUS=1 vs 4 may legally return different (equally
+# valid) order statistics, so bit-comparing this op is not a correctness
+# signal (PropertySuite bounds it against exact order statistics instead)
+SKETCH_TOLERANT = {"agg_approx_percentile"}
 names = sorted(d for d in os.listdir('/tmp/gate_sf0.01')
-               if os.path.isdir(f'/tmp/gate_sf0.01/{d}'))
+               if os.path.isdir(f'/tmp/gate_sf0.01/{d}')
+               and d not in SKETCH_TOLERANT)
 for n in names:
     a = con.execute(f"SELECT * FROM read_parquet('/tmp/gate_sf0.01/{n}/*.parquet')").fetchall()
     b = con.execute(f"SELECT * FROM read_parquet('/tmp/gate_p1/{n}/*.parquet')").fetchall()
