@@ -510,6 +510,41 @@ object Relational {
               ON p.user_id = c.user_id AND c.ts <= p.ts
             ORDER BY purchase_id"""))
 
+  /** FORWARD as-of join — the mirror direction `join_asof` can't serve:
+    * for each purchase, the EARLIEST click of the same user at-or-AFTER
+    * it (the "next touch" lookup: post-purchase behavior, retry
+    * matching, next-reading sensor alignment). Same union-tag single
+    * shuffle, with the window frame flipped to [current, following] and
+    * `first(ignoreNulls)`; at equal ts the purchase sorts first so the
+    * boundary is inclusive, matching the oracle's `c.ts >= p.ts`
+    * (DuckDB ASOF takes the >= direction natively).
+    */
+  val joinAsofForward: Op = Op(
+    "join_asof_forward",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val clicks = e.filter(col("event_type") === "click").select(
+        col("user_id"), col("ts"),
+        col("event_id").as("click_id"), lit(null).cast(LongType).as("purchase_id"))
+      val purchases = e.filter(col("event_type") === "purchase").select(
+        col("user_id"), col("ts"),
+        lit(null).cast(LongType).as("click_id"), col("event_id").as("purchase_id"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("purchase_id").isNull,
+          coalesce(col("click_id"), col("purchase_id")))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      clicks.union(purchases)
+        .withColumn("next_click", first(col("click_id"), ignoreNulls = true).over(w))
+        .filter(col("purchase_id").isNotNull && col("next_click").isNotNull)
+        .select(col("purchase_id"), col("next_click").as("click_id"))
+        .orderBy("purchase_id")
+    },
+    Some("""SELECT p.event_id AS purchase_id, c.event_id AS click_id
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND c.ts >= p.ts
+            ORDER BY purchase_id"""))
+
   /** Correlated subqueries through the library's SQL surface: a
     * correlated scalar COUNT and a correlated EXISTS per outer row.
     * This is deliberately `spark.sql` over temp views — the point is
@@ -1108,6 +1143,7 @@ object Relational {
     joinInnerEqui, joinBroadcast, joinSortMerge, joinLeftOuter, joinRightOuter,
     joinFullOuter,
     joinSemi, joinAnti, joinCross, joinThetaRange, joinInterval, joinAsof,
+    joinAsofForward,
     joinSkewSalted, mergeUpsert, mergeScd2, subqueryCorrelated, sampleHashPct, sampleStratified,
     sortMultiNulls, limitTopk,
     setUnionAll, setUnionDistinct, setIntersect, setExcept,
