@@ -17,9 +17,18 @@ object Bench {
     // iteration order used to reshuffle the run order — and the
     // cold-start penalty — every time a query was added; BASELINE.md
     // records the round-4 llm_dedup_exact misdiagnosis that caused).
-    try { SparkEntry.queries("agg_global")(spark, sfDir).count() }
-    catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Warm up with the FIRST query in sorted order (the same one that
+    // would otherwise absorb the startup cost), so the warmup can never
+    // silently vanish when a particular query key is renamed or removed.
+    // A warmup failure is loud on stderr (stdout stays the pure JSON line).
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    sorted.headOption match {
+      case None => System.err.println("BENCH WARNING: query map is empty; no warmup ran")
+      case Some((wname, wfn)) =>
+        try { wfn(spark, sfDir).count() }
+        catch { case e: Throwable => System.err.println(s"BENCH WARNING: warmup query '$wname' failed: $e") }
+    }
+    val results = sorted.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -655,7 +655,14 @@ object EventTime {
         .agg(count(lit(1)).as("n"))
         .withColumn("k", count("n").over(w))
         .withColumn("s1", sum("n").over(w))
-        .withColumn("s2", sum(col("n") * col("n")).over(w))
+        // n² and its 24-row sum accumulate in exact decimal, not LongType:
+        // a long n*n silently wraps once an hourly bucket passes ~3.0e9
+        // events (plausible at 100 TB). Decimal(18,0)² → (37,0), window
+        // sum → (38,0) — all exact; the cast to double below is the same
+        // value either way at any scale where z is meaningful.
+        .withColumn("s2",
+          sum(col("n").cast(DecimalType(18, 0)) *
+            col("n").cast(DecimalType(18, 0))).over(w))
         .filter(col("k") === 24)
         .withColumn("mu", col("s1").cast(DoubleType) / 24)
         .withColumn("variance",

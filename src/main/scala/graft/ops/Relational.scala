@@ -504,10 +504,19 @@ object Relational {
         .select(col("purchase_id"), col("last_click").as("click_id"))
         .orderBy("purchase_id")
     },
-    Some("""SELECT p.event_id AS purchase_id, c.event_id AS click_id
-            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-            ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
-              ON p.user_id = c.user_id AND c.ts <= p.ts
+    // Window-based oracle instead of native ASOF JOIN: ASOF has no
+    // tie-break when two clicks share the boundary ts, while the Spark
+    // formulation deterministically takes the LARGEST click_id at the
+    // latest qualifying ts — the ORDER BY below pins that exactly, so
+    // the oracle stays stable even on second-granularity fixtures.
+    Some("""SELECT purchase_id, click_id FROM (
+              SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+                     ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                        ORDER BY c.ts DESC, c.event_id DESC) AS rn
+              FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+              JOIN (SELECT * FROM events WHERE event_type = 'click') c
+                ON p.user_id = c.user_id AND c.ts <= p.ts)
+            WHERE rn = 1
             ORDER BY purchase_id"""))
 
   /** FORWARD as-of join — the mirror direction `join_asof` can't serve:
@@ -539,10 +548,17 @@ object Relational {
         .select(col("purchase_id"), col("next_click").as("click_id"))
         .orderBy("purchase_id")
     },
-    Some("""SELECT p.event_id AS purchase_id, c.event_id AS click_id
-            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-            ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
-              ON p.user_id = c.user_id AND c.ts >= p.ts
+    // Window-based oracle (not native ASOF) for the same tie-break
+    // reason as join_asof: Spark takes the SMALLEST click_id at the
+    // earliest qualifying ts; ASOF would pick an arbitrary tied row.
+    Some("""SELECT purchase_id, click_id FROM (
+              SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+                     ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                        ORDER BY c.ts, c.event_id) AS rn
+              FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+              JOIN (SELECT * FROM events WHERE event_type = 'click') c
+                ON p.user_id = c.user_id AND c.ts >= p.ts)
+            WHERE rn = 1
             ORDER BY purchase_id"""))
 
   /** Correlated subqueries through the library's SQL surface: a

@@ -470,7 +470,10 @@ object Scalars {
         FROM documents
       )
       SELECT doc_id, tok FROM (
-        SELECT doc_id, NULL AS tok FROM d WHERE len(lw) = 0
+        -- lw IS NULL: a NULL text row must keep its (doc_id, NULL) row to
+        -- match explode_outer; without this branch both len() predicates
+        -- are NULL-false and the oracle would silently drop the row.
+        SELECT doc_id, NULL AS tok FROM d WHERE lw IS NULL OR len(lw) = 0
         UNION ALL
         SELECT doc_id, unnest(lw) AS tok FROM d WHERE len(lw) > 0)
       ORDER BY doc_id, tok NULLS FIRST
