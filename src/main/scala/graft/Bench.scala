@@ -17,9 +17,14 @@ object Bench {
     // iteration order used to reshuffle the run order — and the
     // cold-start penalty — every time a query was added; BASELINE.md
     // records the round-4 llm_dedup_exact misdiagnosis that caused).
-    // Warm up with the FIRST query in sorted order (the same one that
-    // would otherwise absorb the startup cost), so the warmup can never
-    // silently vanish when a particular query key is renamed or removed.
+    // Warm up with the FIRST query in sorted order (rename-proof: no
+    // fixed key that could silently vanish), then time that query LAST
+    // instead of first — timed immediately after its own warmup run it
+    // would enjoy a private input-page-cache + JIT advantage no other
+    // query gets (round-8 ADVICE); timed last, 100+ intervening queries
+    // separate the warmup from its measurement. Every other query keeps
+    // its sorted-order position (shifted one earlier), so per-query
+    // times stay comparable across rounds as the set grows.
     // A warmup failure is loud on stderr (stdout stays the pure JSON line).
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
     sorted.headOption match {
@@ -28,7 +33,8 @@ object Bench {
         try { wfn(spark, sfDir).count() }
         catch { case e: Throwable => System.err.println(s"BENCH WARNING: warmup query '$wname' failed: $e") }
     }
-    val results = sorted.map { case (name, fn) =>
+    val runOrder = if (sorted.isEmpty) sorted else sorted.tail :+ sorted.head
+    val results = runOrder.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

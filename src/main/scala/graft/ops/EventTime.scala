@@ -166,6 +166,13 @@ object EventTime {
     * sink table. The driver grades the RESULT like any batch query — this
     * is what puts true streaming on the correctness scoreboard instead of
     * test-only (round-5 verdict "What's missing" #3).
+    *
+    * The memory sink is driver-resident, which is legitimate here ONLY
+    * because it holds the RESULT, and every replay's result is
+    * output-bounded — calendar-bounded window cells or user sessions
+    * (≤3 600 rows at any SF), never raw data. Do not pattern-match this
+    * to a driver-side collect of the stream: an unbounded deployment
+    * replaces it with a file/table sink in update mode + watermark.
     */
   private def runReplay(s: org.apache.spark.sql.SparkSession, qname: String,
       agg: DataFrame, mode: String): DataFrame = {
@@ -682,7 +689,11 @@ object EventTime {
         SELECT h, event_type, n,
           COUNT(n) OVER w AS k,
           CAST(SUM(n) OVER w AS BIGINT) AS s1,
-          CAST(SUM(n * n) OVER w AS BIGINT) AS s2
+          -- HUGEINT mirrors the Spark side's exact-decimal Σn² guard: a
+          -- BIGINT n*n would overflow once an hourly bucket passes ~3.0e9
+          -- events; s2 only ever feeds CAST(... AS DOUBLE), so the wider
+          -- type never reaches the output schema.
+          SUM(CAST(n AS HUGEINT) * n) OVER w AS s2
         FROM hourly
         WINDOW w AS (PARTITION BY event_type ORDER BY h
                      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)

@@ -305,8 +305,15 @@ object Relational {
             FROM customer JOIN orders ON c_custkey = o_custkey
             ORDER BY o_orderkey"""))
 
-  /** Explicit broadcast of the dimension side — at 100 TB supplier stays
-    * small relative to lineitem, so this avoids shuffling the fact table.
+  /** Explicit broadcast of the dimension side. The hint IS this op's
+    * declared purpose (SURVEY §2.3: pin BroadcastHashJoinExec), but note
+    * honestly: supplier SCALES with SF (1 000 rows at sf0.1), so a hard
+    * broadcast() on it is only safe while the side fits the driver +
+    * executor memory budget (rule of thumb: ≲ a few hundred MB). At
+    * 100 TB a deployment drops the hint and relies on AQE, which
+    * broadcasts when the built side is under the threshold and falls
+    * back to a shuffled join when it isn't — exactly the policy q3/q5
+    * follow (see q3ShippingPriority's scaladoc).
     */
   val joinBroadcast: Op = Op(
     "join_broadcast",
