@@ -605,6 +605,109 @@ object Relational {
       ORDER BY o_orderkey
     """.stripMargin.trim))
 
+  /** TPC-H Q17 shape — correlated scalar AVG against the SAME fact the
+    * outer query scans: lineitems whose quantity falls below 20% of
+    * their part's average order quantity, revenue rolled up per brand.
+    * This is the decorrelation shape `subquery_correlated` doesn't
+    * cover: a correlated scalar AGGREGATE over a joined inner, which
+    * Catalyst's RewriteCorrelatedScalarSubquery turns into a per-key
+    * aggregate + join — the subquery a user writes per-row executes as
+    * ONE extra aggregation pass over lineitem (PlanSuite-asserted: no
+    * subquery survives to the physical plan).
+    *
+    * Determinism: l_quantity is integer-valued (1..50 doubles), so the
+    * per-part AVG is an exact-rational double in any summation order
+    * and `0.2 * avg` is a single IEEE multiply — both engines compute
+    * the identical threshold. Revenue goes through the exact decimal
+    * chain; the final /7.0 is one double divide, rounded to 6 dp.
+    *
+    * Scale shape: both lineitem passes are partial+final hash
+    * aggregates; the per-part average joins back on l_partkey
+    * (high-cardinality, well spread), and the brand rollup is 25 rows.
+    */
+  val q17SmallQuantity: Op = Op(
+    "q17_small_quantity",
+    (s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("g_q17_lineitem")
+      Tables.part(s, dir).createOrReplaceTempView("g_q17_part")
+      s.sql("""
+        SELECT p_brand, COUNT(*) AS n_small,
+          ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0, 6)
+            AS avg_yearly
+        FROM g_q17_lineitem l JOIN g_q17_part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                              FROM g_q17_lineitem l2
+                              WHERE l2.l_partkey = p.p_partkey)
+        GROUP BY p_brand
+        ORDER BY p_brand
+      """)
+    },
+    Some("""
+      SELECT p_brand, COUNT(*) AS n_small,
+        ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0, 6)
+          AS avg_yearly
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                            FROM lineitem l2
+                            WHERE l2.l_partkey = p.p_partkey)
+      GROUP BY p_brand
+      ORDER BY p_brand
+    """.stripMargin.trim))
+
+  /** TPC-H Q18 shape — IN-subquery over a HAVING aggregate: orders whose
+    * total lineitem quantity exceeds the threshold, with customer
+    * attributes and the quantity rolled up per order, top 100 by order
+    * value. The second missing decorrelation shape: Catalyst rewrites
+    * the IN (SELECT ... GROUP BY ... HAVING ...) into a semi join
+    * against the aggregated-and-filtered subquery — never a per-row
+    * membership probe (PlanSuite-asserted).
+    *
+    * Determinism: quantity sums are exact (integer-valued doubles);
+    * o_totalprice passes through unchanged (no arithmetic — §5.3 allows
+    * raw doubles that are compared, not computed); ties on the LIMIT
+    * frontier break on o_orderkey.
+    *
+    * Scale shape: the HAVING aggregate is one partial+final pass over
+    * lineitem keyed on l_orderkey; the semi join and the outer
+    * lineitem join share that same co-keyed shuffle key; customer
+    * attaches on o_custkey; the top-100 is TakeOrderedAndProject.
+    */
+  val q18LargeOrders: Op = Op(
+    "q18_large_orders",
+    (s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("g_q18_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("g_q18_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("g_q18_lineitem")
+      s.sql("""
+        SELECT c_name, c_custkey, o_orderkey,
+          date_format(o_orderdate, 'yyyy-MM-dd') AS order_day,
+          o_totalprice, SUM(l_quantity) AS sum_qty
+        FROM g_q18_customer c
+          JOIN g_q18_orders o ON c.c_custkey = o.o_custkey
+          JOIN g_q18_lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (SELECT l_orderkey FROM g_q18_lineitem
+                               GROUP BY l_orderkey
+                               HAVING SUM(l_quantity) > 250)
+        GROUP BY c_name, c_custkey, o_orderkey, order_day, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+      """)
+    },
+    Some("""
+      SELECT c_name, c_custkey, o_orderkey,
+        strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+        o_totalprice, SUM(l_quantity) AS sum_qty
+      FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                             GROUP BY l_orderkey
+                             HAVING SUM(l_quantity) > 250)
+      GROUP BY c_name, c_custkey, o_orderkey, order_day, o_totalprice
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 100
+    """.stripMargin.trim))
+
   // ---- §2.6 sorts / limits ------------------------------------------------
 
   val sortMultiNulls: Op = Op(
@@ -1167,7 +1270,8 @@ object Relational {
     joinFullOuter,
     joinSemi, joinAnti, joinCross, joinThetaRange, joinInterval, joinAsof,
     joinAsofForward,
-    joinSkewSalted, mergeUpsert, mergeScd2, subqueryCorrelated, sampleHashPct, sampleStratified,
+    joinSkewSalted, mergeUpsert, mergeScd2, subqueryCorrelated,
+    q17SmallQuantity, q18LargeOrders, sampleHashPct, sampleStratified,
     sortMultiNulls, limitTopk,
     setUnionAll, setUnionDistinct, setIntersect, setExcept,
     setIntersectAll, setExceptAll)

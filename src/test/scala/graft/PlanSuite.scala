@@ -79,6 +79,29 @@ class PlanSuite extends AnyFunSuite {
     assert(joins >= 2, s"expected >=2 join nodes after decorrelation, got $joins")
   }
 
+  test("q17_small_quantity decorrelates the scalar AVG to an aggregate + join") {
+    val p = plan("q17_small_quantity")
+    assert(!p.toLowerCase.contains("scalar-subquery") && !p.contains("Subquery "),
+      s"correlated scalar AVG survived to the physical plan (per-row execution):\n$p")
+    // the rewritten form aggregates lineitem per partkey and joins it
+    // back: at least two joins (part⋈lineitem + avg join) and an extra
+    // aggregate over lineitem must appear
+    val joins = "Join|HashJoin".r.findAllIn(p).length
+    assert(joins >= 2, s"expected >=2 join nodes after decorrelation, got $joins")
+    assert("\\(\\d+\\) HashAggregate".r.findAllIn(p).length >= 4,
+      s"per-part AVG did not plan as its own aggregate pass:\n$p")
+  }
+
+  test("q18_large_orders plans the IN-subquery as a semi join over the HAVING aggregate") {
+    val p = plan("q18_large_orders")
+    assert(!p.toLowerCase.contains("in-subquery") && !p.contains("Subquery "),
+      s"IN-subquery survived to the physical plan (per-row membership probe):\n$p")
+    assert(p.contains("LeftSemi"),
+      s"IN over the aggregated subquery did not become a semi join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 did not plan as TakeOrderedAndProject:\n$p")
+  }
+
   test("agg_filter_clause stays ONE aggregation pass (partial+final, one exchange)") {
     val p = plan("agg_filter_clause")
     // count plan NODES ("(n) HashAggregate" detail headers), not raw
