@@ -1923,6 +1923,67 @@ object LlmOps {
       ORDER BY b.doc_id
     """.stripMargin.trim))
 
+  /** Mixture-weighted source sampling — the step between curation and
+    * packing in every real pretraining pipeline: each corpus SOURCE
+    * contributes to the training mix in proportion to its configured
+    * weight, not its raw size. The mixture config is a tiny broadcast
+    * dimension (tier → weight) joined onto the corpus; each source's
+    * quota is weight × 5 docs, filled in deterministic content-hash
+    * order (md5 of doc_id — partition-invariant and replayable, the
+    * same machinery as `sample_stratified`, which is the fixed-quota
+    * primitive this op generalizes). Realized proportions hit the
+    * targets EXACTLY (property-tested), which rate-based sampling only
+    * achieves in expectation.
+    *
+    * SCALE NOTE: the quota needs a per-source ranking window; at 100 TB
+    * with millions of docs per source, switch the quota fill to the
+    * rate-based hash-threshold form (`sample_hash_pct`) with per-source
+    * rates = target_share / current_share — no ranking, pure row-local
+    * predicate — or two-phase it: hash-threshold to ~1.1× the quota,
+    * then rank only the survivors. The config-join + deterministic-
+    * order semantics stay identical.
+    */
+  val llmMixSources: Op = Op(
+    "llm_mix_sources",
+    (s, dir) => {
+      import s.implicits._
+      val tiers = Seq(("high", 4L), ("mid", 2L), ("low", 1L))
+        .toDF("tier", "weight")
+      val srcNum = substring(col("source"), 4, 10).cast(IntegerType)
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"))
+        .withColumn("tier",
+          when(srcNum < 5, "high").when(srcNum < 10, "mid").otherwise("low"))
+      docs.join(broadcast(tiers), "tier")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy(
+            expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 7), 16, 10) as bigint)"),
+            col("doc_id"))).cast(LongType))
+        .filter(col("rn") <= col("weight") * 5)
+        .select(col("source"), col("tier"), col("weight"), col("rn"), col("doc_id"))
+        .orderBy("source", "rn")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, source,
+          CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 'high'
+               WHEN CAST(substr(source, 4) AS INT) < 10 THEN 'mid'
+               ELSE 'low' END AS tier,
+          CAST(CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 4
+               WHEN CAST(substr(source, 4) AS INT) < 10 THEN 2
+               ELSE 1 END AS BIGINT) AS weight
+        FROM documents
+      ), r AS (
+        SELECT *, row_number() OVER (PARTITION BY source
+          ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT),
+                   doc_id) AS rn
+        FROM t
+      )
+      SELECT source, tier, weight, rn, doc_id FROM r
+      WHERE rn <= weight * 5
+      ORDER BY source, rn
+    """.stripMargin.trim))
+
   /** BPE vocabulary induction, step one: count adjacent-symbol pairs
     * across every word OCCURRENCE in the corpus (the statistic the
     * first byte-pair-encoding merge maximizes) and rank the top 50
@@ -1970,7 +2031,7 @@ object LlmOps {
 
   val ops: Seq[Op] = Seq(
     llmPackSequences, llmRepetitionFilter, llmDocChunk, llmCrossDedup,
-    llmVocabInduce,
+    llmVocabInduce, llmMixSources,
     llmQualityFilter, llmQualityScore, llmTokenCount,
     llmTextStats, llmTextTfidf, llmDedupExact,
     llmDedupNear, llmDedupCluster, llmDedupClusterScale, llmDedupMinhash,

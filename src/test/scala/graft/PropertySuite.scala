@@ -148,6 +148,26 @@ class PropertySuite extends AnyFunSuite {
     assert((fps(1L) & fps(3L)).isEmpty, "disjoint docs should not collide")
   }
 
+  test("llm_mix_sources realized proportions hit the weighted targets exactly") {
+    import org.apache.spark.sql.functions.{col, countDistinct, count}
+    val mix = LlmOps.llmMixSources.build(s, sf).cache()
+    try {
+      // every source fills its quota exactly: weight*5 docs (each source
+      // holds 25 docs at this sf, above the largest quota of 20)
+      val perSource = mix.groupBy("source", "weight")
+        .agg(count(col("doc_id")).as("n")).collect()
+      assert(perSource.nonEmpty)
+      perSource.foreach { r =>
+        assert(r.getAs[Long]("n") == r.getAs[Long]("weight") * 5,
+          s"source ${r.getAs[String]("source")} missed its quota")
+      }
+      // and the mix covers every source (mixing reweights, it never drops)
+      val srcTotal = Tables.documents(s, sf)
+        .agg(countDistinct(col("source"))).head.getLong(0)
+      assert(perSource.length.toLong == srcTotal)
+    } finally mix.unpersist()
+  }
+
   test("llm_dedup_exact partitions the corpus: sum(n_copies) = |documents|") {
     val out = LlmOps.llmDedupExact.build(s, sf).collect()
     assert(out.map(_.getAs[Long]("n_copies")).sum == Tables.documents(s, sf).count())
