@@ -2029,7 +2029,158 @@ object LlmOps {
       WHERE rank <= 50 ORDER BY rank
     """.stripMargin.trim))
 
+  /** One BPE merge application over a space-separated symbol string —
+    * factored out so its run semantics are unit-testable. `pair` is
+    * "x y"; every non-overlapping " x y " occurrence becomes " xy ".
+    * A single replace() pass under-merges back-to-back runs (the match
+    * consumes the shared boundary space, so "x y x y" would leave the
+    * second pair unmerged); running the SAME replace twice completes
+    * them: pass one merges the 1st, 3rd, … occurrences of a run, which
+    * isolates the survivors, and pass two takes the rest. The result
+    * equals reference greedy BPE on runs of any length, including the
+    * x==y case ("a a a" → "aa a"), with no regex lookaround — which
+    * matters because the oracle's RE2 engine has none; plain replace()
+    * is left-to-right non-overlapping in both engines.
+    */
+  private[graft] def bpeApplyMerge(seq: Column, pair: Column): Column = {
+    val from = concat(lit(" "), pair, lit(" "))
+    val to = concat(lit(" "), regexp_replace(pair, " ", ""), lit(" "))
+    val once = call_function("replace", seq, from, to)
+    call_function("replace", once, from, to)
+  }
+
+  /** The iterated BPE trainer — `llm_vocab_induce` is round one's
+    * statistic; this op runs the actual merge LOOP: pick the most
+    * frequent adjacent symbol pair (ties break alphabetically), apply
+    * the merge to every word occurrence, recount on the MERGED symbols,
+    * repeat — k=5 unrolled rounds, emitting the merge table a tokenizer
+    * ships (round, winning pair, new symbol, count at merge time).
+    * Round r's winner depends on rounds 1..r-1's applications, so a
+    * green hash proves the whole sequence, not just the first count.
+    * Words start as space-separated characters; merges apply via
+    * `bpeApplyMerge` (see its scaladoc for why two replace() passes
+    * equal reference greedy BPE).
+    *
+    * Scale shape: each round is ONE corpus-scale pass — symbol-index
+    * explode (never a computed-array Generate) into a partial+final
+    * pair hash-aggregate — plus a 1-row top-1 that rides back in as a
+    * broadcast dimension (the in-plan-N pattern) and a narrow per-row
+    * replace. k rounds = k linear passes; at 100 TB checkpoint the
+    * symbol table per round so lineage doesn't re-derive earlier
+    * rounds (here the re-derivation is k²/2 scans of a tiny corpus —
+    * measured harmless at bench SF).
+    */
+  val llmVocabMerges: Op = Op(
+    "llm_vocab_merges",
+    (s, dir) => {
+      // the ONLY corpus-scale pass: collapse word occurrences to
+      // (distinct word, occurrence count) — the iteration then runs on
+      // VOCABULARY-sized data with counts carried as weights, exactly
+      // how reference BPE trainers scale (pair count = Σ wn over words
+      // containing the pair ≡ the occurrence-level count).
+      val vocab = Tables.documents(s, dir)
+        .select(explode(toks).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("wn"))
+      // each round's symbol table checkpoints (the per-round artifact a
+      // deployment would persist): without it, round r's top-1 subplan
+      // nests the broadcasts of rounds 1..r-1 and the lineage re-derives
+      // earlier rounds multiply (measured 5.7 s warm at sf0.1 on the
+      // occurrence-level form; vocabulary-level with checkpoints runs
+      // one vocab-sized pass per round). The 1-row top checkpoints too,
+      // so the final union doesn't re-run each round's aggregate.
+      var seqs = vocab.select(
+        concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("seq"),
+        col("wn"))
+        .localCheckpoint(true)
+      val rounds = (1 to 5).map { r =>
+        val pairs = seqs
+          .select(split(trim(col("seq")), " ").as("sy"), col("wn"))
+          .filter(size(col("sy")) >= 2)
+          .select(col("sy"), col("wn"),
+            explode(sequence(lit(1), size(col("sy")) - 1)).as("i"))
+          .select(concat(element_at(col("sy"), col("i")), lit(" "),
+            element_at(col("sy"), col("i") + 1)).as("pair"), col("wn"))
+          .groupBy("pair").agg(sum("wn").as("n"))
+        val top = pairs.orderBy(col("n").desc, col("pair")).limit(1)
+          .localCheckpoint(true)
+        if (r < 5)
+          seqs = seqs.crossJoin(broadcast(top.select(col("pair"))))
+            .select(bpeApplyMerge(col("seq"), col("pair")).as("seq"), col("wn"))
+            .localCheckpoint(true)
+        top.select(lit(r.toLong).as("merge_round"), col("pair"),
+          regexp_replace(col("pair"), " ", "").as("new_sym"), col("n"))
+      }
+      rounds.reduce(_ unionByName _).orderBy("merge_round")
+    },
+    Some("""
+      WITH v AS (
+        SELECT w, COUNT(*) AS wn
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE length(w) >= 2 GROUP BY w
+      ), w0 AS (
+        SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS seq, wn FROM v
+      ), p1 AS (
+        SELECT sy[i] || ' ' || sy[i+1] AS pair, CAST(SUM(wn) AS BIGINT) AS n
+        FROM (SELECT string_split(trim(seq), ' ') AS sy, wn FROM w0),
+             LATERAL (SELECT unnest(generate_series(1, len(sy) - 1)) AS i)
+        WHERE len(sy) >= 2 GROUP BY 1
+      ), t1 AS (SELECT pair, n FROM p1 ORDER BY n DESC, pair LIMIT 1
+      ), w1 AS (
+        SELECT replace(replace(seq,
+            ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' '),
+            ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ') AS seq, wn
+        FROM w0, t1
+      ), p2 AS (
+        SELECT sy[i] || ' ' || sy[i+1] AS pair, CAST(SUM(wn) AS BIGINT) AS n
+        FROM (SELECT string_split(trim(seq), ' ') AS sy, wn FROM w1),
+             LATERAL (SELECT unnest(generate_series(1, len(sy) - 1)) AS i)
+        WHERE len(sy) >= 2 GROUP BY 1
+      ), t2 AS (SELECT pair, n FROM p2 ORDER BY n DESC, pair LIMIT 1
+      ), w2 AS (
+        SELECT replace(replace(seq,
+            ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' '),
+            ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ') AS seq, wn
+        FROM w1, t2
+      ), p3 AS (
+        SELECT sy[i] || ' ' || sy[i+1] AS pair, CAST(SUM(wn) AS BIGINT) AS n
+        FROM (SELECT string_split(trim(seq), ' ') AS sy, wn FROM w2),
+             LATERAL (SELECT unnest(generate_series(1, len(sy) - 1)) AS i)
+        WHERE len(sy) >= 2 GROUP BY 1
+      ), t3 AS (SELECT pair, n FROM p3 ORDER BY n DESC, pair LIMIT 1
+      ), w3 AS (
+        SELECT replace(replace(seq,
+            ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' '),
+            ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ') AS seq, wn
+        FROM w2, t3
+      ), p4 AS (
+        SELECT sy[i] || ' ' || sy[i+1] AS pair, CAST(SUM(wn) AS BIGINT) AS n
+        FROM (SELECT string_split(trim(seq), ' ') AS sy, wn FROM w3),
+             LATERAL (SELECT unnest(generate_series(1, len(sy) - 1)) AS i)
+        WHERE len(sy) >= 2 GROUP BY 1
+      ), t4 AS (SELECT pair, n FROM p4 ORDER BY n DESC, pair LIMIT 1
+      ), w4 AS (
+        SELECT replace(replace(seq,
+            ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' '),
+            ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ') AS seq, wn
+        FROM w3, t4
+      ), p5 AS (
+        SELECT sy[i] || ' ' || sy[i+1] AS pair, CAST(SUM(wn) AS BIGINT) AS n
+        FROM (SELECT string_split(trim(seq), ' ') AS sy, wn FROM w4),
+             LATERAL (SELECT unnest(generate_series(1, len(sy) - 1)) AS i)
+        WHERE len(sy) >= 2 GROUP BY 1
+      ), t5 AS (SELECT pair, n FROM p5 ORDER BY n DESC, pair LIMIT 1)
+      SELECT merge_round, pair, replace(pair, ' ', '') AS new_sym, n FROM (
+        SELECT CAST(1 AS BIGINT) AS merge_round, pair, n FROM t1
+        UNION ALL SELECT 2, pair, n FROM t2
+        UNION ALL SELECT 3, pair, n FROM t3
+        UNION ALL SELECT 4, pair, n FROM t4
+        UNION ALL SELECT 5, pair, n FROM t5)
+      ORDER BY merge_round
+    """.stripMargin.trim))
+
   val ops: Seq[Op] = Seq(
+    llmVocabMerges,
     llmPackSequences, llmRepetitionFilter, llmDocChunk, llmCrossDedup,
     llmVocabInduce, llmMixSources,
     llmQualityFilter, llmQualityScore, llmTokenCount,

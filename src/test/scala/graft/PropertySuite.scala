@@ -168,6 +168,29 @@ class PropertySuite extends AnyFunSuite {
     } finally mix.unpersist()
   }
 
+  test("llm_vocab_merges round 1 agrees with llm_vocab_induce's top candidate") {
+    // induce counts adjacent-char pairs as 2-char substrings; the
+    // trainer's round-1 winner is the same statistic before any merge
+    // has been applied, so new_sym and count must match induce's rank 1
+    val merges = LlmOps.llmVocabMerges.build(s, sf).collect()
+    assert(merges.length == 5)
+    val r1 = merges.find(_.getAs[Long]("merge_round") == 1L).get
+    val induceTop = LlmOps.llmVocabInduce.build(s, sf)
+      .filter(org.apache.spark.sql.functions.col("rank") === 1L).head
+    assert(r1.getAs[String]("new_sym") == induceTop.getAs[String]("pair"))
+    assert(r1.getAs[Long]("n") == induceTop.getAs[Long]("n"))
+    // merge symbols grow monotonically from single chars: every later
+    // round's pair must reference a symbol built so far (chars or an
+    // earlier new_sym) — a cheap structural sanity of the iteration
+    val built = merges.map(_.getAs[String]("new_sym"))
+    merges.foreach { m =>
+      m.getAs[String]("pair").split(" ").foreach { sym =>
+        assert(sym.length == 1 || built.contains(sym),
+          s"round ${m.getAs[Long]("merge_round")} pair uses unknown symbol '$sym'")
+      }
+    }
+  }
+
   test("llm_dedup_exact partitions the corpus: sum(n_copies) = |documents|") {
     val out = LlmOps.llmDedupExact.build(s, sf).collect()
     assert(out.map(_.getAs[Long]("n_copies")).sum == Tables.documents(s, sf).count())

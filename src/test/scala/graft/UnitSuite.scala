@@ -272,4 +272,23 @@ class UnitSuite extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     assert(typed == untyped)
   }
+
+  test("bpeApplyMerge equals reference greedy BPE on back-to-back runs") {
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    // (input symbol string, merge pair, reference greedy BPE result):
+    // a single replace() pass would under-merge the runs — the 2-pass
+    // form must complete them, including the x==y overlap case.
+    val cases = Seq(
+      (" x y x y x y ", "x y", " xy xy xy "),   // run of 3: pass1 takes 1st+3rd, pass2 the middle
+      (" x y x y ", "x y", " xy xy "),          // run of 2: boundary space shared
+      (" a a a ", "a a", " aa a "),             // x==y: true greedy merges ONCE
+      (" ab c d ", "b c", " ab c d "),          // symbol boundary: 'b' of 'ab' must not match
+      (" t h e ", "t h", " th e "),             // plain single merge
+      (" q ", "x y", " q "))                    // no occurrence
+    val df = cases.toDF("seq", "pair", "want")
+      .withColumn("got", LlmOps.bpeApplyMerge(col("seq"), col("pair")))
+    val bad = df.filter(col("got") =!= col("want")).collect()
+    assert(bad.isEmpty, bad.mkString(";"))
+  }
 }
