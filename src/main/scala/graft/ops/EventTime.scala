@@ -170,7 +170,8 @@ object EventTime {
     * The memory sink is driver-resident, which is legitimate here ONLY
     * because it holds the RESULT, and every replay's result is
     * output-bounded — calendar-bounded window cells or user sessions
-    * (≤3 600 rows at any SF), never raw data. Do not pattern-match this
+    * (≤3 600 rows at any SF), or the interval join's sparse match set
+    * (tight per-user time window), never raw data. Do not pattern-match this
     * to a driver-side collect of the stream: an unbounded deployment
     * replaces it with a file/table sink in update mode + watermark.
     */
@@ -178,11 +179,22 @@ object EventTime {
       agg: DataFrame, mode: String): DataFrame = {
     // a prior invocation in this session leaves the sink's temp view behind
     s.catalog.dropTempView(qname)
-    val q = agg.writeStream.format("memory").queryName(qname)
-      .outputMode(mode)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination() finally q.stop()
+    // state-store partition count is fixed at the query's FIRST run from
+    // spark.sql.shuffle.partitions; 8 stores comfortably hold every
+    // replay's state (≤3 600 windows / 100 k dedup keys / the join's
+    // parked rows) and cost 4× less per-micro-batch setup + delta-file
+    // churn than the session default of 32 (results are partition-count
+    // invariant — the CPUS=1-vs-4 gate proves exactly that). A real
+    // deployment sizes this to state volume, not to the batch default.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = agg.writeStream.format("memory").queryName(qname)
+        .outputMode(mode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     s.table(qname)
   }
 
@@ -299,6 +311,45 @@ object EventTime {
         .orderBy("win_start", "event_type")
     },
     streamSliding.oracle)
+
+  /** TRUE-STREAMING stream-stream JOIN, graded — the hardest stateful
+    * streaming operator, previously test-only (StreamingSuite): both
+    * sides of `join_interval`'s purchase×view interval join replay from
+    * the file source and join incrementally — each micro-batch's rows
+    * probe the OTHER side's state store and park themselves for future
+    * batches. SAME oracle as the batch twin.
+    *
+    * Deliberately NO watermark here: an inner stream-stream join
+    * without one keeps both sides' state forever, which is exactly what
+    * makes the result provably equal to the batch join REGARDLESS of
+    * how AvailableNow splits the source into micro-batches (a
+    * watermark could evict state before an out-of-time-order file
+    * arrives and silently drop matches). The bounded-state production
+    * form — watermarks on both sides + time-range state eviction — is
+    * covered by StreamingSuite's watermarked twin; at 100 TB unbounded
+    * state is not an option and the watermark IS the deployment
+    * answer, with this graded form proving the join semantics.
+    */
+  val streamReplayJoin: Op = Op(
+    "stream_replay_join",
+    (s, dir) => {
+      val src = replaySrc(s, dir)
+      val ev = s.readStream.schema(Tables.expectedSchemas("events")).parquet(src)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+          col("ts").as("v_ts"))
+      val joined = p.join(v,
+        col("p_user") === col("v_user") &&
+          col("v_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+          col("v_ts") <= col("p_ts"))
+        .select("purchase_id", "view_id")
+      runReplay(s, "graft_stream_replay_join", joined, "append")
+        .orderBy("purchase_id", "view_id")
+    },
+    Relational.joinInterval.oracle)
 
   /** Cohort retention — the standard event-analytics matrix: users
     * cohorted by their FIRST active day, then counted at each day
@@ -711,7 +762,7 @@ object EventTime {
   val ops: Seq[Op] = Seq(
     streamTumbling, streamSliding, streamSession, streamDedupKeys,
     streamReplayTumbling, streamReplayDedup, streamReplaySession,
-    streamReplaySliding,
+    streamReplaySliding, streamReplayJoin,
     eventsCohortRetention,
     eventsSessionize, eventsFunnel, timeseriesGapfill, eventsAttribution,
     eventsTransitions, eventsAnomalyZscore)
