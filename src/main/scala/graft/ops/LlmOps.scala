@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1923,6 +1923,119 @@ object LlmOps {
       ORDER BY b.doc_id
     """.stripMargin.trim))
 
+  /** The tokenizer ENCODE pass — the consumer of `llm_vocab_merges`'
+    * merge table, completing train→apply the way `llm_ivf_fit` →
+    * `llm_simsearch_ivf` completes fit→search: every document is
+    * tokenized with the 5 learned merges and scored per doc (word
+    * count, BPE token count, chars per token — the compression metric
+    * tokenizer training optimizes). Encoding is a JOIN against the
+    * trained vocabulary (word → merged symbol string) from
+    * `bpeTrained`, built once per session; the first of
+    * trainer/encoder to run pays the training.
+    *
+    * Scale shape: the encoded vocabulary is a broadcast-able dimension
+    * (distinct words ≪ word occurrences) so the corpus-scale side
+    * never shuffles for the join; the per-doc rollup's partial
+    * aggregate collapses each document inside its generating partition
+    * (words of one doc never leave it), so the one exchange moves
+    * doc-level rows. In-vocabulary coverage is total here because the
+    * vocab was trained on the same corpus; an open-vocabulary deployment
+    * adds a char-fallback branch for OOV words (coalesce over the
+    * left join) — semantics this fixture cannot exercise honestly.
+    */
+  val llmVocabApply: Op = Op(
+    "llm_vocab_apply",
+    (s, dir) => {
+      val enc = bpeTrained(s, dir)._2
+        .select(col("w"), size(split(trim(col("seq")), " ")).as("n_tok"))
+      val docw = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"), explode(toks).as("w"))
+        .filter(length(col("w")) >= 1)
+      docw.join(enc, "w")
+        .groupBy("doc_id", "n_chars")
+        .agg(count(lit(1)).as("n_words"), sum("n_tok").as("n_tokens"))
+        .select(col("doc_id"), col("n_words"), col("n_tokens"),
+          round(col("n_chars").cast(DoubleType) / col("n_tokens"), 6)
+            .as("chars_per_token"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH v AS (
+        SELECT w, COUNT(*) AS wn
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE length(w) >= 1 GROUP BY w
+      ), w0 AS (
+        SELECT w, ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS seq, wn FROM v
+      ), p1 AS (
+        SELECT sy[i] || ' ' || sy[i+1] AS pair, CAST(SUM(wn) AS BIGINT) AS n
+        FROM (SELECT string_split(trim(seq), ' ') AS sy, wn FROM w0),
+             LATERAL (SELECT unnest(generate_series(1, len(sy) - 1)) AS i)
+        WHERE len(sy) >= 2 GROUP BY 1
+      ), t1 AS (SELECT pair, n FROM p1 ORDER BY n DESC, pair LIMIT 1
+      ), w1 AS (
+        SELECT w, replace(replace(seq,
+            ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' '),
+            ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ') AS seq, wn
+        FROM w0, t1
+      ), p2 AS (
+        SELECT sy[i] || ' ' || sy[i+1] AS pair, CAST(SUM(wn) AS BIGINT) AS n
+        FROM (SELECT string_split(trim(seq), ' ') AS sy, wn FROM w1),
+             LATERAL (SELECT unnest(generate_series(1, len(sy) - 1)) AS i)
+        WHERE len(sy) >= 2 GROUP BY 1
+      ), t2 AS (SELECT pair, n FROM p2 ORDER BY n DESC, pair LIMIT 1
+      ), w2 AS (
+        SELECT w, replace(replace(seq,
+            ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' '),
+            ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ') AS seq, wn
+        FROM w1, t2
+      ), p3 AS (
+        SELECT sy[i] || ' ' || sy[i+1] AS pair, CAST(SUM(wn) AS BIGINT) AS n
+        FROM (SELECT string_split(trim(seq), ' ') AS sy, wn FROM w2),
+             LATERAL (SELECT unnest(generate_series(1, len(sy) - 1)) AS i)
+        WHERE len(sy) >= 2 GROUP BY 1
+      ), t3 AS (SELECT pair, n FROM p3 ORDER BY n DESC, pair LIMIT 1
+      ), w3 AS (
+        SELECT w, replace(replace(seq,
+            ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' '),
+            ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ') AS seq, wn
+        FROM w2, t3
+      ), p4 AS (
+        SELECT sy[i] || ' ' || sy[i+1] AS pair, CAST(SUM(wn) AS BIGINT) AS n
+        FROM (SELECT string_split(trim(seq), ' ') AS sy, wn FROM w3),
+             LATERAL (SELECT unnest(generate_series(1, len(sy) - 1)) AS i)
+        WHERE len(sy) >= 2 GROUP BY 1
+      ), t4 AS (SELECT pair, n FROM p4 ORDER BY n DESC, pair LIMIT 1
+      ), w4 AS (
+        SELECT w, replace(replace(seq,
+            ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' '),
+            ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ') AS seq, wn
+        FROM w3, t4
+      ), p5 AS (
+        SELECT sy[i] || ' ' || sy[i+1] AS pair, CAST(SUM(wn) AS BIGINT) AS n
+        FROM (SELECT string_split(trim(seq), ' ') AS sy, wn FROM w4),
+             LATERAL (SELECT unnest(generate_series(1, len(sy) - 1)) AS i)
+        WHERE len(sy) >= 2 GROUP BY 1
+      ), t5 AS (SELECT pair, n FROM p5 ORDER BY n DESC, pair LIMIT 1
+      ), w5 AS (
+        SELECT w, replace(replace(seq,
+            ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' '),
+            ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ') AS seq, wn
+        FROM w4, t5)
+      , enc AS (
+        SELECT w, len(string_split(trim(seq), ' ')) AS n_tok FROM w5
+      ), docw AS (
+        SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS w
+        FROM documents
+      )
+      SELECT doc_id, COUNT(*) AS n_words,
+        CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        ROUND(CAST(n_chars AS DOUBLE) / SUM(n_tok), 6) AS chars_per_token
+      FROM docw JOIN enc USING (w)
+      WHERE length(w) >= 1
+      GROUP BY doc_id, n_chars
+      ORDER BY doc_id
+    """.stripMargin.trim))
+
   /** Mixture-weighted source sampling — the step between curation and
     * packing in every real pretraining pipeline: each corpus SOURCE
     * contributes to the training mix in proportion to its configured
@@ -2049,47 +2162,37 @@ object LlmOps {
     call_function("replace", once, from, to)
   }
 
-  /** The iterated BPE trainer — `llm_vocab_induce` is round one's
-    * statistic; this op runs the actual merge LOOP: pick the most
-    * frequent adjacent symbol pair (ties break alphabetically), apply
-    * the merge to every word occurrence, recount on the MERGED symbols,
-    * repeat — k=5 unrolled rounds, emitting the merge table a tokenizer
-    * ships (round, winning pair, new symbol, count at merge time).
-    * Round r's winner depends on rounds 1..r-1's applications, so a
-    * green hash proves the whole sequence, not just the first count.
-    * Words start as space-separated characters; merges apply via
-    * `bpeApplyMerge` (see its scaladoc for why two replace() passes
-    * equal reference greedy BPE).
+  /** Trained 5-round BPE state, built ONCE per (session, fixture dir) —
+    * the tokenizer deployment lifecycle (train once, ship the merge
+    * table, encode many; same pattern as the IVF fit): returns the
+    * merge table (round, pair, new_sym, count) and the final ENCODED
+    * VOCABULARY (word → merged symbol string, occurrence count).
     *
-    * Scale shape: each round is ONE corpus-scale pass — symbol-index
-    * explode (never a computed-array Generate) into a partial+final
-    * pair hash-aggregate — plus a 1-row top-1 that rides back in as a
-    * broadcast dimension (the in-plan-N pattern) and a narrow per-row
-    * replace. k rounds = k linear passes; at 100 TB checkpoint the
-    * symbol table per round so lineage doesn't re-derive earlier
-    * rounds (here the re-derivation is k²/2 scans of a tiny corpus —
-    * measured harmless at bench SF).
+    * Training mechanics: the ONLY corpus-scale pass collapses word
+    * occurrences to (distinct word, count) — the iteration then runs on
+    * VOCABULARY-sized data with counts carried as weights, exactly how
+    * reference BPE trainers scale (pair count = Σ wn ≡ the
+    * occurrence-level count). Each round: one weighted pair
+    * hash-aggregate (symbol-index explode, never a computed-array
+    * Generate), a 1-row top-1 riding back as a broadcast dimension,
+    * and a narrow per-row `bpeApplyMerge`. Per-round symbol tables and
+    * tops localCheckpoint — without that, round r's top-1 subplan nests
+    * rounds 1..r-1's broadcasts and lineage re-derives them multiply
+    * (measured 5.7 s vs 1.7 s warm at sf0.1).
+    *
+    * The vocabulary admits len≥1 words so the ENCODER covers every
+    * word; single-symbol rows produce no pairs, so the merge sequence
+    * is provably identical to counting len≥2 words only (the merges
+    * oracle keeps its len≥2 filter on exactly that argument).
     */
-  val llmVocabMerges: Op = Op(
-    "llm_vocab_merges",
-    (s, dir) => {
-      // the ONLY corpus-scale pass: collapse word occurrences to
-      // (distinct word, occurrence count) — the iteration then runs on
-      // VOCABULARY-sized data with counts carried as weights, exactly
-      // how reference BPE trainers scale (pair count = Σ wn over words
-      // containing the pair ≡ the occurrence-level count).
+  private val bpeTrainedState = new SessionArtifact[(DataFrame, DataFrame)]
+  private[graft] def bpeTrained(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    bpeTrainedState(s, dir) {
       val vocab = Tables.documents(s, dir)
         .select(explode(toks).as("w"))
-        .filter(length(col("w")) >= 2)
+        .filter(length(col("w")) >= 1)
         .groupBy("w").agg(count(lit(1)).as("wn"))
-      // each round's symbol table checkpoints (the per-round artifact a
-      // deployment would persist): without it, round r's top-1 subplan
-      // nests the broadcasts of rounds 1..r-1 and the lineage re-derives
-      // earlier rounds multiply (measured 5.7 s warm at sf0.1 on the
-      // occurrence-level form; vocabulary-level with checkpoints runs
-      // one vocab-sized pass per round). The 1-row top checkpoints too,
-      // so the final union doesn't re-run each round's aggregate.
-      var seqs = vocab.select(
+      var seqs = vocab.select(col("w"),
         concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("seq"),
         col("wn"))
         .localCheckpoint(true)
@@ -2104,15 +2207,33 @@ object LlmOps {
           .groupBy("pair").agg(sum("wn").as("n"))
         val top = pairs.orderBy(col("n").desc, col("pair")).limit(1)
           .localCheckpoint(true)
-        if (r < 5)
-          seqs = seqs.crossJoin(broadcast(top.select(col("pair"))))
-            .select(bpeApplyMerge(col("seq"), col("pair")).as("seq"), col("wn"))
-            .localCheckpoint(true)
+        seqs = seqs.crossJoin(broadcast(top.select(col("pair"))))
+          .select(col("w"), bpeApplyMerge(col("seq"), col("pair")).as("seq"),
+            col("wn"))
+          .localCheckpoint(true)
         top.select(lit(r.toLong).as("merge_round"), col("pair"),
           regexp_replace(col("pair"), " ", "").as("new_sym"), col("n"))
       }
-      rounds.reduce(_ unionByName _).orderBy("merge_round")
-    },
+      (rounds.reduce(_ unionByName _).localCheckpoint(true), seqs)
+    }
+
+  /** The iterated BPE trainer — `llm_vocab_induce` is round one's
+    * statistic; this op runs the actual merge LOOP: pick the most
+    * frequent adjacent symbol pair (ties break alphabetically), apply
+    * the merge to every word occurrence, recount on the MERGED symbols,
+    * repeat — k=5 unrolled rounds, emitting the merge table a tokenizer
+    * ships (round, winning pair, new symbol, count at merge time).
+    * Round r's winner depends on rounds 1..r-1's applications, so a
+    * green hash proves the whole sequence, not just the first count.
+    * Words start as space-separated characters; merges apply via
+    * `bpeApplyMerge` (see its scaladoc for why two replace() passes
+    * equal reference greedy BPE). Training runs in `bpeTrained` (once
+    * per session — the first of trainer/encoder to run pays it, like
+    * the IVF fit); see that scaladoc for the scale shape.
+    */
+  val llmVocabMerges: Op = Op(
+    "llm_vocab_merges",
+    (s, dir) => bpeTrained(s, dir)._1.orderBy("merge_round"),
     Some("""
       WITH v AS (
         SELECT w, COUNT(*) AS wn
@@ -2180,7 +2301,7 @@ object LlmOps {
     """.stripMargin.trim))
 
   val ops: Seq[Op] = Seq(
-    llmVocabMerges,
+    llmVocabMerges, llmVocabApply,
     llmPackSequences, llmRepetitionFilter, llmDocChunk, llmCrossDedup,
     llmVocabInduce, llmMixSources,
     llmQualityFilter, llmQualityScore, llmTokenCount,

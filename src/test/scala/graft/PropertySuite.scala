@@ -191,6 +191,22 @@ class PropertySuite extends AnyFunSuite {
     }
   }
 
+  test("BPE encoding is lossless and token counts are bounded") {
+    import org.apache.spark.sql.functions._
+    // losslessness: stripping the symbol separators from every encoded
+    // vocabulary entry must reproduce the original word exactly — a
+    // merge can regroup characters but never add/drop/reorder them
+    val vocabBad = LlmOps.bpeTrained(s, sf)._2
+      .filter(regexp_replace(col("seq"), " ", "") =!= col("w")).count()
+    assert(vocabBad == 0L, s"$vocabBad vocabulary entries not lossless")
+    // bounds: each word is >= 1 token and <= its char count, so per doc
+    // n_words <= n_tokens <= sum of word lengths (< n_chars + 1)
+    val bad = LlmOps.llmVocabApply.build(s, sf)
+      .filter(col("n_tokens") < col("n_words") ||
+        col("chars_per_token") < 1.0).count()
+    assert(bad == 0L)
+  }
+
   test("llm_dedup_exact partitions the corpus: sum(n_copies) = |documents|") {
     val out = LlmOps.llmDedupExact.build(s, sf).collect()
     assert(out.map(_.getAs[Long]("n_copies")).sum == Tables.documents(s, sf).count())
