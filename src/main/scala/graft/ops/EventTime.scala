@@ -685,6 +685,58 @@ object EventTime {
       FROM t ORDER BY from_type, to_type
     """.stripMargin.trim))
 
+  /** Rolling distinct users — DAU / trailing-7-day WAU / stickiness
+    * (dau÷wau), the engagement query every product-analytics stack
+    * runs daily. Trailing-window COUNT DISTINCT has no window-function
+    * form (distinct aggregates aren't frame-able, and the running-
+    * distinct decomposition `win_count_distinct` uses can't EXPIRE
+    * users leaving the window), so this uses the contribution
+    * expansion: each distinct (user, active-day) pair is exploded to
+    * the ≤7 observation days it contributes to, equi-joined to the
+    * observed-day spine, and distinct-counted per day — a bounded 7×
+    * fan-out and an EQUI join, never a nested-loop range probe.
+    *
+    * Scale shape: the only raw-event pass is the partial-agg distinct
+    * to (user, day) pairs; the spine is calendar-bounded and
+    * broadcasts; the 7×-expanded pairs aggregate through Spark's
+    * two-phase distinct expand keyed (day, user) before collapsing per
+    * day, so one hot day never lands on one reducer whole.
+    */
+  val eventsRollingDistinct: Op = Op(
+    "events_rolling_distinct",
+    (s, dir) => {
+      val pairs = Tables.events(s, dir)
+        .select(col("user_id"), to_date(date_trunc("day", col("ts"))).as("day"))
+        .distinct()
+      val spine = pairs.select(col("day").as("obs_day")).distinct()
+      pairs
+        .withColumn("obs_day", explode(sequence(col("day"), date_add(col("day"), 6))))
+        .join(broadcast(spine), "obs_day")
+        .groupBy("obs_day")
+        .agg(
+          countDistinct(when(col("day") === col("obs_day"), col("user_id"))).as("dau"),
+          countDistinct(col("user_id")).as("wau7"))
+        .select(date_format(col("obs_day"), "yyyy-MM-dd").as("day"),
+          col("dau"), col("wau7"),
+          round(col("dau").cast(DoubleType) / col("wau7"), 6).as("stickiness"))
+        .orderBy("day")
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+      ), spine AS (
+        SELECT DISTINCT day AS obs_day FROM pairs
+      )
+      SELECT strftime(s.obs_day, '%Y-%m-%d') AS day,
+        COUNT(DISTINCT CASE WHEN p.day = s.obs_day THEN p.user_id END) AS dau,
+        COUNT(DISTINCT p.user_id) AS wau7,
+        ROUND(CAST(COUNT(DISTINCT CASE WHEN p.day = s.obs_day THEN p.user_id END)
+          AS DOUBLE) / COUNT(DISTINCT p.user_id), 6) AS stickiness
+      FROM spine s JOIN pairs p
+        ON p.day <= s.obs_day AND p.day >= s.obs_day - INTERVAL 6 DAY
+      GROUP BY s.obs_day ORDER BY day
+    """.stripMargin.trim))
+
   /** Trailing-window anomaly scoring — the observability query every
     * event platform runs on its metric grid: each (event_type, hour)
     * count is z-scored against the trailing 24 OBSERVED hourly buckets
@@ -765,5 +817,5 @@ object EventTime {
     streamReplaySliding, streamReplayJoin,
     eventsCohortRetention,
     eventsSessionize, eventsFunnel, timeseriesGapfill, eventsAttribution,
-    eventsTransitions, eventsAnomalyZscore)
+    eventsTransitions, eventsAnomalyZscore, eventsRollingDistinct)
 }
