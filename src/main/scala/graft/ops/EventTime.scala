@@ -685,6 +685,70 @@ object EventTime {
       FROM t ORDER BY from_type, to_type
     """.stripMargin.trim))
 
+  /** Trailing exponentially-weighted moving average — the smoothing
+    * baseline that pairs with `events_anomaly_zscore` on the same
+    * hourly metric grid: each (event_type, hour) count is compared to
+    * the EWMA of its trailing 12 OBSERVED buckets (α=0.7 decay,
+    * finite-window form — the window-expressible cousin of the
+    * recursive EWMA, which no engine's window algebra can state), plus
+    * the burst factor n/ewma alerting thresholds on. Rows without a
+    * full 12-bucket history are suppressed (lag(11) IS NULL implies
+    * nothing shorter is missing). Both engines evaluate the IDENTICAL
+    * left-associated weighted chain — the Scala fold and the oracle's
+    * `+` chain parse to the same tree, and pow(0.7, k) differences are
+    * sub-round (§5.3.2's 6-dp rule, same exposure as fn_trig_pack).
+    *
+    * Scale shape: identical to the z-score op — one partial+final
+    * hourly aggregate over raw events, then 11 lag columns sharing ONE
+    * (event_type, h-order) window exchange on the calendar-bounded
+    * grid.
+    */
+  val eventsEwma: Op = Op(
+    "events_ewma",
+    (s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("h")
+      val lagged = Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(Seq(col("h"), col("event_type"), col("n")) ++
+          (1 to 11).map(k => lag(col("n"), k).over(w).as(s"l$k")): _*)
+        .filter(col("l11").isNotNull)
+      val num = (1 to 11).foldLeft(col("n").cast(DoubleType)) { (acc, k) =>
+        acc + col(s"l$k") * pow(lit(0.7), lit(k)) }
+      val den = (1 to 11).foldLeft(lit(1.0)) { (acc, k) =>
+        acc + pow(lit(0.7), lit(k)) }
+      lagged.select(fmtSec(col("h")).as("hour"), col("event_type"), col("n"),
+          round(num / den, 6).as("ewma"),
+          round(col("n").cast(DoubleType) * den / num, 6).as("burst"))
+        .orderBy("event_type", "hour")
+    },
+    Some("""
+      WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+      ), lagd AS (
+        SELECT h, event_type, n,
+          lag(n, 1) OVER w AS l1,
+          lag(n, 2) OVER w AS l2,
+          lag(n, 3) OVER w AS l3,
+          lag(n, 4) OVER w AS l4,
+          lag(n, 5) OVER w AS l5,
+          lag(n, 6) OVER w AS l6,
+          lag(n, 7) OVER w AS l7,
+          lag(n, 8) OVER w AS l8,
+          lag(n, 9) OVER w AS l9,
+          lag(n, 10) OVER w AS l10,
+          lag(n, 11) OVER w AS l11
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY h)
+      )
+      SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, event_type, n,
+        ROUND((CAST(n AS DOUBLE) + l1 * pow(0.7, 1) + l2 * pow(0.7, 2) + l3 * pow(0.7, 3) + l4 * pow(0.7, 4) + l5 * pow(0.7, 5) + l6 * pow(0.7, 6) + l7 * pow(0.7, 7) + l8 * pow(0.7, 8) + l9 * pow(0.7, 9) + l10 * pow(0.7, 10) + l11 * pow(0.7, 11)) / (1.0 + pow(0.7, 1) + pow(0.7, 2) + pow(0.7, 3) + pow(0.7, 4) + pow(0.7, 5) + pow(0.7, 6) + pow(0.7, 7) + pow(0.7, 8) + pow(0.7, 9) + pow(0.7, 10) + pow(0.7, 11)), 6) AS ewma,
+        ROUND(CAST(n AS DOUBLE) * (1.0 + pow(0.7, 1) + pow(0.7, 2) + pow(0.7, 3) + pow(0.7, 4) + pow(0.7, 5) + pow(0.7, 6) + pow(0.7, 7) + pow(0.7, 8) + pow(0.7, 9) + pow(0.7, 10) + pow(0.7, 11)) / (CAST(n AS DOUBLE) + l1 * pow(0.7, 1) + l2 * pow(0.7, 2) + l3 * pow(0.7, 3) + l4 * pow(0.7, 4) + l5 * pow(0.7, 5) + l6 * pow(0.7, 6) + l7 * pow(0.7, 7) + l8 * pow(0.7, 8) + l9 * pow(0.7, 9) + l10 * pow(0.7, 10) + l11 * pow(0.7, 11)), 6) AS burst
+      FROM lagd WHERE l11 IS NOT NULL
+      ORDER BY event_type, hour
+    """.stripMargin.trim))
+
   /** Rolling distinct users — DAU / trailing-7-day WAU / stickiness
     * (dau÷wau), the engagement query every product-analytics stack
     * runs daily. Trailing-window COUNT DISTINCT has no window-function
@@ -817,5 +881,6 @@ object EventTime {
     streamReplaySliding, streamReplayJoin,
     eventsCohortRetention,
     eventsSessionize, eventsFunnel, timeseriesGapfill, eventsAttribution,
-    eventsTransitions, eventsAnomalyZscore, eventsRollingDistinct)
+    eventsTransitions, eventsAnomalyZscore, eventsRollingDistinct,
+    eventsEwma)
 }

@@ -909,6 +909,67 @@ object Relational {
       ORDER BY c_custkey, valid_from
     """.stripMargin.trim))
 
+  /** Order-invariant table checksums — the replication/integrity check a
+    * lake runs after every copy, compaction, or engine migration: per
+    * table, the row count plus the bit-XOR of a per-row content hash
+    * (md5 of the '|'-joined row with explicit portable formatting,
+    * folded to int64). XOR is commutative and associative, so the
+    * digest is independent of row order, partitioning, and parallelism
+    * — two replicas match iff their multisets of rows match (up to
+    * paired duplicate insertions, which the row count then catches).
+    * Entirely row-local work followed by a 1-row-per-table aggregate:
+    * the cheapest possible full-table verification at 100 TB, and the
+    * same check DuckDB computes independently as the oracle. Money
+    * columns format through the exact DECIMAL(12,2) chain so both
+    * engines hash identical strings.
+    */
+  val tableChecksum: Op = Op(
+    "table_checksum",
+    (s, dir) => {
+      def ck(name: String, df: DataFrame, rowStr: String): DataFrame =
+        df.select(expr(
+          s"cast(conv(substring(md5($rowStr), 1, 15), 16, 10) as bigint)").as("h"))
+          .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("checksum"))
+          .select(lit(name).as("table_name"), col("n_rows"), col("checksum"))
+      ck("region", Tables.region(s, dir),
+          "concat_ws('|', r_regionkey, r_name)")
+        .unionByName(ck("nation", Tables.nation(s, dir),
+          "concat_ws('|', n_nationkey, n_name, n_regionkey)"))
+        .unionByName(ck("supplier", Tables.supplier(s, dir),
+          "concat_ws('|', s_suppkey, s_name, s_nationkey, " +
+            "cast(cast(s_acctbal as decimal(12,2)) as string))"))
+        .unionByName(ck("customer", Tables.customer(s, dir),
+          "concat_ws('|', c_custkey, c_name, c_nationkey, " +
+            "cast(cast(c_acctbal as decimal(12,2)) as string), c_mktsegment)"))
+        .orderBy("table_name")
+    },
+    Some("""
+      WITH h AS (
+        SELECT 'region' AS table_name,
+          CAST('0x' || substr(md5(concat_ws('|', r_regionkey, r_name)), 1, 15)
+            AS BIGINT) AS h
+        FROM region
+        UNION ALL
+        SELECT 'nation',
+          CAST('0x' || substr(md5(concat_ws('|', n_nationkey, n_name, n_regionkey)), 1, 15)
+            AS BIGINT)
+        FROM nation
+        UNION ALL
+        SELECT 'supplier',
+          CAST('0x' || substr(md5(concat_ws('|', s_suppkey, s_name, s_nationkey,
+            CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS VARCHAR))), 1, 15) AS BIGINT)
+        FROM supplier
+        UNION ALL
+        SELECT 'customer',
+          CAST('0x' || substr(md5(concat_ws('|', c_custkey, c_name, c_nationkey,
+            CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR), c_mktsegment)), 1, 15)
+            AS BIGINT)
+        FROM customer
+      )
+      SELECT table_name, COUNT(*) AS n_rows, bit_xor(h) AS checksum
+      FROM h GROUP BY table_name ORDER BY table_name
+    """.stripMargin.trim))
+
   /** Deterministic hash sampling — the corpus-subsampling primitive: keep
     * a row iff md5(unique key) mod 100 < rate. Unlike `df.sample()`
     * (seed-deterministic but PARTITION-dependent, so results drift with
@@ -1272,6 +1333,7 @@ object Relational {
     joinAsofForward,
     joinSkewSalted, mergeUpsert, mergeScd2, subqueryCorrelated,
     q17SmallQuantity, q18LargeOrders, sampleHashPct, sampleStratified,
+    tableChecksum,
     sortMultiNulls, limitTopk,
     setUnionAll, setUnionDistinct, setIntersect, setExcept,
     setIntersectAll, setExceptAll)

@@ -479,8 +479,51 @@ object Scalars {
       ORDER BY doc_id, tok NULLS FIRST
     """.stripMargin.trim))
 
+  /** Hash / binary-encoding pack over `part` — the fingerprint-and-key
+    * surface every dedup, sampling, and integrity op in this library
+    * leans on, graded in its own right: md5 and sha-256 digests, the
+    * md5→int64 shard-key derivation (15 hex digits = 60 bits, sign-safe
+    * in both engines), base64 and hex encodes with their decode
+    * ROUNDTRIPS proven row-wise (emitted as 0/1 — an encode that
+    * corrupts bytes can't hash-match). Dialect notes: Spark `sha2(x,
+    * 256)` ⇄ DuckDB `sha256`; Spark `hex` uppercases where DuckDB
+    * lowercases — normalized with lower() on both sides; base64 operates
+    * on the UTF-8 bytes (Spark casts string→binary, DuckDB ::BLOB).
+    */
+  val fnHashPack: Op = Op(
+    "fn_hash_pack",
+    (s, dir) =>
+      Tables.part(s, dir)
+        .select(
+          col("p_partkey"),
+          md5(col("p_name")).as("h_md5"),
+          sha2(col("p_name"), 256).as("h_sha256"),
+          expr("cast(conv(substring(md5(p_name), 1, 15), 16, 10) as bigint)")
+            .as("shard_key"),
+          base64(col("p_name").cast(BinaryType)).as("h_b64"),
+          when(unbase64(base64(col("p_name").cast(BinaryType)))
+            .cast(StringType) === col("p_name"), 1L).otherwise(0L)
+            .as("b64_roundtrip"),
+          lower(hex(col("p_name"))).as("h_hex"),
+          when(unhex(lower(hex(col("p_name")))).cast(StringType) === col("p_name"), 1L)
+            .otherwise(0L).as("hex_roundtrip"))
+        .orderBy("p_partkey"),
+    Some("""
+      SELECT p_partkey,
+        md5(p_name) AS h_md5,
+        sha256(p_name) AS h_sha256,
+        CAST('0x' || substr(md5(p_name), 1, 15) AS BIGINT) AS shard_key,
+        to_base64(p_name::BLOB) AS h_b64,
+        CASE WHEN CAST(from_base64(to_base64(p_name::BLOB)) AS VARCHAR) = p_name
+             THEN 1 ELSE 0 END AS b64_roundtrip,
+        lower(hex(p_name)) AS h_hex,
+        CASE WHEN CAST(unhex(lower(hex(p_name))) AS VARCHAR) = p_name
+             THEN 1 ELSE 0 END AS hex_roundtrip
+      FROM part ORDER BY p_partkey
+    """.stripMargin.trim))
+
   val ops: Seq[Op] = Seq(
     fnStringPack, fnDatePack, fnMathCase, fnArrayPack, fnHigherOrder,
     fnMapPack, fnJsonExtract, fnCastCoalesce, fnBitwisePack, fnRegexpPack,
-    fnTrigPack, fnStructPack, fnGeneratorOuter)
+    fnTrigPack, fnStructPack, fnGeneratorOuter, fnHashPack)
 }
