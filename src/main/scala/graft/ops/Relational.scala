@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -970,6 +970,95 @@ object Relational {
       FROM h GROUP BY table_name ORDER BY table_name
     """.stripMargin.trim))
 
+  /** Column profiling — the data-quality monitoring pass every lake runs
+    * on ingest: per column of `orders`, null count, exact distinct
+    * count, and min/max, in long format — one aggregate per column,
+    * unioned. MEASURED choice: the one-scan wide-aggregate form (24
+    * stats + `stack` unpivot) plans all six distincts through one
+    * Catalyst expand that multiplies every input row ×7 — 2.8 s warm
+    * at sf0.1 vs 0.6 s for six independent column-pruned scans, each a
+    * cheap 2-phase distinct; column-store scans are cheap, expand
+    * isn't. Values leave as strings with explicit portable formatting:
+    * integers via plain cast, money through the exact DECIMAL(12,2)
+    * chain (min/max commute with the monotone cast), timestamps via
+    * date_format — while distinct counts run on the RAW column (a
+    * rounded cast could collapse nearby doubles and diverge the
+    * engines).
+    *
+    * Scale note: exact COUNT(DISTINCT) per column is the honest form
+    * at fixture scale; a 100 TB profiler swaps each one for
+    * approx_count_distinct (the `agg_approx_distinct` op) and keeps
+    * this exact plan for the reconciliation run.
+    */
+  val profileColumns: Op = Op(
+    "profile_columns",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      def prof(name: String, fmtMin: Column, fmtMax: Column): DataFrame =
+        o.agg(
+          count(when(col(name).isNull, 1)).as("n_nulls"),
+          countDistinct(col(name)).as("n_distinct"),
+          fmtMin.as("min_val"), fmtMax.as("max_val"))
+          .select(lit(name).as("col_name"), col("n_nulls"), col("n_distinct"),
+            col("min_val"), col("max_val"))
+      def s_(c: Column): Column = c.cast(StringType)
+      prof("o_orderkey", s_(min(col("o_orderkey"))), s_(max(col("o_orderkey"))))
+        .unionByName(prof("o_custkey",
+          s_(min(col("o_custkey"))), s_(max(col("o_custkey")))))
+        .unionByName(prof("o_orderstatus",
+          min(col("o_orderstatus")), max(col("o_orderstatus"))))
+        .unionByName(prof("o_totalprice",
+          s_(min(col("o_totalprice")).cast(DecimalType(12, 2))),
+          s_(max(col("o_totalprice")).cast(DecimalType(12, 2)))))
+        .unionByName(prof("o_orderdate",
+          date_format(min(col("o_orderdate")), "yyyy-MM-dd"),
+          date_format(max(col("o_orderdate")), "yyyy-MM-dd")))
+        .unionByName(prof("o_orderpriority",
+          min(col("o_orderpriority")), max(col("o_orderpriority"))))
+        .orderBy("col_name")
+    },
+    Some("""
+      SELECT 'o_custkey' AS col_name,
+        COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS n_nulls,
+        COUNT(DISTINCT o_custkey) AS n_distinct,
+        CAST(MIN(o_custkey) AS VARCHAR) AS min_val,
+        CAST(MAX(o_custkey) AS VARCHAR) AS max_val
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderdate',
+        COUNT(CASE WHEN o_orderdate IS NULL THEN 1 END),
+        COUNT(DISTINCT o_orderdate),
+        strftime(MIN(o_orderdate), '%Y-%m-%d'),
+        strftime(MAX(o_orderdate), '%Y-%m-%d')
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderkey',
+        COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END),
+        COUNT(DISTINCT o_orderkey),
+        CAST(MIN(o_orderkey) AS VARCHAR), CAST(MAX(o_orderkey) AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority',
+        COUNT(CASE WHEN o_orderpriority IS NULL THEN 1 END),
+        COUNT(DISTINCT o_orderpriority),
+        MIN(o_orderpriority), MAX(o_orderpriority)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus',
+        COUNT(CASE WHEN o_orderstatus IS NULL THEN 1 END),
+        COUNT(DISTINCT o_orderstatus),
+        MIN(o_orderstatus), MAX(o_orderstatus)
+      FROM orders
+      UNION ALL
+      SELECT 'o_totalprice',
+        COUNT(CASE WHEN o_totalprice IS NULL THEN 1 END),
+        COUNT(DISTINCT o_totalprice),
+        CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR),
+        CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR)
+      FROM orders
+      ORDER BY col_name
+    """.stripMargin.trim))
+
   /** Deterministic hash sampling — the corpus-subsampling primitive: keep
     * a row iff md5(unique key) mod 100 < rate. Unlike `df.sample()`
     * (seed-deterministic but PARTITION-dependent, so results drift with
@@ -1333,7 +1422,7 @@ object Relational {
     joinAsofForward,
     joinSkewSalted, mergeUpsert, mergeScd2, subqueryCorrelated,
     q17SmallQuantity, q18LargeOrders, sampleHashPct, sampleStratified,
-    tableChecksum,
+    tableChecksum, profileColumns,
     sortMultiNulls, limitTopk,
     setUnionAll, setUnionDistinct, setIntersect, setExcept,
     setIntersectAll, setExceptAll)
