@@ -83,6 +83,60 @@ class SourceSuite extends AnyFunSuite {
     assert(onVal.collect()(0).getDouble(0) == (0 until 100).map(_ * 0.5).sum)
   }
 
+  // ---- KvStoreSource: the writable half of the connector surface ----
+
+  private def kvWrite(df: org.apache.spark.sql.DataFrame, table: String,
+      mode: String): Unit =
+    df.write.format("graft.sources.KvStoreSource")
+      .option("table", table).mode(mode).save()
+
+  private def kvRead(table: String) =
+    s.read.format("graft.sources.KvStoreSource").option("table", table).load()
+
+  private def kvDf(rows: (Long, String)*) = {
+    import s.implicits._
+    rows.toDF("k", "v").repartition(3) // multiple tasks → multiple commit messages
+  }
+
+  test("kv sink roundtrip: written rows read back exactly, append unions, overwrite truncates") {
+    graft.sources.KvStoreSource.drop("t_rt")
+    kvWrite(kvDf(1L -> "a", 2L -> "b", 3L -> "c"), "t_rt", "append")
+    assert(kvRead("t_rt").orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq(1L -> "a", 2L -> "b", 3L -> "c"))
+    kvWrite(kvDf(4L -> "d"), "t_rt", "append")
+    assert(kvRead("t_rt").count() == 4)
+    kvWrite(kvDf(9L -> "z"), "t_rt", "overwrite")
+    assert(kvRead("t_rt").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq(9L -> "z"))
+    graft.sources.KvStoreSource.drop("t_rt")
+  }
+
+  test("kv sink two-phase commit is atomic: a failed task publishes NOTHING") {
+    import s.implicits._
+    graft.sources.KvStoreSource.drop("t_atomic")
+    kvWrite(kvDf(1L -> "keep"), "t_atomic", "append")
+    // a write whose third partition throws mid-task: the job fails, the
+    // driver never calls commit, and the store must still hold ONLY the
+    // previous version — no partial publish from the tasks that finished
+    val poison = s.range(0, 30).select(col("id").as("k"),
+      expr("if(id = 29, raise_error('task failure injected'), concat('v', id))").as("v"))
+    intercept[Exception] { kvWrite(poison, "t_atomic", "append") }
+    assert(kvRead("t_atomic").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq(1L -> "keep"), "a failed job leaked partial task output into the store")
+    graft.sources.KvStoreSource.drop("t_atomic")
+  }
+
+  test("kv sink rejects a mismatched write schema fast") {
+    import s.implicits._
+    graft.sources.KvStoreSource.drop("t_schema")
+    val bad = Seq((1L, "a", 0.5)).toDF("k", "v", "extra")
+    intercept[Exception] {
+      bad.write.format("graft.sources.KvStoreSource")
+        .option("table", "t_schema").mode("append").save()
+    }
+    assert(graft.sources.KvStoreSource.committed("t_schema").isEmpty)
+  }
+
   test("aggregate pushdown on an empty pushed range: count 0, null extrema") {
     val df = seq(1000, 4).filter(col("id") >= 500 && col("id") < 500)
       .agg(count(col("id")), min(col("id")), max(col("id")))
