@@ -909,6 +909,71 @@ object Relational {
       ORDER BY c_custkey, valid_from
     """.stripMargin.trim))
 
+  /** CDC changelog APPLY — the inverse direction of `cdc_snapshot_diff`
+    * (which derives a changelog from two snapshots, this op derives the
+    * snapshot from a changelog): the standard incremental-ingest step
+    * every Debezium/binlog consumer runs. A three-version changelog is
+    * synthesized in-plan from `orders` (v1 INSERT for every key, v2
+    * UPDATE repricing keys ≡0 mod 3 through the exact decimal chain,
+    * v3 DELETE for keys ≡0 mod 7); applying it means: latest version
+    * per key wins, keys whose latest op is DELETE vanish. One
+    * row_number window over (key, version desc) — a single shuffle on
+    * the natural key, output bounded by the surviving key set.
+    *
+    * Scale note: at 100 TB the changelog is a fraction of the table and
+    * the apply co-partitions with the base on the same key; compaction
+    * cadence (how often the applied snapshot is rewritten) is a storage
+    * policy knob, not a plan change.
+    */
+  val mergeCdcApply: Op = Op(
+    "merge_cdc_apply",
+    (s, dir) => {
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"), dec2(col("o_totalprice")).as("price"))
+      val v1 = base.select(col("k"), lit(1L).as("version"), lit("I").as("op"),
+        col("price").cast(DoubleType).as("price"))
+      val v2 = base.filter(col("k") % 3 === 0)
+        .select(col("k"), lit(2L).as("version"), lit("U").as("op"),
+          (col("price") * lit(BigDecimal("1.10")).cast(DecimalType(4, 2)))
+            .cast(DoubleType).as("price"))
+      val v3 = base.filter(col("k") % 7 === 0)
+        .select(col("k"), lit(3L).as("version"), lit("D").as("op"),
+          lit(null).cast(DoubleType).as("price"))
+      val log = v1.unionByName(v2).unionByName(v3)
+      log
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("k").orderBy(col("version").desc)))
+        .withColumn("n_versions",
+          count(lit(1)).over(Window.partitionBy("k")))
+        .filter(col("rn") === 1 && col("op") =!= "D")
+        .select(col("k"), col("op").as("final_op"), col("version"),
+          col("price"), col("n_versions"))
+        .orderBy("k")
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        FROM orders
+      ), log AS (
+        SELECT k, CAST(1 AS BIGINT) AS version, 'I' AS op,
+          CAST(price AS DOUBLE) AS price FROM base
+        UNION ALL
+        SELECT k, 2, 'U',
+          CAST(price * CAST(1.10 AS DECIMAL(4,2)) AS DOUBLE)
+        FROM base WHERE k % 3 = 0
+        UNION ALL
+        SELECT k, 3, 'D', CAST(NULL AS DOUBLE) FROM base WHERE k % 7 = 0
+      ), applied AS (
+        SELECT k, op, version, price,
+          row_number() OVER (PARTITION BY k ORDER BY version DESC) AS rn,
+          COUNT(*) OVER (PARTITION BY k) AS n_versions
+        FROM log
+      )
+      SELECT k, op AS final_op, version, price, n_versions
+      FROM applied WHERE rn = 1 AND op != 'D'
+      ORDER BY k
+    """.stripMargin.trim))
+
   /** Order-invariant table checksums — the replication/integrity check a
     * lake runs after every copy, compaction, or engine migration: per
     * table, the row count plus the bit-XOR of a per-row content hash
@@ -1422,7 +1487,7 @@ object Relational {
     joinAsofForward,
     joinSkewSalted, mergeUpsert, mergeScd2, subqueryCorrelated,
     q17SmallQuantity, q18LargeOrders, sampleHashPct, sampleStratified,
-    tableChecksum, profileColumns,
+    tableChecksum, profileColumns, mergeCdcApply,
     sortMultiNulls, limitTopk,
     setUnionAll, setUnionDistinct, setIntersect, setExcept,
     setIntersectAll, setExceptAll)
