@@ -685,6 +685,57 @@ object EventTime {
       FROM t ORDER BY from_type, to_type
     """.stripMargin.trim))
 
+  /** Audience overlap — pairwise Jaccard between event-type audiences:
+    * for every unordered pair of event types, how many users did both,
+    * and what fraction of either-audience that is. The martech/segment
+    * overlap query (and the same co-occurrence statistic market-basket
+    * analysis runs on products). One distinct (user, type) pass over
+    * raw events, a user-co-keyed self-join whose fan-out is bounded by
+    * C(|types| over 2) pairs per user (≤10 here), and the per-type
+    * audience sizes ride in as a broadcast dimension for the union
+    * term |A∪B| = |A|+|B|−|A∩B|.
+    */
+  val eventsTypeOverlap: Op = Op(
+    "events_type_overlap",
+    (s, dir) => {
+      val ut = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type")).distinct()
+      val sizes = ut.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val a = ut.select(col("user_id"), col("event_type").as("type_a"))
+      val b = ut.select(col("user_id"), col("event_type").as("type_b"))
+      a.join(b, Seq("user_id")).filter(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_both"))
+        .join(broadcast(sizes.withColumnRenamed("event_type", "type_a")
+          .withColumnRenamed("n", "n_a")), "type_a")
+        .join(broadcast(sizes.withColumnRenamed("event_type", "type_b")
+          .withColumnRenamed("n", "n_b")), "type_b")
+        .select(col("type_a"), col("type_b"), col("n_both"),
+          (col("n_a") + col("n_b") - col("n_both")).as("n_either"),
+          round(col("n_both").cast(DoubleType) /
+            (col("n_a") + col("n_b") - col("n_both")), 6).as("jaccard"))
+        .orderBy("type_a", "type_b")
+    },
+    Some("""
+      WITH ut AS (
+        SELECT DISTINCT user_id, event_type FROM events
+      ), sizes AS (
+        SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1
+      ), pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+          COUNT(*) AS n_both
+        FROM ut a JOIN ut b ON a.user_id = b.user_id
+          AND a.event_type < b.event_type
+        GROUP BY 1, 2
+      )
+      SELECT type_a, type_b, n_both,
+        sa.n + sb.n - n_both AS n_either,
+        ROUND(CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both), 6) AS jaccard
+      FROM pairs
+        JOIN sizes sa ON sa.event_type = type_a
+        JOIN sizes sb ON sb.event_type = type_b
+      ORDER BY type_a, type_b
+    """.stripMargin.trim))
+
   /** Trailing exponentially-weighted moving average — the smoothing
     * baseline that pairs with `events_anomaly_zscore` on the same
     * hourly metric grid: each (event_type, hour) count is compared to
@@ -882,5 +933,5 @@ object EventTime {
     eventsCohortRetention,
     eventsSessionize, eventsFunnel, timeseriesGapfill, eventsAttribution,
     eventsTransitions, eventsAnomalyZscore, eventsRollingDistinct,
-    eventsEwma)
+    eventsEwma, eventsTypeOverlap)
 }

@@ -398,7 +398,70 @@ object Windows {
       FROM f ORDER BY o_orderstatus, day, o_orderkey
     """.stripMargin.trim))
 
+  /** Pareto / revenue-concentration analysis — "which customers drive
+    * 80% of each segment's revenue", the 80/20 query every revenue team
+    * runs: customers ranked by revenue within their market segment,
+    * running cumulative share, and the top-80% frontier flag (a
+    * customer is in the frontier while the revenue BEFORE them is under
+    * 80% of the segment total — the customer that crosses the line is
+    * included, standard Pareto-cut semantics). The frontier test runs
+    * in EXACT decimal ((cum−rev)·5 < total·4), not on the divided
+    * double, so no engine can disagree at the boundary; only the
+    * display share is a rounded double.
+    *
+    * Scale shape: revenue per (segment, customer) is one partial+final
+    * aggregate; both windows (running sum, segment total) share the
+    * segment partitioning — and segment cardinality bounds the window
+    * parallelism, so at 100 TB with few segments this exact form is the
+    * spec; the distributed-rank machinery of `win_ntile_pct_scale` is
+    * the drop-in scale twin.
+    */
+  val winPareto: Op = Op(
+    "win_pareto",
+    (s, dir) => {
+      val rev = Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("c_custkey"))
+        .agg(sum(dec2(col("o_totalprice"))).as("rev"))
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("rev").desc, col("c_custkey"))
+      val wAll = Window.partitionBy("c_mktsegment")
+      rev
+        .withColumn("cum", sum("rev").over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("total", sum("rev").over(wAll))
+        .select(col("c_mktsegment"), col("c_custkey"),
+          col("rev").cast(DoubleType).as("rev"),
+          round(col("cum").cast(DoubleType) / col("total").cast(DoubleType), 6)
+            .as("cum_share"),
+          when((col("cum") - col("rev")) * 5 < col("total") * 4, 1L).otherwise(0L)
+            .as("in_top80"))
+        .orderBy("c_mktsegment", "c_custkey")
+    },
+    Some("""
+      WITH rev AS (
+        SELECT c_mktsegment, c_custkey,
+          SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+      ), win AS (
+        SELECT c_mktsegment, c_custkey, rev,
+          SUM(rev) OVER (PARTITION BY c_mktsegment
+            ORDER BY rev DESC, c_custkey ROWS UNBOUNDED PRECEDING) AS cum,
+          SUM(rev) OVER (PARTITION BY c_mktsegment) AS total
+        FROM rev
+      )
+      SELECT c_mktsegment, c_custkey,
+        CAST(rev AS DOUBLE) AS rev,
+        ROUND(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_share,
+        CASE WHEN (cum - rev) * 5 < total * 4 THEN 1 ELSE 0 END AS in_top80
+      FROM win ORDER BY c_mktsegment, c_custkey
+    """.stripMargin.trim))
+
   val ops: Seq[Op] = Seq(
+    winPareto,
     winRank, winLagLead, winFirstLastFrame, winRunningFrame, winRangeFrame, winNtilePct,
     winRangeFrameScale, winNtilePctScale, winTopkPerGroup, winCountDistinct)
 }
