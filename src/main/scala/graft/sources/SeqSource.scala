@@ -125,13 +125,18 @@ private class SeqScanBuilder(rows: Long, parts: Int)
     * own Aggregate node entirely; anything else is declined and planned
     * normally.
     */
-  private def translate(agg: Aggregation): Option[Seq[String]] = {
-    if (agg.groupByExpressions.nonEmpty) return None
-    def isId(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
-      e match {
-        case r: NamedReference => r.fieldNames.sameElements(Array("id"))
-        case _ => false
-      }
+  private def isId(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case r: NamedReference => r.fieldNames.sameElements(Array("id"))
+      case _ => false
+    }
+  private def isTag(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case r: NamedReference => r.fieldNames.sameElements(Array("tag"))
+      case _ => false
+    }
+
+  private def translateFns(agg: Aggregation): Option[Seq[String]] = {
     val fns = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => Some("count")
       case c: Count if !c.isDistinct && isId(c.column) => Some("count")
@@ -142,18 +147,99 @@ private class SeqScanBuilder(rows: Long, parts: Int)
     if (fns.nonEmpty && fns.forall(_.isDefined)) Some(fns.flatten) else None
   }
 
+  /** Ungrouped → COMPLETE pushdown (O(1) range arithmetic, Spark's
+    * Aggregate elided). Grouped by `tag` → PARTIAL pushdown: the scan
+    * emits per-PARTITION per-group rows (`supportCompletePushDown`
+    * false), and Spark's final Aggregate merges them — SUM over pushed
+    * counts, MIN/MAX over pushed extrema. That is the other half of
+    * the DSv2 aggregate protocol, and the shape a real columnar
+    * connector uses when per-file statistics exist but cross-file
+    * merging is the engine's job. tag = id % 10, so each partition
+    * answers its ≤10 groups in O(10) arithmetic — no row materializes.
+    */
+  private def translate(agg: Aggregation): Option[(Boolean, Seq[String])] = {
+    val grouped = agg.groupByExpressions.toSeq match {
+      case Nil => Some(false)
+      case Seq(g) if isTag(g) => Some(true)
+      case _ => None
+    }
+    for (g <- grouped; fns <- translateFns(agg)) yield (g, fns)
+  }
+
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    translate(agg).isDefined
+    translate(agg).exists(!_._1) // complete only when ungrouped
 
   override def pushAggregation(agg: Aggregation): Boolean =
     translate(agg) match {
-      case Some(fns) => aggFuncs = fns; true
+      case Some((g, fns)) => aggFuncs = fns; aggByTag = g; true
       case None => false
     }
+  private var aggByTag = false
 
   override def build(): Scan =
-    if (aggFuncs.nonEmpty) new SeqAggScan(lo, math.max(lo, hi), aggFuncs)
+    if (aggFuncs.nonEmpty && aggByTag)
+      new SeqGroupAggScan(rows, lo, math.max(lo, hi), parts, aggFuncs)
+    else if (aggFuncs.nonEmpty) new SeqAggScan(lo, math.max(lo, hi), aggFuncs)
     else new SeqScan(rows, lo, math.max(lo, hi), parts, required)
+}
+
+/** Partial grouped-aggregate scan: the normal partition grid, but each
+  * partition emits one row per tag group present in its range —
+  * (tag, stats…) computed from modular range arithmetic, never by
+  * materializing rows. Spark's final Aggregate merges the partials.
+  */
+private class SeqGroupAggScan(rows: Long, lo: Long, hi: Long, parts: Int,
+    funcs: Seq[String]) extends Scan with Batch {
+  override def readSchema(): StructType = StructType(
+    StructField("tag", StringType, nullable = false) +:
+      funcs.zipWithIndex.map { case (f, i) =>
+        StructField(s"${f}_$i", LongType, nullable = f != "count") })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_seq grouped-agg [$lo, $hi) by tag -> ${funcs.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    if (hi <= lo) return Array.empty
+    val span = math.max(1L, (rows + parts - 1) / parts)
+    val first = lo / span * span
+    (first until hi by span)
+      .map(s => SeqPartition(math.max(s, lo), math.min(s + span, hi)))
+      .filter(p => p.end > p.start)
+      .map(p => p: InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SeqGroupAggReaderFactory(funcs)
+}
+
+private class SeqGroupAggReaderFactory(funcs: Seq[String])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val sp = p.asInstanceOf[SeqPartition]
+    // per tag t in [0,10): ids ≡ t (mod 10) within [start, end)
+    val groups = (0L until 10L).flatMap { t =>
+      val first = sp.start + ((t - sp.start % 10) + 10) % 10
+      if (first >= sp.end) None
+      else {
+        val last = first + (sp.end - 1 - first) / 10 * 10
+        val n = (last - first) / 10 + 1
+        val values: Array[Any] = UTF8String.fromString("t" + t) +:
+          funcs.map[Any] {
+            case "count" => n
+            case "min" => first
+            case "max" => last
+          }.toArray
+        Some(values)
+      }
+    }
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < groups.length }
+      override def get(): InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(groups(i))
+      override def close(): Unit = ()
+    }
+  }
 }
 
 /** One-row, one-partition scan answering a fully-pushed aggregation

@@ -72,15 +72,45 @@ class SourceSuite extends AnyFunSuite {
       == Seq((800L, 100L, 899L)))
   }
 
-  test("grouped or untranslatable aggregates are declined and planned normally") {
-    val grouped = seq(100, 2).groupBy("tag").agg(count(lit(1)).as("n"))
-    assert(grouped.queryExecution.executedPlan.toString.contains("HashAggregate"),
-      "grouped agg must fall back to Spark's aggregate")
-    assert(grouped.collect().map(_.getLong(1)).sum == 100)
+  test("untranslatable aggregates are declined and planned normally") {
     val onVal = seq(100, 2).agg(sum(col("val")))
     assert(onVal.queryExecution.executedPlan.toString.contains("HashAggregate"),
       "SUM(val) is not range-answerable and must be declined")
     assert(onVal.collect()(0).getDouble(0) == (0 until 100).map(_ * 0.5).sum)
+    val byVal = seq(100, 2).groupBy("val").agg(count(lit(1)))
+    assert(!byVal.queryExecution.executedPlan.toString.contains("PushedAggregation") ||
+      !byVal.queryExecution.optimizedPlan.toString.toLowerCase.contains("pushed"),
+      "grouping by val is not translatable and must be declined")
+    assert(byVal.count() == 100)
+  }
+
+  test("GROUP BY tag pushes down PARTIALLY: per-partition group stats, Spark merges") {
+    val grouped = seq(100, 4).groupBy("tag")
+      .agg(count(lit(1)).as("n"), min(col("id")).as("mn"), max(col("id")).as("mx"))
+    val plan = grouped.queryExecution.executedPlan.toString
+    // partial path: the scan answers per-partition groups AND Spark
+    // keeps a final Aggregate to merge them (unlike the complete path,
+    // which elides it)
+    assert(plan.contains("grouped-agg"),
+      s"scan did not receive the pushed grouped aggregation:\n$plan")
+    assert(plan.contains("HashAggregate"),
+      "partial pushdown must keep Spark's merging aggregate")
+    val got = grouped.orderBy("tag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = (0 until 10).map(t =>
+      ("t" + t, 10L, t.toLong, (90 + t).toLong))
+    assert(got.toSeq == want, s"merged group stats wrong: ${got.mkString(",")}")
+    // composes with filter pushdown: the narrowed range re-derives the
+    // group stats from the surviving ids only
+    val narrowed = seq(100, 4).filter(col("id") >= 25 && col("id") < 45)
+      .groupBy("tag").agg(count(lit(1)).as("n"), min(col("id")).as("mn"))
+      .orderBy("tag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val wantN = (0 until 10).map { t =>
+      val ids = (25 until 45).filter(_ % 10 == t)
+      ("t" + t, ids.length.toLong, ids.min.toLong)
+    }
+    assert(narrowed.toSeq == wantN)
   }
 
   // ---- KvStoreSource: the writable half of the connector surface ----
