@@ -459,6 +459,45 @@ object Relational {
               ON p_retailprice >= lo AND p_retailprice < hi
             ORDER BY p_partkey, band"""))
 
+  /** Banded range join — the 100 TB form of `join_theta_range`, the way
+    * `join_skew_salted` is the 100 TB form of a hot-key equi join: a
+    * pure range join plans as a nested-loop probe (fine only while one
+    * side broadcasts), so at scale you BUCKETIZE the range dimension —
+    * each band replicates to every fixed-width bucket it overlaps, the
+    * probe side computes its single bucket, and the join becomes EQUI
+    * on bucket + a residual range filter. Result is identical to the
+    * plain range join, so the oracle IS the plain range-join SQL
+    * (join_skew_salted's treatment); PlanSuite asserts no
+    * BroadcastNestedLoopJoin/CartesianProduct survives. Bucketing is
+    * Spark-side only (floor is monotone, so any pair passing the
+    * residual shares a bucket — no boundary can be lost); replication
+    * factor = band width / bucket width + 1, the knob trading
+    * duplication for selectivity.
+    */
+  val joinRangeBucketed: Op = Op(
+    "join_range_bucketed",
+    (s, dir) => {
+      import s.implicits._
+      val W = 10.0
+      val bands = Seq(
+        ("low", 900.0, 930.0), ("mid", 930.0, 970.0), ("high", 970.0, 1000.0))
+        .toDF("band", "lo", "hi")
+        .withColumn("bucket", explode(sequence(
+          floor(col("lo") / W).cast(LongType),
+          floor(col("hi") / W).cast(LongType))))
+      val parts = Tables.part(s, dir)
+        .withColumn("bucket", floor(col("p_retailprice") / W).cast(LongType))
+      parts.join(bands, Seq("bucket"))
+        .filter(col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+        .select("p_partkey", "band", "p_retailprice")
+        .orderBy("p_partkey", "band")
+    },
+    Some("""SELECT p_partkey, band, p_retailprice
+            FROM part JOIN (VALUES ('low', 900.0, 930.0), ('mid', 930.0, 970.0),
+                                   ('high', 970.0, 1000.0)) b(band, lo, hi)
+              ON p_retailprice >= lo AND p_retailprice < hi
+            ORDER BY p_partkey, band"""))
+
   /** Equi + range composite: views within 10 minutes before each purchase
     * of the same user. The equi key keeps the shuffle bounded per user.
     */
@@ -1483,7 +1522,8 @@ object Relational {
     projectCompute, filterCompound, filterNull3vl,
     joinInnerEqui, joinBroadcast, joinSortMerge, joinLeftOuter, joinRightOuter,
     joinFullOuter,
-    joinSemi, joinAnti, joinCross, joinThetaRange, joinInterval, joinAsof,
+    joinSemi, joinAnti, joinCross, joinThetaRange, joinRangeBucketed,
+    joinInterval, joinAsof,
     joinAsofForward,
     joinSkewSalted, mergeUpsert, mergeScd2, subqueryCorrelated,
     q17SmallQuantity, q18LargeOrders, sampleHashPct, sampleStratified,

@@ -59,6 +59,15 @@ class PlanSuite extends AnyFunSuite {
     assert(rangeEx == 1, s"expected 1 range exchange (final ORDER BY), got $rangeEx")
   }
 
+  test("join_range_bucketed plans an EQUI join — the range probe is gone") {
+    val p = plan("join_range_bucketed")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"banded range join regressed to a nested-loop probe:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"),
+      s"no equi join on the bucket key found:\n$p")
+  }
+
   test("win_topk_per_group gets the WindowGroupLimit pushdown (partial top-k before the shuffle)") {
     // Spark's RankLimit/WindowGroupLimit optimization turns
     // filter(row_number <= k) into per-partition bounded top-k BEFORE
