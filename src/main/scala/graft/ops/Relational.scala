@@ -747,6 +747,102 @@ object Relational {
       LIMIT 100
     """.stripMargin.trim))
 
+  /** TPC-H Q19 shape — the DISJUNCTIVE-predicate join: three OR'd
+    * branches, each a conjunction mixing columns of BOTH sides (brand +
+    * size from part, quantity from lineitem). The famous optimizer
+    * exercise: a naive plan evaluates the whole OR after a full join,
+    * while CNF extraction pushes each side's derivable disjunction
+    * (p_brand IN …, p_size in the hull, l_quantity in the hull) below
+    * the join so both scans prune before shuffling. Revenue through the
+    * shared exact-decimal chain.
+    */
+  val q19Disjunctive: Op = Op(
+    "q19_disjunctive",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir)
+      li.join(p, col("p_partkey") === col("l_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity") >= 1 && col("l_quantity") <= 20) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(10, 25) &&
+            col("l_quantity") >= 10 && col("l_quantity") <= 30) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+            col("l_quantity") >= 20 && col("l_quantity") <= 40))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), sumMoney(revenue).as("revenue"))
+        .orderBy("p_brand")
+    },
+    Some(s"""
+      SELECT p_brand, COUNT(*) AS n,
+        CAST(SUM($revenueSql) AS DOUBLE) AS revenue
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+             AND l_quantity >= 1 AND l_quantity <= 20)
+         OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 25
+             AND l_quantity >= 10 AND l_quantity <= 30)
+         OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+             AND l_quantity >= 20 AND l_quantity <= 40)
+      GROUP BY p_brand ORDER BY p_brand
+    """.stripMargin.trim))
+
+  /** NOT IN with a NULL in the subquery — the classic three-valued-logic
+    * trap, graded as the COUNT ledger that makes it visible: the inner
+    * set is BUILDING customers with ONE key nullified in-plan, and the
+    * output is (total, IN-matches, NOT-IN-matches, NOT-IN after
+    * stripping the NULL). `x NOT IN (set containing NULL)` is never
+    * TRUE, so n_not_in is 0 and n_in + n_not_in ≠ n_total — the bug
+    * class behind countless silently-empty anti-joins; the null-free
+    * fourth count restores the complement. Membership runs in WHERE
+    * context, where BOTH engines agree exactly (filters discard FALSE
+    * and UNKNOWN alike, and Catalyst plans NOT IN as a null-aware anti
+    * join) — deliberately NOT in projection context, where Spark
+    * returns FALSE for the UNKNOWN case and ANSI engines return NULL
+    * (divergence found while building this op). Complements
+    * `filter_null_3vl` (scalar 3VL) and `join_anti` (the NULL-safe
+    * exclusion spelling).
+    */
+  val subqueryNotInNull: Op = Op(
+    "subquery_not_in_null",
+    (s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("g_innull_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("g_innull_orders")
+      s.sql("""
+        WITH bset AS (
+          SELECT nullif(c_custkey, 4) AS ck FROM g_innull_customer
+          WHERE c_mktsegment = 'BUILDING'
+        ), o AS (
+          SELECT o_custkey FROM g_innull_orders WHERE o_orderkey % 97 = 0
+        )
+        SELECT
+          (SELECT COUNT(*) FROM o) AS n_total,
+          (SELECT COUNT(*) FROM o
+            WHERE o_custkey IN (SELECT ck FROM bset)) AS n_in,
+          (SELECT COUNT(*) FROM o
+            WHERE o_custkey NOT IN (SELECT ck FROM bset)) AS n_not_in,
+          (SELECT COUNT(*) FROM o
+            WHERE o_custkey NOT IN (SELECT ck FROM bset WHERE ck IS NOT NULL))
+            AS n_not_in_nullfree
+      """)
+    },
+    Some("""
+      WITH bset AS (
+        SELECT nullif(c_custkey, 4) AS ck FROM customer
+        WHERE c_mktsegment = 'BUILDING'
+      ), o AS (
+        SELECT o_custkey FROM orders WHERE o_orderkey % 97 = 0
+      )
+      SELECT
+        (SELECT COUNT(*) FROM o) AS n_total,
+        (SELECT COUNT(*) FROM o
+          WHERE o_custkey IN (SELECT ck FROM bset)) AS n_in,
+        (SELECT COUNT(*) FROM o
+          WHERE o_custkey NOT IN (SELECT ck FROM bset)) AS n_not_in,
+        (SELECT COUNT(*) FROM o
+          WHERE o_custkey NOT IN (SELECT ck FROM bset WHERE ck IS NOT NULL))
+          AS n_not_in_nullfree
+    """.stripMargin.trim))
+
   // ---- §2.6 sorts / limits ------------------------------------------------
 
   val sortMultiNulls: Op = Op(
@@ -1526,7 +1622,8 @@ object Relational {
     joinInterval, joinAsof,
     joinAsofForward,
     joinSkewSalted, mergeUpsert, mergeScd2, subqueryCorrelated,
-    q17SmallQuantity, q18LargeOrders, sampleHashPct, sampleStratified,
+    q17SmallQuantity, q18LargeOrders, q19Disjunctive, subqueryNotInNull,
+    sampleHashPct, sampleStratified,
     tableChecksum, profileColumns, mergeCdcApply,
     sortMultiNulls, limitTopk,
     setUnionAll, setUnionDistinct, setIntersect, setExcept,
