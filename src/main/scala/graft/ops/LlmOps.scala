@@ -2036,6 +2036,44 @@ object LlmOps {
       ORDER BY doc_id
     """.stripMargin.trim))
 
+  /** Deterministic train/val/test holdout assignment — the split step
+    * between mixing and packing: every doc lands in exactly one split
+    * by content hash (md5 mod 100 → [0,90) train, [90,95) val,
+    * [95,100) test), so the assignment is partition-invariant,
+    * replayable on re-ingest, and needs no coordination — the same
+    * hash-split discipline `sample_hash_pct` uses for a single cut,
+    * extended to a partition of the corpus. Output is the per-(source,
+    * split) ledger a pipeline audits (counts + char volume);
+    * disjointness + exhaustiveness are structural (one CASE over one
+    * hash) and the ledger's totals prove it against the corpus size in
+    * the oracle comparison.
+    */
+  val llmSplitHoldout: Op = Op(
+    "llm_split_holdout",
+    (s, dir) => {
+      val h = expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 7), 16, 10) as bigint) % 100")
+      Tables.documents(s, dir)
+        .withColumn("split",
+          when(h < 90, "train").when(h < 95, "val").otherwise("test"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+        .orderBy("source", "split")
+    },
+    Some("""
+      SELECT source, split, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM (
+        SELECT source, n_chars,
+          CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val'
+               ELSE 'test' END AS split
+        FROM (SELECT source, n_chars,
+                CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+                  % 100 AS h
+              FROM documents))
+      GROUP BY source, split ORDER BY source, split
+    """.stripMargin.trim))
+
   /** Mixture-weighted source sampling — the step between curation and
     * packing in every real pretraining pipeline: each corpus SOURCE
     * contributes to the training mix in proportion to its configured
@@ -2303,7 +2341,7 @@ object LlmOps {
   val ops: Seq[Op] = Seq(
     llmVocabMerges, llmVocabApply,
     llmPackSequences, llmRepetitionFilter, llmDocChunk, llmCrossDedup,
-    llmVocabInduce, llmMixSources,
+    llmVocabInduce, llmMixSources, llmSplitHoldout,
     llmQualityFilter, llmQualityScore, llmTokenCount,
     llmTextStats, llmTextTfidf, llmDedupExact,
     llmDedupNear, llmDedupCluster, llmDedupClusterScale, llmDedupMinhash,
