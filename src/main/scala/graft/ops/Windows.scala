@@ -460,8 +460,59 @@ object Windows {
       FROM win ORDER BY c_mktsegment, c_custkey
     """.stripMargin.trim))
 
+  /** Moving median — the robust-smoothing companion to `events_ewma`
+    * (a median shrugs off the single-bucket spikes that drag a mean):
+    * exact median of each (event_type, hour) count over its trailing
+    * 12 observed buckets, as the even-count interpolated middle
+    * (v₆+v₇)/2 of the SORTED frame. Neither engine has a median
+    * window aggregate with frames, so both collect the frame to an
+    * array, sort it, and index — the portable decomposition
+    * (`sort_array(collect_list)` ⇄ `list_sort(list)`), with the §5.3
+    * collect_list discipline (never unsorted) applied inside a frame.
+    * Integer counts mean (a+b)/2.0 is exact in double — no rounding
+    * needed. Rows without a full 12-bucket history are suppressed.
+    *
+    * Scale shape: same as ewma/zscore — one partial+final hourly
+    * aggregate over raw events, then a 12-element array per grid cell
+    * on the calendar-bounded grid; the frame array is O(window), not
+    * O(history).
+    */
+  val winMovingMedian: Op = Op(
+    "win_moving_median",
+    (s, dir) => {
+      val win = Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(-11, 0)
+      graft.tables.Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("k", count("n").over(win))
+        .withColumn("vals", sort_array(collect_list("n").over(win)))
+        .filter(col("k") === 12)
+        .select(fmtSec(col("h")).as("hour"), col("event_type"), col("n"),
+          ((element_at(col("vals"), 6) + element_at(col("vals"), 7))
+            .cast(DoubleType) / 2.0).as("med12"))
+        .orderBy("event_type", "hour")
+    },
+    Some("""
+      WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+      ), w AS (
+        SELECT h, event_type, n,
+          COUNT(n) OVER win AS k,
+          list_sort(list(n) OVER win) AS vals
+        FROM hourly
+        WINDOW win AS (PARTITION BY event_type ORDER BY h
+                       ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+      )
+      SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, event_type, n,
+        CAST((vals[6] + vals[7]) AS DOUBLE) / 2.0 AS med12
+      FROM w WHERE k = 12
+      ORDER BY event_type, hour
+    """.stripMargin.trim))
+
   val ops: Seq[Op] = Seq(
-    winPareto,
+    winPareto, winMovingMedian,
     winRank, winLagLead, winFirstLastFrame, winRunningFrame, winRangeFrame, winNtilePct,
     winRangeFrameScale, winNtilePctScale, winTopkPerGroup, winCountDistinct)
 }
