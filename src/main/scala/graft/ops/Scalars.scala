@@ -522,8 +522,58 @@ object Scalars {
       FROM part ORDER BY p_partkey
     """.stripMargin.trim))
 
+  /** Nested array-of-struct processing — the semi-structured document
+    * shape every modern lake stores (an order with its line items as
+    * ONE nested row) and the missing nesting level between
+    * `fn_struct_pack` (flat structs) and `fn_array_pack`/
+    * `fn_higher_order` (scalar arrays): each order's lineitems roll up
+    * into a linenumber-sorted array of typed structs, then
+    * higher-order functions compute over the STRUCT FIELDS in place —
+    * `filter` on a field predicate feeding a decimal `aggregate` fold
+    * (kept-quantity, skipping returned items), `transform` extracting
+    * a field for `array_max`. Determinism: the array is sort_array'd
+    * on the leading l_linenumber field and the fold accumulates exact
+    * decimals in that fixed order; the oracle recomputes the same
+    * SCALARS relationally (nested construction is Spark-side — the
+    * §5.3 output discipline keeps arrays out of the output schema).
+    *
+    * Scale shape: one partial+final collect per order (the nested row
+    * a document store would materialize), then fully narrow per-row
+    * HOF math — nesting trades join locality for row width, the
+    * standard denormalization bet.
+    */
+  val fnNestedAgg: Op = Op(
+    "fn_nested_agg",
+    (s, dir) => {
+      val item = struct(
+        col("l_linenumber"), dec2(col("l_quantity")).as("qty"),
+        dec2(col("l_extendedprice")).as("price"), col("l_returnflag").as("rf"))
+      val zero = lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 2))
+      Tables.lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(item)).as("items"))
+        .select(col("l_orderkey"),
+          size(col("items")).as("n_items"),
+          aggregate(
+            filter(col("items"), i => i.getField("rf") =!= "R"),
+            zero,
+            (acc, i) => (acc + i.getField("qty")).cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("qty_kept"),
+          array_max(transform(col("items"), i => i.getField("price")))
+            .cast(DoubleType).as("max_price"))
+        .orderBy("l_orderkey")
+    },
+    Some("""
+      SELECT l_orderkey, COUNT(*) AS n_items,
+        CAST(SUM(CASE WHEN l_returnflag != 'R'
+                 THEN CAST(l_quantity AS DECIMAL(12,2))
+                 ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_kept,
+        CAST(MAX(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price
+      FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey
+    """.stripMargin.trim))
+
   val ops: Seq[Op] = Seq(
     fnStringPack, fnDatePack, fnMathCase, fnArrayPack, fnHigherOrder,
     fnMapPack, fnJsonExtract, fnCastCoalesce, fnBitwisePack, fnRegexpPack,
-    fnTrigPack, fnStructPack, fnGeneratorOuter, fnHashPack)
+    fnTrigPack, fnStructPack, fnGeneratorOuter, fnHashPack, fnNestedAgg)
 }
