@@ -1044,6 +1044,81 @@ object Relational {
       ORDER BY c_custkey, valid_from
     """.stripMargin.trim))
 
+  /** Parquet FOOTER aggregate pushdown — metadata-answerable queries
+    * never touching data pages: ungrouped COUNT(*)/MIN/MAX compile to
+    * reads of the parquet footer statistics (`PushedAggregation` in the
+    * scan, PlanSuite-asserted), the file-format twin of SeqSource's
+    * DSv2 complete aggregate pushdown and the reason "how many rows /
+    * what's the key range" is free at 100 TB. Footer pushdown only
+    * exists on the V2 parquet path, and switching the WHOLE engine to
+    * V2 would cost the V1-only features other ops depend on (bucketed
+    * reads), so this op runs in a session CLONE (`newSession`: shared
+    * SparkContext, private SQLConf) with V2 parquet + aggregate
+    * pushdown enabled — conf isolation without touching any other
+    * query's path. Semantics-neutral either way; the op grades the
+    * values and pins the plan shape.
+    */
+  val scanAggPushdown: Op = Op(
+    "scan_agg_pushdown",
+    (s, dir) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.sources.useV1SourceList", "")
+      s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      s2.conf.set("spark.sql.session.timeZone", "UTC")
+      s2.read.parquet(s"$dir/lineitem.parquet")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_orderkey")).as("min_key"),
+          max(col("l_orderkey")).as("max_key"))
+    },
+    Some("""SELECT COUNT(*) AS n_rows, MIN(l_orderkey) AS min_key,
+              MAX(l_orderkey) AS max_key
+            FROM lineitem"""))
+
+  /** One lang-partitioned documents table per (session, fixture dir) —
+    * the DPP op's fact side; written once like a deployment's
+    * partitioned fact table (same lifecycle as the bucketed tables).
+    */
+  private val dppWritten = new SessionArtifact[String]
+  private def dppFacts(s: SparkSession, dir: String): String =
+    dppWritten(s, dir) {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_scratch/dpp_" +
+        SessionArtifact.dirTag(dir)
+      Tables.documents(s, dir)
+        .write.mode("overwrite").partitionBy("lang").parquet(p)
+      p
+    }
+
+  /** DYNAMIC partition pruning — the star-schema runtime optimization
+    * static pruning can't do: the fact table is partitioned on lang,
+    * but the query's selectivity lives in a FILTER ON THE DIMENSION
+    * (tier = 'latin'), so which fact partitions survive is only known
+    * after the dim side runs. Spark inserts a dynamicpruning subquery
+    * into the fact scan's PartitionFilters (PlanSuite-asserted): the
+    * broadcast dim executes first and its lang values prune fact
+    * partitions BEFORE any fact task schedules. At 100 TB on a
+    * date-partitioned fact this is the difference between scanning 3
+    * days and 3 years. The dim derives from a fixture scan so Catalyst
+    * cannot constant-fold it into a static filter.
+    */
+  val joinDppPartitioned: Op = Op(
+    "join_dpp_partitioned",
+    (s, dir) => {
+      val facts = s.read.parquet(dppFacts(s, dir))
+      val dim = Tables.documents(s, dir).select(col("lang")).distinct()
+        .withColumn("tier",
+          when(col("lang").isin("en", "fr", "es"), "latin").otherwise("other"))
+      facts.join(broadcast(dim.filter(col("tier") === "latin")), "lang")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .orderBy("lang")
+    },
+    Some("""
+      SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents WHERE lang IN ('en', 'fr', 'es')
+      GROUP BY lang ORDER BY lang
+    """.stripMargin.trim))
+
   /** CDC changelog APPLY — the inverse direction of `cdc_snapshot_diff`
     * (which derives a changelog from two snapshots, this op derives the
     * snapshot from a changelog): the standard incremental-ingest step
@@ -1625,6 +1700,7 @@ object Relational {
     q17SmallQuantity, q18LargeOrders, q19Disjunctive, subqueryNotInNull,
     sampleHashPct, sampleStratified,
     tableChecksum, profileColumns, mergeCdcApply,
+    scanAggPushdown, joinDppPartitioned,
     sortMultiNulls, limitTopk,
     setUnionAll, setUnionDistinct, setIntersect, setExcept,
     setIntersectAll, setExceptAll)

@@ -59,6 +59,22 @@ class PlanSuite extends AnyFunSuite {
     assert(rangeEx == 1, s"expected 1 range exchange (final ORDER BY), got $rangeEx")
   }
 
+  test("scan_agg_pushdown answers COUNT/MIN/MAX from parquet footer statistics") {
+    val p = plan("scan_agg_pushdown")
+    assert(p.contains("PushedAggregation"),
+      s"aggregate did not push into the parquet scan:\n$p")
+    assert(p.contains("COUNT(*)") && p.contains("MIN(l_orderkey)"),
+      s"pushed aggregation list incomplete:\n$p")
+  }
+
+  test("join_dpp_partitioned prunes fact partitions DYNAMICALLY from the dim filter") {
+    val p = plan("join_dpp_partitioned")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning subquery in the fact scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"dim side did not broadcast (DPP rides the broadcast):\n$p")
+  }
+
   test("join_range_bucketed plans an EQUI join — the range probe is gone") {
     val p = plan("join_range_bucketed")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
