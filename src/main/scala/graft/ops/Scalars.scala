@@ -572,8 +572,69 @@ object Scalars {
       FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey
     """.stripMargin.trim))
 
+  /** Error-safe (TRY) casting and arithmetic — the dirty-data surface a
+    * lake needs at ingest, where ANSI strictness would kill the job on
+    * row one: a synthesized dirty-string column runs through try_cast
+    * to INT (parse failure, empty, whitespace-padded, overflow →
+    * NULL), try_cast to DATE (calendar-invalid Feb 30 → NULL),
+    * try_divide (zero divisor → NULL, never ±Inf), and try_add at the
+    * BIGINT ceiling (overflow → NULL). Pinned to the PORTABLE subset —
+    * probed divergences deliberately excluded: DuckDB TRY_CAST rounds
+    * '12.7' to 13 and parses '0x1A' where Spark returns NULL. The
+    * oracle spells the same semantics with TRY_CAST + CASE guards
+    * (DuckDB has no try_divide/try_add; double/0 there is ±Inf and
+    * BIGINT overflow errors).
+    */
+  val fnTryPack: Op = Op(
+    "fn_try_pack",
+    (s, dir) => {
+      val k = col("p_partkey")
+      Tables.part(s, dir)
+        .select(k,
+          when(k % 5 === 0, "123").when(k % 5 === 1, "abc")
+            .when(k % 5 === 2, "").when(k % 5 === 3, "  42 ")
+            .otherwise(k.cast(StringType)).as("raw"),
+          when(k % 3 === 0, "2024-02-29").when(k % 3 === 1, "2024-02-30")
+            .otherwise("not-a-date").as("date_s"),
+          (k % 3).cast(IntegerType).as("d"))
+        .select(col("p_partkey"), col("raw"),
+          expr("try_cast(raw AS int)").as("as_int"),
+          col("date_s"),
+          date_format(expr("try_cast(date_s AS date)"), "yyyy-MM-dd").as("as_date"),
+          col("d"),
+          expr("try_divide(cast(p_partkey AS double), d)").as("quotient"),
+          expr("try_add(9223372036854775807L, p_partkey % 2)").as("guarded_add"))
+        .orderBy("p_partkey")
+    },
+    Some("""
+      WITH t AS (
+        SELECT p_partkey,
+          CASE WHEN p_partkey % 5 = 0 THEN '123'
+               WHEN p_partkey % 5 = 1 THEN 'abc'
+               WHEN p_partkey % 5 = 2 THEN ''
+               WHEN p_partkey % 5 = 3 THEN '  42 '
+               ELSE CAST(p_partkey AS VARCHAR) END AS raw,
+          CASE WHEN p_partkey % 3 = 0 THEN '2024-02-29'
+               WHEN p_partkey % 3 = 1 THEN '2024-02-30'
+               ELSE 'not-a-date' END AS date_s,
+          CAST(p_partkey % 3 AS INTEGER) AS d
+        FROM part
+      )
+      SELECT p_partkey, raw,
+        TRY_CAST(raw AS INTEGER) AS as_int,
+        date_s,
+        strftime(TRY_CAST(date_s AS DATE), '%Y-%m-%d') AS as_date,
+        d,
+        CASE WHEN d = 0 THEN NULL
+             ELSE CAST(p_partkey AS DOUBLE) / d END AS quotient,
+        CASE WHEN p_partkey % 2 = 1 THEN NULL
+             ELSE 9223372036854775807 END AS guarded_add
+      FROM t ORDER BY p_partkey
+    """.stripMargin.trim))
+
   val ops: Seq[Op] = Seq(
     fnStringPack, fnDatePack, fnMathCase, fnArrayPack, fnHigherOrder,
     fnMapPack, fnJsonExtract, fnCastCoalesce, fnBitwisePack, fnRegexpPack,
-    fnTrigPack, fnStructPack, fnGeneratorOuter, fnHashPack, fnNestedAgg)
+    fnTrigPack, fnStructPack, fnGeneratorOuter, fnHashPack, fnNestedAgg,
+    fnTryPack)
 }
