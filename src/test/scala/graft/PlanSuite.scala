@@ -59,6 +59,19 @@ class PlanSuite extends AnyFunSuite {
     assert(rangeEx == 1, s"expected 1 range exchange (final ORDER BY), got $rangeEx")
   }
 
+  test("q19_disjunctive pushes each side's derived disjunction below the join") {
+    val p = plan("q19_disjunctive")
+    // CNF extraction: the part scan must receive the brand/size OR-chain
+    // and the lineitem scan the quantity OR-chain — both as PushedFilters,
+    // so each side prunes BEFORE the join instead of filtering after it
+    val pushed = "PushedFilters: \\[([^\\]]*)\\]".r.findAllMatchIn(p)
+      .map(_.group(1)).toSeq
+    assert(pushed.exists(f => f.contains("p_brand") && f.contains("Or(")),
+      s"part side's disjunction not pushed: $pushed")
+    assert(pushed.exists(f => f.contains("l_quantity") && f.contains("Or(")),
+      s"lineitem side's disjunction not pushed: $pushed")
+  }
+
   test("scan_agg_pushdown answers COUNT/MIN/MAX from parquet footer statistics") {
     val p = plan("scan_agg_pushdown")
     assert(p.contains("PushedAggregation"),
