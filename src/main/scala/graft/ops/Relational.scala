@@ -843,6 +843,62 @@ object Relational {
           AS n_not_in_nullfree
     """.stripMargin.trim))
 
+  /** TPC-H Q21 shape — the hardest classic decorrelation: TWO correlated
+    * subqueries against the same derived fact, one EXISTS and one NOT
+    * EXISTS, both with an inequality correlation (a DIFFERENT supplier
+    * in the same order). "Suppliers who kept multi-supplier orders
+    * waiting": the supplier's line is late, some other supplier shares
+    * the order, and no other supplier was ALSO late — Catalyst
+    * decorrelates to a semi join plus an anti join on l_orderkey
+    * (PlanSuite-asserted: no subquery survives, both join types
+    * present). The fixture has no receiptdate, so lateness is
+    * shipdate > orderdate + 90 days — same shape, derivable columns.
+    * Top-20 ties break on s_name.
+    */
+  val q21WaitingSupplier: Op = Op(
+    "q21_waiting_supplier",
+    (s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("g_q21_lineitem")
+      Tables.orders(s, dir).createOrReplaceTempView("g_q21_orders")
+      Tables.supplier(s, dir).createOrReplaceTempView("g_q21_supplier")
+      s.sql("""
+        WITH l AS (
+          SELECT l_orderkey, l_suppkey,
+            l_shipdate > o_orderdate + INTERVAL 90 DAY AS is_late
+          FROM g_q21_lineitem JOIN g_q21_orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F'
+        )
+        SELECT s_name, COUNT(*) AS numwait
+        FROM l l1 JOIN g_q21_supplier ON s_suppkey = l1.l_suppkey
+        WHERE l1.is_late
+          AND EXISTS (SELECT 1 FROM l l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey != l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM l l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey != l1.l_suppkey AND l3.is_late)
+        GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
+      """)
+    },
+    Some("""
+      WITH l AS (
+        SELECT l_orderkey, l_suppkey,
+          l_shipdate > o_orderdate + INTERVAL 90 DAY AS is_late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'
+      )
+      SELECT s_name, COUNT(*) AS numwait
+      FROM l l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+      WHERE l1.is_late
+        AND EXISTS (SELECT 1 FROM l l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey != l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM l l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey != l1.l_suppkey AND l3.is_late)
+      GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
+    """.stripMargin.trim))
+
   // ---- §2.6 sorts / limits ------------------------------------------------
 
   val sortMultiNulls: Op = Op(
@@ -1697,7 +1753,8 @@ object Relational {
     joinInterval, joinAsof,
     joinAsofForward,
     joinSkewSalted, mergeUpsert, mergeScd2, subqueryCorrelated,
-    q17SmallQuantity, q18LargeOrders, q19Disjunctive, subqueryNotInNull,
+    q17SmallQuantity, q18LargeOrders, q19Disjunctive, q21WaitingSupplier,
+    subqueryNotInNull,
     sampleHashPct, sampleStratified,
     tableChecksum, profileColumns, mergeCdcApply,
     scanAggPushdown, joinDppPartitioned,

@@ -59,6 +59,14 @@ class PlanSuite extends AnyFunSuite {
     assert(rangeEx == 1, s"expected 1 range exchange (final ORDER BY), got $rangeEx")
   }
 
+  test("q21_waiting_supplier decorrelates both EXISTS to semi + anti joins") {
+    val p = plan("q21_waiting_supplier")
+    assert(!p.toLowerCase.contains("scalar-subquery") && !p.contains("Subquery "),
+      s"correlated subquery survived to the physical plan:\n$p")
+    assert(p.contains("LeftSemi"), s"EXISTS did not become a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS did not become an anti join:\n$p")
+  }
+
   test("q19_disjunctive pushes each side's derived disjunction below the join") {
     val p = plan("q19_disjunctive")
     // CNF extraction: the part scan must receive the brand/size OR-chain
