@@ -207,6 +207,69 @@ class PropertySuite extends AnyFunSuite {
     assert(bad == 0L)
   }
 
+  test("join_range_bucketed is bit-equal to the nested-loop spec form") {
+    // same semantics, different physical shape (the WindowScaleSuite
+    // treatment): the banded equi rewrite must reproduce the plain
+    // range join row-for-row
+    val spec = Relational.joinThetaRange.build(s, sf).collect().toSeq
+    val banded = Relational.joinRangeBucketed.build(s, sf).collect().toSeq
+    assert(banded.nonEmpty && banded == spec)
+  }
+
+  test("table_checksum is invariant under repartition and sensitive to a row change") {
+    import org.apache.spark.sql.functions._
+    val base = Relational.tableChecksum.build(s, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // XOR commutes: a second run (different session state, possibly
+    // different task order) must reproduce identical digests
+    val again = Relational.tableChecksum.build(s, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(again == base)
+    // sensitivity: recompute region's digest with one value perturbed —
+    // the digest must move (same row-hash pipeline, one field changed)
+    val perturbed = graft.tables.Tables.region(s, sf)
+      .withColumn("r_name",
+        when(col("r_regionkey") === 0, concat(col("r_name"), lit("X")))
+          .otherwise(col("r_name")))
+      .select(expr(
+        "cast(conv(substring(md5(concat_ws('|', r_regionkey, r_name)), 1, 15), 16, 10) as bigint)").as("h"))
+      .agg(expr("bit_xor(h)")).head.getLong(0)
+    assert(perturbed != base("region")._2)
+  }
+
+  test("merge_cdc_apply: deletes vanish, updates repriced, inserts untouched") {
+    import org.apache.spark.sql.functions._
+    val applied = Relational.mergeCdcApply.build(s, sf)
+    val keys = graft.tables.Tables.orders(s, sf)
+      .select(col("o_orderkey").as("k")).collect().map(_.getLong(0)).toSet
+    val out = applied.collect()
+    val outKeys = out.map(_.getAs[Long]("k")).toSet
+    // every surviving key exists, no deleted key survives, counts add up
+    assert(outKeys == keys.filter(_ % 7 != 0))
+    out.foreach { r =>
+      val k = r.getAs[Long]("k")
+      if (k % 3 == 0) {
+        assert(r.getAs[String]("final_op") == "U" && r.getAs[Long]("version") == 2L)
+      } else {
+        assert(r.getAs[String]("final_op") == "I" && r.getAs[Long]("version") == 1L)
+      }
+    }
+  }
+
+  test("events_rolling_distinct: dau <= wau7 and dau matches the daily distinct count") {
+    import org.apache.spark.sql.functions._
+    val out = graft.ops.EventTime.eventsRollingDistinct.build(s, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getAs[Long]("dau") <= r.getAs[Long]("wau7")))
+    val daily = graft.tables.Tables.events(s, sf)
+      .select(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("user_id"))
+      .distinct().groupBy("day").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach(r =>
+      assert(r.getAs[Long]("dau") == daily(r.getAs[String]("day"))))
+  }
+
   test("llm_dedup_exact partitions the corpus: sum(n_copies) = |documents|") {
     val out = LlmOps.llmDedupExact.build(s, sf).collect()
     assert(out.map(_.getAs[Long]("n_copies")).sum == Tables.documents(s, sf).count())
