@@ -374,6 +374,49 @@ class StreamingSuite extends AnyFunSuite {
     assert(ids == Seq(1L, 2L, 3L), s"restart broke exactly-once: $ids")
   }
 
+  /** Streaming UPSERT into a custom sink — the deployment pattern a
+    * memory/file sink can't show: foreachBatch gives each micro-batch
+    * a BATCH DataFrame plus its batchId, and the body merges it into
+    * the external system. Composes the round-9 connector: the running
+    * per-user aggregate lands in KvStoreSource via its two-phase-commit
+    * writer in overwrite mode, so each batch atomically REPLACES the
+    * served state (idempotent under foreachBatch's at-least-once
+    * contract — a replayed batchId rewrites the same state rather than
+    * double-applying). After the replay drains, the store must hold
+    * exactly the batch per-user counts.
+    */
+  test("foreachBatch upserts running aggregates into the Kv sink idempotently") {
+    val srcDir = Files.createTempDirectory("graft_stream_fb_src_").toString
+    graft.sources.KvStoreSource.drop("fb_counts")
+    stageFile(srcDir, "f1", Seq(
+      (1L, "2024-01-01 01:00:00", 1L, "view", 1.0, "{}"),
+      (2L, "2024-01-01 01:05:00", 1L, "view", 1.0, "{}"),
+      (3L, "2024-01-01 01:06:00", 2L, "click", 1.0, "{}")))
+    stageFile(srcDir, "f2", Seq(
+      (4L, "2024-01-01 01:10:00", 2L, "view", 1.0, "{}"),
+      (5L, "2024-01-01 01:11:00", 3L, "view", 1.0, "{}")))
+
+    val counts = s.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .groupBy("user_id").count()
+    val q = counts.writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        batch.select(col("user_id").as("k"),
+            concat(lit("n="), col("count")).as("v"))
+          .write.format("graft.sources.KvStoreSource")
+          .option("table", "fb_counts").mode("overwrite").save()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val got = graft.sources.KvStoreSource.committed("fb_counts").toMap
+    assert(got == Map(1L -> "n=2", 2L -> "n=2", 3L -> "n=1"),
+      s"kv state after replay: $got")
+    graft.sources.KvStoreSource.drop("fb_counts")
+  }
+
   test("streaming dropDuplicates forwards each event_id exactly once across batches") {
     val srcDir = Files.createTempDirectory("graft_stream_dedup_").toString
     stageFile(srcDir, "f1", Seq(
