@@ -959,6 +959,54 @@ object LlmOps {
       .agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true)
 
+  /** The featurization pass itself, graded — `llm_dedup_embed` and the
+    * ANN stack consume the hashed bag-of-words embedding; this op
+    * grades its DERIVATION on the production subplan (`embedTf`: term →
+    * md5 dim mod 128, weight = tf) via the per-doc summary an arrays-
+    * forbidden output schema can carry (§5.3): nonzero dims, total tf,
+    * L2 norm (exact integer squares under one sqrt), and the dominant
+    * dimension with a deterministic tie (smallest dim at the max
+    * count, via a (cnt, −dim) struct-max — neither engine's bare
+    * argmax pins ties). A drift in this derivation would silently
+    * decouple the dedup detector from the quantizer; now it
+    * hash-breaks instead.
+    */
+  val llmDocEmbed: Op = Op(
+    "llm_doc_embed",
+    (s, dir) =>
+      embedTf(s, dir)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("nnz"),
+          sum("cnt").as("total_tf"),
+          round(sqrt(sum((col("cnt") * col("cnt")).cast(DoubleType))), 6)
+            .as("l2_norm"),
+          max(struct(col("cnt"), (-col("dim")).as("negdim"))).as("mx"))
+        .select(col("doc_id"), col("nnz"), col("total_tf"), col("l2_norm"),
+          (-col("mx.negdim")).cast(IntegerType).as("top_dim"),
+          col("mx.cnt").as("top_cnt"))
+        .orderBy("doc_id"),
+    Some("""
+      WITH tf AS (
+        SELECT doc_id,
+          CAST(CAST('0x' || substr(md5(term), 1, 7) AS BIGINT) % 128 AS INT) AS dim,
+          COUNT(*) AS cnt
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        GROUP BY 1, 2
+      ), agg AS (
+        SELECT doc_id, COUNT(*) AS nnz,
+          CAST(SUM(cnt) AS BIGINT) AS total_tf,
+          ROUND(sqrt(SUM(CAST(cnt * cnt AS DOUBLE))), 6) AS l2_norm,
+          MAX(cnt) AS top_cnt
+        FROM tf GROUP BY doc_id
+      )
+      SELECT a.doc_id, a.nnz, a.total_tf, a.l2_norm,
+        MIN(t.dim) AS top_dim, CAST(a.top_cnt AS BIGINT) AS top_cnt
+      FROM agg a JOIN tf t ON t.doc_id = a.doc_id AND t.cnt = a.top_cnt
+      GROUP BY a.doc_id, a.nnz, a.total_tf, a.l2_norm, a.top_cnt
+      ORDER BY a.doc_id
+    """.stripMargin.trim))
+
   /** (doc_id, nr, band, key) hyperplane band rows for a given tf table
     * — the candidate-generation half of llm_dedup_embed, exposed so
     * PropertySuite can assert band selectivity (never all-pairs, no
@@ -2346,6 +2394,7 @@ object LlmOps {
     llmTextStats, llmTextTfidf, llmDedupExact,
     llmDedupNear, llmDedupCluster, llmDedupClusterScale, llmDedupMinhash,
     llmDedupSimhash,
+    llmDocEmbed,
     llmDedupEmbed, llmFingerprintWinnow, llmDecontaminate, llmPiiScrub,
     llmPipelineCurate,
     llmSimsearchTopk, llmSimsearchLsh, llmIvfFit, llmSimsearchIvf,
