@@ -800,6 +800,76 @@ object EventTime {
       ORDER BY event_type, hour
     """.stripMargin.trim))
 
+  /** Seasonal-naive forecast evaluation — the baseline every real
+    * forecasting system is judged against ("predict the same hour
+    * yesterday") and the observability query that decides whether a
+    * fancier model earns its keep: per event type, MAE and signed bias
+    * of the 24-hour-lag predictor over the DENSE hourly grid. Density
+    * matters for honesty: the grid is gap-filled with zeros first
+    * (the timeseries_gapfill spine pattern) so lag(24 ROWS) is exactly
+    * 24 HOURS — on the sparse observed grid a row lag would silently
+    * predict across gaps. Error sums are exact integers; the two
+    * divisions are single rounded doubles.
+    *
+    * Scale shape: one partial+final hourly aggregate over raw events,
+    * then spine + lag + rollup on the calendar-bounded grid — the
+    * gapfill/zscore/ewma family's shape, ending in a 5-row result.
+    */
+  val eventsForecastNaive: Op = Op(
+    "events_forecast_naive",
+    (s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val bounds = hourly.agg(min("h").as("hmin"), max("h").as("hmax"))
+      val hours = bounds.select(
+        explode(sequence(col("hmin"), col("hmax"), expr("interval 1 hour"))).as("h"))
+      val types = Tables.events(s, dir).select(col("event_type")).distinct()
+      val dense = hours.crossJoin(broadcast(types))
+        .join(hourly, Seq("h", "event_type"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+      dense
+        .withColumn("pred", lag("n", 24).over(
+          Window.partitionBy("event_type").orderBy("h")))
+        .filter(col("pred").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_hours"),
+          sum(abs(col("n") - col("pred"))).as("total_abs_err"),
+          round(sum(abs(col("n") - col("pred"))).cast(DoubleType) /
+            count(lit(1)), 6).as("mae"),
+          round(sum(col("n") - col("pred")).cast(DoubleType) /
+            count(lit(1)), 6).as("bias"))
+        .orderBy("event_type")
+    },
+    Some("""
+WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+      ), b AS (
+        SELECT MIN(h) AS hmin, MAX(h) AS hmax FROM hourly
+      ), hrs AS (
+        SELECT unnest(generate_series(hmin, hmax, INTERVAL 1 HOUR)) AS h FROM b
+      ), spine AS (
+        SELECT h, event_type
+        FROM hrs CROSS JOIN (SELECT DISTINCT event_type FROM events)
+      ), dense AS (
+        SELECT s.h, s.event_type, COALESCE(hourly.n, 0) AS n
+        FROM spine s LEFT JOIN hourly
+          ON hourly.h = s.h AND hourly.event_type = s.event_type
+      ), fc AS (
+        SELECT h, event_type, n,
+          lag(n, 24) OVER (PARTITION BY event_type ORDER BY h) AS pred
+        FROM dense
+      )
+      SELECT event_type,
+        COUNT(*) AS n_hours,
+        CAST(SUM(abs(n - pred)) AS BIGINT) AS total_abs_err,
+        ROUND(CAST(SUM(abs(n - pred)) AS DOUBLE) / COUNT(*), 6) AS mae,
+        ROUND(CAST(SUM(n - pred) AS DOUBLE) / COUNT(*), 6) AS bias
+      FROM fc WHERE pred IS NOT NULL
+      GROUP BY event_type ORDER BY event_type
+    """.stripMargin.trim))
+
   /** Rolling distinct users — DAU / trailing-7-day WAU / stickiness
     * (dau÷wau), the engagement query every product-analytics stack
     * runs daily. Trailing-window COUNT DISTINCT has no window-function
@@ -933,5 +1003,5 @@ object EventTime {
     eventsCohortRetention,
     eventsSessionize, eventsFunnel, timeseriesGapfill, eventsAttribution,
     eventsTransitions, eventsAnomalyZscore, eventsRollingDistinct,
-    eventsEwma, eventsTypeOverlap)
+    eventsEwma, eventsTypeOverlap, eventsForecastNaive)
 }
