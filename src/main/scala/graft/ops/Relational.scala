@@ -1175,6 +1175,74 @@ object Relational {
       GROUP BY lang ORDER BY lang
     """.stripMargin.trim))
 
+  /** Constraint validation — the dbt-test / data-contract gate every
+    * lake runs on ingest: referential integrity (orders→customer,
+    * lineitem→orders), primary-key uniqueness, a value-range rule, and
+    * NOT NULL, each reported as a violation count. The fixture is
+    * clean, so one ORPHAN order is planted in-plan (the llm_pii_scrub
+    * treatment: a detector graded only on zeros proves nothing) — the
+    * FK check must count exactly the plant and nothing else.
+    *
+    * Scale shape: each FK check is an anti join co-keyed on the
+    * natural key (the dimension side broadcast-able); uniqueness is a
+    * partial+final count on the PK; range/null checks are pushdown-
+    * friendly scans — five independent audits unioned into the 5-row
+    * report a scheduler alerts on.
+    */
+  val validateConstraints: Op = Op(
+    "validate_constraints",
+    (s, dir) => {
+      def report(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_violations"))
+          .select(lit(name).as("constraint_name"), col("n_violations"),
+            when(col("n_violations") === 0, "pass").otherwise("fail").as("status"))
+      val orders = Tables.orders(s, dir)
+      val planted = orders.select(col("o_orderkey"), col("o_custkey"))
+        .unionByName(s.range(1).select(
+          lit(-1L).as("o_orderkey"), lit(-999L).as("o_custkey")))
+      val fkOrders = planted.join(Tables.customer(s, dir),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      val fkLineitem = Tables.lineitem(s, dir).join(orders,
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      val dupPk = Tables.lineitem(s, dir)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+      val range = Tables.lineitem(s, dir)
+        .filter(!col("l_quantity").between(1.0, 50.0))
+      val notnull = Tables.customer(s, dir).filter(col("c_name").isNull)
+      report("fk_orders_customer", fkOrders)
+        .unionByName(report("fk_lineitem_orders", fkLineitem))
+        .unionByName(report("pk_lineitem_unique", dupPk))
+        .unionByName(report("range_quantity_1_50", range))
+        .unionByName(report("notnull_customer_name", notnull))
+        .orderBy("constraint_name")
+    },
+    Some("""
+      SELECT constraint_name, n_violations,
+        CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
+      FROM (
+        SELECT 'fk_orders_customer' AS constraint_name, COUNT(*) AS n_violations
+        FROM (SELECT o_custkey FROM orders
+              UNION ALL SELECT -999) o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        UNION ALL
+        SELECT 'fk_lineitem_orders', COUNT(*)
+        FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        UNION ALL
+        SELECT 'pk_lineitem_unique', COUNT(*)
+        FROM (SELECT l_orderkey, l_linenumber FROM lineitem
+              GROUP BY 1, 2 HAVING COUNT(*) > 1)
+        UNION ALL
+        SELECT 'range_quantity_1_50', COUNT(*)
+        FROM lineitem WHERE NOT (l_quantity BETWEEN 1.0 AND 50.0)
+        UNION ALL
+        SELECT 'notnull_customer_name', COUNT(*)
+        FROM customer WHERE c_name IS NULL
+      )
+      ORDER BY constraint_name
+    """.stripMargin.trim))
+
   /** CDC changelog APPLY — the inverse direction of `cdc_snapshot_diff`
     * (which derives a changelog from two snapshots, this op derives the
     * snapshot from a changelog): the standard incremental-ingest step
@@ -1757,7 +1825,7 @@ object Relational {
     subqueryNotInNull,
     sampleHashPct, sampleStratified,
     tableChecksum, profileColumns, mergeCdcApply,
-    scanAggPushdown, joinDppPartitioned,
+    scanAggPushdown, joinDppPartitioned, validateConstraints,
     sortMultiNulls, limitTopk,
     setUnionAll, setUnionDistinct, setIntersect, setExcept,
     setIntersectAll, setExceptAll)
