@@ -284,7 +284,12 @@ class PlanSuite extends AnyFunSuite {
     val allowed = Set("join_cross", "join_theta_range", "llm_simsearch_topk",
       "llm_text_tfidf", "llm_simsearch_ivf", "llm_ivf_fit", "llm_dedup_embed",
       "llm_embed_quantize", "llm_ngram_logprob", "events_funnel",
-      "timeseries_gapfill")
+      "timeseries_gapfill",
+      // calendar-spine × 5-type broadcast, the same gapfill pattern
+      "events_forecast_naive",
+      // the planted-orphan FK branch: Catalyst folds the equality into a
+      // right-side filter, leaving a 1-row × broadcast-filtered anti BNLJ
+      "validate_constraints")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       // sinks execute writes at build time (plain scan→write→scan, no join
       // to audit) and the streaming replays run whole MicroBatchExecution
