@@ -511,8 +511,69 @@ object Windows {
       ORDER BY event_type, hour
     """.stripMargin.trim))
 
+  /** RFM segmentation — the canonical marketing-analytics scoring
+    * query: every customer scored 1-5 on Recency (days since last
+    * order, vs the corpus max date riding in as a broadcast 1-row
+    * aggregate — the in-plan-N pattern), Frequency (order count) and
+    * Monetary (exact-decimal lifetime spend), combined into the
+    * 3-digit RFM code campaign tools key on. Each ntile orders by its
+    * metric with a custkey tie-break, so quintile boundaries are
+    * deterministic in both engines.
+    *
+    * SCALE NOTE: the three ntiles are GLOBAL windows (single
+    * partition) — correct at any customer count that fits a task, and
+    * `win_ntile_pct_scale`'s distributed-rank machinery is the proven
+    * drop-in when it doesn't; the per-customer aggregate below them is
+    * partial+final on the natural key either way.
+    */
+  val winRfmSegment: Op = Op(
+    "win_rfm_segment",
+    (s, dir) => {
+      val byCust = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("c"))
+        .agg(max("o_orderdate").as("last_order"),
+          count(lit(1)).as("frequency"),
+          sum(dec2(col("o_totalprice"))).cast(DoubleType).as("monetary"))
+      val maxDate = Tables.orders(s, dir).agg(max("o_orderdate").as("maxd"))
+      byCust.crossJoin(broadcast(maxDate))
+        .withColumn("recency_days",
+          datediff(col("maxd"), col("last_order")).cast(LongType))
+        .withColumn("r_score", ntile(5).over(
+          Window.orderBy(col("recency_days"), col("c"))).cast(LongType))
+        .withColumn("f_score", ntile(5).over(
+          Window.orderBy(col("frequency").desc, col("c"))).cast(LongType))
+        .withColumn("m_score", ntile(5).over(
+          Window.orderBy(col("monetary").desc, col("c"))).cast(LongType))
+        .select(col("c").as("c_custkey"), col("recency_days"),
+          col("frequency"), col("monetary"),
+          col("r_score"), col("f_score"), col("m_score"),
+          (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+            .as("rfm_code"))
+        .orderBy("c_custkey")
+    },
+    Some("""
+WITH rfm AS (
+        SELECT o_custkey AS c,
+          date_diff('day', MAX(o_orderdate),
+            (SELECT MAX(o_orderdate) FROM orders)) AS recency_days,
+          COUNT(*) AS frequency,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+        FROM orders GROUP BY 1
+      ), scored AS (
+        SELECT c, recency_days, frequency, monetary,
+          ntile(5) OVER (ORDER BY recency_days, c) AS r_score,
+          ntile(5) OVER (ORDER BY frequency DESC, c) AS f_score,
+          ntile(5) OVER (ORDER BY monetary DESC, c) AS m_score
+        FROM rfm
+      )
+      SELECT c AS c_custkey, recency_days, frequency, monetary,
+        r_score, f_score, m_score,
+        r_score * 100 + f_score * 10 + m_score AS rfm_code
+      FROM scored ORDER BY c_custkey
+    """.stripMargin.trim))
+
   val ops: Seq[Op] = Seq(
-    winPareto, winMovingMedian,
+    winPareto, winMovingMedian, winRfmSegment,
     winRank, winLagLead, winFirstLastFrame, winRunningFrame, winRangeFrame, winNtilePct,
     winRangeFrameScale, winNtilePctScale, winTopkPerGroup, winCountDistinct)
 }
