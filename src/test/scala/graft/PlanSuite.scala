@@ -287,6 +287,8 @@ class PlanSuite extends AnyFunSuite {
       "timeseries_gapfill",
       // calendar-spine × 5-type broadcast, the same gapfill pattern
       "events_forecast_naive",
+      // broadcast 1-row corpus-max-date (the tfidf in-plan-N pattern)
+      "win_rfm_segment",
       // the planted-orphan FK branch: Catalyst folds the equality into a
       // right-side filter, leaving a 1-row × broadcast-filtered anti BNLJ
       "validate_constraints")
