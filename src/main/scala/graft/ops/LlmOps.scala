@@ -2021,9 +2021,9 @@ object LlmOps {
         WHERE len(sy) >= 2 GROUP BY 1
       ), t1 AS (SELECT pair, n FROM p1 ORDER BY n DESC, pair LIMIT 1
       ), w1 AS (
-        SELECT w, replace(replace(seq,
-            ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' '),
-            ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ') AS seq, wn
+        SELECT w, replace(replace(replace(seq, ' ', '  '),
+            ' ' || replace(pair, ' ', '  ') || ' ', ' ' || replace(pair, ' ', '') || ' '),
+            '  ', ' ') AS seq, wn
         FROM w0, t1
       ), p2 AS (
         SELECT sy[i] || ' ' || sy[i+1] AS pair, CAST(SUM(wn) AS BIGINT) AS n
@@ -2032,9 +2032,9 @@ object LlmOps {
         WHERE len(sy) >= 2 GROUP BY 1
       ), t2 AS (SELECT pair, n FROM p2 ORDER BY n DESC, pair LIMIT 1
       ), w2 AS (
-        SELECT w, replace(replace(seq,
-            ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' '),
-            ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ') AS seq, wn
+        SELECT w, replace(replace(replace(seq, ' ', '  '),
+            ' ' || replace(pair, ' ', '  ') || ' ', ' ' || replace(pair, ' ', '') || ' '),
+            '  ', ' ') AS seq, wn
         FROM w1, t2
       ), p3 AS (
         SELECT sy[i] || ' ' || sy[i+1] AS pair, CAST(SUM(wn) AS BIGINT) AS n
@@ -2043,9 +2043,9 @@ object LlmOps {
         WHERE len(sy) >= 2 GROUP BY 1
       ), t3 AS (SELECT pair, n FROM p3 ORDER BY n DESC, pair LIMIT 1
       ), w3 AS (
-        SELECT w, replace(replace(seq,
-            ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' '),
-            ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ') AS seq, wn
+        SELECT w, replace(replace(replace(seq, ' ', '  '),
+            ' ' || replace(pair, ' ', '  ') || ' ', ' ' || replace(pair, ' ', '') || ' '),
+            '  ', ' ') AS seq, wn
         FROM w2, t3
       ), p4 AS (
         SELECT sy[i] || ' ' || sy[i+1] AS pair, CAST(SUM(wn) AS BIGINT) AS n
@@ -2054,9 +2054,9 @@ object LlmOps {
         WHERE len(sy) >= 2 GROUP BY 1
       ), t4 AS (SELECT pair, n FROM p4 ORDER BY n DESC, pair LIMIT 1
       ), w4 AS (
-        SELECT w, replace(replace(seq,
-            ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' '),
-            ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ') AS seq, wn
+        SELECT w, replace(replace(replace(seq, ' ', '  '),
+            ' ' || replace(pair, ' ', '  ') || ' ', ' ' || replace(pair, ' ', '') || ' '),
+            '  ', ' ') AS seq, wn
         FROM w3, t4
       ), p5 AS (
         SELECT sy[i] || ' ' || sy[i+1] AS pair, CAST(SUM(wn) AS BIGINT) AS n
@@ -2065,9 +2065,9 @@ object LlmOps {
         WHERE len(sy) >= 2 GROUP BY 1
       ), t5 AS (SELECT pair, n FROM p5 ORDER BY n DESC, pair LIMIT 1
       ), w5 AS (
-        SELECT w, replace(replace(seq,
-            ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' '),
-            ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ') AS seq, wn
+        SELECT w, replace(replace(replace(seq, ' ', '  '),
+            ' ' || replace(pair, ' ', '  ') || ' ', ' ' || replace(pair, ' ', '') || ' '),
+            '  ', ' ') AS seq, wn
         FROM w4, t5)
       , enc AS (
         SELECT w, len(string_split(trim(seq), ' ')) AS n_tok FROM w5
@@ -2230,22 +2230,27 @@ object LlmOps {
 
   /** One BPE merge application over a space-separated symbol string —
     * factored out so its run semantics are unit-testable. `pair` is
-    * "x y"; every non-overlapping " x y " occurrence becomes " xy ".
-    * A single replace() pass under-merges back-to-back runs (the match
-    * consumes the shared boundary space, so "x y x y" would leave the
-    * second pair unmerged); running the SAME replace twice completes
-    * them: pass one merges the 1st, 3rd, … occurrences of a run, which
-    * isolates the survivors, and pass two takes the rest. The result
-    * equals reference greedy BPE on runs of any length, including the
-    * x==y case ("a a a" → "aa a"), with no regex lookaround — which
-    * matters because the oracle's RE2 engine has none; plain replace()
-    * is left-to-right non-overlapping in both engines.
+    * "x y"; greedy left-to-right, every non-overlapping " x y "
+    * occurrence becomes " xy ". A naive replace() on the single-space
+    * form under-merges back-to-back runs: the match consumes the SHARED
+    * boundary space, so in "a a a a a a" the scan resumes mid-run and
+    * drifts off the greedy alignment (a second pass repairs runs ≤4 but
+    * runs ≥5 still diverge — round-9 advice). The fix keeps the merge a
+    * plain replace but removes the sharing: widen every separator to
+    * TWO spaces, so " x  y " matches consume one space from each side
+    * and adjacent occurrences no longer overlap — one left-to-right
+    * replace() pass in the doubled form IS reference greedy BPE (runs
+    * of any length, x==y included; property-tested in UnitSuite against
+    * a token-wise greedy fold) — then collapse separators back. No
+    * regex lookaround, which matters because plain replace() is
+    * left-to-right non-overlapping in both engines.
     */
   private[graft] def bpeApplyMerge(seq: Column, pair: Column): Column = {
-    val from = concat(lit(" "), pair, lit(" "))
-    val to = concat(lit(" "), regexp_replace(pair, " ", ""), lit(" "))
-    val once = call_function("replace", seq, from, to)
-    call_function("replace", once, from, to)
+    val doubled = call_function("replace", seq, lit(" "), lit("  "))
+    val from = concat(lit(" "), call_function("replace", pair, lit(" "), lit("  ")), lit(" "))
+    val to = concat(lit(" "), call_function("replace", pair, lit(" "), lit("")), lit(" "))
+    val merged = call_function("replace", doubled, from, to)
+    call_function("replace", merged, lit("  "), lit(" "))
   }
 
   /** Trained 5-round BPE state, built ONCE per (session, fixture dir) —
@@ -2334,9 +2339,9 @@ object LlmOps {
         WHERE len(sy) >= 2 GROUP BY 1
       ), t1 AS (SELECT pair, n FROM p1 ORDER BY n DESC, pair LIMIT 1
       ), w1 AS (
-        SELECT replace(replace(seq,
-            ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' '),
-            ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ') AS seq, wn
+        SELECT replace(replace(replace(seq, ' ', '  '),
+            ' ' || replace(pair, ' ', '  ') || ' ', ' ' || replace(pair, ' ', '') || ' '),
+            '  ', ' ') AS seq, wn
         FROM w0, t1
       ), p2 AS (
         SELECT sy[i] || ' ' || sy[i+1] AS pair, CAST(SUM(wn) AS BIGINT) AS n
@@ -2345,9 +2350,9 @@ object LlmOps {
         WHERE len(sy) >= 2 GROUP BY 1
       ), t2 AS (SELECT pair, n FROM p2 ORDER BY n DESC, pair LIMIT 1
       ), w2 AS (
-        SELECT replace(replace(seq,
-            ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' '),
-            ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ') AS seq, wn
+        SELECT replace(replace(replace(seq, ' ', '  '),
+            ' ' || replace(pair, ' ', '  ') || ' ', ' ' || replace(pair, ' ', '') || ' '),
+            '  ', ' ') AS seq, wn
         FROM w1, t2
       ), p3 AS (
         SELECT sy[i] || ' ' || sy[i+1] AS pair, CAST(SUM(wn) AS BIGINT) AS n
@@ -2356,9 +2361,9 @@ object LlmOps {
         WHERE len(sy) >= 2 GROUP BY 1
       ), t3 AS (SELECT pair, n FROM p3 ORDER BY n DESC, pair LIMIT 1
       ), w3 AS (
-        SELECT replace(replace(seq,
-            ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' '),
-            ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ') AS seq, wn
+        SELECT replace(replace(replace(seq, ' ', '  '),
+            ' ' || replace(pair, ' ', '  ') || ' ', ' ' || replace(pair, ' ', '') || ' '),
+            '  ', ' ') AS seq, wn
         FROM w2, t3
       ), p4 AS (
         SELECT sy[i] || ' ' || sy[i+1] AS pair, CAST(SUM(wn) AS BIGINT) AS n
@@ -2367,9 +2372,9 @@ object LlmOps {
         WHERE len(sy) >= 2 GROUP BY 1
       ), t4 AS (SELECT pair, n FROM p4 ORDER BY n DESC, pair LIMIT 1
       ), w4 AS (
-        SELECT replace(replace(seq,
-            ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' '),
-            ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ') AS seq, wn
+        SELECT replace(replace(replace(seq, ' ', '  '),
+            ' ' || replace(pair, ' ', '  ') || ' ', ' ' || replace(pair, ' ', '') || ' '),
+            '  ', ' ') AS seq, wn
         FROM w3, t4
       ), p5 AS (
         SELECT sy[i] || ' ' || sy[i+1] AS pair, CAST(SUM(wn) AS BIGINT) AS n

@@ -75,6 +75,16 @@ object KvStoreSource {
   def drop(table: String): Unit = store.remove(table)
   private[sources] def publish(table: String, rows: Array[(Long, String)]): Unit =
     store.put(table, rows)
+
+  /** Atomic append: union with the CURRENT version inside the map's own
+    * merge, so two concurrent append jobs committing to one table both
+    * land (a read-then-publish pair could lose one — round-9 advice).
+    * The result re-sorts, so the committed version stays deterministic
+    * regardless of which committer wins the race.
+    */
+  private[sources] def appendTo(table: String, rows: Array[(Long, String)]): Unit =
+    store.merge(table, rows.sortBy(identity),
+      (old, inc) => (old ++ inc).sortBy(identity))
 }
 
 private class KvTable(tableName: String)
@@ -91,8 +101,15 @@ private class KvTable(tableName: String)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // validate names AND types at PLANNING time: a wrong dtype (e.g. an
+    // IntegerType k) would otherwise surface as a ClassCastException
+    // inside executor tasks from row.getLong(0) (round-9 advice)
     require(info.schema().fieldNames.sameElements(Array("k", "v")),
       s"KvStoreSource expects (k, v), got ${info.schema().fieldNames.mkString(",")}")
+    require(info.schema().fields.map(_.dataType).sameElements(
+        Array[DataType](LongType, StringType)),
+      s"KvStoreSource expects (BIGINT, STRING), got " +
+        info.schema().fields.map(_.dataType.simpleString).mkString(","))
     new KvWriteBuilder(tableName, truncate = false)
   }
 }
@@ -120,13 +137,14 @@ private class KvBatchWrite(tableName: String, truncate: Boolean)
   /** Driver-side, runs ONCE after every task succeeded: the only point
     * where the external system changes. Task order inside the publish
     * is normalized by (k, v) sort so the committed version is
-    * deterministic regardless of task scheduling.
+    * deterministic regardless of task scheduling. Overwrite is a single
+    * reference swap; append goes through the store's atomic merge so
+    * concurrent committers can't lose each other's rows.
     */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val incoming = messages.flatMap(_.asInstanceOf[KvTaskBatch].rows)
-    val base = if (truncate) Array.empty[(Long, String)]
-      else KvStoreSource.committed(tableName).toArray
-    KvStoreSource.publish(tableName, (base ++ incoming).sortBy(identity))
+    if (truncate) KvStoreSource.publish(tableName, incoming.sortBy(identity))
+    else KvStoreSource.appendTo(tableName, incoming)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()

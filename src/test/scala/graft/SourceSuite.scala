@@ -167,6 +167,31 @@ class SourceSuite extends AnyFunSuite {
     assert(graft.sources.KvStoreSource.committed("t_schema").isEmpty)
   }
 
+  test("kv sink dtype handling: safe upcast reconciles, incompatible fails fast") {
+    import s.implicits._
+    // round-9 advice asked for a planning-time dtype check. Two layers
+    // now exist: Spark's own TableOutputResolver reconciles the query
+    // schema against table.schema() BEFORE the write builder — an INT k
+    // upcasts to BIGINT and writes correctly, an un-castable dtype
+    // fails analysis with no task run — and newWriteBuilder's require
+    // re-validates (LongType, StringType) for direct DSv2 callers that
+    // bypass DataFrameWriter resolution.
+    graft.sources.KvStoreSource.drop("t_dtype")
+    Seq((1, "a"), (2, "b")).toDF("k", "v")
+      .write.format("graft.sources.KvStoreSource")
+      .option("table", "t_dtype").mode("append").save()
+    assert(graft.sources.KvStoreSource.committed("t_dtype") ==
+      Seq(1L -> "a", 2L -> "b"))
+    intercept[Exception] {
+      Seq(("x", "a")).toDF("k", "v")
+        .write.format("graft.sources.KvStoreSource")
+        .option("table", "t_dtype").mode("append").save()
+    }
+    assert(graft.sources.KvStoreSource.committed("t_dtype") ==
+      Seq(1L -> "a", 2L -> "b"), "a rejected write must not change the table")
+    graft.sources.KvStoreSource.drop("t_dtype")
+  }
+
   test("aggregate pushdown on an empty pushed range: count 0, null extrema") {
     val df = seq(1000, 4).filter(col("id") >= 500 && col("id") < 500)
       .agg(count(col("id")), min(col("id")), max(col("id")))

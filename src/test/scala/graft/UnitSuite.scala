@@ -275,20 +275,44 @@ class UnitSuite extends AnyFunSuite {
 
   test("bpeApplyMerge equals reference greedy BPE on back-to-back runs") {
     import s.implicits._
-    import org.apache.spark.sql.functions.{col, lit}
-    // (input symbol string, merge pair, reference greedy BPE result):
-    // a single replace() pass would under-merge the runs — the 2-pass
-    // form must complete them, including the x==y overlap case.
-    val cases = Seq(
-      (" x y x y x y ", "x y", " xy xy xy "),   // run of 3: pass1 takes 1st+3rd, pass2 the middle
-      (" x y x y ", "x y", " xy xy "),          // run of 2: boundary space shared
-      (" a a a ", "a a", " aa a "),             // x==y: true greedy merges ONCE
-      (" ab c d ", "b c", " ab c d "),          // symbol boundary: 'b' of 'ab' must not match
-      (" t h e ", "t h", " th e "),             // plain single merge
-      (" q ", "x y", " q "))                    // no occurrence
+    import org.apache.spark.sql.functions.col
+    // Reference greedy BPE: token-wise left-to-right fold with skip.
+    def greedy(seq: String, pair: String): String = {
+      val Array(x, y) = pair.split(" ", 2)
+      val toks = seq.trim.split(" ").toList
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var rest = toks
+      while (rest.nonEmpty) rest match {
+        case a :: b :: tail if a == x && b == y => out += (x + y); rest = tail
+        case a :: tail => out += a; rest = tail
+        case Nil => ()
+      }
+      out.mkString(" ", " ", " ")
+    }
+    // Hand-picked edges (incl. the x==y runs ≥5 that broke the old
+    // two-pass replace form — round-9 advice) plus exhaustive short
+    // binary strings: the merge must BE greedy, not resemble it.
+    val edges = Seq(
+      (" x y x y x y ", "x y"), (" x y x y ", "x y"),
+      (" a a a ", "a a"),                       // x==y: true greedy merges ONCE
+      (" a a a a a ", "a a"),                   // run of 5: old form gave ' aa a aa '
+      (" a a a a a a ", "a a"),                 // run of 6: old form gave ' aa a aa a '
+      (" a a a a a a a a a ", "a a"),           // run of 9
+      (" ab c d ", "b c"),                      // symbol boundary: 'b' of 'ab' must not match
+      (" t h e ", "t h"), (" q ", "x y"),       // plain merge; no occurrence
+      (" aa a aa a ", "aa a"), (" a aa a aa ", "a aa")) // multi-char symbols
+    val exhaustive = for {
+      n <- 1 to 6
+      bits <- 0 until (1 << n)
+      pair <- Seq("a a", "a b", "b a")
+    } yield ((0 until n).map(i => if ((bits >> i & 1) == 1) "b" else "a")
+        .mkString(" ", " ", " "), pair)
+    val cases = (edges ++ exhaustive).map { case (seq, pair) =>
+      (seq, pair, greedy(seq, pair))
+    }
     val df = cases.toDF("seq", "pair", "want")
       .withColumn("got", LlmOps.bpeApplyMerge(col("seq"), col("pair")))
     val bad = df.filter(col("got") =!= col("want")).collect()
-    assert(bad.isEmpty, bad.mkString(";"))
+    assert(bad.isEmpty, bad.take(5).mkString(";"))
   }
 }
