@@ -22,7 +22,7 @@ private[ops] final class SessionArtifact[A] {
     cache.computeIfAbsent((s.sparkContext, dir), _ => build)
 }
 
-private[ops] object SessionArtifact {
+private[graft] object SessionArtifact {
   /** Filesystem/table-name tag for a fixture dir: human-readable
     * sanitized path PLUS the raw path's hash, so two dirs that sanitize
     * identically (`/data/sf0.01` vs `/data/sf0_01`) can never collide

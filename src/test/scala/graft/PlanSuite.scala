@@ -280,6 +280,49 @@ class PlanSuite extends AnyFunSuite {
       s"lag + running-sum + row_number should share ONE user_id exchange, got $hashEx:\n$p")
   }
 
+  test("join_bloom_runtime injects the bloom runtime filter into the fact scan") {
+    val p = plan("join_bloom_runtime")
+    assert(p.toLowerCase.contains("bloom_filter_might_contain") ||
+      p.toLowerCase.contains("bloomfilter"),
+      s"no injected bloom runtime filter on the fact side:\n$p")
+    // the filter must sit on the APPLICATION (lineitem) side, keyed on
+    // the fact join key — i.e. l_partkey appears in a might_contain arg
+    assert(p.toLowerCase.replaceAll("\\s+", " ").contains("l_partkey"),
+      s"bloom filter not keyed on the fact join key:\n$p")
+  }
+
+  test("join_cbo_reorder: stats rotate the selective customer join below the fact join") {
+    // With CBO+stats, the optimizer must move the filtered-customer join
+    // INSIDE (joined before the big lineitem join), i.e. in the
+    // pre-order physical plan text the orderkey join prints BEFORE the
+    // nested custkey join. With CBO off on the same tables the
+    // syntactic left-deep order keeps custkey on top — asserting both
+    // directions proves the rotation is stats-driven, not incidental.
+    def joinOrder(df: DataFrame): (Int, Int) = {
+      val t = df.queryExecution.executedPlan.toString
+      val ok = t.indexOf("o_orderkey")
+      val ck = t.indexOf("c_custkey")
+      assert(ok >= 0 && ck >= 0, s"expected both join keys in plan:\n$t")
+      (ok, ck)
+    }
+    val (okCbo, ckCbo) = joinOrder(SparkEntry.queries("join_cbo_reorder")(spark, sf))
+    assert(okCbo < ckCbo,
+      "CBO did not rotate the custkey join below the orderkey join")
+    // same query, same stats-bearing tables, CBO off → syntactic order
+    val tag = graft.ops.SessionArtifact.dirTag(sf)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.cbo.enabled", "false")
+    val plain = s2.sql(s"""
+      SELECT c_mktsegment, COUNT(*) AS n_lines
+      FROM graft_cbo_lineitem_$tag
+      JOIN graft_cbo_orders_$tag ON l_orderkey = o_orderkey
+      JOIN graft_cbo_customer_$tag ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING' GROUP BY c_mktsegment""")
+    val (okOff, ckOff) = joinOrder(plain)
+    assert(ckOff < okOff,
+      "without CBO the syntactic left-deep order should keep custkey on top")
+  }
+
   test("no CartesianProduct/BroadcastNestedLoopJoin outside the whitelist") {
     val allowed = Set("join_cross", "join_theta_range", "llm_simsearch_topk",
       "llm_text_tfidf", "llm_simsearch_ivf", "llm_ivf_fit", "llm_dedup_embed",
@@ -287,8 +330,10 @@ class PlanSuite extends AnyFunSuite {
       "timeseries_gapfill",
       // calendar-spine × 5-type broadcast, the same gapfill pattern
       "events_forecast_naive",
-      // broadcast 1-row corpus-max-date (the tfidf in-plan-N pattern)
-      "win_rfm_segment",
+      // broadcast 1-row corpus-max-date (the tfidf in-plan-N pattern);
+      // the scale twin inherits the same 1-row crossJoin, but its three
+      // ntile sorts are distributed (WindowScaleSuite pins bit-equality)
+      "win_rfm_segment", "win_rfm_segment_scale",
       // the planted-orphan FK branch: Catalyst folds the equality into a
       // right-side filter, leaving a 1-row × broadcast-filtered anti BNLJ
       "validate_constraints")

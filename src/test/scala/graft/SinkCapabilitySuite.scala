@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -35,6 +37,46 @@ class SinkCapabilitySuite extends AnyFunSuite {
     val fFiles = back.filter(col("o_orderstatus") === "F")
       .select(input_file_name()).distinct().collect().map(_.getString(0))
     assert(fFiles.nonEmpty && fFiles.forall(_.contains("o_orderstatus=F")))
+  }
+
+  test("sink_clustered_prune: range-clustered files are skippable and the predicate is pushed") {
+    // build the op once (writes the clustered layout), then audit the
+    // LAYOUT it promised: parquet footer min/max on o_totalprice must be
+    // near-disjoint across files, so the graded price band [100k,110k)
+    // intersects at most 2 of the 8 files — the skipping a 100 TB reader
+    // does from statistics alone, proven from the footers it would use
+    val df = SparkEntry.queries("sink_clustered_prune")(s, TestSpark.Sf0001)
+    df.collect() // ensure the write ran
+    val dir = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_scratch/sink_cluster/orders_by_price")
+    val parts = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(parts.length >= 4, s"expected multiple clustered files, got ${parts.length}")
+    val conf = s.sparkContext.hadoopConfiguration
+    val ranges = parts.toSeq.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val blocks = reader.getFooter.getBlocks
+        val stats = (0 until blocks.size()).map { i =>
+          blocks.get(i).getColumns.asScala
+            .find(_.getPath.toDotString == "o_totalprice").get.getStatistics
+        }
+        (stats.map(_.genericGetMin.asInstanceOf[Double]).min,
+          stats.map(_.genericGetMax.asInstanceOf[Double]).max)
+      } finally reader.close()
+    }
+    // clustered layout: file ranges must be (near-)disjoint, and the
+    // graded band must touch at most 2 files (one + a boundary neighbor)
+    val touching = ranges.count { case (lo, hi) => hi >= 100000.0 && lo < 110000.0 }
+    assert(touching <= 2,
+      s"price band touches $touching of ${ranges.size} files — layout not clustered: $ranges")
+    // and the read-back predicate reaches the scan as PushedFilters
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pushed = "PushedFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(p).map(_.group(1))
+    assert(pushed.exists(_.contains("o_totalprice")),
+      s"price predicate not pushed to the clustered scan:\n$p")
   }
 
   test("mergeSchema unions evolving file schemas") {

@@ -35,8 +35,19 @@ class WindowScaleSuite extends AnyFunSuite {
     }
   }
 
+  test("win_rfm_segment_scale ≡ win_rfm_segment (bit-identical)") {
+    val spec = rows(Windows.winRfmSegment.build(spark, sf))
+    val scale = rows(Windows.winRfmSegmentScale.build(spark, sf))
+    assert(scale.size == spec.size)
+    scale.zip(spec).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a == b, s"row $i differs")
+    }
+  }
+
   test("two-pass forms hold under single-partition execution (partition invariance)") {
     val one = Windows.winNtilePctScale.build(spark, sf).coalesce(1)
     assert(rows(one) == rows(Windows.winNtilePct.build(spark, sf)))
+    val rfmOne = Windows.winRfmSegmentScale.build(spark, sf).coalesce(1)
+    assert(rows(rfmOne) == rows(Windows.winRfmSegment.build(spark, sf)))
   }
 }
