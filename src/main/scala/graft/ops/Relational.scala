@@ -1463,6 +1463,107 @@ object Relational {
       ORDER BY k
     """.stripMargin.trim))
 
+  /** Z-ORDER clustering write + two-dimensional skipping — the
+    * multi-column generalization of `sink_clustered_prune` (a 1-D sort
+    * can only make ONE column's file ranges narrow; the other column
+    * spans the full domain in every file, so its predicate skips
+    * nothing). Orders rewritten sorted by the bit-INTERLEAVED key of
+    * (o_custkey, bucketed o_totalprice) — 16 bits each, the Morton/Z
+    * curve — so each of the 8 range-chunks covers a bounded rectangle
+    * in BOTH dimensions and a conjunctive 2-D predicate prunes files
+    * from footer min/max on both columns at once
+    * (SinkCapabilitySuite audits the footers for both dimensions).
+    * The z-value is built from codegen'd shift/and/or builtins, used
+    * only as the write-time sort key, and dropped before the write —
+    * a pure layout change, which the ORIGINAL-table oracle proves.
+    * At 100 TB the two 16-bit normalizations widen with the key
+    * domains; the plan shape (one range exchange + local sort) is
+    * unchanged.
+    */
+  val sinkZorderPrune: Op = Op(
+    "sink_zorder_prune",
+    (s, dir) => {
+      val tmp = scratch("sink_zorder")
+      // 16-bit normalizations RELATIVE to each column's observed domain
+      // (a raw interleave degenerates to a 1-D sort when one domain is
+      // much smaller — its high bits are constant zero): the bounds ride
+      // in as a broadcast 1-row aggregate (the in-plan-N pattern, no
+      // driver-side collect), exactly how a real OPTIMIZE ZORDER job
+      // derives its range boundaries before the rewrite
+      val bounds = Tables.orders(s, dir).agg(
+        max(col("o_custkey")).as("max_ck"),
+        max(expr("cast(round(o_totalprice * 100) as bigint)")).as("max_pc"))
+      // integer `div` keeps the whole chain in long arithmetic
+      val a = expr("o_custkey * 65535 div max_ck")
+      val b = expr("cast(round(o_totalprice * 100) as bigint) * 65535 div max_pc")
+      val z = (0 until 16).map { i =>
+        shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1)
+          .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+      }.reduce(_ bitwiseOR _)
+      Tables.orders(s, dir)
+        .crossJoin(broadcast(bounds))
+        .withColumn("zv", z)
+        .drop("max_ck", "max_pc")
+        .repartitionByRange(8, col("zv"))
+        .sortWithinPartitions("zv")
+        .drop("zv")
+        .write.mode("overwrite").parquet(s"$tmp/orders_zorder")
+      s.read.parquet(s"$tmp/orders_zorder")
+        .filter(col("o_custkey").between(100L, 600L) &&
+          col("o_totalprice") >= 100000.0 && col("o_totalprice") < 200000.0)
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("o_totalprice"))).cast(DoubleType).as("tot"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+    },
+    Some("""
+      SELECT COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS tot,
+        MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      FROM orders
+      WHERE o_custkey BETWEEN 100 AND 600
+        AND o_totalprice >= 100000.0 AND o_totalprice < 200000.0
+    """.stripMargin.trim))
+
+  /** TPC-H Q14 shape — promotion effect: the share of monthly revenue
+    * coming from PROMO-type parts, the conditional-aggregation-over-join
+    * pattern every marketing dashboard runs. One broadcast of the part
+    * dimension into the fact scan, then a single partial+final aggregate
+    * keyed by ship month computes BOTH the conditional (promo) and
+    * unconditional revenue sums in one pass — never two scans; the
+    * ratio runs in double only after the exact-decimal sums close
+    * (round-6 money discipline, `Op.revenue`). At 100 TB this is one
+    * fact pass + a broadcast, the cheapest possible shape for a
+    * conditional share.
+    */
+  val q14PromoRevenue: Op = Op(
+    "q14_promo_revenue",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", revenue)
+            .otherwise(lit(BigDecimal(0)).cast(DecimalType(18, 4)))).as("p"),
+          sum(revenue).as("t"))
+        .select(col("ship_month"),
+          col("p").cast(DoubleType).as("promo_rev"),
+          col("t").cast(DoubleType).as("total_rev"),
+          round(lit(100.0) * col("p").cast(DoubleType) / col("t").cast(DoubleType), 6)
+            .as("promo_pct"))
+        .orderBy("ship_month"),
+    Some(s"""
+      SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $revenueSql
+                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_rev,
+        CAST(SUM($revenueSql) AS DOUBLE) AS total_rev,
+        ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $revenueSql
+                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+              / CAST(SUM($revenueSql) AS DOUBLE), 6) AS promo_pct
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1 ORDER BY 1
+    """.stripMargin.trim))
+
   /** The INCREMENTAL-INGEST composition — merge_cdc_apply's log collapse
     * chained into merge_scd2's history merge as ONE graded op (round-9
     * verdict stretch item), because this chain IS the nightly pattern
@@ -2074,6 +2175,7 @@ object Relational {
     tableChecksum, profileColumns, mergeCdcApply,
     scanAggPushdown, joinDppPartitioned, validateConstraints,
     joinBloomRuntime, joinCboReorder, sinkClusteredPrune, pipelineIncremental,
+    q14PromoRevenue, sinkZorderPrune,
     sortMultiNulls, limitTopk,
     setUnionAll, setUnionDistinct, setIntersect, setExcept,
     setIntersectAll, setExceptAll)
