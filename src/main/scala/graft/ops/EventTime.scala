@@ -451,6 +451,56 @@ object EventTime {
       ORDER BY win_start, event_type
     """.stripMargin.trim))
 
+  /** Equal-width histogram of `value` per event type — the profiling
+    * primitive behind every metric dashboard's distribution panel: 20
+    * bins spanning each type's observed [min, max], bin edges emitted
+    * as rounded doubles. The per-type bounds ride back as a BROADCAST
+    * 5-row dimension (the in-plan-N pattern), so binning is a row-local
+    * expression and the histogram is ONE partial+final aggregate on the
+    * (type, bin) key; two passes over the fact total (bounds + bins) —
+    * the price of data-dependent bin edges without a skewed 5-partition
+    * window. Bin assignment and edges use the identical double
+    * expression tree in both engines (IEEE — same ops, same order), so
+    * boundary rows cannot disagree; value = max lands in the last bin
+    * via the least() clamp.
+    */
+  val eventsHistogram: Op = Op(
+    "events_histogram",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+      val bounds = ev.groupBy("event_type")
+        .agg(min("value").as("mn"), max("value").as("mx"))
+      ev.join(broadcast(bounds), "event_type")
+        .withColumn("bin",
+          least(floor((col("value") - col("mn")) * 20.0 / (col("mx") - col("mn"))),
+            lit(19L)))
+        .groupBy("event_type", "bin")
+        .agg(count(lit(1)).as("n"))
+        .join(broadcast(bounds), "event_type")
+        .select(col("event_type"), col("bin"),
+          round(col("mn") + col("bin") * (col("mx") - col("mn")) / 20.0, 6).as("bin_lo"),
+          round(col("mn") + (col("bin") + 1) * (col("mx") - col("mn")) / 20.0, 6).as("bin_hi"),
+          col("n"))
+        .orderBy("event_type", "bin")
+    },
+    Some("""
+      WITH b AS (
+        SELECT event_type, MIN(value) AS mn, MAX(value) AS mx
+        FROM events GROUP BY 1
+      ), binned AS (
+        SELECT e.event_type,
+          LEAST(CAST(FLOOR((value - mn) * 20.0 / (mx - mn)) AS BIGINT), 19) AS bin
+        FROM events e JOIN b USING (event_type)
+      )
+      SELECT event_type, bin,
+        ROUND(mn + bin * (mx - mn) / 20.0, 6) AS bin_lo,
+        ROUND(mn + (bin + 1) * (mx - mn) / 20.0, 6) AS bin_hi,
+        COUNT(*) AS n
+      FROM binned JOIN b USING (event_type)
+      GROUP BY event_type, bin, mn, mx
+      ORDER BY event_type, bin
+    """.stripMargin.trim))
+
   /** Cohort retention — the standard event-analytics matrix: users
     * cohorted by their FIRST active day, then counted at each day
     * offset they return on. Three exchanges, all on high-cardinality
@@ -1100,7 +1150,7 @@ WITH hourly AS (
     streamTumbling, streamSliding, streamSession, streamDedupKeys,
     streamReplayTumbling, streamReplayDedup, streamReplaySession,
     streamReplaySliding, streamReplayJoin, streamReplayWatermarked,
-    eventsCohortRetention,
+    eventsCohortRetention, eventsHistogram,
     eventsSessionize, eventsFunnel, timeseriesGapfill, eventsAttribution,
     eventsTransitions, eventsAnomalyZscore, eventsRollingDistinct,
     eventsEwma, eventsTypeOverlap, eventsForecastNaive)

@@ -193,6 +193,9 @@ object LlmOps {
   val llmLangId: Op = Op(
     "llm_lang_id",
     (s, dir) => {
+      // checkpointed once: both the profile build and the scoring pass
+      // consume it — without this the corpus-scale explode+distinct
+      // runs twice (the heaviest stage of the op)
       val docTri = Tables.documents(s, dir)
         .filter(length(col("text")) >= 3)
         .select(col("doc_id"), col("lang"), col("text"),
@@ -200,6 +203,7 @@ object LlmOps {
         .select(col("doc_id"), col("lang"),
           col("text").substr(col("i"), lit(3)).as("tri"))
         .distinct()
+        .localCheckpoint(true)
       val profile = docTri.groupBy(col("lang").as("plang"), col("tri"))
         .agg(count(lit(1)).as("df"))
         .withColumn("rk", row_number().over(

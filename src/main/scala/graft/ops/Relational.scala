@@ -185,6 +185,41 @@ object Relational {
               FROM documents)
             ORDER BY doc_id, tag"""))
 
+  /** The DSv2 CONNECTOR on the graded scoreboard — previously the
+    * KvStoreSource write/read surface lived only in SourceSuite: a
+    * per-nation supplier aggregate writes through the two-phase-commit
+    * sink (task-buffered writers, data riding the commit messages, one
+    * driver-side atomic publish), reads back through the connector's
+    * scan, and re-parses — the DuckDB oracle computes the same
+    * aggregate WITH the same string encoding from the original table,
+    * so the hash match proves the whole write→commit→scan→decode chain
+    * preserved every value. The money column crosses as an exact
+    * DECIMAL string (both engines print scale-2 decimals identically);
+    * overwrite mode exercises the TRUNCATE capability path.
+    */
+  val sinkKvRoundtrip: Op = Op(
+    "sink_kv_roundtrip",
+    (s, dir) => {
+      val table = "graft_rt_" + SessionArtifact.dirTag(dir)
+      Tables.supplier(s, dir)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_supp"), sum(dec2(col("s_acctbal"))).as("bal"))
+        .select(col("s_nationkey").cast(LongType).as("k"),
+          concat(col("n_supp"), lit("|"), col("bal").cast(StringType)).as("v"))
+        .write.format("graft.sources.KvStoreSource")
+        .option("table", table).mode("overwrite").save()
+      s.read.format("graft.sources.KvStoreSource").option("table", table).load()
+        .select(col("k").as("s_nationkey"),
+          split(col("v"), "\\|").getItem(0).cast(LongType).as("n_supp"),
+          split(col("v"), "\\|").getItem(1).as("bal_str"))
+        .orderBy("s_nationkey")
+    },
+    Some("""
+      SELECT s_nationkey, COUNT(*) AS n_supp,
+        CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS VARCHAR) AS bal_str
+      FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+    """.stripMargin.trim))
+
   /** Bucketed co-located join — the zero-shuffle join layout: both sides
     * written with `bucketBy(8, key)` + `sortBy(key)` into external
     * tables (explicit paths under the scratch root; metastore entries
@@ -1236,7 +1271,9 @@ object Relational {
         s.sql(s"DROP TABLE IF EXISTS $table")
         df.write.mode("overwrite").option("path", s"$tmp/$table")
           .format("parquet").saveAsTable(table)
-        s.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
+        // FOR COLUMNS computes and stores the table-level stats
+        // (rowCount/size) alongside the per-column NDV/min/max, so the
+        // separate COMPUTE STATISTICS pass would be a redundant scan
         s.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR COLUMNS $statCols")
       }
       writeT(Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice"),
@@ -1522,6 +1559,57 @@ object Relational {
       FROM orders
       WHERE o_custkey BETWEEN 100 AND 600
         AND o_totalprice >= 100000.0 AND o_totalprice < 200000.0
+    """.stripMargin.trim))
+
+  /** TPC-H Q8 shape — market share: each supplier-region's share of
+    * every year's revenue, the share-within-group analytic over a
+    * snowflake traversal. The supplier→nation→region chain collapses
+    * to a (suppkey, region) broadcast dimension BEFORE touching the
+    * fact (three dimension joins for the price of zero fact shuffles);
+    * the fact side joins orders once for the year, aggregates
+    * partial+final to ≤ years×regions rows, and only that tiny table
+    * sees the share window. Exact-decimal revenue; the share divides
+    * in double only after both sums close.
+    */
+  val q8MarketShare: Op = Op(
+    "q8_market_share",
+    (s, dir) => {
+      val supRegion = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_regionkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("r_name"))
+      val rev = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), revenue.as("lrev"))
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), year(col("o_orderdate")).as("yr")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supRegion), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("yr", "r_name")
+        .agg(sum(col("lrev")).as("rev"))
+      rev
+        .withColumn("total", sum("rev").over(Window.partitionBy("yr")))
+        .select(col("yr"), col("r_name"),
+          col("rev").cast(DoubleType).as("rev"),
+          round(col("rev").cast(DoubleType) / col("total").cast(DoubleType), 6)
+            .as("share"))
+        .orderBy("yr", "r_name")
+    },
+    Some(s"""
+      WITH rev AS (
+        SELECT year(o_orderdate) AS yr, r_name, SUM($revenueSql) AS rev
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2)
+      SELECT yr, r_name, CAST(rev AS DOUBLE) AS rev,
+        ROUND(CAST(rev AS DOUBLE) /
+              CAST(SUM(rev) OVER (PARTITION BY yr) AS DOUBLE), 6) AS share
+      FROM rev ORDER BY yr, r_name
     """.stripMargin.trim))
 
   /** TPC-H Q14 shape — promotion effect: the share of monthly revenue
@@ -2175,7 +2263,7 @@ object Relational {
     tableChecksum, profileColumns, mergeCdcApply,
     scanAggPushdown, joinDppPartitioned, validateConstraints,
     joinBloomRuntime, joinCboReorder, sinkClusteredPrune, pipelineIncremental,
-    q14PromoRevenue, sinkZorderPrune,
+    q14PromoRevenue, sinkZorderPrune, q8MarketShare, sinkKvRoundtrip,
     sortMultiNulls, limitTopk,
     setUnionAll, setUnionDistinct, setIntersect, setExcept,
     setIntersectAll, setExceptAll)
