@@ -642,6 +642,72 @@ object Relational {
             WHERE rn = 1
             ORDER BY purchase_id"""))
 
+  /** NEAREST as-of join — the bidirectional completion of the as-of
+    * family (sensor/tick alignment: match each purchase to the click
+    * closest in time, either direction). ONE union-tag pass computes
+    * BOTH candidates under a single user_id shuffle: the backward
+    * frame's `last(ignoreNulls)` and the forward frame's
+    * `first(ignoreNulls)` share one window ordering (clicks sort before
+    * purchases at equal ts, so an equal-ts click lands in the backward
+    * frame with gap 0 — which always wins the pick, keeping the
+    * boundary deterministic). Pick rule, pinned in both engines: smaller
+    * µs gap wins; equal gaps prefer backward; ties at one ts prefer the
+    * largest click_id backward / smallest forward (the join_asof /
+    * join_asof_forward disciplines). Gap arithmetic on `unix_micros`
+    * longs (the events_attribution idiom). The oracle is the per-user
+    * join + rank formulation with the same total order.
+    */
+  val joinAsofNearest: Op = Op(
+    "join_asof_nearest",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val clicks = e.filter(col("event_type") === "click").select(
+        col("user_id"), unix_micros(col("ts")).as("t"),
+        col("event_id").as("click_id"), lit(null).cast(LongType).as("purchase_id"))
+      val purchases = e.filter(col("event_type") === "purchase").select(
+        col("user_id"), unix_micros(col("ts")).as("t"),
+        lit(null).cast(LongType).as("click_id"), col("event_id").as("purchase_id"))
+      val ord = Seq(col("t"), col("purchase_id").isNotNull,
+        coalesce(col("click_id"), col("purchase_id")))
+      val wB = Window.partitionBy("user_id").orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wF = Window.partitionBy("user_id").orderBy(ord: _*)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val pickBack = col("fwd_id").isNull ||
+        (col("back_id").isNotNull &&
+          col("t") - col("back_t") <= col("fwd_t") - col("t"))
+      clicks.unionByName(purchases)
+        .withColumn("back_id", last(col("click_id"), ignoreNulls = true).over(wB))
+        .withColumn("back_t",
+          last(when(col("click_id").isNotNull, col("t")), ignoreNulls = true).over(wB))
+        .withColumn("fwd_id", first(col("click_id"), ignoreNulls = true).over(wF))
+        .withColumn("fwd_t",
+          first(when(col("click_id").isNotNull, col("t")), ignoreNulls = true).over(wF))
+        .filter(col("purchase_id").isNotNull &&
+          (col("back_id").isNotNull || col("fwd_id").isNotNull))
+        .select(col("purchase_id"),
+          when(pickBack, col("back_id")).otherwise(col("fwd_id")).as("nearest_click_id"),
+          when(pickBack, lit("back")).otherwise(lit("fwd")).as("dir"),
+          when(pickBack, col("t") - col("back_t"))
+            .otherwise(col("fwd_t") - col("t")).as("gap_us"))
+        .orderBy("purchase_id")
+    },
+    Some("""
+      SELECT purchase_id, nearest_click_id, dir, gap_us FROM (
+        SELECT p.event_id AS purchase_id, c.event_id AS nearest_click_id,
+          CASE WHEN c.ts <= p.ts THEN 'back' ELSE 'fwd' END AS dir,
+          abs(epoch_us(c.ts) - epoch_us(p.ts)) AS gap_us,
+          ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY
+            abs(epoch_us(c.ts) - epoch_us(p.ts)),
+            (c.ts > p.ts),
+            CASE WHEN c.ts <= p.ts THEN -c.event_id ELSE c.event_id END) AS rn
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id)
+      WHERE rn = 1
+      ORDER BY purchase_id
+    """.stripMargin.trim))
+
   /** Correlated subqueries through the library's SQL surface: a
     * correlated scalar COUNT and a correlated EXISTS per outer row.
     * This is deliberately `spark.sql` over temp views — the point is
@@ -2255,7 +2321,7 @@ object Relational {
     joinFullOuter,
     joinSemi, joinAnti, joinCross, joinThetaRange, joinRangeBucketed,
     joinInterval, joinAsof,
-    joinAsofForward,
+    joinAsofForward, joinAsofNearest,
     joinSkewSalted, mergeUpsert, mergeScd2, subqueryCorrelated,
     q17SmallQuantity, q18LargeOrders, q19Disjunctive, q21WaitingSupplier,
     subqueryNotInNull,

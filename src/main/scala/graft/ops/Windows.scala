@@ -575,6 +575,62 @@ WITH rfm AS (
       FROM scored ORDER BY c_custkey
     """.stripMargin.trim))
 
+  /** Exact WEIGHTED median — the robust central-tendency statistic no
+    * engine has natively (DuckDB's quantile takes no weights; Spark has
+    * no median window at all): per return flag, the smallest
+    * extendedprice whose cumulative quantity-weight reaches half the
+    * total. Both engines use the identical two-window decomposition —
+    * cumulative weight under the (price, orderkey, linenumber) total
+    * order, partition total, then the first row with 2·cumw ≥ W — so
+    * every comparison is on exact decimals/longs and no float boundary
+    * exists. Scale shape: one exchange on the flag key shared by both
+    * windows + the rank; the 3-value key is the win_*_scale caveat
+    * class — the distributed-rank machinery is the proven drop-in.
+    */
+  val winWeightedMedian: Op = Op(
+    "win_weighted_median",
+    (s, dir) => {
+      val base = Tables.lineitem(s, dir).select(
+        col("l_returnflag"), dec2(col("l_extendedprice")).as("price"),
+        col("l_quantity").cast(LongType).as("w"),
+        col("l_orderkey"), col("l_linenumber"))
+      val ord = Seq(col("price"), col("l_orderkey"), col("l_linenumber"))
+      val wCum = Window.partitionBy("l_returnflag").orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("l_returnflag")
+      base
+        .withColumn("cumw", sum("w").over(wCum))
+        .withColumn("total_w", sum("w").over(wAll))
+        .filter(col("cumw") * 2 >= col("total_w"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("l_returnflag").orderBy(ord: _*)))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("price").cast(DoubleType).as("wmedian"),
+          col("total_w"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      WITH base AS (
+        SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+          CAST(l_quantity AS BIGINT) AS w, l_orderkey, l_linenumber
+        FROM lineitem
+      ), cum AS (
+        SELECT l_returnflag, price,
+          CAST(SUM(w) OVER (PARTITION BY l_returnflag
+            ORDER BY price, l_orderkey, l_linenumber
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumw,
+          CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS total_w,
+          l_orderkey, l_linenumber
+        FROM base
+      )
+      SELECT l_returnflag, CAST(price AS DOUBLE) AS wmedian, total_w FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+          ORDER BY price, l_orderkey, l_linenumber) AS rn
+        FROM cum WHERE cumw * 2 >= total_w)
+      WHERE rn = 1
+      ORDER BY l_returnflag
+    """.stripMargin.trim))
+
   /** win_rfm_segment's SCALE FORMULATION — the last graded plan with a
     * single-partition sort, closed (round-9 verdict "What's wrong" #1):
     * each of the three GLOBAL ntile(5) windows becomes
@@ -641,7 +697,7 @@ WITH rfm AS (
     winRfmSegment.oracle)
 
   val ops: Seq[Op] = Seq(
-    winPareto, winMovingMedian, winRfmSegment, winRfmSegmentScale,
+    winPareto, winMovingMedian, winWeightedMedian, winRfmSegment, winRfmSegmentScale,
     winRank, winLagLead, winFirstLastFrame, winRunningFrame, winRangeFrame, winNtilePct,
     winRangeFrameScale, winNtilePctScale, winTopkPerGroup, winCountDistinct)
 }

@@ -280,6 +280,30 @@ class PlanSuite extends AnyFunSuite {
       s"lag + running-sum + row_number should share ONE user_id exchange, got $hashEx:\n$p")
   }
 
+  test("q8_market_share collapses the snowflake to broadcasts; only the tiny aggregate sees the window") {
+    val p = plan("q8_market_share")
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(nBroadcast >= 3,
+      s"supplier→nation→region chain + fact attach should be broadcast joins, got $nBroadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q14_promo_revenue is ONE fact pass: broadcast dim + single hash aggregate") {
+    val p = plan("q14_promo_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"part dim should broadcast:\n$p")
+    val hashEx = "hashpartitioning\\(".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected exactly the month-agg exchange, got $hashEx:\n$p")
+  }
+
+  test("join_asof_nearest computes both directions under ONE user_id exchange") {
+    val p = plan("join_asof_nearest")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "nearest as-of regressed to a quadratic probe")
+    val hashEx = "hashpartitioning\\(([^,]+)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(hashEx.length == 1 && hashEx.head.startsWith("user_id"),
+      s"backward+forward frames should share one user_id exchange, got $hashEx:\n$p")
+  }
+
   test("join_bloom_runtime injects the bloom runtime filter into the fact scan") {
     val p = plan("join_bloom_runtime")
     assert(p.toLowerCase.contains("bloom_filter_might_contain") ||
