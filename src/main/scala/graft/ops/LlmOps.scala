@@ -2216,13 +2216,15 @@ object LlmOps {
     * targets EXACTLY (property-tested), which rate-based sampling only
     * achieves in expectation.
     *
-    * SCALE NOTE: the quota needs a per-source ranking window; at 100 TB
-    * with millions of docs per source, switch the quota fill to the
-    * rate-based hash-threshold form (`sample_hash_pct`) with per-source
-    * rates = target_share / current_share — no ranking, pure row-local
-    * predicate — or two-phase it: hash-threshold to ~1.1× the quota,
-    * then rank only the survivors. The config-join + deterministic-
-    * order semantics stay identical.
+    * SCALE NOTE: the quota needs a per-source ranking window — a
+    * single task per source in this spec form. The production
+    * formulation IS implemented: `llm_mix_sources_scale` below
+    * computes the identical ranks via the distributed-rank machinery
+    * (bit-equality pinned in WindowScaleSuite, same oracle). At true
+    * 100 TB the quota also flips to the rate-based hash-threshold form
+    * (`sample_hash_pct` with per-source rates) — no ranking, pure
+    * row-local predicate — or two-phase: hash-threshold to ~1.1× the
+    * quota, then rank only the survivors.
     */
   val llmMixSources: Op = Op(
     "llm_mix_sources",
@@ -2264,6 +2266,54 @@ object LlmOps {
       WHERE rn <= weight * 5
       ORDER BY source, rn
     """.stripMargin.trim))
+
+  /** llm_mix_sources' SCALE FORMULATION — the per-source md5-order rank
+    * via the distributed-rank machinery (win_ntile_pct_scale's shape,
+    * keyed by source instead of status): range-partition by
+    * (source, h, doc_id), row_number locally per (partition, source),
+    * add broadcast per-(partition, source) offsets. The spec form's
+    * per-source window is a single task per source — a skew ceiling
+    * when one source holds billions of docs; here every partition key
+    * grows with the cluster. Rank depends only on the total order, so
+    * the result is bit-identical (equivalence pinned in
+    * WindowScaleSuite; SAME oracle as llm_mix_sources). At true 100 TB
+    * the quota also flips from rank to sampling RATE (two-phase:
+    * count per source, then hash-threshold) — that form needs no rank
+    * at all; this twin grades the exact-quota semantics at scale.
+    */
+  val llmMixSourcesScale: Op = Op(
+    "llm_mix_sources_scale",
+    (s, dir) => {
+      import s.implicits._
+      val tiers = Seq(("high", 4L), ("mid", 2L), ("low", 1L))
+        .toDF("tier", "weight")
+      val srcNum = substring(col("source"), 4, 10).cast(IntegerType)
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"))
+        .withColumn("tier",
+          when(srcNum < 5, "high").when(srcNum < 10, "mid").otherwise("low"))
+        .withColumn("h", expr(
+          "cast(conv(substring(md5(cast(doc_id as string)), 1, 7), 16, 10) as bigint)"))
+      val parted = docs
+        .repartitionByRange(8, col("source"), col("h"), col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint(true)
+      val local = parted.withColumn("lrn", row_number().over(
+        Window.partitionBy("pid", "source").orderBy(col("h"), col("doc_id")))
+        .cast(LongType))
+      val wOff = Window.partitionBy("source").orderBy("pid")
+      val offsets = parted.groupBy("pid", "source").agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(
+          sum("cnt").over(wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("pid", "source", "off")
+      local.join(broadcast(offsets), Seq("pid", "source"))
+        .withColumn("rn", col("lrn") + col("off"))
+        .join(broadcast(tiers), "tier")
+        .filter(col("rn") <= col("weight") * 5)
+        .select(col("source"), col("tier"), col("weight"), col("rn"), col("doc_id"))
+        .orderBy("source", "rn")
+    },
+    llmMixSources.oracle)
 
   /** BPE vocabulary induction, step one: count adjacent-symbol pairs
     * across every word OCCURRENCE in the corpus (the statistic the
@@ -2476,7 +2526,7 @@ object LlmOps {
   val ops: Seq[Op] = Seq(
     llmVocabMerges, llmVocabApply,
     llmPackSequences, llmRepetitionFilter, llmDocChunk, llmCrossDedup,
-    llmVocabInduce, llmMixSources, llmSplitHoldout,
+    llmVocabInduce, llmMixSources, llmMixSourcesScale, llmSplitHoldout,
     llmQualityFilter, llmQualityScore, llmTokenCount, llmLangId,
     llmTextStats, llmTextTfidf, llmDedupExact,
     llmDedupNear, llmDedupCluster, llmDedupClusterScale, llmDedupMinhash,

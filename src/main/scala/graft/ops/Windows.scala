@@ -413,9 +413,9 @@ object Windows {
     * Scale shape: revenue per (segment, customer) is one partial+final
     * aggregate; both windows (running sum, segment total) share the
     * segment partitioning — and segment cardinality bounds the window
-    * parallelism, so at 100 TB with few segments this exact form is the
-    * spec; the distributed-rank machinery of `win_ntile_pct_scale` is
-    * the drop-in scale twin.
+    * parallelism, so this exact form is kept as the semantic SPEC;
+    * `win_pareto_scale` below is the production formulation
+    * (distributed prefix sum, bit-equal, same oracle).
     */
   val winPareto: Op = Op(
     "win_pareto",
@@ -460,6 +460,55 @@ object Windows {
         CASE WHEN (cum - rev) * 5 < total * 4 THEN 1 ELSE 0 END AS in_top80
       FROM win ORDER BY c_mktsegment, c_custkey
     """.stripMargin.trim))
+
+  /** win_pareto's SCALE FORMULATION — the distributed PREFIX SUM,
+    * completing the scale-twin trio (rank: win_ntile_pct_scale /
+    * win_rfm_segment_scale; prefix sum: this): the spec form's running
+    * cumulative revenue runs one task per market segment; here the
+    * per-(segment, customer) revenue table range-partitions by the
+    * running order (segment, rev desc, custkey), each partition
+    * cumulative-sums LOCALLY, and the broadcast per-(partition,
+    * segment) totals provide the exclusive prefix offset — cum =
+    * local_cum + offset, all in exact DECIMAL, so every derived value
+    * (double share, exact-decimal frontier test) is bit-identical to
+    * the spec form (WindowScaleSuite; SAME oracle as win_pareto).
+    */
+  val winParetoScale: Op = Op(
+    "win_pareto_scale",
+    (s, dir) => {
+      val rev = Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("c_custkey"))
+        .agg(sum(dec2(col("o_totalprice"))).as("rev"))
+      val parted = rev
+        .repartitionByRange(8, col("c_mktsegment"), col("rev").desc, col("c_custkey"))
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint(true)
+      val wLoc = Window.partitionBy("pid", "c_mktsegment")
+        .orderBy(col("rev").desc, col("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wOff = Window.partitionBy("c_mktsegment").orderBy("pid")
+      val offsets = parted.groupBy("pid", "c_mktsegment").agg(sum("rev").as("psum"))
+        .withColumn("off", coalesce(
+          sum("psum").over(wOff.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(BigDecimal(0))))
+        .withColumn("total", sum("psum").over(Window.partitionBy("c_mktsegment")))
+        .select("pid", "c_mktsegment", "off", "total")
+      parted
+        .withColumn("lcum", sum("rev").over(wLoc))
+        .join(broadcast(offsets), Seq("pid", "c_mktsegment"))
+        .withColumn("cum", col("lcum") + col("off"))
+        .select(col("c_mktsegment"), col("c_custkey"),
+          col("rev").cast(DoubleType).as("rev"),
+          round(col("cum").cast(DoubleType) / col("total").cast(DoubleType), 6)
+            .as("cum_share"),
+          when((col("cum") - col("rev")) * 5 < col("total") * 4, 1L).otherwise(0L)
+            .as("in_top80"))
+        .orderBy("c_mktsegment", "c_custkey")
+    },
+    winPareto.oracle)
 
   /** Moving median — the robust-smoothing companion to `events_ewma`
     * (a median shrugs off the single-bucket spikes that drag a mean):
@@ -697,7 +746,8 @@ WITH rfm AS (
     winRfmSegment.oracle)
 
   val ops: Seq[Op] = Seq(
-    winPareto, winMovingMedian, winWeightedMedian, winRfmSegment, winRfmSegmentScale,
+    winPareto, winParetoScale, winMovingMedian, winWeightedMedian,
+    winRfmSegment, winRfmSegmentScale,
     winRank, winLagLead, winFirstLastFrame, winRunningFrame, winRangeFrame, winNtilePct,
     winRangeFrameScale, winNtilePctScale, winTopkPerGroup, winCountDistinct)
 }

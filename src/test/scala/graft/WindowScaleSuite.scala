@@ -35,6 +35,24 @@ class WindowScaleSuite extends AnyFunSuite {
     }
   }
 
+  test("win_pareto_scale ≡ win_pareto (bit-identical)") {
+    val spec = rows(Windows.winPareto.build(spark, sf))
+    val scale = rows(Windows.winParetoScale.build(spark, sf))
+    assert(scale.size == spec.size)
+    scale.zip(spec).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a == b, s"row $i differs")
+    }
+  }
+
+  test("llm_mix_sources_scale ≡ llm_mix_sources (bit-identical)") {
+    val spec = rows(graft.ops.LlmOps.llmMixSources.build(spark, sf))
+    val scale = rows(graft.ops.LlmOps.llmMixSourcesScale.build(spark, sf))
+    assert(scale.size == spec.size)
+    scale.zip(spec).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a == b, s"row $i differs")
+    }
+  }
+
   test("win_rfm_segment_scale ≡ win_rfm_segment (bit-identical)") {
     val spec = rows(Windows.winRfmSegment.build(spark, sf))
     val scale = rows(Windows.winRfmSegmentScale.build(spark, sf))
