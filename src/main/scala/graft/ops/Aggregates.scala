@@ -634,7 +634,36 @@ object Aggregates {
       ORDER BY c_custkey, metric
     """.stripMargin.trim))
 
+  /** EXACT distinct counting through Spark's roaring-bitmap aggregate
+    * surface (`bitmap_bucket_number` / `bitmap_bit_position` /
+    * `bitmap_construct_agg` / `bitmap_count`) — the bitmap-index trick
+    * for high-cardinality exact distincts: keys fold into fixed-size
+    * per-bucket bitmaps at the map side, so the shuffle carries
+    * BITMAPS (one per (group, bucket), ≤4 KB each), never the raw key
+    * stream, and the merge is a bitwise OR — contrast `agg_count_
+    * distinct`, whose expand-based exact path shuffles every distinct
+    * key occurrence. The oracle is the plain COUNT(DISTINCT): the
+    * bitmap pipeline must land on exactly the same integers.
+    */
+  val aggBitmapDistinct: Op = Op(
+    "agg_bitmap_distinct",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderstatus"),
+          expr("bitmap_bucket_number(o_custkey)").as("bkt"),
+          expr("bitmap_bit_position(o_custkey)").as("pos"))
+        .groupBy("o_orderstatus", "bkt")
+        .agg(expr("bitmap_count(bitmap_construct_agg(pos))").as("cnt"))
+        .groupBy("o_orderstatus")
+        .agg(sum("cnt").as("n_cust"))
+        .orderBy("o_orderstatus"),
+    Some("""
+      SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """.stripMargin.trim))
+
   val ops: Seq[Op] = Seq(
+    aggBitmapDistinct,
     aggPricingSummary, aggFilterClause, aggGlobal, aggCountDistinct, aggApproxDistinct,
     aggSketchMerge, aggHaving, aggArgExtrema, aggStats, aggCorr, aggRegression,
     aggModeDet, aggListagg, aggBooleanPack,

@@ -1276,6 +1276,37 @@ object Relational {
       GROUP BY lang ORDER BY lang
     """.stripMargin.trim))
 
+  /** NESTED-schema pruning — the scan optimization for struct/array
+    * columns: documents re-materialized with a `meta` STRUCT and a
+    * `words` ARRAY, then read back touching only two LEAVES of the
+    * struct. Catalyst's nested-schema pruning must narrow the parquet
+    * ReadSchema to exactly those leaves — the heavy `words` array and
+    * the unused struct fields are never decoded (PlanSuite-asserted on
+    * the ReadSchema). At 100 TB nested blobs (features, headers,
+    * provenance structs) routinely dwarf the scalar columns; leaf
+    * pruning is the difference between reading 2% and 100% of such a
+    * table. ORACLE = the flat original: restructuring + pruned
+    * read-back must be value-lossless.
+    */
+  val scanNestedPrune: Op = Op(
+    "scan_nested_prune",
+    (s, dir) => {
+      val tmp = scratch("scan_nested")
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          struct(col("lang"), col("source"), col("n_chars")).as("meta"),
+          split(col("text"), " ").as("words"))
+        .write.mode("overwrite").parquet(s"$tmp/docs_nested")
+      s.read.parquet(s"$tmp/docs_nested")
+        .groupBy(col("meta.lang").as("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("meta.n_chars")).as("sum_chars"))
+        .orderBy("lang")
+    },
+    Some("""
+      SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents GROUP BY lang ORDER BY lang
+    """.stripMargin.trim))
+
   /** RUNTIME bloom-filter join pruning — DPP's sibling for NON-partition
     * keys (round-9 verdict "What's missing" #2): the selective filter
     * lives on the dimension (p_brand + p_size), the fact is keyed on
@@ -2329,6 +2360,7 @@ object Relational {
     tableChecksum, profileColumns, mergeCdcApply,
     scanAggPushdown, joinDppPartitioned, validateConstraints,
     joinBloomRuntime, joinCboReorder, sinkClusteredPrune, pipelineIncremental,
+    scanNestedPrune,
     q14PromoRevenue, sinkZorderPrune, q8MarketShare, sinkKvRoundtrip,
     sortMultiNulls, limitTopk,
     setUnionAll, setUnionDistinct, setIntersect, setExcept,

@@ -632,9 +632,38 @@ object Scalars {
       FROM t ORDER BY p_partkey
     """.stripMargin.trim))
 
+  /** AES encrypt→decrypt roundtrip — the column-level-encryption
+    * workflow (PII at rest, tokenization): every document's text passes
+    * through `aes_encrypt` (GCM, random IV per call) and back through
+    * `aes_decrypt` with the same key; the oracle is the PLAIN table, so
+    * the hash match proves the roundtrip is lossless. The ciphertext
+    * itself is nondeterministic BY DESIGN (fresh IV), so the graded
+    * surface pins what is invariant: the decrypted text and the
+    * ciphertext length (12-byte IV + payload + 16-byte tag — the
+    * fixture text is single-byte ASCII, so chars = bytes and the
+    * oracle's length arithmetic is exact).
+    */
+  val fnCryptoRoundtrip: Op = Op(
+    "fn_crypto_roundtrip",
+    (s, dir) => {
+      val key = "graft-demo-key16"
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          expr(s"cast(aes_decrypt(aes_encrypt(cast(text as binary), '$key'), '$key') as string)")
+            .as("text_rt"),
+          expr(s"length(aes_encrypt(cast(text as binary), '$key'))").cast(LongType)
+            .as("ct_len"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, text AS text_rt,
+        CAST(length(text) + 28 AS BIGINT) AS ct_len
+      FROM documents ORDER BY doc_id
+    """.stripMargin.trim))
+
   val ops: Seq[Op] = Seq(
     fnStringPack, fnDatePack, fnMathCase, fnArrayPack, fnHigherOrder,
     fnMapPack, fnJsonExtract, fnCastCoalesce, fnBitwisePack, fnRegexpPack,
     fnTrigPack, fnStructPack, fnGeneratorOuter, fnHashPack, fnNestedAgg,
-    fnTryPack)
+    fnTryPack, fnCryptoRoundtrip)
 }

@@ -304,6 +304,17 @@ class PlanSuite extends AnyFunSuite {
       s"backward+forward frames should share one user_id exchange, got $hashEx:\n$p")
   }
 
+  test("scan_nested_prune narrows the ReadSchema to the referenced struct leaves") {
+    val p = plan("scan_nested_prune")
+    val read = "ReadSchema: struct<([^\n]*)".r.findFirstMatchIn(p)
+      .map(_.group(1)).getOrElse(fail(s"no ReadSchema section:\n$p"))
+    assert(read.contains("meta:struct<"), s"struct not read as struct: $read")
+    assert(read.contains("lang") && read.contains("n_chars"),
+      s"referenced leaves missing from ReadSchema: $read")
+    assert(!read.contains("words") && !read.contains("source"),
+      s"unreferenced nested fields not pruned from the scan: $read")
+  }
+
   test("join_bloom_runtime injects the bloom runtime filter into the fact scan") {
     val p = plan("join_bloom_runtime")
     assert(p.toLowerCase.contains("bloom_filter_might_contain") ||
