@@ -382,7 +382,13 @@ object EventTime {
       // source's file timestamps are ms) to pin the replay order
       val inOrder = parts
       val t0 = 1600000000000L
-      inOrder.zipWithIndex.foreach { case (f, i) => f.setLastModified(t0 + i * 2000L) }
+      // setLastModified can silently no-op on some filesystems; the
+      // entire determinism argument rests on these stamps, so fail
+      // loudly instead of replaying in unpinned order (review finding)
+      inOrder.zipWithIndex.foreach { case (f, i) =>
+        require(f.setLastModified(t0 + i * 2000L),
+          s"cannot pin mod time of $f — replay order would be undefined")
+      }
       val seen = inOrder.map(_.getName).toSet
       // planted late copies: everything in the corpus' first hour,
       // derived in-plan from the broadcast 1-row min(ts) (no collect)
@@ -391,8 +397,10 @@ object EventTime {
         .filter(col("ts") < col("mn") + expr("INTERVAL 1 HOUR"))
         .select(ev.columns.map(col): _*)
         .coalesce(1).write.mode("append").parquet(p)
-      parts.filterNot(f => seen(f.getName))
-        .foreach(_.setLastModified(t0 + 1000 * 2000L))
+      parts.filterNot(f => seen(f.getName)).foreach { f =>
+        require(f.setLastModified(t0 + 1000 * 2000L),
+          s"cannot pin mod time of late file $f — replay order would be undefined")
+      }
       p
     }
 
@@ -462,7 +470,9 @@ object EventTime {
     * window. Bin assignment and edges use the identical double
     * expression tree in both engines (IEEE — same ops, same order), so
     * boundary rows cannot disagree; value = max lands in the last bin
-    * via the least() clamp.
+    * via the least() clamp, and the degenerate constant-valued type
+    * (mx == mn, where the engines' NaN paths diverge) is pinned to
+    * bin 0 explicitly on both sides.
     */
   val eventsHistogram: Op = Op(
     "events_histogram",
@@ -470,10 +480,15 @@ object EventTime {
       val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
       val bounds = ev.groupBy("event_type")
         .agg(min("value").as("mn"), max("value").as("mx"))
+      // mx == mn (a constant-valued type) would divide 0/0 — and the
+      // engines then DISAGREE (Spark's floor(NaN)→cast lands on 0,
+      // DuckDB's on 19), so the degenerate case is pinned to bin 0
+      // explicitly in BOTH engines (review finding, round 10)
       ev.join(broadcast(bounds), "event_type")
         .withColumn("bin",
-          least(floor((col("value") - col("mn")) * 20.0 / (col("mx") - col("mn"))),
-            lit(19L)))
+          when(col("mx") === col("mn"), lit(0L)).otherwise(
+            least(floor((col("value") - col("mn")) * 20.0 / (col("mx") - col("mn"))),
+              lit(19L))))
         .groupBy("event_type", "bin")
         .agg(count(lit(1)).as("n"))
         .join(broadcast(bounds), "event_type")
@@ -489,7 +504,9 @@ object EventTime {
         FROM events GROUP BY 1
       ), binned AS (
         SELECT e.event_type,
-          LEAST(CAST(FLOOR((value - mn) * 20.0 / (mx - mn)) AS BIGINT), 19) AS bin
+          CASE WHEN mx = mn THEN 0
+               ELSE LEAST(CAST(FLOOR((value - mn) * 20.0 / (mx - mn)) AS BIGINT), 19)
+          END AS bin
         FROM events e JOIN b USING (event_type)
       )
       SELECT event_type, bin,

@@ -115,6 +115,39 @@ object Relational {
       GROUP BY 1, 2 ORDER BY n_nationkey
     """.stripMargin.trim))
 
+  /** ORC roundtrip — the second columnar lake format (orc-core ships in
+    * the Spark distro; the Avro DATASOURCE jar does not — recorded as
+    * env-blocked in SURVEY §2.1's capability notes): orders written and
+    * read back as ORC, aggregated per status across a long, an exact
+    * decimal, and a formatted timestamp so every type family crosses
+    * the format boundary. ORACLE computes the same aggregate from the
+    * original parquet — the hash match proves the ORC writer/reader
+    * chain (incl. timestamp handling under the UTC session) is
+    * value-lossless. Scale note: ORC carries its own stripe-level
+    * min/max + bloom indexes; predicate pushdown works the same way as
+    * parquet's (PushedFilters on the scan).
+    */
+  val sinkOrcRoundtrip: Op = Op(
+    "sink_orc_roundtrip",
+    (s, dir) => {
+      val tmp = scratch("sink_orc")
+      Tables.orders(s, dir).write.mode("overwrite").orc(s"$tmp/orders_orc")
+      s.read.orc(s"$tmp/orders_orc")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sumMoney(dec2(col("o_totalprice"))).as("total"),
+          min("o_orderkey").as("min_key"),
+          max(fmtDay(col("o_orderdate"))).as("max_day"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        MIN(o_orderkey) AS min_key,
+        MAX(strftime(o_orderdate, '%Y-%m-%d')) AS max_day
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """.stripMargin.trim))
+
   /** Partitioned lake write + partition-PRUNED read-back — the layout
     * every real data lake runs on (round-5 verdict "What's missing" #1,
     * now graded): `partitionBy('lang')` writes one directory per
@@ -2345,7 +2378,7 @@ object Relational {
   val ops: Seq[Op] = Seq(
     q3ShippingPriority, q5LocalSupplierVolume, q10ReturnedItems, cdcSnapshotDiff,
     joinLateralTopk,
-    scanFull, scanPrune, scanPred, sinkParquet, sinkCsvJson,
+    scanFull, scanPrune, scanPred, sinkParquet, sinkCsvJson, sinkOrcRoundtrip,
     sinkPartitionedPrune, sinkSchemaEvolution, joinBucketed,
     projectCompute, filterCompound, filterNull3vl,
     joinInnerEqui, joinBroadcast, joinSortMerge, joinLeftOuter, joinRightOuter,

@@ -711,8 +711,13 @@ WITH rfm AS (
       // distributed global ntile(5) under the total order `ord`
       // (win_ntile_pct_scale's machinery, metric-parameterized)
       def score5(ord: Seq[Column], out: String): DataFrame = {
+        // checkpointed so the local-rank and offsets branches read the
+        // SAME materialized pids — the correctness contract must not
+        // rest on exchange reuse (the winParetoScale/llmMixSourcesScale
+        // discipline; review finding, round 10)
         val parted = byCust.repartitionByRange(8, ord: _*)
           .withColumn("pid", spark_partition_id())
+          .localCheckpoint(true)
         val local = parted.withColumn("lrn",
           row_number().over(Window.partitionBy("pid").orderBy(ord: _*)).cast(LongType))
         val wOff = Window.orderBy("pid") // summary has one row per range partition
