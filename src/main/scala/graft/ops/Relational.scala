@@ -1782,6 +1782,56 @@ object Relational {
       GROUP BY 1 ORDER BY 1
     """.stripMargin.trim))
 
+  /** Row-level QUARANTINE routing — the dead-letter half of the
+    * data-contract gate (`validate_constraints` reports table-level
+    * counts; ingestion pipelines ALSO need the failing rows themselves,
+    * tagged with why, routed to a quarantine table for triage/replay).
+    * The fixture is clean, so violations are planted in-plan on prime
+    * key strides (the validate_constraints treatment — a quarantine
+    * graded only on emptiness proves nothing): a negative quantity
+    * every 997th order, an out-of-policy discount every 1009th; a row
+    * failing BOTH rules must carry both reason codes. Everything is
+    * row-local (`concat_ws` drops the non-firing NULL reasons in both
+    * engines) + one pushdown-friendly filter — at 100 TB quarantine
+    * routing costs one scan, no shuffle.
+    */
+  val validateQuarantine: Op = Op(
+    "validate_quarantine",
+    (s, dir) => {
+      val m = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          when(col("l_orderkey") % 997 === 0, lit(-5.0)).otherwise(col("l_quantity"))
+            .as("quantity"),
+          when(col("l_orderkey") % 1009 === 0, lit(0.75)).otherwise(col("l_discount"))
+            .as("discount"),
+          col("l_extendedprice"))
+      m.withColumn("reasons", concat_ws(",",
+          when(!col("quantity").between(1.0, 50.0), lit("quantity_range")),
+          when(!col("discount").between(0.0, 0.10), lit("discount_range")),
+          when(col("l_extendedprice") <= 0.0, lit("price_positive"))))
+        .filter(col("reasons") =!= "")
+        .select("l_orderkey", "l_linenumber", "quantity", "discount", "reasons")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""
+      WITH m AS (
+        SELECT l_orderkey, l_linenumber,
+          CASE WHEN l_orderkey % 997 = 0 THEN -5.0 ELSE l_quantity END AS quantity,
+          CASE WHEN l_orderkey % 1009 = 0 THEN 0.75 ELSE l_discount END AS discount,
+          l_extendedprice
+        FROM lineitem
+      ), r AS (
+        SELECT l_orderkey, l_linenumber, quantity, discount, concat_ws(',',
+          CASE WHEN NOT (quantity BETWEEN 1.0 AND 50.0) THEN 'quantity_range' END,
+          CASE WHEN NOT (discount BETWEEN 0.0 AND 0.10) THEN 'discount_range' END,
+          CASE WHEN l_extendedprice <= 0.0 THEN 'price_positive' END) AS reasons
+        FROM m
+      )
+      SELECT l_orderkey, l_linenumber, quantity, discount, reasons
+      FROM r WHERE reasons != ''
+      ORDER BY l_orderkey, l_linenumber
+    """.stripMargin.trim))
+
   /** The INCREMENTAL-INGEST composition — merge_cdc_apply's log collapse
     * chained into merge_scd2's history merge as ONE graded op (round-9
     * verdict stretch item), because this chain IS the nightly pattern
@@ -2393,7 +2443,7 @@ object Relational {
     tableChecksum, profileColumns, mergeCdcApply,
     scanAggPushdown, joinDppPartitioned, validateConstraints,
     joinBloomRuntime, joinCboReorder, sinkClusteredPrune, pipelineIncremental,
-    scanNestedPrune,
+    scanNestedPrune, validateQuarantine,
     q14PromoRevenue, sinkZorderPrune, q8MarketShare, sinkKvRoundtrip,
     sortMultiNulls, limitTopk,
     setUnionAll, setUnionDistinct, setIntersect, setExcept,
