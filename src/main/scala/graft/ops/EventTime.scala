@@ -459,6 +459,31 @@ object EventTime {
       ORDER BY win_start, event_type
     """.stripMargin.trim))
 
+  /** Day-of-week × hour-of-day seasonality matrix — the load-pattern
+    * profile behind capacity planning and anomaly baselining: event
+    * count and mean value per (dow, hour) cell. ONE partial+final
+    * aggregate to a fixed 168-cell output; the mean divides in double
+    * only after the exact-decimal sum closes (never AVG over raw
+    * doubles — summation order would differ between engines). Day
+    * numbering is pinned explicitly: Spark's `dayofweek` is 1=Sunday,
+    * DuckDB's is 0=Sunday, so the oracle adds 1.
+    */
+  val eventsSeasonality: Op = Op(
+    "events_seasonality",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(expr("dayofweek(ts)").as("dow"), hour(col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(dec2(col("value"))).cast(DoubleType) / count(lit(1)), 6)
+            .as("avg_value"))
+        .orderBy("dow", "hr"),
+    Some("""
+      SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hr, COUNT(*) AS n,
+        ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6)
+          AS avg_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """.stripMargin.trim))
+
   /** Equal-width histogram of `value` per event type — the profiling
     * primitive behind every metric dashboard's distribution panel: 20
     * bins spanning each type's observed [min, max], bin edges emitted
@@ -1167,7 +1192,7 @@ WITH hourly AS (
     streamTumbling, streamSliding, streamSession, streamDedupKeys,
     streamReplayTumbling, streamReplayDedup, streamReplaySession,
     streamReplaySliding, streamReplayJoin, streamReplayWatermarked,
-    eventsCohortRetention, eventsHistogram,
+    eventsCohortRetention, eventsHistogram, eventsSeasonality,
     eventsSessionize, eventsFunnel, timeseriesGapfill, eventsAttribution,
     eventsTransitions, eventsAnomalyZscore, eventsRollingDistinct,
     eventsEwma, eventsTypeOverlap, eventsForecastNaive)

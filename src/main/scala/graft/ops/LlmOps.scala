@@ -164,6 +164,56 @@ object LlmOps {
       ORDER BY doc_id
     """.stripMargin.trim))
 
+  /** N-gram NOVELTY audit — the memorization metric a training-data
+    * pipeline tracks next to dedup: per document, how many of its word
+    * 5-grams occur nowhere else in the corpus (occurrence count 1 ⇒
+    * unique to this doc). Low novelty flags boilerplate/templated text
+    * that exact and near dedup both miss (they judge whole documents;
+    * this judges the n-gram mass). Shape: one corpus pass (size-guarded
+    * index explode → slice — the approved Generate pattern), one
+    * partial+final count on the 5-gram key, then a co-keyed hash join
+    * back to occurrences and a per-doc aggregate — every key
+    * high-cardinality, no broadcast needed and none possible (the gram
+    * table scales with the corpus).
+    */
+  val llmNgramNovelty: Op = Op(
+    "llm_ngram_novelty",
+    (s, dir) => {
+      val grams = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 5)
+        .select(col("doc_id"), col("ws"),
+          explode(sequence(lit(0), size(col("ws")) - 5)).as("i"))
+        .select(col("doc_id"),
+          concat_ws(" ", slice(col("ws"), col("i") + 1, lit(5))).as("g"))
+      val counts = grams.groupBy("g").agg(count(lit(1)).as("n"))
+      grams.join(counts, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          round(col("n_novel").cast(DoubleType) / col("n_grams"), 6).as("novelty"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      ), g AS (
+        SELECT doc_id,
+          concat_ws(' ', ws[i+1], ws[i+2], ws[i+3], ws[i+4], ws[i+5]) AS g
+        FROM w, LATERAL (SELECT unnest(generate_series(0, len(ws) - 5)) AS i)
+        WHERE len(ws) >= 5
+      ), c AS (
+        SELECT g, COUNT(*) AS n FROM g GROUP BY g
+      )
+      SELECT doc_id, COUNT(*) AS n_grams,
+        CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        ROUND(CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+          AS novelty
+      FROM g JOIN c USING (g)
+      GROUP BY doc_id ORDER BY doc_id
+    """.stripMargin.trim))
+
   /** Language identification by character-trigram profile — the n-gram
     * heuristic the north star names (Cavnar–Trenkle shape): build a
     * top-50 trigram profile per language from the corpus (doc-frequency
@@ -2527,7 +2577,7 @@ object LlmOps {
     llmVocabMerges, llmVocabApply,
     llmPackSequences, llmRepetitionFilter, llmDocChunk, llmCrossDedup,
     llmVocabInduce, llmMixSources, llmMixSourcesScale, llmSplitHoldout,
-    llmQualityFilter, llmQualityScore, llmTokenCount, llmLangId,
+    llmQualityFilter, llmQualityScore, llmTokenCount, llmLangId, llmNgramNovelty,
     llmTextStats, llmTextTfidf, llmDedupExact,
     llmDedupNear, llmDedupCluster, llmDedupClusterScale, llmDedupMinhash,
     llmDedupSimhash,
