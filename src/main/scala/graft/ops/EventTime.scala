@@ -185,6 +185,14 @@ object EventTime {
     // up the override; the clone's fresh catalog also makes the memory
     // sink's temp view collision-free across invocations.
     val s2 = s.newSession()
+    // `newSession` resets runtime SQL confs to SparkConf initial values;
+    // copy the PARENT's runtime conf onto the clone first (modifiable
+    // keys only — static confs throw), so a driver-set flag (ANSI mode,
+    // legacy parsers, …) applies identically to the replay and its batch
+    // twin, then pin the replay-specific overrides (round-10 advice).
+    s.conf.getAll.foreach { case (k, v) =>
+      if (s2.conf.isModifiable(k) && s2.conf.getOption(k) != Some(v)) s2.conf.set(k, v)
+    }
     s2.conf.set("spark.sql.session.timeZone", "UTC")
     // state-store partition count is fixed at the query's FIRST run from
     // spark.sql.shuffle.partitions; 8 stores comfortably hold every

@@ -639,9 +639,11 @@ object Scalars {
     * the hash match proves the roundtrip is lossless. The ciphertext
     * itself is nondeterministic BY DESIGN (fresh IV), so the graded
     * surface pins what is invariant: the decrypted text and the
-    * ciphertext length (12-byte IV + payload + 16-byte tag — the
-    * fixture text is single-byte ASCII, so chars = bytes and the
-    * oracle's length arithmetic is exact).
+    * ciphertext length (12-byte IV + payload + 16-byte tag). GCM is
+    * pinned explicitly (not left to Spark's default) and the oracle
+    * counts payload BYTES via DuckDB `strlen` (byte length), so neither
+    * a future default-mode change nor a multi-byte fixture character
+    * can break the length arithmetic (round-10 advice).
     */
   val fnCryptoRoundtrip: Op = Op(
     "fn_crypto_roundtrip",
@@ -649,15 +651,15 @@ object Scalars {
       val key = "graft-demo-key16"
       Tables.documents(s, dir)
         .select(col("doc_id"),
-          expr(s"cast(aes_decrypt(aes_encrypt(cast(text as binary), '$key'), '$key') as string)")
+          expr(s"cast(aes_decrypt(aes_encrypt(cast(text as binary), '$key', 'GCM'), '$key', 'GCM') as string)")
             .as("text_rt"),
-          expr(s"length(aes_encrypt(cast(text as binary), '$key'))").cast(LongType)
+          expr(s"length(aes_encrypt(cast(text as binary), '$key', 'GCM'))").cast(LongType)
             .as("ct_len"))
         .orderBy("doc_id")
     },
     Some("""
       SELECT doc_id, text AS text_rt,
-        CAST(length(text) + 28 AS BIGINT) AS ct_len
+        CAST(strlen(text) + 28 AS BIGINT) AS ct_len
       FROM documents ORDER BY doc_id
     """.stripMargin.trim))
 

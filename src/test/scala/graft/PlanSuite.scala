@@ -328,20 +328,38 @@ class PlanSuite extends AnyFunSuite {
 
   test("join_cbo_reorder: stats rotate the selective customer join below the fact join") {
     // With CBO+stats, the optimizer must move the filtered-customer join
-    // INSIDE (joined before the big lineitem join), i.e. in the
-    // pre-order physical plan text the orderkey join prints BEFORE the
-    // nested custkey join. With CBO off on the same tables the
-    // syntactic left-deep order keeps custkey on top — asserting both
-    // directions proves the rotation is stats-driven, not incidental.
-    def joinOrder(df: DataFrame): (Int, Int) = {
-      val t = df.queryExecution.executedPlan.toString
-      val ok = t.indexOf("o_orderkey")
-      val ck = t.indexOf("c_custkey")
-      assert(ok >= 0 && ck >= 0, s"expected both join keys in plan:\n$t")
+    // INSIDE (joined before the big lineitem join): the custkey join node
+    // must be a strict DESCENDANT of the orderkey join node in the
+    // physical tree. With CBO off on the same tables the syntactic
+    // left-deep order keeps custkey on top — asserting both directions
+    // proves the rotation is stats-driven, not incidental. Walks the
+    // SparkPlan tree (join-node keys only) rather than comparing string
+    // offsets over the rendered plan, where the key names also appear in
+    // scan ReadSchema sections (round-10 advice).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+      case other => other
+    }
+    // `keyed` inspects only the join node's OWN keys/condition, never the
+    // subtree, so scan output lists can't satisfy it.
+    def keyed(j: BaseJoinExec, key: String): Boolean =
+      (j.leftKeys ++ j.rightKeys ++ j.condition.toSeq).exists(_.toString.contains(key))
+    def hasDescendant(root: SparkPlan, target: SparkPlan): Boolean =
+      root.children.exists(c => c.collect { case p if p eq target => p }.nonEmpty)
+    def joinPair(df: DataFrame): (BaseJoinExec, BaseJoinExec) = {
+      val root = unwrap(df.queryExecution.executedPlan)
+      val js = root.collect { case j: BaseJoinExec => j }
+      val ok = js.find(keyed(_, "o_orderkey"))
+        .getOrElse(fail(s"no orderkey join in plan:\n$root"))
+      val ck = js.find(keyed(_, "c_custkey"))
+        .getOrElse(fail(s"no custkey join in plan:\n$root"))
       (ok, ck)
     }
-    val (okCbo, ckCbo) = joinOrder(SparkEntry.queries("join_cbo_reorder")(spark, sf))
-    assert(okCbo < ckCbo,
+    val (okCbo, ckCbo) = joinPair(SparkEntry.queries("join_cbo_reorder")(spark, sf))
+    assert(hasDescendant(okCbo, ckCbo),
       "CBO did not rotate the custkey join below the orderkey join")
     // same query, same stats-bearing tables, CBO off → syntactic order
     val tag = graft.ops.SessionArtifact.dirTag(sf)
@@ -353,8 +371,8 @@ class PlanSuite extends AnyFunSuite {
       JOIN graft_cbo_orders_$tag ON l_orderkey = o_orderkey
       JOIN graft_cbo_customer_$tag ON o_custkey = c_custkey
       WHERE c_mktsegment = 'BUILDING' GROUP BY c_mktsegment""")
-    val (okOff, ckOff) = joinOrder(plain)
-    assert(ckOff < okOff,
+    val (okOff, ckOff) = joinPair(plain)
+    assert(hasDescendant(ckOff, okOff),
       "without CBO the syntactic left-deep order should keep custkey on top")
   }
 
