@@ -467,6 +467,73 @@ object EventTime {
       ORDER BY win_start, event_type
     """.stripMargin.trim))
 
+  /** The WATERMARKED SESSION replay — completes the watermarked family
+    * (round-10 verdict "Next round" #4) with the one window type whose
+    * state MERGES across micro-batches: two open per-user sessions must
+    * fuse when a bridging event arrives in a later batch, so append-mode
+    * finalization grades three semantics at once over the same
+    * pinned-order source as `stream_replay_watermarked`: (1) LATE-DROP —
+    * the planted late file's rows (copies of the first corpus hour)
+    * arrive with the watermark at max(ts)−30min and must all be
+    * discarded BEFORE touching session state (a leak would extend or
+    * resurrect early sessions and break the hash); (2) MERGE-THEN-EVICT —
+    * a session is emitted only when the watermark passes its END
+    * (last event + 30min gap), after all merging has settled;
+    * (3) APPEND FINALIZATION — the result holds exactly the sessions
+    * with last_ts + gap ≤ final watermark = max(ts)−30min, and every
+    * later still-open session must NOT appear. The oracle encodes the
+    * full rule: batch gaps-and-islands sessions over the ORIGINAL
+    * events (late copies excluded ≡ dropped) restricted to that bound.
+    * At 100 TB this is the unbounded production shape — the watermark
+    * bounds the merging-session store to ~1h of open sessions per user
+    * regardless of history length.
+    */
+  val streamReplaySessionWatermarked: Op = Op(
+    "stream_replay_session_watermarked",
+    (s, dir) => {
+      val src = wmReplaySrc(s, dir)
+      runReplay(s, "graft_stream_replay_session_wm", "append") { s2 =>
+        s2.readStream.schema(Tables.expectedSchemas("events"))
+          .option("maxFilesPerTrigger", "2")
+          .parquet(src)
+          .select(col("ts"), col("user_id"), dec2(col("value")).as("v"))
+          .withWatermark("ts", "30 minutes")
+          .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"), sumMoney(col("v")).as("sum_value"),
+            max(col("ts")).as("last_ts"))
+          .select(col("user_id"),
+            fmtSec(col("sw.start")).as("sess_start"),
+            fmtSec(col("last_ts")).as("sess_last"),
+            col("n_events"), col("sum_value"))
+      }.orderBy("user_id", "sess_start")
+    },
+    Some("""
+      WITH mx AS (SELECT MAX(ts) AS m FROM events),
+      g AS (
+        SELECT user_id, ts, value,
+          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+               OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+               THEN 1 ELSE 0 END AS new_sess
+        FROM events
+      ), s AS (
+        SELECT user_id, ts, value,
+          SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM g
+      ), sess AS (
+        SELECT user_id, MIN(ts) AS mn_ts, MAX(ts) AS mx_ts, COUNT(*) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM s GROUP BY user_id, sess_id
+      )
+      SELECT user_id,
+        strftime(date_trunc('second', mn_ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+        strftime(date_trunc('second', mx_ts), '%Y-%m-%d %H:%M:%S') AS sess_last,
+        n_events, sum_value
+      FROM sess, mx
+      WHERE mx_ts + INTERVAL 30 MINUTE <= m - INTERVAL 30 MINUTE
+      ORDER BY user_id, sess_start
+    """.stripMargin.trim))
+
   /** Day-of-week × hour-of-day seasonality matrix — the load-pattern
     * profile behind capacity planning and anomaly baselining: event
     * count and mean value per (dow, hour) cell. ONE partial+final
@@ -1200,6 +1267,7 @@ WITH hourly AS (
     streamTumbling, streamSliding, streamSession, streamDedupKeys,
     streamReplayTumbling, streamReplayDedup, streamReplaySession,
     streamReplaySliding, streamReplayJoin, streamReplayWatermarked,
+    streamReplaySessionWatermarked,
     eventsCohortRetention, eventsHistogram, eventsSeasonality,
     eventsSessionize, eventsFunnel, timeseriesGapfill, eventsAttribution,
     eventsTransitions, eventsAnomalyZscore, eventsRollingDistinct,

@@ -663,9 +663,76 @@ object Scalars {
       FROM documents ORDER BY doc_id
     """.stripMargin.trim))
 
+  /** Spark 4 VARIANT surface — the modern semi-structured type behind
+    * open-ended event properties (shredded binary encoding, typed
+    * lazy extraction; the column type a 100 TB props lake stores
+    * instead of strings): a nested JSON doc is built in-plan from the
+    * event columns (byte-identical construction in both engines), then
+    * `parse_json` → VARIANT and the full extraction surface runs over
+    * it — `variant_get` at three depths and three target types
+    * (string/bigint/int, incl. an array index), `is_variant_null`
+    * distinguishing JSON null (planted on event_id%5=0) from a missing
+    * key, `try_parse_json` swallowing malformed input (planted on
+    * event_id%7=0) where the strict form would throw, and
+    * `schema_of_variant` printing the inferred schema (pinned per
+    * branch in the oracle — the two shapes differ exactly by the
+    * planted `opt: VOID` member). Oracle via DuckDB `json_extract`
+    * casts on the same constructed doc; the null/malformed/schema
+    * branches are closed-form in event_id. Narrow scan → project, no
+    * shuffle; extraction is row-local exactly as it is over a stored
+    * VARIANT column.
+    */
+  val fnVariantPack: Op = Op(
+    "fn_variant_pack",
+    (s, dir) => {
+      val doc = concat(
+        lit("{\"meta\":{\"type\":\""), col("event_type"),
+        lit("\",\"uid\":"), col("user_id"),
+        lit(",\"tags\":[10,"), col("event_id") % 3,
+        lit("]},\"props\":"), col("props"),
+        when(col("event_id") % 5 === 0, lit(",\"opt\":null")).otherwise(lit("")),
+        lit("}"))
+      val v = parse_json(col("doc"))
+      Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("user_id"), col("props"),
+          doc.as("doc"))
+        .select(col("event_id"), col("doc"),
+          variant_get(v, "$.meta.type", "string").as("vtype"),
+          variant_get(v, "$.meta.uid", "bigint").as("vuid"),
+          variant_get(v, "$.meta.tags[1]", "int").as("tag1"),
+          variant_get(v, "$.props.k", "int").as("k"),
+          is_variant_null(variant_get(v, "$.opt", "variant")).as("opt_is_null"),
+          isnull(try_parse_json(
+            when(col("event_id") % 7 === 0, lit("{not json")).otherwise(col("doc"))))
+            .as("bad_parse"),
+          schema_of_variant(v).as("vschema"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH d AS (
+        SELECT event_id,
+          '{"meta":{"type":"' || event_type || '","uid":' || user_id ||
+          ',"tags":[10,' || (event_id % 3) || ']},"props":' || props ||
+          CASE WHEN event_id % 5 = 0 THEN ',"opt":null' ELSE '' END || '}' AS doc
+        FROM events
+      )
+      SELECT event_id, doc,
+        json_extract_string(doc, '$.meta.type') AS vtype,
+        CAST(json_extract(doc, '$.meta.uid') AS BIGINT) AS vuid,
+        CAST(json_extract(doc, '$.meta.tags[1]') AS INTEGER) AS tag1,
+        CAST(json_extract(doc, '$.props.k') AS INTEGER) AS k,
+        (event_id % 5 = 0) AS opt_is_null,
+        (event_id % 7 = 0) AS bad_parse,
+        CASE WHEN event_id % 5 = 0
+          THEN 'OBJECT<meta: OBJECT<tags: ARRAY<BIGINT>, type: STRING, uid: BIGINT>, opt: VOID, props: OBJECT<k: BIGINT>>'
+          ELSE 'OBJECT<meta: OBJECT<tags: ARRAY<BIGINT>, type: STRING, uid: BIGINT>, props: OBJECT<k: BIGINT>>'
+        END AS vschema
+      FROM d ORDER BY event_id
+    """.stripMargin.trim))
+
   val ops: Seq[Op] = Seq(
     fnStringPack, fnDatePack, fnMathCase, fnArrayPack, fnHigherOrder,
     fnMapPack, fnJsonExtract, fnCastCoalesce, fnBitwisePack, fnRegexpPack,
     fnTrigPack, fnStructPack, fnGeneratorOuter, fnHashPack, fnNestedAgg,
-    fnTryPack, fnCryptoRoundtrip)
+    fnTryPack, fnCryptoRoundtrip, fnVariantPack)
 }

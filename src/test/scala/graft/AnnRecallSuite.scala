@@ -73,4 +73,40 @@ class AnnRecallSuite extends AnyFunSuite {
     info(f"mean recall@5 = $recall%.3f over ${probes.size} probes (k=32, nprobe=14, 1 Lloyd step)")
     assert(recall >= 0.8, f"IVF recall $recall%.3f below 0.8 gate")
   }
+
+  test("llm_simsearch_lsh_det recall >= 0.8 vs brute-force cosine top-5") {
+    // cosine baseline (not euclidean): the det op's own re-rank metric —
+    // sign-hyperplane LSH approximates angular similarity
+    val s = TestSpark.spark
+    val vecs: Map[Long, Array[Double]] =
+      Tables.embeddings(s, TestSpark.Sf0001)
+        .collect()
+        .map(r => r.getLong(0) ->
+          r.getSeq[Float](1).map(_.toDouble).toArray)
+        .toMap
+    val probes = vecs.keys.filter(_ % 50 == 0).toSeq.sorted
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / math.sqrt(na * nb)
+    }
+    val bf5: Map[Long, Set[Long]] = probes.map { p =>
+      p -> vecs.collect { case (id, v) if id != p => (id, cos(vecs(p), v)) }
+        .toSeq.sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSet
+    }.toMap
+
+    val det: Map[Long, Set[Long]] =
+      LlmOps.llmSimsearchLshDet.build(s, TestSpark.Sf0001)
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (p, rows) => p -> rows.map(_.getLong(1)).toSet }
+
+    val recalls = probes.map { p =>
+      val hit = bf5(p).intersect(det.getOrElse(p, Set.empty)).size
+      hit.toDouble / bf5(p).size
+    }
+    val recall = recalls.sum / recalls.size
+    info(f"mean recall@5 = $recall%.3f over ${probes.size} probes (64 planes, 16 bands of 4 bits)")
+    assert(recall >= 0.8, f"det-LSH recall $recall%.3f below 0.8 gate")
+  }
 }

@@ -376,9 +376,49 @@ class PlanSuite extends AnyFunSuite {
       "without CBO the syntactic left-deep order should keep custkey on top")
   }
 
+  test("AQE splits a deliberately skewed sort-merge join (OptimizeSkewedJoin)") {
+    // The optimizer layer join_skew_salted works around manually must
+    // itself work: under AQE with skew-join enabled, a join whose
+    // shuffle has one dominant key must be split at runtime
+    // (SortMergeJoin prints skew=true in the final adaptive plan);
+    // with skew-join disabled on the identical data it must not.
+    // Asserting both directions proves the split is AQE-driven.
+    def run(skewOn: Boolean): String = {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.adaptive.enabled", "true")
+      s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      s2.conf.set("spark.sql.adaptive.skewJoin.enabled", skewOn.toString)
+      s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100KB")
+      s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "100KB")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      // 99% of left rows share key 7 → one shuffle partition dwarfs the
+      // rest; no agg above the join, so nothing constrains its output
+      // distribution and OptimizeSkewedJoin is free to split
+      import org.apache.spark.sql.functions.{col, lit, when}
+      val left = s2.range(300000).select(
+        when(col("id") % 100 =!= 0, lit(7L)).otherwise(col("id") % 97).as("k"),
+        col("id").as("v"))
+      val right = s2.range(97).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = left.join(right, "k")
+      // collect() drives THIS DataFrame's own QueryExecution (a write
+      // would plan a fresh one and leave this adaptive plan non-final)
+      joined.collect()
+      joined.queryExecution.executedPlan.toString
+    }
+    val on = run(true)
+    assert(on.contains("skew=true"), s"skewed join was not split by AQE:\n$on")
+    assert(!run(false).contains("skew=true"),
+      "skew split appeared with skewJoin disabled — test data no longer discriminates")
+  }
+
   test("no CartesianProduct/BroadcastNestedLoopJoin outside the whitelist") {
     val allowed = Set("join_cross", "join_theta_range", "llm_simsearch_topk",
       "llm_text_tfidf", "llm_simsearch_ivf", "llm_ivf_fit", "llm_dedup_embed",
+      // 1-row broadcast sign-matrix crossJoin (the llm_dedup_embed
+      // quantizer pattern); the candidate join itself is bucket-local
+      "llm_simsearch_lsh_det",
       "llm_embed_quantize", "llm_ngram_logprob", "events_funnel",
       "timeseries_gapfill",
       // calendar-spine × 5-type broadcast, the same gapfill pattern

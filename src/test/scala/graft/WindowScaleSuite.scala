@@ -53,6 +53,15 @@ class WindowScaleSuite extends AnyFunSuite {
     }
   }
 
+  test("win_weighted_median_scale ≡ win_weighted_median (bit-identical)") {
+    val spec = rows(Windows.winWeightedMedian.build(spark, sf))
+    val scale = rows(Windows.winWeightedMedianScale.build(spark, sf))
+    assert(scale.size == spec.size)
+    scale.zip(spec).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a == b, s"row $i differs")
+    }
+  }
+
   test("win_rfm_segment_scale ≡ win_rfm_segment (bit-identical)") {
     val spec = rows(Windows.winRfmSegment.build(spark, sf))
     val scale = rows(Windows.winRfmSegmentScale.build(spark, sf))
@@ -67,5 +76,7 @@ class WindowScaleSuite extends AnyFunSuite {
     assert(rows(one) == rows(Windows.winNtilePct.build(spark, sf)))
     val rfmOne = Windows.winRfmSegmentScale.build(spark, sf).coalesce(1)
     assert(rows(rfmOne) == rows(Windows.winRfmSegment.build(spark, sf)))
+    val wmOne = Windows.winWeightedMedianScale.build(spark, sf).coalesce(1)
+    assert(rows(wmOne) == rows(Windows.winWeightedMedian.build(spark, sf)))
   }
 }
