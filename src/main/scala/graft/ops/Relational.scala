@@ -2315,6 +2315,237 @@ object Relational {
       ORDER BY revenue DESC, c_custkey LIMIT 20
     """.stripMargin.trim))
 
+  /** TPC-H Q6 shape — forecasting revenue change: the pure
+    * filter-and-aggregate query, deliberately the SIMPLEST plan in the
+    * Q-series because its entire value at 100 TB is what does NOT
+    * happen: all three predicates (ship year, discount band, quantity
+    * cap) push into the parquet scan, no join, no shuffle beyond the
+    * single partial+final global aggregate. The discount band compares
+    * in DECIMAL(4,2) (the `rate2` chain) so no raw-double boundary row
+    * can land differently across engines, and the discount·price
+    * product runs the exact-decimal ladder before the one cast out to
+    * double.
+    */
+  val q6ForecastRevenue: Op = Op(
+    "q6_forecast_revenue",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01") &&
+          rate2(col("l_discount")).between(
+            lit(0.05).cast(DecimalType(4, 2)), lit(0.07).cast(DecimalType(4, 2))) &&
+          col("l_quantity") < 24)
+        .agg(sum((dec2(col("l_extendedprice")) * rate2(col("l_discount")))
+            .cast(DecimalType(18, 4)))
+          .cast(DoubleType).as("revenue")),
+    Some("""
+      SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+               CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(18,4))) AS DOUBLE)
+        AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND CAST(l_discount AS DECIMAL(4,2))
+              BETWEEN CAST(0.05 AS DECIMAL(4,2)) AND CAST(0.07 AS DECIMAL(4,2))
+        AND l_quantity < 24
+    """.stripMargin.trim))
+
+  /** TPC-H Q7 shape — volume shipping between two trading nations: the
+    * bidirectional nation-pair revenue matrix by ship year. Plan:
+    * supplier and customer each take their nation name from a
+    * broadcast of the 25-row nation table FILTERED to the two parties
+    * (so both dimension inputs shrink to ~2/25 before touching a
+    * fact); the supplier side broadcasts into the lineitem scan
+    * (classic small dim), while orders⋈customer and lineitem⋈orders
+    * are co-keyed shuffle joins — at 100 TB the filtered customer
+    * slice of a 1.5 B-row customer table is NOT broadcastable, so the
+    * plan must not assume it. The (A→B | B→A) disjunction reduces to
+    * supp_nation ≠ cust_nation once both sides are restricted to the
+    * pair. Ship-date range pushes to the scan; the year is extracted
+    * after.
+    */
+  val q7VolumeShipping: Op = Op(
+    "q7_volume_shipping",
+    (s, dir) => {
+      val pair = Seq("NATION_3", "NATION_7")
+      val nat = Tables.nation(s, dir)
+        .filter(col("n_name").isin(pair: _*)).select("n_nationkey", "n_name")
+      val supp = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val ord = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "cust_nation")
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1998-01-01"))
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"), revenue.as("volume"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sumMoney(col("volume")).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+    Some(s"""
+      SELECT supp_nation, cust_nation, l_year,
+        CAST(SUM(volume) AS DOUBLE) AS revenue
+      FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          EXTRACT(year FROM l_shipdate) AS l_year, $revenueSql AS volume
+        FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+          AND c_custkey = o_custkey
+          AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+          AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+            OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      ) shipping
+      GROUP BY supp_nation, cust_nation, l_year
+      ORDER BY supp_nation, cust_nation, l_year
+    """.stripMargin.trim))
+
+  /** TPC-H Q13 shape — customer order-count distribution: how many
+    * customers placed 0, 1, 2, … qualifying orders (the fixture's
+    * o_orderpriority filter stands in for the spec's comment
+    * pattern-match — the fixture carries no comment column). The LEFT
+    * join is load-bearing: zero-order customers must survive into the
+    * c_count = 0 bucket, so the priority filter applies to the ORDERS
+    * side before the join, never as a WHERE after it. Two aggregates:
+    * per-customer count rides the same custkey shuffle as the join
+    * (partial counts combine map-side), then the tiny (c_count →
+    * custdist) histogram. (custdist, c_count) DESC is a total order
+    * because c_count is unique after the second group-by.
+    */
+  val q13CustomerDistribution: Op = Op(
+    "q13_customer_distribution",
+    (s, dir) => {
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+      Tables.customer(s, dir).select("c_custkey")
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    Some("""
+      SELECT c_count, COUNT(*) AS custdist
+      FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+      ) c_orders
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC
+    """.stripMargin.trim))
+
+  /** TPC-H Q15 shape — top supplier by quarterly revenue: aggregate
+    * discounted revenue per supplier over a 3-month ship window, keep
+    * the supplier(s) hitting the maximum. The max rides back as a
+    * broadcast ONE-ROW dimension (the in-plan-N pattern) and the
+    * equality compare stays on the EXACT DECIMAL sums — never the
+    * double surface — so "equals the max" cannot miss by an ulp. Scale
+    * shape: one fact pass → per-suppkey partial+final agg (supplier
+    * cardinality, tiny vs lineitem), 1-row broadcast back, broadcast
+    * supplier-dim join for the name. The spec's CREATE VIEW is exactly
+    * this reused subplan.
+    */
+  val q15TopSupplier: Op = Op(
+    "q15_top_supplier",
+    (s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1996-04-01"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(sum(revenue).as("total_rev"))
+      val mx = rev.agg(max(col("total_rev")).as("mx"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_rev") === col("mx"))
+        .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
+          col("supplier_no") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_rev").cast(DoubleType).as("total_revenue"))
+        .orderBy("s_suppkey")
+    },
+    Some(s"""
+      WITH revenue AS (
+        SELECT l_suppkey AS supplier_no, SUM($revenueSql) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+      )
+      SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+      FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+      ORDER BY s_suppkey
+    """.stripMargin.trim))
+
+  /** TPC-H Q22 shape — global sales opportunity: idle HIGH-BALANCE
+    * customers who stopped ordering, bucketed by country code. Two
+    * fixture adaptations, both documented: the spec's phone-prefix
+    * country code becomes `c_nationkey % 10` (the fixture has no phone
+    * column), and "never ordered" becomes "no order in the final
+    * fixture year" (every fixture customer has at least one order, so
+    * the literal spec predicate is degenerate — the recency form keeps
+    * the anti-join load-bearing). The positive-balance average rides
+    * back as a broadcast 1-row dimension and the comparison stays in
+    * exact decimal (avg of DECIMAL(12,2) is DECIMAL(16,6) in BOTH
+    * engines — pinned in the oracle cast). Scale shape: the anti join
+    * co-keys on custkey against the date-pruned orders slice; nothing
+    * else shuffles the customer table.
+    */
+  val q22GlobalSales: Op = Op(
+    "q22_global_sales",
+    (s, dir) => {
+      val codes = Seq(1, 3, 5, 7, 9).map(_.toLong)
+      val cust = Tables.customer(s, dir)
+        .filter((col("c_nationkey") % 10).isin(codes: _*))
+        .select(col("c_custkey"), (col("c_nationkey") % 10).as("cntrycode"),
+          dec2(col("c_acctbal")).as("bal"))
+      val avgBal = cust.filter(col("bal") > lit(0).cast(DecimalType(12, 2)))
+        .agg(avg(col("bal")).as("avg_bal"))
+      val recent = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("2000-08-01"))
+        .select("o_custkey")
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("bal") > col("avg_bal"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("cntrycode")
+        .agg(count(lit(1)).as("numcust"), sumMoney(col("bal")).as("totacctbal"))
+        .orderBy("cntrycode")
+    },
+    Some("""
+      SELECT cntrycode, COUNT(*) AS numcust,
+        CAST(SUM(bal) AS DOUBLE) AS totacctbal
+      FROM (
+        SELECT c_custkey, c_nationkey % 10 AS cntrycode,
+          CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+        FROM customer
+        WHERE c_nationkey % 10 IN (1, 3, 5, 7, 9)
+      ) cust
+      WHERE bal > (
+          SELECT CAST(AVG(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(16,6))
+          FROM customer
+          WHERE CAST(c_acctbal AS DECIMAL(12,2)) > CAST(0 AS DECIMAL(12,2))
+            AND c_nationkey % 10 IN (1, 3, 5, 7, 9))
+        AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey
+            AND o_orderdate >= TIMESTAMP '2000-08-01 00:00:00')
+      GROUP BY cntrycode
+      ORDER BY cntrycode
+    """.stripMargin.trim))
+
   /** LATERAL correlated join — the per-row-subquery surface (SQL:2016
     * LATERAL, a.k.a. CROSS APPLY): for each nation, its top-2
     * customers by account balance, where the inner query references
@@ -2426,7 +2657,9 @@ object Relational {
     """.stripMargin.trim))
 
   val ops: Seq[Op] = Seq(
-    q3ShippingPriority, q5LocalSupplierVolume, q10ReturnedItems, cdcSnapshotDiff,
+    q3ShippingPriority, q5LocalSupplierVolume, q6ForecastRevenue,
+    q7VolumeShipping, q10ReturnedItems, q13CustomerDistribution,
+    q15TopSupplier, q22GlobalSales, cdcSnapshotDiff,
     joinLateralTopk,
     scanFull, scanPrune, scanPred, sinkParquet, sinkCsvJson, sinkOrcRoundtrip,
     sinkPartitionedPrune, sinkSchemaEvolution, joinBucketed,

@@ -421,6 +421,9 @@ class PlanSuite extends AnyFunSuite {
       "llm_simsearch_lsh_det",
       "llm_embed_quantize", "llm_ngram_logprob", "events_funnel",
       "timeseries_gapfill",
+      // broadcast 1-row max-revenue / avg-balance dimension (the
+      // in-plan-N pattern); the fact-side joins are equi/anti hash joins
+      "q15_top_supplier", "q22_global_sales",
       // calendar-spine × 5-type broadcast, the same gapfill pattern
       "events_forecast_naive",
       // broadcast 1-row corpus-max-date (the tfidf in-plan-N pattern);
