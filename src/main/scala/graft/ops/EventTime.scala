@@ -1067,6 +1067,68 @@ object EventTime {
       ORDER BY event_type, hour
     """.stripMargin.trim))
 
+  /** Rolling TREND SLOPE — the windowed least-squares companion to
+    * `events_ewma` (level) and `events_anomaly_zscore` (deviation):
+    * per event type, the OLS slope of hourly counts over the trailing
+    * 6 observed buckets, the "is load rising and how fast" primitive
+    * behind alert escalation and capacity forecasts. The closed form
+    * (k·Σxy − Σx·Σy) / (k·Σxx − Σx²) is computed from FOUR integer
+    * window sums over the same frame — x is the epoch-hour index and y
+    * the count, so every sum and both cross-products stay EXACT in
+    * BIGINT in both engines (magnitudes < 2^53 by construction:
+    * epoch-hours ≈ 5·10⁵, 6-row frames); the single division is the
+    * only double, rounded once. Degenerate frames (one bucket, or
+    * zero x-variance) yield NULL via the same guard in both engines.
+    *
+    * Scale shape: one partial+final aggregate collapses raw events to
+    * the (type, hour) rollup — the ONLY pass over the corpus — then
+    * five shared-frame window sums run on the tiny hourly table under
+    * a single event_type exchange. Same family as ewma/zscore: at
+    * 100 TB the windows never see raw rows.
+    */
+  val eventsTrendSlope: Op = Op(
+    "events_trend_slope",
+    (s, dir) => {
+      val fr = Window.partitionBy("event_type").orderBy("x").rowsBetween(-5, 0)
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          floor(unix_timestamp(col("ts")) / 3600).cast(LongType).as("x"))
+        .agg(count(lit(1)).as("n"))
+      val sums = hourly.select(col("event_type"), col("x"), col("n"),
+        count(lit(1)).over(fr).as("k"),
+        sum(col("x")).over(fr).as("sx"),
+        sum(col("n")).over(fr).as("sy"),
+        sum(col("x") * col("n")).over(fr).as("sxy"),
+        sum(col("x") * col("x")).over(fr).as("sxx"))
+      sums.select(col("event_type"), col("x").as("hour_idx"), col("n"),
+          when(col("k") * col("sxx") - col("sx") * col("sx") === 0, lit(null))
+            .otherwise(round(
+              (col("k") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+                (col("k") * col("sxx") - col("sx") * col("sx")).cast(DoubleType),
+              6)).as("slope"))
+        .orderBy("event_type", "hour_idx")
+    },
+    Some("""
+      WITH h AS (
+        SELECT event_type,
+          CAST(floor(epoch(ts) / 3600) AS BIGINT) AS x, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+      ), w AS (
+        SELECT event_type, x, n,
+          COUNT(*) OVER fr AS k,
+          SUM(x) OVER fr AS sx, SUM(n) OVER fr AS sy,
+          SUM(x * n) OVER fr AS sxy, SUM(x * x) OVER fr AS sxx
+        FROM h
+        WINDOW fr AS (PARTITION BY event_type ORDER BY x
+                      ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+      )
+      SELECT event_type, x AS hour_idx, n,
+        CASE WHEN k * sxx - sx * sx = 0 THEN NULL
+             ELSE ROUND(CAST(k * sxy - sx * sy AS DOUBLE)
+                        / CAST(k * sxx - sx * sx AS DOUBLE), 6) END AS slope
+      FROM w ORDER BY event_type, hour_idx
+    """.stripMargin.trim))
+
   /** Seasonal-naive forecast evaluation — the baseline every real
     * forecasting system is judged against ("predict the same hour
     * yesterday") and the observability query that decides whether a
@@ -1271,5 +1333,6 @@ WITH hourly AS (
     eventsCohortRetention, eventsHistogram, eventsSeasonality,
     eventsSessionize, eventsFunnel, timeseriesGapfill, eventsAttribution,
     eventsTransitions, eventsAnomalyZscore, eventsRollingDistinct,
+    eventsTrendSlope,
     eventsEwma, eventsTypeOverlap, eventsForecastNaive)
 }

@@ -1128,6 +1128,100 @@ object Relational {
             SELECT s_nationkey AS nationkey FROM supplier
             ORDER BY nationkey"""))
 
+  /** Schema-drift union — `unionByName(allowMissingColumns = true)`,
+    * the API every multi-source ingest reaches for when feeds disagree
+    * on column ORDER and PRESENCE (positional unionAll would silently
+    * misalign them): side b arrives with its columns permuted and one
+    * extra, side a's rows take NULL for the column they lack. DuckDB's
+    * `UNION ALL BY NAME` has the identical fill-missing-with-NULL
+    * semantics, so the oracle exercises the same feature rather than a
+    * hand-aligned projection. Row-local (no shuffle beyond the
+    * presentation sort); at 100 TB schema alignment must never cost a
+    * pass over the data.
+    */
+  val setUnionByName: Op = Op(
+    "set_union_by_name",
+    (s, dir) => {
+      val a = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"), lit("a").as("src"))
+      val b = Tables.customer(s, dir).filter(col("c_custkey") % 3 === 0)
+        .select(lit("b").as("src"), col("c_name"), col("c_custkey"),
+          dec2(col("c_acctbal")).cast(DoubleType).as("bal"))
+      a.unionByName(b, allowMissingColumns = true)
+        .orderBy("src", "c_custkey")
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT c_custkey, c_name, 'a' AS src FROM customer
+        UNION ALL BY NAME
+        SELECT 'b' AS src, c_name, c_custkey,
+          CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal
+        FROM customer WHERE c_custkey % 3 = 0)
+      ORDER BY src, c_custkey
+    """.stripMargin.trim))
+
+  /** MALFORMED-ROW CSV ingest — the PERMISSIVE-mode contract every
+    * production CSV feed depends on (a 100 TB ingest cannot abort on
+    * row 3 billion): orders rows are serialized to raw CSV text with
+    * three planted corruption classes on prime key strides (missing
+    * trailing field on ∤997, unparseable double on ∤1009, extra field
+    * on ∤1013 — chained CASE so a multi-plant key takes the first),
+    * then read back with an explicit schema +
+    * `columnNameOfCorruptRecord`. The graded result pins Spark's exact
+    * recovery semantics, empirically verified: fields that parse are
+    * KEPT, only the failing/missing field nulls out, and the corrupt
+    * column carries the verbatim raw line for every malformed row
+    * (including extra-field rows whose data columns all parse). The
+    * oracle reconstructs all of it closed-form from the same CASE
+    * arithmetic. Scale shape: text write + schema'd scan, row-local
+    * end to end.
+    */
+  val scanCsvPermissive: Op = Op(
+    "scan_csv_permissive",
+    (s, dir) => {
+      val tmp = scratch("csv_permissive")
+      val k = col("o_orderkey")
+      val clean = concat(k, lit(","), col("o_orderstatus"), lit(","),
+        dec2(col("o_totalprice")))
+      Tables.orders(s, dir)
+        .select(
+          when(k % 997 === 0, concat(k, lit(","), col("o_orderstatus")))
+            .when(k % 1009 === 0,
+              concat(k, lit(","), col("o_orderstatus"), lit(",notanumber")))
+            .when(k % 1013 === 0, concat(clean, lit(",extra")))
+            .otherwise(clean).as("value"))
+        .write.mode("overwrite").text(s"$tmp/raw")
+      s.read
+        .schema("k LONG, status STRING, price DOUBLE, corrupt_line STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "corrupt_line")
+        .csv(s"$tmp/raw")
+        .select(col("k"), col("status"), col("price"),
+          col("corrupt_line").isNotNull.as("is_corrupt"), col("corrupt_line"))
+        .orderBy("k")
+    },
+    Some("""
+      WITH m AS (
+        SELECT o_orderkey AS k, o_orderstatus AS s,
+          CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS v,
+          CASE WHEN o_orderkey % 997 = 0 THEN 'missing'
+               WHEN o_orderkey % 1009 = 0 THEN 'badnum'
+               WHEN o_orderkey % 1013 = 0 THEN 'extra'
+               ELSE 'clean' END AS plant
+        FROM orders
+      )
+      SELECT k, s AS status,
+        CASE WHEN plant IN ('missing', 'badnum') THEN NULL
+             ELSE CAST(v AS DOUBLE) END AS price,
+        plant != 'clean' AS is_corrupt,
+        CASE plant
+          WHEN 'missing' THEN k || ',' || s
+          WHEN 'badnum' THEN k || ',' || s || ',notanumber'
+          WHEN 'extra' THEN k || ',' || s || ',' || v || ',extra'
+        END AS corrupt_line
+      FROM m ORDER BY k
+    """.stripMargin.trim))
+
   /** MERGE/upsert semantics computed relationally (no table format with
     * a native MERGE INTO ships offline): source rows override target
     * rows on the key, unmatched source rows insert. The source here is
@@ -2680,5 +2774,5 @@ object Relational {
     q14PromoRevenue, sinkZorderPrune, q8MarketShare, sinkKvRoundtrip,
     sortMultiNulls, limitTopk,
     setUnionAll, setUnionDistinct, setIntersect, setExcept,
-    setIntersectAll, setExceptAll)
+    setIntersectAll, setExceptAll, setUnionByName, scanCsvPermissive)
 }

@@ -730,9 +730,64 @@ object Scalars {
       FROM d ORDER BY event_id
     """.stripMargin.trim))
 
+  /** URL function surface — `parse_url` component extraction (PROTOCOL
+    * / HOST / PATH / QUERY / keyed QUERY param) plus the
+    * `url_encode`/`url_decode` pair, the row-local parsing every
+    * clickstream/referrer pipeline runs before it can group by
+    * domain or campaign param. URLs are built in-plan from event
+    * columns (byte-identical in both engines; the planted `%20` keeps
+    * the URI valid — a raw space would make java.net.URI reject it and
+    * parse_url return NULL). Two semantics are pinned empirically and
+    * mirrored in the oracle: a keyed QUERY extraction returns the RAW
+    * (still-encoded) param, and url_encode is
+    * java.net.URLEncoder-shaped (space → '+'), exactly mirrorable by
+    * replace() over the restricted charset the fixture feeds it.
+    * DuckDB 1.0 has no parse_url, so the oracle extracts components
+    * with anchored regexps — same grammar, different engine. Row-local
+    * scan→project, no shuffle.
+    */
+  val fnUrlPack: Op = Op(
+    "fn_url_pack",
+    (s, dir) => {
+      val u = col("url")
+      Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("user_id"),
+          concat(lit("https://"), col("event_type"), lit(".example.com/u/"),
+            col("user_id"), lit("/item?id="), col("event_id") % 100,
+            lit("&q=hello%20world&lang=en")).as("url"))
+        .select(col("event_id"), u,
+          parse_url(u, lit("PROTOCOL")).as("proto"),
+          parse_url(u, lit("HOST")).as("host"),
+          parse_url(u, lit("PATH")).as("path"),
+          parse_url(u, lit("QUERY")).as("query"),
+          parse_url(u, lit("QUERY"), lit("q")).as("q_raw"),
+          url_decode(parse_url(u, lit("QUERY"), lit("q"))).as("q_decoded"),
+          url_encode(concat(col("event_type"), lit(" "), col("user_id")))
+            .as("tag_encoded"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH u AS (
+        SELECT event_id, event_type, user_id,
+          'https://' || event_type || '.example.com/u/' || user_id ||
+          '/item?id=' || (event_id % 100) || '&q=hello%20world&lang=en' AS url
+        FROM events
+      )
+      SELECT event_id, url,
+        regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+        regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+        regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+        regexp_extract(url, '\?([^#]*)', 1) AS query,
+        regexp_extract(url, '[?&]q=([^&#]*)', 1) AS q_raw,
+        replace(regexp_extract(url, '[?&]q=([^&#]*)', 1), '%20', ' ')
+          AS q_decoded,
+        replace(event_type || ' ' || user_id, ' ', '+') AS tag_encoded
+      FROM u ORDER BY event_id
+    """.stripMargin.trim))
+
   val ops: Seq[Op] = Seq(
     fnStringPack, fnDatePack, fnMathCase, fnArrayPack, fnHigherOrder,
     fnMapPack, fnJsonExtract, fnCastCoalesce, fnBitwisePack, fnRegexpPack,
     fnTrigPack, fnStructPack, fnGeneratorOuter, fnHashPack, fnNestedAgg,
-    fnTryPack, fnCryptoRoundtrip, fnVariantPack)
+    fnTryPack, fnCryptoRoundtrip, fnVariantPack, fnUrlPack)
 }
