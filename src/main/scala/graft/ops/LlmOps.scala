@@ -2374,6 +2374,55 @@ object LlmOps {
       GROUP BY source, split ORDER BY source, split
     """.stripMargin.trim))
 
+  /** Training-mix DIVERSITY audit — Shannon entropy of each source's
+    * language distribution plus its effective language count exp(H),
+    * the curation metric that catches a "multilingual" source that is
+    * 95% one language before it skews the mix (the diagnostic
+    * companion to `llm_mix_sources`' quota enforcement). Determinism
+    * discipline: the per-(source, lang) counts close EXACTLY first,
+    * then the −Σ p·ln p fold runs over the languages in SORTED order
+    * via the `aggregate` HOF on a `sort_array`'d list — a plain
+    * groupBy double-sum would add in partition order and break the
+    * partition-invariance gate; DuckDB mirrors with
+    * `list(... ORDER BY lang)` + `list_reduce`, the identical IEEE
+    * left fold. Scale shape: one partial+final count on (source,
+    * lang), then the fold over a ≤n_langs list per source row —
+    * nothing after the first aggregate sees the corpus.
+    */
+  val llmMixEntropy: Op = Op(
+    "llm_mix_entropy",
+    (s, dir) => {
+      val c = Tables.documents(s, dir)
+        .groupBy("source", "lang").agg(count(lit(1)).as("n"))
+      c.groupBy("source")
+        .agg(sum("n").as("n_docs"), count(lit(1)).as("n_langs"),
+          sort_array(collect_list(struct(col("lang"), col("n")))).as("ls"))
+        .withColumn("h", expr(
+          """aggregate(ls, cast(0.0 as double), (acc, x) ->
+               acc - (cast(x.n as double) / n_docs) * ln(cast(x.n as double) / n_docs))"""))
+        .select(col("source"), col("n_docs"), col("n_langs"),
+          round(col("h"), 6).as("lang_entropy"),
+          round(exp(col("h")), 6).as("effective_langs"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH c AS (
+        SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2
+      ), g AS (
+        SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs, COUNT(*) AS n_langs,
+          list(CAST(n AS DOUBLE) ORDER BY lang) AS ns
+        FROM c GROUP BY source
+      ), h AS (
+        SELECT source, n_docs, n_langs,
+          list_reduce(list_transform(ns, x -> -(x / n_docs) * ln(x / n_docs)),
+                      (a, b) -> a + b) AS h
+        FROM g
+      )
+      SELECT source, n_docs, n_langs, ROUND(h, 6) AS lang_entropy,
+        ROUND(exp(h), 6) AS effective_langs
+      FROM h ORDER BY source
+    """.stripMargin.trim))
+
   /** Mixture-weighted source sampling — the step between curation and
     * packing in every real pretraining pipeline: each corpus SOURCE
     * contributes to the training mix in proportion to its configured
@@ -2696,7 +2745,7 @@ object LlmOps {
   val ops: Seq[Op] = Seq(
     llmVocabMerges, llmVocabApply,
     llmPackSequences, llmRepetitionFilter, llmDocChunk, llmCrossDedup,
-    llmVocabInduce, llmMixSources, llmMixSourcesScale, llmSplitHoldout,
+    llmVocabInduce, llmMixSources, llmMixSourcesScale, llmMixEntropy, llmSplitHoldout,
     llmQualityFilter, llmQualityScore, llmTokenCount, llmLangId, llmNgramNovelty,
     llmTextStats, llmTextTfidf, llmDedupExact,
     llmDedupNear, llmDedupCluster, llmDedupClusterScale, llmDedupMinhash,
