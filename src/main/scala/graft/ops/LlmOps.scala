@@ -2423,6 +2423,61 @@ object LlmOps {
       FROM h ORDER BY source
     """.stripMargin.trim))
 
+  /** Temperature-scaled source weights (α = 0.5) — the multilingual /
+    * multi-source rebalancing rule from the T5/mT5 line of work:
+    * upsample small sources, downsample large, q_i ∝ p_i^α with p_i
+    * the source's share of total CHARS (chars, not doc counts — the
+    * fixture's doc counts are uniform by construction, which would
+    * make any exponent pass the oracle; char mass varies, so a wrong
+    * α hash-mismatches). Determinism: char sums close exactly per
+    * source; the Σ p^α normalizer folds over the sources in SORTED
+    * order via the `aggregate` HOF (partition-order double addition
+    * would break the invariance gate); DuckDB mirrors with
+    * list(ORDER BY) + list_reduce, the identical IEEE left fold.
+    * Scale shape: one partial+final agg on source, a 1-row broadcast
+    * normalizer, no further shuffle.
+    */
+  val llmMixTemperature: Op = Op(
+    "llm_mix_temperature",
+    (s, dir) => {
+      val c = Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+      val g = c.agg(sum(col("chars")).as("total"),
+          sort_array(collect_list(struct(col("source"), col("chars")))).as("cs"))
+        .withColumn("z", expr(
+          """aggregate(cs, cast(0.0 as double), (acc, x) ->
+               acc + sqrt(cast(x.chars as double) / total))"""))
+        .select(col("total"), col("z"))
+      c.crossJoin(broadcast(g))
+        .select(col("source"), col("n_docs"), col("chars"),
+          round(col("chars").cast(DoubleType) / col("total"), 6).as("p_raw"),
+          round(sqrt(col("chars").cast(DoubleType) / col("total")) / col("z"), 6)
+            .as("q_temp"),
+          round(sqrt(col("chars").cast(DoubleType) / col("total")) / col("z") *
+            col("total"), 2).as("eff_chars"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH c AS (
+        SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+        FROM documents GROUP BY source
+      ), g AS (
+        SELECT CAST(SUM(chars) AS BIGINT) AS total,
+          list(CAST(chars AS DOUBLE) ORDER BY source) AS cs
+        FROM c
+      ), d AS (
+        SELECT total,
+          list_reduce(list_transform(cs, x -> sqrt(x / total)), (a, b) -> a + b) AS z
+        FROM g
+      )
+      SELECT c.source, c.n_docs, c.chars,
+        ROUND(CAST(c.chars AS DOUBLE) / d.total, 6) AS p_raw,
+        ROUND(sqrt(CAST(c.chars AS DOUBLE) / d.total) / d.z, 6) AS q_temp,
+        ROUND(sqrt(CAST(c.chars AS DOUBLE) / d.total) / d.z * d.total, 2) AS eff_chars
+      FROM c CROSS JOIN d ORDER BY c.source
+    """.stripMargin.trim))
+
   /** Mixture-weighted source sampling — the step between curation and
     * packing in every real pretraining pipeline: each corpus SOURCE
     * contributes to the training mix in proportion to its configured
@@ -2745,7 +2800,8 @@ object LlmOps {
   val ops: Seq[Op] = Seq(
     llmVocabMerges, llmVocabApply,
     llmPackSequences, llmRepetitionFilter, llmDocChunk, llmCrossDedup,
-    llmVocabInduce, llmMixSources, llmMixSourcesScale, llmMixEntropy, llmSplitHoldout,
+    llmVocabInduce, llmMixSources, llmMixSourcesScale, llmMixEntropy,
+    llmMixTemperature, llmSplitHoldout,
     llmQualityFilter, llmQualityScore, llmTokenCount, llmLangId, llmNgramNovelty,
     llmTextStats, llmTextTfidf, llmDedupExact,
     llmDedupNear, llmDedupCluster, llmDedupClusterScale, llmDedupMinhash,

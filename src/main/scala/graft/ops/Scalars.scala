@@ -785,9 +785,72 @@ object Scalars {
       FROM u ORDER BY event_id
     """.stripMargin.trim))
 
+  /** Spark 4 collation semantics pinned over the mixed-case part
+    * fixture (p_type UPPER, p_name lower, p_brand Mixed): a
+    * case-insensitive dim join on `collate(p_type,'UTF8_LCASE')`
+    * against lowercase literals, plus contains/startswith/endswith/
+    * equality counts where the UTF8_BINARY twin provably differs
+    * (every cross-case probe hits 0 under binary — the pack grades
+    * that the collation is APPLIED, not that the data happens to
+    * match). DuckDB has no UTF8_LCASE; the oracle mirrors via
+    * lower() normalization — semantically identical for the ASCII
+    * fixture. Scale shape: per-row predicates + one broadcast dim
+    * join + one global agg; collation adds no shuffle — but note the
+    * planner demotes collated-key joins to BroadcastNestedLoopJoin
+    * (collated strings lack binary equality, so no hash join): bounded
+    * at 6 comparisons/row here, but a LARGE-large collated join at
+    * 100 TB should lower()-normalize its keys instead.
+    */
+  val fnCollationPack: Op = Op(
+    "fn_collation_pack",
+    (s, dir) => {
+      import s.implicits._
+      val dim = Seq("economy", "large", "medium", "promo", "small",
+        "standard").toDF("type_lc")
+      val p = Tables.part(s, dir)
+      val scalars = p.agg(
+        count(when(expr("contains(collate(p_name, 'UTF8_LCASE'), 'RING')"),
+          lit(1))).as("n_contains_lc"),
+        count(when(expr("contains(p_name, 'RING')"), lit(1)))
+          .as("n_contains_bin"),
+        count(when(expr("startswith(collate(p_type, 'UTF8_LCASE'), 'stand')"),
+          lit(1))).as("n_starts_lc"),
+        count(when(expr("endswith(collate(p_name, 'UTF8_LCASE'), 'D')"),
+          lit(1))).as("n_ends_lc"),
+        count(when(expr("collate(p_brand, 'UTF8_LCASE') = 'brand#23'"),
+          lit(1))).as("n_eq_lc"),
+        count(when(col("p_brand") === "brand#23", lit(1))).as("n_eq_bin"))
+      p.join(broadcast(dim),
+          expr("collate(p_type, 'UTF8_LCASE') = type_lc"))
+        .groupBy("type_lc").agg(count(lit(1)).as("n_parts"))
+        .crossJoin(broadcast(scalars))
+        .orderBy("type_lc")
+    },
+    Some("""
+      WITH dim(type_lc) AS (
+        VALUES ('economy'),('large'),('medium'),('promo'),('small'),('standard')
+      ), s AS (
+        SELECT
+          COUNT(*) FILTER (WHERE contains(lower(p_name), lower('RING'))) AS n_contains_lc,
+          COUNT(*) FILTER (WHERE contains(p_name, 'RING')) AS n_contains_bin,
+          COUNT(*) FILTER (WHERE starts_with(lower(p_type), 'stand')) AS n_starts_lc,
+          COUNT(*) FILTER (WHERE ends_with(lower(p_name), lower('D'))) AS n_ends_lc,
+          COUNT(*) FILTER (WHERE lower(p_brand) = 'brand#23') AS n_eq_lc,
+          COUNT(*) FILTER (WHERE p_brand = 'brand#23') AS n_eq_bin
+        FROM part
+      ), j AS (
+        SELECT d.type_lc, COUNT(*) AS n_parts
+        FROM part p JOIN dim d ON lower(p.p_type) = d.type_lc
+        GROUP BY d.type_lc
+      )
+      SELECT j.type_lc, j.n_parts, s.n_contains_lc, s.n_contains_bin,
+        s.n_starts_lc, s.n_ends_lc, s.n_eq_lc, s.n_eq_bin
+      FROM j CROSS JOIN s ORDER BY j.type_lc
+    """.stripMargin.trim))
+
   val ops: Seq[Op] = Seq(
     fnStringPack, fnDatePack, fnMathCase, fnArrayPack, fnHigherOrder,
     fnMapPack, fnJsonExtract, fnCastCoalesce, fnBitwisePack, fnRegexpPack,
     fnTrigPack, fnStructPack, fnGeneratorOuter, fnHashPack, fnNestedAgg,
-    fnTryPack, fnCryptoRoundtrip, fnVariantPack, fnUrlPack)
+    fnTryPack, fnCryptoRoundtrip, fnVariantPack, fnUrlPack, fnCollationPack)
 }

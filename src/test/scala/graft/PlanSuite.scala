@@ -432,7 +432,14 @@ class PlanSuite extends AnyFunSuite {
       "win_rfm_segment", "win_rfm_segment_scale",
       // the planted-orphan FK branch: Catalyst folds the equality into a
       // right-side filter, leaving a 1-row × broadcast-filtered anti BNLJ
-      "validate_constraints")
+      "validate_constraints",
+      // 1-row broadcast pooled-moments / normalizer crossJoin (the
+      // rfm in-plan-N pattern); the corpus-side aggregates are hash aggs
+      "events_ab_cuped", "llm_mix_temperature",
+      // collated-key dim join: collated strings lack binary equality so
+      // the planner demotes the 6-row broadcast dim join to BNLJ —
+      // bounded 6 cmp/row, documented in the op's Scaladoc
+      "fn_collation_pack")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       // sinks execute writes at build time (plain scan→write→scan, no join
       // to audit) and the streaming replays run whole MicroBatchExecution
