@@ -1537,6 +1537,195 @@ WITH hourly AS (
       ORDER BY event_type, hour
     """.stripMargin.trim))
 
+  /** Robust MAD anomaly summary — the median-based twin of
+    * `events_anomaly_zscore` for the heavy-tailed metrics where mean/
+    * stddev are themselves dragged by the outliers they should flag:
+    * per event type over the hourly count grid, median, MAD
+    * (median absolute deviation), and the count of hours whose
+    * deviation exceeds 3·1.4826·MAD (1.4826 = the consistency
+    * constant that makes MAD estimate σ under normality).
+    * Determinism: hourly counts close exactly; both medians are
+    * Spark `percentile(0.5)` ⇄ DuckDB `median` — the identical
+    * sorted-interpolation on the same doubles (the
+    * agg_percentile_exact contract); the anomaly threshold compares
+    * identical doubles. Scale shape: ONE partial+final hourly agg is
+    * the only pass over raw events; medians and the anomaly count run
+    * on the tiny hours×types grid with the 5-row medians broadcast
+    * back.
+    */
+  val eventsAnomalyMad: Op = Op(
+    "events_anomaly_mad",
+    (s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val med = hourly.groupBy("event_type")
+        .agg(expr("percentile(cast(n as double), 0.5)").as("med"))
+      val dev = hourly.join(broadcast(med), "event_type")
+        .withColumn("adev", abs(col("n").cast(DoubleType) - col("med")))
+      val madt = dev.groupBy("event_type")
+        .agg(expr("percentile(adev, 0.5)").as("mad"))
+      dev.join(broadcast(madt), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_hours"),
+          round(max(col("med")), 6).as("med"),
+          round(max(col("mad")), 6).as("mad"),
+          count(when(col("adev") > lit(3.0) * lit(1.4826) * col("mad"), lit(1)))
+            .as("n_anomalies"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+      ), med AS (
+        SELECT event_type, median(CAST(n AS DOUBLE)) AS med FROM hourly GROUP BY 1
+      ), dev AS (
+        SELECT h.event_type, m.med,
+          abs(CAST(h.n AS DOUBLE) - m.med) AS adev
+        FROM hourly h JOIN med m ON h.event_type = m.event_type
+      ), madt AS (
+        SELECT event_type, median(adev) AS mad FROM dev GROUP BY 1
+      )
+      SELECT d.event_type, COUNT(*) AS n_hours,
+        ROUND(MAX(d.med), 6) AS med, ROUND(MAX(t.mad), 6) AS mad,
+        COUNT(*) FILTER (WHERE d.adev > 3.0 * 1.4826 * t.mad) AS n_anomalies
+      FROM dev d JOIN madt t ON d.event_type = t.event_type
+      GROUP BY d.event_type ORDER BY d.event_type
+    """.stripMargin.trim))
+
+  /** Growth accounting — the canonical product-analytics decomposition
+    * of DAU into new / retained / resurrected, with churn attributed
+    * to the day after last activity: the report every growth team
+    * reads daily, and the one that catches "DAU flat but churn and
+    * resurrection both exploding". Per-(user, day) activity via ONE
+    * distinct; first-day, prev-day, next-day all come from a single
+    * user_id window exchange (min + lag + lead share the sort);
+    * day-level classes close as exact integer counts and the churn
+    * ledger full-outer-joins back on day. The conservation invariant
+    * (new + retained + resurrected = dau) holds by construction.
+    * Scale shape: the (user, day) distinct is the only corpus-scale
+    * shuffle (output ≤ |users|×|days|); the window and both day aggs
+    * run on that reduced table; the day grid is tiny.
+    */
+  val eventsGrowthAccounting: Op = Op(
+    "events_growth_accounting",
+    (s, dir) => {
+      val wU = Window.partitionBy("user_id")
+      val wOrd = wU.orderBy("d")
+      val act = Tables.events(s, dir)
+        .select(col("user_id"), to_date(date_trunc("day", col("ts"))).as("d"))
+        .distinct()
+      val seq = act
+        .withColumn("fd", min("d").over(wU))
+        .withColumn("prev_d", lag(col("d"), 1).over(wOrd))
+        .withColumn("next_d", lead(col("d"), 1).over(wOrd))
+      val maxD = act.agg(max("d").as("max_d"))
+      val cls = seq.groupBy("d").agg(
+        count(when(col("fd") === col("d"), lit(1))).as("n_new"),
+        count(when(col("prev_d") === date_sub(col("d"), 1), lit(1))).as("n_retained"),
+        count(when(col("fd") < col("d") &&
+          col("prev_d") < date_sub(col("d"), 1), lit(1))).as("n_resurrected"),
+        count(lit(1)).as("dau"))
+      val churn = seq.crossJoin(broadcast(maxD))
+        .filter((col("next_d").isNull || col("next_d") > date_add(col("d"), 1)) &&
+          date_add(col("d"), 1) <= col("max_d"))
+        .groupBy(date_add(col("d"), 1).as("cd"))
+        .agg(count(lit(1)).as("n_churned"))
+      cls.join(churn, col("d") === col("cd"), "full_outer")
+        .select(coalesce(col("d"), col("cd")).as("day"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+          coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+          coalesce(col("n_churned"), lit(0L)).as("n_churned"),
+          coalesce(col("dau"), lit(0L)).as("dau"))
+        .orderBy("day")
+    },
+    Some("""
+      WITH act AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+        FROM events
+      ), seq AS (
+        SELECT user_id, d,
+          MIN(d) OVER (PARTITION BY user_id) AS fd,
+          lag(d) OVER (PARTITION BY user_id ORDER BY d) AS prev_d,
+          lead(d) OVER (PARTITION BY user_id ORDER BY d) AS next_d
+        FROM act
+      ), cls AS (
+        SELECT d,
+          COUNT(*) FILTER (WHERE fd = d) AS n_new,
+          COUNT(*) FILTER (WHERE prev_d = d - 1) AS n_retained,
+          COUNT(*) FILTER (WHERE fd < d AND prev_d < d - 1) AS n_resurrected,
+          COUNT(*) AS dau
+        FROM seq GROUP BY d
+      ), churn AS (
+        SELECT d + 1 AS cd, COUNT(*) AS n_churned
+        FROM seq WHERE (next_d IS NULL OR next_d > d + 1)
+          AND d + 1 <= (SELECT MAX(d) FROM act)
+        GROUP BY d + 1
+      )
+      SELECT COALESCE(c.d, ch.cd) AS day,
+        COALESCE(n_new, 0) AS n_new, COALESCE(n_retained, 0) AS n_retained,
+        COALESCE(n_resurrected, 0) AS n_resurrected,
+        COALESCE(n_churned, 0) AS n_churned, COALESCE(dau, 0) AS dau
+      FROM cls c FULL JOIN churn ch ON c.d = ch.cd ORDER BY day
+    """.stripMargin.trim))
+
+  /** Peak concurrency per event type — the interval-overlap maximum
+    * (capacity planning: "how many 5-minute-active sessions of each
+    * type were ever live at once"): each event becomes a half-open
+    * [ts, ts+5 min) interval, intervals become ±1 boundary points,
+    * and the peak is the max of the running sum under the pinned
+    * total order (t, delta, event_id) — delta −1 sorts before +1 so
+    * an interval ending exactly when another starts never overlaps it
+    * (half-open semantics) — with the first time the peak is reached
+    * reported. Scale shape: the 2× boundary expansion is row-local
+    * (union of two projections, no explode shuffle); ONE exchange on
+    * event_type drives the running sum; peak + first-time close in a
+    * tiny agg broadcast-joined back on (type, peak).
+    */
+  val eventsConcurrencyPeak: Op = Op(
+    "events_concurrency_peak",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val starts = e.select(col("event_type"), col("ts").as("t"),
+        lit(1).as("delta"), col("event_id"))
+      val ends = e.select(col("event_type"),
+        (col("ts") + expr("INTERVAL 5 MINUTES")).as("t"),
+        lit(-1).as("delta"), col("event_id"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("t"), col("delta"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val run = starts.union(ends)
+        .withColumn("conc", sum(col("delta")).over(w))
+      val pk = run.groupBy("event_type").agg(max(col("conc")).as("peak"))
+      run.join(broadcast(pk), Seq("event_type"))
+        .filter(col("conc") === col("peak"))
+        .groupBy("event_type", "peak")
+        .agg(fmtSec(min(col("t"))).as("peak_first_at"))
+        .select(col("event_type"), col("peak"), col("peak_first_at"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH pts AS (
+        SELECT event_type, ts AS t, 1 AS delta, event_id FROM events
+        UNION ALL
+        SELECT event_type, ts + INTERVAL 5 MINUTE AS t, -1 AS delta, event_id
+        FROM events
+      ), run AS (
+        SELECT event_type, t,
+          SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta, event_id
+            ROWS UNBOUNDED PRECEDING) AS conc
+        FROM pts
+      ), pk AS (
+        SELECT event_type, MAX(conc) AS peak FROM run GROUP BY 1
+      )
+      SELECT r.event_type, CAST(p.peak AS BIGINT) AS peak,
+        strftime(date_trunc('second', MIN(r.t)), '%Y-%m-%d %H:%M:%S') AS peak_first_at
+      FROM run r JOIN pk p ON r.event_type = p.event_type AND r.conc = p.peak
+      GROUP BY r.event_type, p.peak ORDER BY r.event_type
+    """.stripMargin.trim))
+
   val ops: Seq[Op] = Seq(
     streamTumbling, streamSliding, streamSession, streamDedupKeys,
     streamReplayTumbling, streamReplayDedup, streamReplaySession,
@@ -1546,5 +1735,6 @@ WITH hourly AS (
     eventsSessionize, eventsFunnel, timeseriesGapfill, eventsAttribution,
     eventsTransitions, eventsAnomalyZscore, eventsRollingDistinct,
     eventsTrendSlope, eventsAbTtest, eventsAbCuped, eventsPathTopk,
+    eventsAnomalyMad, eventsGrowthAccounting, eventsConcurrencyPeak,
     eventsEwma, eventsTypeOverlap, eventsForecastNaive)
 }

@@ -127,6 +127,79 @@ object LlmOps {
       ORDER BY doc_id
     """.stripMargin.trim))
 
+  /** Preference-pair construction — the data-prep step behind reward
+    * modeling / DPO: per source, pair its highest-quality document
+    * (chosen) with its lowest (rejected), margin included, ties
+    * pinned by doc_id. The quality score is llm_quality_score's exact
+    * formula (same expression tree — a drift here would train the
+    * reward model on a different metric than the curation gate).
+    * Scale shape: one corpus pass computes the per-doc score, ONE
+    * exchange on source feeds both rank directions (same partition
+    * key, two sorts), and the rb=1/rw=1 survivors equi-join on the
+    * tiny source key set.
+    */
+  val llmPrefPairs: Op = Op(
+    "llm_pref_pairs",
+    (s, dir) => {
+      val nToks = size(toks)
+      val nStop = size(filter(toks, t => t.isin("the", "a")))
+      val nDistinct = size(array_distinct(toks))
+      val punct = length(regexp_replace(col("text"), lit("[a-zA-Z0-9 ]"), lit("")))
+      val stopR = nStop.cast(DoubleType) / nToks
+      val ttr = nDistinct.cast(DoubleType) / nToks
+      val lenScore = least(nToks.cast(DoubleType) / 100.0, lit(1.0))
+      val punctR = punct.cast(DoubleType) / col("n_chars")
+      val q = Tables.documents(s, dir)
+        .filter(nToks >= 1 && col("n_chars") >= 1)
+        .select(col("doc_id"), col("source"),
+          round(lit(0.35) * ttr + lit(0.25) * least(stopR * 10.0, lit(1.0)) +
+            lit(0.25) * lenScore + lit(0.15) * (lit(1.0) - punctR), 6).as("score"))
+      val best = q.withColumn("rb", row_number().over(
+          Window.partitionBy("source").orderBy(col("score").desc, col("doc_id"))))
+        .filter(col("rb") === 1)
+        .select(col("source"), col("doc_id").as("chosen_id"),
+          col("score").as("chosen_score"))
+      val worst = q.withColumn("rw", row_number().over(
+          Window.partitionBy("source").orderBy(col("score").asc, col("doc_id"))))
+        .filter(col("rw") === 1)
+        .select(col("source").as("source_w"), col("doc_id").as("rejected_id"),
+          col("score").as("rejected_score"))
+      best.join(worst, col("source") === col("source_w"))
+        .select(col("source"), col("chosen_id"), col("chosen_score"),
+          col("rejected_id"), col("rejected_score"),
+          round(col("chosen_score") - col("rejected_score"), 6).as("margin"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH f AS (
+        SELECT doc_id, source, n_chars,
+          len(string_split(text, ' ')) AS n_toks,
+          len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS n_stop,
+          len(list_distinct(string_split(text, ' '))) AS n_distinct,
+          length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS n_punct
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 1 AND n_chars >= 1
+      ), q AS (
+        SELECT doc_id, source,
+          ROUND(0.35 * (CAST(n_distinct AS DOUBLE) / n_toks)
+            + 0.25 * LEAST(CAST(n_stop AS DOUBLE) / n_toks * 10.0, 1.0)
+            + 0.25 * LEAST(CAST(n_toks AS DOUBLE) / 100.0, 1.0)
+            + 0.15 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars), 6) AS score
+        FROM f
+      ), r AS (
+        SELECT *,
+          ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rb,
+          ROW_NUMBER() OVER (PARTITION BY source ORDER BY score ASC, doc_id) AS rw
+        FROM q
+      )
+      SELECT b.source, b.doc_id AS chosen_id, b.score AS chosen_score,
+        w.doc_id AS rejected_id, w.score AS rejected_score,
+        ROUND(b.score - w.score, 6) AS margin
+      FROM (SELECT * FROM r WHERE rb = 1) b
+      JOIN (SELECT * FROM r WHERE rw = 1) w ON b.source = w.source
+      ORDER BY b.source
+    """.stripMargin.trim))
+
   /** Token counting beyond whitespace: a BPE-ish regex tokenizer —
     * alpha runs split into ≤4-char subword chunks, digit runs into
     * ≤3-digit groups (the GPT-family number rule), punctuation runs as
@@ -2802,7 +2875,8 @@ object LlmOps {
     llmPackSequences, llmRepetitionFilter, llmDocChunk, llmCrossDedup,
     llmVocabInduce, llmMixSources, llmMixSourcesScale, llmMixEntropy,
     llmMixTemperature, llmSplitHoldout,
-    llmQualityFilter, llmQualityScore, llmTokenCount, llmLangId, llmNgramNovelty,
+    llmQualityFilter, llmQualityScore, llmPrefPairs, llmTokenCount, llmLangId,
+    llmNgramNovelty,
     llmTextStats, llmTextTfidf, llmDedupExact,
     llmDedupNear, llmDedupCluster, llmDedupClusterScale, llmDedupMinhash,
     llmDedupSimhash,

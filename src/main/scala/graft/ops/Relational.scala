@@ -741,6 +741,58 @@ object Relational {
       ORDER BY purchase_id
     """.stripMargin.trim))
 
+  /** As-of join with BOUNDED STALENESS — the production form of
+    * `join_asof`: a match older than the tolerance (1 h) is worse
+    * than no match (stale quote, expired session, sensor dropout), so
+    * it nulls out instead of silently attributing. Same union-tag
+    * single-shuffle machinery; the window also carries the matched
+    * click's timestamp so the tolerance check is exact µs arithmetic
+    * on the closed match — at equal ts the click sorts first
+    * (inclusive boundary), and the overall-latest click IS the latest
+    * within tolerance whenever one qualifies (any other click is
+    * older still), so post-filtering the unbounded match is
+    * equivalent to bounding the search. All purchases survive
+    * (matched or not) — the graded artifact is the null-out.
+    */
+  val joinAsofTolerance: Op = Op(
+    "join_asof_tolerance",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val clicks = e.filter(col("event_type") === "click").select(
+        col("user_id"), col("ts"),
+        col("event_id").as("click_id"), lit(null).cast(LongType).as("purchase_id"))
+      val purchases = e.filter(col("event_type") === "purchase").select(
+        col("user_id"), col("ts"),
+        lit(null).cast(LongType).as("click_id"), col("event_id").as("purchase_id"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("purchase_id").isNotNull,
+          coalesce(col("click_id"), col("purchase_id")))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val gapUs = unix_micros(col("ts")) - unix_micros(col("last_click_ts"))
+      val inTol = gapUs <= lit(3600L * 1000000L)
+      clicks.union(purchases)
+        .withColumn("last_click", last(col("click_id"), ignoreNulls = true).over(w))
+        .withColumn("last_click_ts",
+          last(when(col("click_id").isNotNull, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("purchase_id").isNotNull)
+        .select(col("purchase_id"),
+          when(inTol, col("last_click")).as("click_id"),
+          when(inTol, gapUs).as("gap_us"))
+        .orderBy("purchase_id")
+    },
+    Some("""
+      SELECT purchase_id, click_id, gap_us FROM (
+        SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+          epoch_us(p.ts) - epoch_us(c.ts) AS gap_us,
+          ROW_NUMBER() OVER (PARTITION BY p.event_id
+                             ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND c.ts <= p.ts
+          AND c.ts >= p.ts - INTERVAL 1 HOUR
+      ) WHERE rn = 1 ORDER BY purchase_id
+    """.stripMargin.trim))
+
   /** Correlated subqueries through the library's SQL surface: a
     * correlated scalar COUNT and a correlated EXISTS per outer row.
     * This is deliberately `spark.sql` over temp views — the point is
@@ -2762,7 +2814,7 @@ object Relational {
     joinFullOuter,
     joinSemi, joinAnti, joinCross, joinThetaRange, joinRangeBucketed,
     joinInterval, joinAsof,
-    joinAsofForward, joinAsofNearest,
+    joinAsofForward, joinAsofNearest, joinAsofTolerance,
     joinSkewSalted, mergeUpsert, mergeScd2, subqueryCorrelated,
     q17SmallQuantity, q18LargeOrders, q19Disjunctive, q21WaitingSupplier,
     subqueryNotInNull,

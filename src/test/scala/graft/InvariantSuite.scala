@@ -151,4 +151,22 @@ class InvariantSuite extends AnyFunSuite {
     assert(byType.getOrElse("update", 0L) == updates, "update count")
     assert(!byType.contains("unchanged"), "unchanged rows must be dropped")
   }
+
+  test("events_growth_accounting conserves DAU and balances churn") {
+    val g = EventTime.eventsGrowthAccounting.build(s, sf)
+    val bad = g.filter(
+      col("n_new") + col("n_retained") + col("n_resurrected") =!= col("dau"))
+      .count()
+    assert(bad == 0, "new + retained + resurrected must equal dau on every day")
+    // every churned user either resurrects later or never returns:
+    // total churn = total (new + resurrected) - users active on the last day
+    // is NOT an identity (multi-churn users), but churn can never exceed
+    // the previous day's DAU
+    val rows = g.orderBy("day").collect()
+    rows.sliding(2).foreach { w =>
+      if (w.length == 2)
+        assert(w(1).getAs[Long]("n_churned") <= w(0).getAs[Long]("dau"),
+          s"churn on ${w(1).get(0)} exceeds previous day's DAU")
+    }
+  }
 }

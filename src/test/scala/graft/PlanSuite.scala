@@ -433,9 +433,9 @@ class PlanSuite extends AnyFunSuite {
       // the planted-orphan FK branch: Catalyst folds the equality into a
       // right-side filter, leaving a 1-row × broadcast-filtered anti BNLJ
       "validate_constraints",
-      // 1-row broadcast pooled-moments / normalizer crossJoin (the
-      // rfm in-plan-N pattern); the corpus-side aggregates are hash aggs
-      "events_ab_cuped", "llm_mix_temperature",
+      // 1-row broadcast pooled-moments / normalizer / max-day crossJoin
+      // (the rfm in-plan-N pattern); corpus-side aggregates are hash aggs
+      "events_ab_cuped", "llm_mix_temperature", "events_growth_accounting",
       // collated-key dim join: collated strings lack binary equality so
       // the planner demotes the 6-row broadcast dim join to BNLJ —
       // bounded 6 cmp/row, documented in the op's Scaladoc
