@@ -1671,6 +1671,48 @@ WITH hourly AS (
       FROM cls c FULL JOIN churn ch ON c.d = ch.cd ORDER BY day
     """.stripMargin.trim))
 
+  /** Inter-arrival time statistics per event type — the SRE/capacity
+    * distribution behind rate limiting and SLA alarms ("how bursty is
+    * this stream"): per type, consecutive-event gaps under the pinned
+    * (ts, event_id) order, summarized as median / p90 / max seconds.
+    * Gaps are exact µs longs (lag under one type exchange); the
+    * percentiles are Spark `percentile` ⇄ DuckDB `median`/
+    * `quantile_cont` — the identical sorted interpolation on the same
+    * doubles (the agg_percentile_exact contract); each output divides
+    * µs by 1e6 and rounds once. Scale shape: ONE exchange on
+    * event_type feeds the lag; the percentile agg runs partial+final
+    * on the gap column — nothing else touches the corpus.
+    */
+  val eventsInterarrivalStats: Op = Op(
+    "events_interarrival_stats",
+    (s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          (unix_micros(col("ts")) -
+            unix_micros(lag(col("ts"), 1).over(w))).as("gap"))
+        .filter(col("gap").isNotNull)
+        .groupBy("event_type")
+        .agg(count(col("gap")).as("n_gaps"),
+          round(expr("percentile(cast(gap as double), 0.5)") / 1e6, 6).as("median_s"),
+          round(expr("percentile(cast(gap as double), 0.9)") / 1e6, 6).as("p90_s"),
+          round(max(col("gap").cast(DoubleType)) / 1e6, 6).as("max_s"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH g AS (
+        SELECT event_type,
+          epoch_us(ts) - epoch_us(lag(ts) OVER (
+            PARTITION BY event_type ORDER BY ts, event_id)) AS gap
+        FROM events
+      )
+      SELECT event_type, COUNT(gap) AS n_gaps,
+        ROUND(median(CAST(gap AS DOUBLE)) / 1e6, 6) AS median_s,
+        ROUND(quantile_cont(CAST(gap AS DOUBLE), 0.9) / 1e6, 6) AS p90_s,
+        ROUND(MAX(CAST(gap AS DOUBLE)) / 1e6, 6) AS max_s
+      FROM g WHERE gap IS NOT NULL GROUP BY event_type ORDER BY event_type
+    """.stripMargin.trim))
+
   /** Peak concurrency per event type — the interval-overlap maximum
     * (capacity planning: "how many 5-minute-active sessions of each
     * type were ever live at once"): each event becomes a half-open
@@ -1736,5 +1778,6 @@ WITH hourly AS (
     eventsTransitions, eventsAnomalyZscore, eventsRollingDistinct,
     eventsTrendSlope, eventsAbTtest, eventsAbCuped, eventsPathTopk,
     eventsAnomalyMad, eventsGrowthAccounting, eventsConcurrencyPeak,
+    eventsInterarrivalStats,
     eventsEwma, eventsTypeOverlap, eventsForecastNaive)
 }

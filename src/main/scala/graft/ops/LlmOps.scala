@@ -2551,6 +2551,60 @@ object LlmOps {
       FROM c CROSS JOIN d ORDER BY c.source
     """.stripMargin.trim))
 
+  /** Token-budget allocation by LARGEST-REMAINDER rounding — the exact
+    * integer-allocation step every sampler needs between "source i
+    * deserves share p_i of the 100k-token budget" and "emit whole
+    * tokens": floor allocations leave a deficit of at most n_sources−1
+    * tokens, and the sources with the largest fractional remainders
+    * (ties pinned by source name) each get +1 so the allocations sum
+    * to the budget EXACTLY — conservation a proportional-rounding
+    * allocator must guarantee or downstream packing over/under-fills.
+    * Determinism: token counts and the total close exactly as longs;
+    * share/remainder are identical double arithmetic; the remainder
+    * rank is a total order. Scale shape: one corpus pass for token
+    * counts; everything after runs on the n_sources-row summary (two
+    * 1-row broadcast crossJoins — the in-plan-N pattern).
+    */
+  val llmTokenBudget: Op = Op(
+    "llm_token_budget",
+    (s, dir) => {
+      val t = Tables.documents(s, dir)
+        .groupBy("source").agg(sum(size(toks)).as("toks"))
+      val g = t.agg(sum(col("toks")).as("total"))
+      val share = col("toks").cast(DoubleType) / col("total")
+      val a = t.crossJoin(broadcast(g))
+        .select(col("source"), col("toks"), share.as("share"),
+          floor(share * 100000).cast(LongType).as("base"),
+          (share * 100000 - floor(share * 100000)).as("rem"))
+      val d = a.agg((lit(100000L) - sum(col("base"))).as("deficit"))
+      a.withColumn("rk", row_number().over(
+          Window.orderBy(col("rem").desc, col("source"))))
+        .crossJoin(broadcast(d))
+        .select(col("source"), col("toks"), round(col("share"), 6).as("share"),
+          (col("base") + when(col("rk") <= col("deficit"), lit(1L))
+            .otherwise(lit(0L))).as("alloc"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH t AS (
+        SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
+        FROM documents GROUP BY 1
+      ), g AS (SELECT CAST(SUM(toks) AS BIGINT) AS total FROM t),
+      a AS (
+        SELECT source, toks,
+          CAST(toks AS DOUBLE) / total AS share,
+          CAST(floor(CAST(toks AS DOUBLE) / total * 100000) AS BIGINT) AS base,
+          CAST(toks AS DOUBLE) / total * 100000
+            - floor(CAST(toks AS DOUBLE) / total * 100000) AS rem
+        FROM t CROSS JOIN g
+      ), r AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk FROM a
+      ), d AS (SELECT 100000 - CAST(SUM(base) AS BIGINT) AS deficit FROM a)
+      SELECT r.source, r.toks, ROUND(r.share, 6) AS share,
+        r.base + CASE WHEN r.rk <= d.deficit THEN 1 ELSE 0 END AS alloc
+      FROM r CROSS JOIN d ORDER BY r.source
+    """.stripMargin.trim))
+
   /** Mixture-weighted source sampling — the step between curation and
     * packing in every real pretraining pipeline: each corpus SOURCE
     * contributes to the training mix in proportion to its configured
@@ -2874,7 +2928,7 @@ object LlmOps {
     llmVocabMerges, llmVocabApply,
     llmPackSequences, llmRepetitionFilter, llmDocChunk, llmCrossDedup,
     llmVocabInduce, llmMixSources, llmMixSourcesScale, llmMixEntropy,
-    llmMixTemperature, llmSplitHoldout,
+    llmMixTemperature, llmTokenBudget, llmSplitHoldout,
     llmQualityFilter, llmQualityScore, llmPrefPairs, llmTokenCount, llmLangId,
     llmNgramNovelty,
     llmTextStats, llmTextTfidf, llmDedupExact,

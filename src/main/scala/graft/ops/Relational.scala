@@ -2741,6 +2741,64 @@ object Relational {
     * CDC at 100 TB. A real deployment feeds two table versions in;
     * the classify/emit stage is unchanged.
     */
+  /** Market-basket brand affinity — association-rule mining's support/
+    * lift primitive over order baskets: which part brands co-occur in
+    * the same order more than independence predicts. The basket table
+    * is a distinct (order, brand) projection; the pair space comes
+    * from a CO-KEYED self-join on orderkey (brand < brand kills
+    * mirror/self pairs) — at 100 TB the self-join shuffles once on
+    * the shared key and the ≤|brands|² pair aggregate is tiny, which
+    * is why basket analysis scales where a generic cross join
+    * wouldn't. Lift = P(b1,b2)/(P(b1)·P(b2)) from exact counts; the
+    * top-20 sorts on the ROUNDED lift with (b1, b2) tie pins so both
+    * engines cut the same prefix. Part rides in broadcast (brand is
+    * a dim attribute); bc/tot are broadcast summaries.
+    */
+  val basketBrandPairs: Op = Op(
+    "basket_brand_pairs",
+    (s, dir) => {
+      val b = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey"))
+        .join(broadcast(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("ok"), col("p_brand").as("brand")).distinct()
+      val pc = b.as("a")
+        .join(b.as("c"), col("a.ok") === col("c.ok") &&
+          col("a.brand") < col("c.brand"))
+        .groupBy(col("a.brand").as("b1"), col("c.brand").as("b2"))
+        .agg(count(lit(1)).as("n_both"))
+      val bc = b.groupBy("brand").agg(count(lit(1)).as("n"))
+      val tot = b.agg(countDistinct(col("ok")).as("n_orders"))
+      pc.join(broadcast(bc.select(col("brand").as("b1"), col("n").as("n1"))), "b1")
+        .join(broadcast(bc.select(col("brand").as("b2"), col("n").as("n2"))), "b2")
+        .crossJoin(broadcast(tot))
+        .select(col("b1"), col("b2"), col("n_both"),
+          round(col("n_both").cast(DoubleType) / col("n_orders"), 6).as("support"),
+          round(col("n_both").cast(DoubleType) * col("n_orders") /
+            (col("n1").cast(DoubleType) * col("n2")), 6).as("lift"))
+        .orderBy(col("lift").desc, col("b1"), col("b2"))
+        .limit(20)
+    },
+    Some("""
+      WITH b AS (
+        SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      ), pc AS (
+        SELECT a.brand AS b1, c.brand AS b2, COUNT(*) AS n_both
+        FROM b a JOIN b c ON a.ok = c.ok AND a.brand < c.brand
+        GROUP BY 1, 2
+      ), bc AS (SELECT brand, COUNT(*) AS n FROM b GROUP BY 1),
+      tot AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM b)
+      SELECT pc.b1, pc.b2, pc.n_both,
+        ROUND(CAST(pc.n_both AS DOUBLE) / t.n_orders, 6) AS support,
+        ROUND(CAST(pc.n_both AS DOUBLE) * t.n_orders /
+          (CAST(x.n AS DOUBLE) * y.n), 6) AS lift
+      FROM pc JOIN bc x ON pc.b1 = x.brand JOIN bc y ON pc.b2 = y.brand
+      CROSS JOIN tot t
+      ORDER BY lift DESC, b1, b2 LIMIT 20
+    """.stripMargin.trim))
+
   val cdcSnapshotDiff: Op = Op(
     "cdc_snapshot_diff",
     (s, dir) => {
@@ -2814,7 +2872,7 @@ object Relational {
     joinFullOuter,
     joinSemi, joinAnti, joinCross, joinThetaRange, joinRangeBucketed,
     joinInterval, joinAsof,
-    joinAsofForward, joinAsofNearest, joinAsofTolerance,
+    joinAsofForward, joinAsofNearest, joinAsofTolerance, basketBrandPairs,
     joinSkewSalted, mergeUpsert, mergeScd2, subqueryCorrelated,
     q17SmallQuantity, q18LargeOrders, q19Disjunctive, q21WaitingSupplier,
     subqueryNotInNull,

@@ -436,6 +436,7 @@ class PlanSuite extends AnyFunSuite {
       // 1-row broadcast pooled-moments / normalizer / max-day crossJoin
       // (the rfm in-plan-N pattern); corpus-side aggregates are hash aggs
       "events_ab_cuped", "llm_mix_temperature", "events_growth_accounting",
+      "llm_token_budget", "basket_brand_pairs",
       // collated-key dim join: collated strings lack binary equality so
       // the planner demotes the 6-row broadcast dim join to BNLJ —
       // bounded 6 cmp/row, documented in the op's Scaladoc
