@@ -1594,6 +1594,77 @@ WITH hourly AS (
       GROUP BY d.event_type ORDER BY d.event_type
     """.stripMargin.trim))
 
+  /** Alert-episode grouping — the layer between anomaly detection and
+    * paging: consecutive flagged hours collapse into EPISODES
+    * (gaps-and-islands on the hour index), because five alerts in five
+    * consecutive hours are one incident, not five. Flags come from the
+    * MAD detector at 2·1.4826·MAD (the robust "warning" threshold —
+    * looser than events_anomaly_mad's 3σ-equivalent so the fixture
+    * produces multi-hour episodes); per type: episode count, longest
+    * episode, total flagged hours, first episode start. Determinism:
+    * the flag compares identical doubles; island arithmetic
+    * (hour_index − row_number, `div` ⇄ `//` integer division — the
+    * trend-slope dialect trap) is exact integers; fmtSec pins the
+    * timestamp surface. Scale shape: one hourly agg over raw events is
+    * the only corpus pass; the detector and islands run on the tiny
+    * grid with 5-row medians broadcast.
+    */
+  val eventsAlertEpisodes: Op = Op(
+    "events_alert_episodes",
+    (s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val med = hourly.groupBy("event_type")
+        .agg(expr("percentile(cast(n as double), 0.5)").as("med"))
+      val dev = hourly.join(broadcast(med), "event_type")
+        .withColumn("adev", abs(col("n").cast(DoubleType) - col("med")))
+      val madt = dev.groupBy("event_type")
+        .agg(expr("percentile(adev, 0.5)").as("mad"))
+      val flagged = dev.join(broadcast(madt), "event_type")
+        .filter(col("adev") > lit(2.0) * lit(1.4826) * col("mad"))
+        .select(col("event_type"), col("h"),
+          expr("unix_seconds(h) div 3600").as("hidx"))
+      val isl = flagged.withColumn("grp",
+        col("hidx") - row_number().over(
+          Window.partitionBy("event_type").orderBy("hidx")))
+      val ep = isl.groupBy("event_type", "grp")
+        .agg(count(lit(1)).as("len"), min(col("h")).as("start_h"))
+      ep.groupBy("event_type")
+        .agg(count(lit(1)).as("n_episodes"), max(col("len")).as("max_len"),
+          sum(col("len")).as("flagged_hours"),
+          fmtSec(min(col("start_h"))).as("first_start"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+      ), med AS (
+        SELECT event_type, median(CAST(n AS DOUBLE)) AS med FROM hourly GROUP BY 1
+      ), dev AS (
+        SELECT h.event_type, h.h, abs(CAST(h.n AS DOUBLE) - m.med) AS adev
+        FROM hourly h JOIN med m ON h.event_type = m.event_type
+      ), madt AS (
+        SELECT event_type, median(adev) AS mad FROM dev GROUP BY 1
+      ), flagged AS (
+        SELECT d.event_type, d.h, CAST(epoch(d.h) AS BIGINT) // 3600 AS hidx
+        FROM dev d JOIN madt t ON d.event_type = t.event_type
+        WHERE d.adev > 2.0 * 1.4826 * t.mad
+      ), isl AS (
+        SELECT event_type, h, hidx,
+          hidx - ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hidx) AS grp
+        FROM flagged
+      ), ep AS (
+        SELECT event_type, grp, COUNT(*) AS len, MIN(h) AS start_h
+        FROM isl GROUP BY 1, 2
+      )
+      SELECT event_type, COUNT(*) AS n_episodes, CAST(MAX(len) AS BIGINT) AS max_len,
+        CAST(SUM(len) AS BIGINT) AS flagged_hours,
+        strftime(date_trunc('second', MIN(start_h)), '%Y-%m-%d %H:%M:%S') AS first_start
+      FROM ep GROUP BY event_type ORDER BY event_type
+    """.stripMargin.trim))
+
   /** Growth accounting — the canonical product-analytics decomposition
     * of DAU into new / retained / resurrected, with churn attributed
     * to the day after last activity: the report every growth team
@@ -1777,7 +1848,7 @@ WITH hourly AS (
     eventsSessionize, eventsFunnel, timeseriesGapfill, eventsAttribution,
     eventsTransitions, eventsAnomalyZscore, eventsRollingDistinct,
     eventsTrendSlope, eventsAbTtest, eventsAbCuped, eventsPathTopk,
-    eventsAnomalyMad, eventsGrowthAccounting, eventsConcurrencyPeak,
-    eventsInterarrivalStats,
+    eventsAnomalyMad, eventsAlertEpisodes, eventsGrowthAccounting,
+    eventsConcurrencyPeak, eventsInterarrivalStats,
     eventsEwma, eventsTypeOverlap, eventsForecastNaive)
 }

@@ -413,6 +413,27 @@ class PlanSuite extends AnyFunSuite {
       "skew split appeared with skewJoin disabled — test data no longer discriminates")
   }
 
+  test("events_path_topk: one user_id exchange feeds both lags; top-10 never sorts the table") {
+    val p = plan("events_path_topk")
+    val hashEx = "hashpartitioning\\(([^,]+)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(hashEx.count(_.startsWith("user_id")) == 1,
+      s"expected exactly one user_id exchange shared by the two lags: $hashEx")
+    // the only other movement is the tiny ≤|types|³-key path aggregate
+    assert(hashEx.length == 2 && hashEx.exists(_.startsWith("path")),
+      s"unexpected exchange set: $hashEx")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-10 must plan TakeOrderedAndProject, not a global sort")
+    assert(!p.contains("rangepartitioning"),
+      "no range exchange should exist — the limit absorbs the order")
+  }
+
+  test("events_interarrival_stats: the final agg reuses the lag window's exchange") {
+    val p = plan("events_interarrival_stats")
+    val hashEx = "hashpartitioning\\(([^,]+)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(hashEx.length == 1 && hashEx.head.startsWith("event_type"),
+      s"expected ONE event_type exchange shared by the lag window and the percentile agg: $hashEx")
+  }
+
   test("no CartesianProduct/BroadcastNestedLoopJoin outside the whitelist") {
     val allowed = Set("join_cross", "join_theta_range", "llm_simsearch_topk",
       "llm_text_tfidf", "llm_simsearch_ivf", "llm_ivf_fit", "llm_dedup_embed",
