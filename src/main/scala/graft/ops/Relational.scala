@@ -2741,6 +2741,54 @@ object Relational {
     * CDC at 100 TB. A real deployment feeds two table versions in;
     * the classify/emit stage is unchanged.
     */
+  /** Recursive CTE hierarchy walk (Spark 4's WITH RECURSIVE) — the
+    * workload class behind BOM explosions, org rollups, and category
+    * trees that plain joins can't express: customers form an implicit
+    * binary tree (parent(k) = k div 2, root 1) and the recursion walks
+    * root→leaves accumulating depth, then rolls up nodes and balances
+    * per level. Both engines iterate UNION ALL to a fixpoint with the
+    * IDENTICAL join step (`div` ⇄ `//` integer division — the
+    * dialect trap again); balances close in exact DECIMAL per level
+    * before one rounded double surface. Scale shape: each iteration
+    * is one equi-join of the frontier against the table —
+    * log₂(|customers|) ≈ 11 levels here, each a co-keyed hash join;
+    * the level rollup is a tiny agg. At 100 TB the frontier join is
+    * the standard iterative-algorithm shape (frontier shrinks or
+    * stays bounded; no quadratic blowup).
+    */
+  val sqlRecursiveHierarchy: Op = Op(
+    "sql_recursive_hierarchy",
+    (s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("g_rec_customer")
+      s.sql("""
+        WITH RECURSIVE h(k, depth, bal) AS (
+          SELECT c_custkey, 0, CAST(c_acctbal AS DECIMAL(12,2))
+          FROM g_rec_customer WHERE c_custkey = 1
+          UNION ALL
+          SELECT c.c_custkey, h.depth + 1, CAST(c.c_acctbal AS DECIMAL(12,2))
+          FROM g_rec_customer c JOIN h ON c.c_custkey div 2 = h.k
+            AND c.c_custkey > 1
+        )
+        SELECT depth, COUNT(*) AS n_nodes,
+          MIN(k) AS min_key, MAX(k) AS max_key,
+          ROUND(CAST(SUM(bal) AS DOUBLE), 2) AS total_bal
+        FROM h GROUP BY depth ORDER BY depth
+      """)
+    },
+    Some("""
+      WITH RECURSIVE h(k, depth, bal) AS (
+        SELECT c_custkey, 0, CAST(c_acctbal AS DECIMAL(12,2))
+        FROM customer WHERE c_custkey = 1
+        UNION ALL
+        SELECT c.c_custkey, h.depth + 1, CAST(c.c_acctbal AS DECIMAL(12,2))
+        FROM customer c JOIN h ON c.c_custkey // 2 = h.k AND c.c_custkey > 1
+      )
+      SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        CAST(MIN(k) AS BIGINT) AS min_key, CAST(MAX(k) AS BIGINT) AS max_key,
+        ROUND(CAST(SUM(bal) AS DOUBLE), 2) AS total_bal
+      FROM h GROUP BY depth ORDER BY depth
+    """.stripMargin.trim))
+
   /** Market-basket brand affinity — association-rule mining's support/
     * lift primitive over order baskets: which part brands co-occur in
     * the same order more than independence predicts. The basket table
@@ -2873,6 +2921,7 @@ object Relational {
     joinSemi, joinAnti, joinCross, joinThetaRange, joinRangeBucketed,
     joinInterval, joinAsof,
     joinAsofForward, joinAsofNearest, joinAsofTolerance, basketBrandPairs,
+    sqlRecursiveHierarchy,
     joinSkewSalted, mergeUpsert, mergeScd2, subqueryCorrelated,
     q17SmallQuantity, q18LargeOrders, q19Disjunctive, q21WaitingSupplier,
     subqueryNotInNull,

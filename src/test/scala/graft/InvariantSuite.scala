@@ -152,6 +152,13 @@ class InvariantSuite extends AnyFunSuite {
     assert(!byType.contains("unchanged"), "unchanged rows must be dropped")
   }
 
+  test("llm_token_budget allocations sum exactly to the 100k budget") {
+    val total = LlmOps.llmTokenBudget.build(s, sf)
+      .agg(sum("alloc")).collect()(0).getLong(0)
+    assert(total == 100000L,
+      s"largest-remainder allocation must conserve the budget, got $total")
+  }
+
   test("events_growth_accounting conserves DAU and balances churn") {
     val g = EventTime.eventsGrowthAccounting.build(s, sf)
     val bad = g.filter(
