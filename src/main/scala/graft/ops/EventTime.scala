@@ -1231,6 +1231,10 @@ object EventTime {
       val sums = armed.groupBy("event_type", "arm")
         .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
           sum(col("v") * col("v")).as("svv"))
+        // 10-row summary consumed by BOTH arm branches: materialize it
+        // once (the llm_ngram_novelty pattern) or the A/B branches each
+        // re-scan raw events — Catalyst inlines shared subtrees
+        .localCheckpoint(true)
       val a = sums.filter(col("arm") === "A")
         .select(col("event_type"), col("n").as("na"),
           col("sv").cast(DoubleType).as("sva"), col("svv").cast(DoubleType).as("svva"))
@@ -1309,6 +1313,10 @@ object EventTime {
         .withColumn("arm", when(expr(
           """cast(conv(substring(md5(concat('ab:', cast(user_id as string))), 1, 15), 16, 10)
              as bigint) % 2 = 0"""), lit("A")).otherwise(lit("B")))
+        // |users|-row frontier feeding byArm, which is itself consumed
+        // twice (pooled + final join): one materialization = one events
+        // scan total (the llm_ngram_novelty pattern)
+        .localCheckpoint(true)
       val byArm = u.groupBy("arm").agg(
         count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"),
@@ -1629,6 +1637,9 @@ WITH hourly AS (
       val hourly = Tables.events(s, dir)
         .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
         .agg(count(lit(1)).as("n"))
+        // the tiny hours×types grid feeds the median AND the deviation
+        // branches: materialize once = one events scan total
+        .localCheckpoint(true)
       val med = hourly.groupBy("event_type")
         .agg(expr("percentile(cast(n as double), 0.5)").as("med"))
       val dev = hourly.join(broadcast(med), "event_type")
@@ -1685,6 +1696,9 @@ WITH hourly AS (
       val hourly = Tables.events(s, dir)
         .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
         .agg(count(lit(1)).as("n"))
+        // the tiny hours×types grid feeds the median AND the deviation
+        // branches: materialize once = one events scan total
+        .localCheckpoint(true)
       val med = hourly.groupBy("event_type")
         .agg(expr("percentile(cast(n as double), 0.5)").as("med"))
       val dev = hourly.join(broadcast(med), "event_type")
@@ -1757,6 +1771,9 @@ WITH hourly AS (
       val act = Tables.events(s, dir)
         .select(col("user_id"), to_date(date_trunc("day", col("ts"))).as("d"))
         .distinct()
+        // consumed by the window chain AND the max-day broadcast:
+        // materialize the ≤|users|×|days| activity table once
+        .localCheckpoint(true)
       val seq = act
         .withColumn("fd", min("d").over(wU))
         .withColumn("prev_d", lag(col("d"), 1).over(wOrd))
@@ -1864,8 +1881,9 @@ WITH hourly AS (
     * (half-open semantics) — with the first time the peak is reached
     * reported. Scale shape: the 2× boundary expansion is row-local
     * (union of two projections, no explode shuffle); ONE exchange on
-    * event_type drives the running sum; peak + first-time close in a
-    * tiny agg broadcast-joined back on (type, peak).
+    * event_type drives BOTH the running sum and the peak (the max is
+    * an unordered frame over the SAME partitioning — no join-back, no
+    * second scan); the final agg reuses the partitioning too.
     */
   val eventsConcurrencyPeak: Op = Op(
     "events_concurrency_peak",
@@ -1879,10 +1897,10 @@ WITH hourly AS (
       val w = Window.partitionBy("event_type")
         .orderBy(col("t"), col("delta"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val run = starts.union(ends)
+      val wAll = Window.partitionBy("event_type")
+      starts.union(ends)
         .withColumn("conc", sum(col("delta")).over(w))
-      val pk = run.groupBy("event_type").agg(max(col("conc")).as("peak"))
-      run.join(broadcast(pk), Seq("event_type"))
+        .withColumn("peak", max(col("conc")).over(wAll))
         .filter(col("conc") === col("peak"))
         .groupBy("event_type", "peak")
         .agg(fmtSec(min(col("t"))).as("peak_first_at"))

@@ -133,10 +133,12 @@ object LlmOps {
     * pinned by doc_id. The quality score is llm_quality_score's exact
     * formula (same expression tree — a drift here would train the
     * reward model on a different metric than the curation gate).
-    * Scale shape: one corpus pass computes the per-doc score, ONE
-    * exchange on source feeds both rank directions (same partition
-    * key, two sorts), and the rb=1/rw=1 survivors equi-join on the
-    * tiny source key set.
+    * Scale shape: ONE corpus pass computes the per-doc score; both
+    * rank directions ride the SAME DataFrame (two window specs over
+    * one source exchange — two sorts, no second scan, no self-join:
+    * the rb=1/rw=1 survivors fold into one row per source via a
+    * conditional max-struct aggregate on the partitioning the windows
+    * already established).
     */
   val llmPrefPairs: Op = Op(
     "llm_pref_pairs",
@@ -154,20 +156,20 @@ object LlmOps {
         .select(col("doc_id"), col("source"),
           round(lit(0.35) * ttr + lit(0.25) * least(stopR * 10.0, lit(1.0)) +
             lit(0.25) * lenScore + lit(0.15) * (lit(1.0) - punctR), 6).as("score"))
-      val best = q.withColumn("rb", row_number().over(
+      q.withColumn("rb", row_number().over(
           Window.partitionBy("source").orderBy(col("score").desc, col("doc_id"))))
-        .filter(col("rb") === 1)
-        .select(col("source"), col("doc_id").as("chosen_id"),
-          col("score").as("chosen_score"))
-      val worst = q.withColumn("rw", row_number().over(
+        .withColumn("rw", row_number().over(
           Window.partitionBy("source").orderBy(col("score").asc, col("doc_id"))))
-        .filter(col("rw") === 1)
-        .select(col("source").as("source_w"), col("doc_id").as("rejected_id"),
-          col("score").as("rejected_score"))
-      best.join(worst, col("source") === col("source_w"))
-        .select(col("source"), col("chosen_id"), col("chosen_score"),
-          col("rejected_id"), col("rejected_score"),
-          round(col("chosen_score") - col("rejected_score"), 6).as("margin"))
+        .filter(col("rb") === 1 || col("rw") === 1)
+        .groupBy("source")
+        .agg(
+          max(when(col("rb") === 1, struct(col("doc_id"), col("score")))).as("ch"),
+          max(when(col("rw") === 1, struct(col("doc_id"), col("score")))).as("rj"))
+        .select(col("source"), col("ch.doc_id").as("chosen_id"),
+          col("ch.score").as("chosen_score"),
+          col("rj.doc_id").as("rejected_id"),
+          col("rj.score").as("rejected_score"),
+          round(col("ch.score") - col("rj.score"), 6).as("margin"))
         .orderBy("source")
     },
     Some("""
@@ -2516,6 +2518,9 @@ object LlmOps {
       val c = Tables.documents(s, dir)
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+        // 20-row summary consumed by the normalizer AND the output
+        // join: materialize once = one documents scan total
+        .localCheckpoint(true)
       val g = c.agg(sum(col("chars")).as("total"),
           sort_array(collect_list(struct(col("source"), col("chars")))).as("cs"))
         .withColumn("z", expr(
@@ -2570,6 +2575,9 @@ object LlmOps {
     (s, dir) => {
       val t = Tables.documents(s, dir)
         .groupBy("source").agg(sum(size(toks)).as("toks"))
+        // 20-row summary consumed three times (total, remainders,
+        // deficit): materialize once = one documents scan total
+        .localCheckpoint(true)
       val g = t.agg(sum(col("toks")).as("total"))
       val share = col("toks").cast(DoubleType) / col("total")
       val a = t.crossJoin(broadcast(g))

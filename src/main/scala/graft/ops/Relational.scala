@@ -2811,6 +2811,10 @@ object Relational {
           .select(col("p_partkey"), col("p_brand"))),
           col("l_partkey") === col("p_partkey"))
         .select(col("ok"), col("p_brand").as("brand")).distinct()
+        // the basket table is consumed FOUR times (both self-join
+        // sides, brand counts, order total): materialize it once or
+        // Catalyst re-scans lineitem per reference
+        .localCheckpoint(true)
       val pc = b.as("a")
         .join(b.as("c"), col("a.ok") === col("c.ok") &&
           col("a.brand") < col("c.brand"))
