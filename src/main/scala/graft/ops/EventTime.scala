@@ -816,16 +816,24 @@ object EventTime {
     (s, dir) => {
       val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"),
         date_trunc("second", col("ts")).cast(LongType).as("tsec"))
+      // each stage table is ≤|users| rows and is consumed by the next
+      // stage AND the counts below: materialize each once, so events is
+      // scanned exactly three times (once per predicate-pushed stage
+      // filter — the columnar-optimal shape) instead of seven
+      // (round-11 scan audit)
       val v = ev.filter(col("event_type") === "view")
         .groupBy("user_id").agg(min("tsec").as("vt"))
+        .localCheckpoint(true)
       val c = ev.filter(col("event_type") === "click")
         .join(v, "user_id")
         .filter(col("tsec") >= col("vt") && col("tsec") < col("vt") + 86400L)
         .groupBy("user_id").agg(min("tsec").as("ct"))
+        .localCheckpoint(true)
       val p = ev.filter(col("event_type") === "purchase")
         .join(c, "user_id")
         .filter(col("tsec") >= col("ct") && col("tsec") < col("ct") + 86400L)
         .groupBy("user_id").agg(min("tsec").as("pt"))
+        .localCheckpoint(true)
       val stages =
         v.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("1_view"))
           .unionByName(
@@ -1042,6 +1050,10 @@ object EventTime {
     (s, dir) => {
       val ut = Tables.events(s, dir)
         .select(col("user_id"), col("event_type")).distinct()
+        // ≤|users|×5 rows consumed by sizes AND both pair sides:
+        // materialize once or the corpus-scale distinct runs 3×
+        // (round-11 scan audit)
+        .localCheckpoint(true)
       val sizes = ut.groupBy("event_type").agg(count(lit(1)).as("n"))
       val a = ut.select(col("user_id"), col("event_type").as("type_a"))
       val b = ut.select(col("user_id"), col("event_type").as("type_b"))

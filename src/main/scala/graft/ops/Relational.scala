@@ -1343,6 +1343,10 @@ object Relational {
       val updates = base.filter(col("c_custkey") % 10 === 0)
         .select(col("c_custkey"), lit("UPDATED").as("new_seg"))
       val j = base.join(updates, Seq("c_custkey"), "left")
+        // the staged SCD frame feeds three row-disjoint branches; a
+        // real SCD merge materializes exactly this frame before writing
+        // (was 6 customer scans — round-11 scan audit)
+        .localCheckpoint(true)
       val unchanged = j.filter(col("new_seg").isNull || col("new_seg") === col("c_mktsegment"))
         .select(col("c_custkey"), col("c_name"), col("c_mktsegment").as("segment"),
           lit("2024-01-01").as("valid_from"),
@@ -2014,7 +2018,14 @@ object Relational {
           Window.partitionBy("k").orderBy(col("version").desc)))
         .filter(col("rn") === 1)
         .select(col("k"), col("op"), col("seg"))
+        // the collapsed change log is small (~13% of keys): materialize
+        // it or its three source branches re-scan customer per reference
+        .localCheckpoint(true)
       val j = base.join(latest, Seq("k"), "full_outer")
+        // the SCD frame feeds FOUR row-disjoint branches below; without
+        // this the plan re-scans customer 16× (round-11 scan audit) —
+        // a real SCD merge stages exactly this frame before writing
+        .localCheckpoint(true)
       val unchanged = j.filter(col("op").isNull)
         .select(col("k"), col("c_name"), col("c_mktsegment").as("segment"),
           lit("2024-01-01").as("valid_from"),
