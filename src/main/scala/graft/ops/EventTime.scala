@@ -1291,6 +1291,84 @@ object EventTime {
       FROM w ORDER BY event_type
     """.stripMargin.trim))
 
+  /** Chi-square test of independence (event_type × hour-of-day) — the
+    * statistical layer over the contingency table `events_histogram`
+    * renders: is the traffic mix independent of hour? Counts are exact;
+    * each cell's (O−E)²/E term is ONE deterministic double expression
+    * (identical operand order in both engines), then rounded to 8
+    * places and summed as EXACT DECIMAL(20,8) — an associative sum
+    * immune to partial-aggregation order, so partition invariance holds
+    * by construction rather than by rounding luck. Output: per-type
+    * contributions plus a '~TOTAL' row carrying the full statistic and
+    * its (r−1)(c−1) dof ('~' sorts after every [a-z] type name under
+    * both engines' binary collations).
+    *
+    * Scale shape: the contingency table is ONE partial+final hash agg
+    * over the corpus (≤ |types|·24 rows at any SF); everything after —
+    * marginals, the 1-row totals broadcast, the decimal fold — runs on
+    * that tiny frame. The corpus is scanned exactly once.
+    */
+  val eventsChisqIndependence: Op = Op(
+    "events_chisq_independence",
+    (s, dir) => {
+      val c = Tables.events(s, dir)
+        .groupBy(col("event_type"), hour(col("ts")).as("hr"))
+        .agg(count(lit(1)).as("o"))
+        // 120-row contingency frame feeds marginals + totals + cells:
+        // materialize once or the corpus agg runs 4× (Catalyst inlines
+        // shared subtrees)
+        .localCheckpoint(true)
+      val rt = c.groupBy("event_type").agg(sum("o").as("r"))
+      val ct = c.groupBy("hr").agg(sum("o").as("cc"))
+      val tot = c.agg(sum("o").as("n"),
+        countDistinct("event_type").as("nr"), countDistinct("hr").as("nc"))
+      val cells = c.join(rt, "event_type").join(ct, "hr").crossJoin(broadcast(tot))
+        .withColumn("e", col("r").cast(DoubleType) * col("cc") / col("n"))
+        .withColumn("t",
+          round((col("o") - col("e")) * (col("o") - col("e")) / col("e"), 8)
+            .cast(DecimalType(20, 8)))
+      val per = cells.groupBy("event_type")
+        .agg(count(lit(1)).as("n_cells"), sum("o").as("n_obs"),
+          sum("t").cast(DoubleType).as("chi2"))
+        .withColumn("dof", lit(-1L))
+      val total = cells.groupBy()
+        .agg(count(lit(1)).as("n_cells"), sum("o").as("n_obs"),
+          sum("t").cast(DoubleType).as("chi2"),
+          ((max("nr") - 1) * (max("nc") - 1)).cast(LongType).as("dof"))
+        .select(lit("~TOTAL").as("event_type"), col("n_cells"), col("n_obs"),
+          col("chi2"), col("dof"))
+      per.unionByName(total).orderBy("event_type")
+    },
+    Some("""
+      WITH c AS (
+        SELECT event_type, hour(ts) AS hr, COUNT(*) AS o FROM events GROUP BY 1, 2
+      ), tot AS (
+        SELECT CAST(SUM(o) AS BIGINT) AS n, COUNT(DISTINCT event_type) AS nr,
+          COUNT(DISTINCT hr) AS nc
+        FROM c
+      ), cell AS (
+        SELECT c.event_type, c.o,
+          CAST(rt.r AS DOUBLE) * ct.cc / tot.n AS e
+        FROM c
+          JOIN (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r FROM c GROUP BY 1) rt USING (event_type)
+          JOIN (SELECT hr, CAST(SUM(o) AS BIGINT) AS cc FROM c GROUP BY 1) ct USING (hr)
+          CROSS JOIN tot
+      ), term AS (
+        SELECT event_type, o,
+          CAST(ROUND((o - e) * (o - e) / e, 8) AS DECIMAL(20,8)) AS t
+        FROM cell
+      )
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_cells,
+        CAST(SUM(o) AS BIGINT) AS n_obs, CAST(SUM(t) AS DOUBLE) AS chi2,
+        CAST(-1 AS BIGINT) AS dof
+      FROM term GROUP BY 1
+      UNION ALL
+      SELECT '~TOTAL', CAST(COUNT(*) AS BIGINT), CAST(SUM(o) AS BIGINT),
+        CAST(SUM(t) AS DOUBLE), (SELECT CAST((nr - 1) * (nc - 1) AS BIGINT) FROM tot)
+      FROM term
+      ORDER BY event_type
+    """.stripMargin.trim))
+
   /** CUPED variance-reduced experiment read-out — the companion to
     * `events_ab_ttest` every mature experimentation platform runs:
     * pre-period behavior (days 1–15) is the covariate X, post-period
@@ -1950,5 +2028,6 @@ WITH hourly AS (
     eventsTrendSlope, eventsAbTtest, eventsAbCuped, eventsPathTopk,
     eventsAnomalyMad, eventsAlertEpisodes, eventsGrowthAccounting,
     eventsConcurrencyPeak, eventsInterarrivalStats,
-    eventsEwma, eventsTypeOverlap, eventsForecastNaive)
+    eventsEwma, eventsTypeOverlap, eventsForecastNaive,
+    eventsChisqIndependence)
 }

