@@ -30,24 +30,39 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame = load(s, dir, "part")
   def orders(s: SparkSession, dir: String): DataFrame = load(s, dir, "orders")
   def lineitem(s: SparkSession, dir: String): DataFrame = load(s, dir, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4.1.2 refuses to
-    * read as a timestamp ([PARQUET_TYPE_ILLEGAL]). Read the nanos as a raw
-    * long (legacy conf) and µs-truncate here, so every consumer sees a
-    * normal TimestampType column. Graded queries additionally second-
-    * truncate before emitting (SURVEY §5.3.3), so the lost sub-µs digits
-    * never reach an oracle compare.
+  /** events.ts has drifted across fixture generations: TIMESTAMP(NANOS)
+    * (which Spark 4.1.2 refuses to read as a timestamp —
+    * [PARQUET_TYPE_ILLEGAL] — so it surfaces as a raw nanos long under the
+    * legacy conf) in earlier drops, TIMESTAMP(MICROS, ntz) in current ones.
+    * The loader adapts on the OBSERVED type instead of assuming either
+    * generation, normalizing every consumer to one TimestampType column:
+    *   - LongType        → nanos-as-long fixture: µs-truncate + convert
+    *   - TimestampNTZType→ µs ntz fixture: reinterpret as UTC instant
+    *     (sessions run tz=UTC, so wall-clock values are preserved)
+    *   - TimestampType   → already an instant; pass through
+    * Graded queries additionally second-truncate before emitting
+    * (SURVEY §5.3.3), so sub-second representation differences never
+    * reach an oracle compare.
     *
-    * Deliberate contract: this loader SETS the session conf on every
-    * call (idempotent). The grading driver invokes queries with a
+    * Deliberate contract: this loader SETS the legacy session conf on
+    * every call (idempotent). The grading driver invokes queries with a
     * session this library didn't build, so the loader must self-
-    * provision — moving the conf to our own entry points would break
-    * exactly that caller. The flag only affects parquet columns
-    * Spark would otherwise refuse to read at all, so no other
-    * consumer's semantics can change underneath it.
+    * provision — the flag only affects parquet columns Spark would
+    * otherwise refuse to read at all, so no other consumer's semantics
+    * can change underneath it.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, dir, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = load(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        // NTZ→instant cast reads the wall clock in the session tz (UTC
+        // everywhere in this library), so the value is preserved
+        raw.withColumn("ts", expr("cast(ts as timestamp)"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, dir: String): DataFrame = load(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")
