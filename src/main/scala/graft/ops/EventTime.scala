@@ -609,6 +609,85 @@ object EventTime {
       ) WHERE rn = 1 ORDER BY user_id
     """.stripMargin.trim))
 
+  /** Spark 4 transformWithState — ARBITRARY keyed state (StatefulProcessor
+    * + typed ValueState/MapState over the RocksDB store), the API that
+    * replaces flatMapGroupsWithState: an exactly-once running per-user
+    * aggregate over the AT-LEAST-ONCE watermark source (9 ts-ordered
+    * files at 4/trigger → 3 micro-batches, the planted late file
+    * REDELIVERING the first hour). The processor
+    * (graft/streaming/DedupRunningAgg.scala) fuses keyed dedup (MapState
+    * of seen event ids) with the running (count, cent-sum, latest-event)
+    * ValueState — one state operator where dropDuplicates + agg would be
+    * two stores and two shuffles. Money moves as integer cents (the
+    * exact-decimal conversion happens in-plan BEFORE groupByKey), so
+    * state only ever adds longs and no float summation order exists.
+    * The update-mode emission log re-emits a key's running row per
+    * changing batch; `n_events` is strictly monotone per key, so the
+    * final fold is max(struct(n_events, …)) — batch-split invariant by
+    * construction. ORACLE = the plain batch aggregate over the original
+    * events: redelivered duplicates must be absorbed exactly.
+    */
+  val streamReplayTransformState: Op = Op(
+    "stream_replay_transform_state",
+    (s, dir) => {
+      val src = wmReplaySrc(s, dir)
+      val s2 = s.newSession()
+      s.conf.getAll.foreach { case (k, v) =>
+        if (s2.conf.isModifiable(k) && s2.conf.getOption(k) != Some(v))
+          s2.conf.set(k, v)
+      }
+      s2.conf.set("spark.sql.session.timeZone", "UTC")
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      // transformWithState requires the RocksDB store; scoped to the
+      // session clone so batch queries keep the default provider
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      import s2.implicits._
+      val in = s2.readStream.schema(Tables.expectedSchemas("events"))
+        .option("maxFilesPerTrigger", "4")
+        .parquet(src)
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(ts)").as("ts_us"),
+          (dec2(col("value")) * 100).cast(LongType).as("cents"))
+        .as[graft.streaming.EvIn]
+      val q = in.groupByKey(_.user_id)
+        .transformWithState(new graft.streaming.DedupRunningAgg,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .toDF()
+        .writeStream.format("memory").queryName("graft_stream_tws")
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      s2.table("graft_stream_tws")
+        .groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("cents"), col("last_ts_us"),
+          col("last_event_id"))).as("r"))
+        .select(col("user_id"), col("r.n_events").as("n_events"),
+          (col("r.cents").cast(DoubleType) / 100.0).as("sum_value"),
+          fmtSec(expr("timestamp_micros(r.last_ts_us)")).as("last_ts"),
+          col("r.last_event_id").as("last_event_id"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH a AS (
+        SELECT user_id, COUNT(*) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1
+      ), l AS (
+        SELECT user_id, ts, event_id FROM (
+          SELECT user_id, ts, event_id,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) WHERE rn = 1
+      )
+      SELECT a.user_id, n_events, sum_value,
+        strftime(date_trunc('second', l.ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+        l.event_id AS last_event_id
+      FROM a JOIN l USING (user_id) ORDER BY user_id
+    """.stripMargin.trim))
+
   /** Day-of-week × hour-of-day seasonality matrix — the load-pattern
     * profile behind capacity planning and anomaly baselining: event
     * count and mean value per (dow, hour) cell. ONE partial+final
@@ -2022,6 +2101,7 @@ WITH hourly AS (
     streamReplayTumbling, streamReplayDedup, streamReplaySession,
     streamReplaySliding, streamReplayJoin, streamReplayWatermarked,
     streamReplaySessionWatermarked, streamReplayUpsert,
+    streamReplayTransformState,
     eventsCohortRetention, eventsHistogram, eventsSeasonality,
     eventsSessionize, eventsFunnel, timeseriesGapfill, eventsAttribution,
     eventsTransitions, eventsAnomalyZscore, eventsRollingDistinct,

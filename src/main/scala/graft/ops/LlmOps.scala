@@ -3006,7 +3006,141 @@ object LlmOps {
       ORDER BY merge_round
     """.stripMargin.trim))
 
+  /** Contrastive-training triplet mining — the retrieval/embedding-model
+    * data op every similarity pipeline runs after dedup: for each probe
+    * anchor (vec_id ∤ 50, the simsearch probe set), the HARD POSITIVE
+    * (same label, LEAST similar — the in-class example the model most
+    * needs to pull in) and the top-3 HARD NEGATIVES (different label,
+    * MOST similar — the impostors it must push away). Similarity is the
+    * native codegen'd CosineSim kernel, ranked on the ROUNDED value with
+    * id tie pins (an ulp can't flip a rank).
+    *
+    * Scale shape: anchors ride in as a BROADCAST dimension, so the
+    * corpus scans exactly once with no big-side shuffle (the simsearch
+    * pattern); only the |anchors|×N (anchor, sim) pairs — bounded by
+    * the probe batch a deployment mines per pass — shuffle for the two
+    * per-anchor rank windows. At 100 TB anchors batch in fixed-size
+    * waves and the mining loop is this same plan per wave.
+    */
+  val llmHardNegatives: Op = Op(
+    "llm_hard_negatives",
+    (s, dir) => {
+      graft.functions.CosineSim.register(s)
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"), col("embedding").as("v"))
+      val anchors = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("a_id"), col("label").as("a_label"),
+          col("v").as("av"))
+      val sims = e.crossJoin(broadcast(anchors))
+        .filter(col("vec_id") =!= col("a_id"))
+        .select(col("a_id"), col("a_label"), col("vec_id").as("n_id"),
+          col("label"), round(expr("graft_cosine(av, v)"), 6).as("sim"))
+      val pos = sims.filter(col("label") === col("a_label"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("a_id").orderBy(col("sim").asc, col("n_id"))))
+        .filter(col("rnk") === 1)
+        .withColumn("role", lit("hard_pos"))
+      val neg = sims.filter(col("label") =!= col("a_label"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("a_id").orderBy(col("sim").desc, col("n_id"))))
+        .filter(col("rnk") <= 3)
+        .withColumn("role", lit("hard_neg"))
+      pos.unionByName(neg)
+        .select(col("a_id"), col("role"), col("rnk"), col("n_id"), col("sim"))
+        .orderBy("a_id", "role", "rnk")
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, label,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+      ), a AS (
+        SELECT vec_id AS a_id, label AS a_label, v AS av
+        FROM e WHERE vec_id % 50 = 0
+      ), sims AS (
+        SELECT a_id, a_label, vec_id AS n_id, label,
+          ROUND(list_sum(list_transform(list_zip(av, v), z -> z[1] * z[2]))
+            / (sqrt(list_sum(list_transform(av, x -> x * x)))
+               * sqrt(list_sum(list_transform(v, x -> x * x)))), 6) AS sim
+        FROM a, e WHERE vec_id != a_id
+      ), pos AS (
+        SELECT a_id, 'hard_pos' AS role, CAST(rnk AS INT) AS rnk, n_id, sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY a_id
+            ORDER BY sim ASC, n_id) AS rnk
+          FROM sims WHERE label = a_label)
+        WHERE rnk = 1
+      ), neg AS (
+        SELECT a_id, 'hard_neg' AS role, CAST(rnk AS INT) AS rnk, n_id, sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY a_id
+            ORDER BY sim DESC, n_id) AS rnk
+          FROM sims WHERE label != a_label)
+        WHERE rnk <= 3
+      )
+      SELECT a_id, role, rnk, n_id, sim FROM pos
+      UNION ALL SELECT a_id, role, rnk, n_id, sim FROM neg
+      ORDER BY a_id, role, rnk
+    """.stripMargin.trim))
+
+  /** Dataset card — the governance artifact every published training
+    * corpus ships (per-slice composition + quality stats): for each
+    * (source, lang) slice, document count, corpus share, whitespace-token
+    * totals, char-length mean/median, and the exact-duplicate rate
+    * (1 − distinct normalized fingerprints / docs — the SAME normFp the
+    * dedup family keys on, so card and dedup verdicts can't drift).
+    * Median is exact interpolated percentile (both engines define
+    * quantile_cont identically; surfaced rounded).
+    *
+    * Scale shape: ONE corpus scan → per-slice partial aggregates; the
+    * fingerprint distinct is the only re-keyed pass and shuffles the
+    * 32-byte hash, never the text. Slice count is bounded
+    * (sources × langs), so the card itself is dimension-sized. The
+    * corpus-share divisor rides back as a broadcast 1-row total (the
+    * in-plan-N pattern).
+    */
+  val llmDatasetCard: Op = Op(
+    "llm_dataset_card",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("source"), col("lang"), col("n_chars"),
+          size(toks).as("n_toks"), normFp.as("fp"))
+      val card = d.groupBy("source", "lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks").cast(LongType)).as("n_tokens"),
+        round(avg(col("n_chars").cast(DoubleType)), 4).as("avg_chars"),
+        round(expr("percentile(n_chars, 0.5)"), 4).as("p50_chars"),
+        countDistinct(col("fp")).as("n_uniq"))
+      val tot = d.agg(count(lit(1)).as("n_total"))
+      card.crossJoin(broadcast(tot))
+        .select(col("source"), col("lang"), col("n_docs"),
+          round(col("n_docs").cast(DoubleType) / col("n_total"), 6).as("share"),
+          col("n_tokens"), col("avg_chars"), col("p50_chars"),
+          round(lit(1.0) - col("n_uniq").cast(DoubleType) / col("n_docs"), 6)
+            .as("dup_rate"))
+        .orderBy("source", "lang")
+    },
+    Some("""
+      WITH d AS (
+        SELECT source, lang, n_chars,
+          len(string_split(text, ' ')) AS n_toks,
+          sha256(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fp
+        FROM documents
+      ), card AS (
+        SELECT source, lang, COUNT(*) AS n_docs,
+          CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+          ROUND(AVG(CAST(n_chars AS DOUBLE)), 4) AS avg_chars,
+          ROUND(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+          COUNT(DISTINCT fp) AS n_uniq
+        FROM d GROUP BY 1, 2
+      )
+      SELECT source, lang, n_docs,
+        ROUND(CAST(n_docs AS DOUBLE) / (SELECT COUNT(*) FROM d), 6) AS share,
+        n_tokens, avg_chars, p50_chars,
+        ROUND(1.0 - CAST(n_uniq AS DOUBLE) / n_docs, 6) AS dup_rate
+      FROM card ORDER BY source, lang
+    """.stripMargin.trim))
+
   val ops: Seq[Op] = Seq(
+    llmHardNegatives, llmDatasetCard,
     llmVocabMerges, llmVocabApply,
     llmPackSequences, llmRepetitionFilter, llmDocChunk, llmCrossDedup,
     llmVocabInduce, llmMixSources, llmMixSourcesScale, llmMixEntropy,

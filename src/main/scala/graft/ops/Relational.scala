@@ -54,6 +54,35 @@ object Relational {
             FROM lineitem WHERE l_shipdate >= TIMESTAMP '1999-06-01 00:00:00'
             ORDER BY l_orderkey, l_linenumber"""))
 
+  /** Binary-file ingest — how multimodal payloads (images, audio, model
+    * shards) actually ARRIVE in a lake: `binaryFile` reads each file as
+    * one (path, length, content) row with bytes as an opaque binary
+    * column that stays DISTRIBUTED (per-file splits across executors —
+    * never a driver collect). The fixture's parquet files stand in as
+    * the blobs; the projection emits size plus head/tail/full-content
+    * fingerprints (hex windows + md5), the manifest a 100 TB ingest job
+    * writes before any decode touches the payload.
+    *
+    * NO ORACLE BY DESIGN: the driver's DuckDB session sees fixture
+    * VIEWS, not the fixture directory, so no portable SQL can re-read
+    * the raw files. Compensating gate: BinaryIngestSuite recomputes
+    * every emitted md5/length from java.nio bytes and asserts equality,
+    * which is a stronger check than the hash compare.
+    */
+  val scanBinaryfile: Op = Op(
+    "scan_binaryfile",
+    (s, dir) => {
+      s.read.format("binaryFile").option("pathGlobFilter", "*.parquet")
+        .load(dir)
+        .select(element_at(split(col("path"), "/"), -1).as("file_name"),
+          col("length").as("n_bytes"),
+          substring(hex(col("content")), 1, 32).as("head_hex"),
+          expr("substring(hex(content), -32, 32)").as("tail_hex"),
+          md5(col("content")).as("md5_hex"))
+        .orderBy("file_name")
+    },
+    None)
+
   /** Fixed per-JVM scratch root: repeated invocations overwrite in place
     * instead of accumulating fresh createTempDirectory dirs in /tmp.
     */
@@ -3080,7 +3109,8 @@ object Relational {
     q7VolumeShipping, q10ReturnedItems, q13CustomerDistribution,
     q15TopSupplier, q22GlobalSales, cdcSnapshotDiff,
     joinLateralTopk,
-    scanFull, scanPrune, scanPred, sinkParquet, sinkCsvJson, sinkOrcRoundtrip,
+    scanFull, scanPrune, scanPred, scanBinaryfile,
+    sinkParquet, sinkCsvJson, sinkOrcRoundtrip,
     sinkPartitionedPrune, sinkSchemaEvolution, joinBucketed,
     projectCompute, filterCompound, filterNull3vl,
     joinInnerEqui, joinBroadcast, joinSortMerge, joinLeftOuter, joinRightOuter,

@@ -436,6 +436,10 @@ class PlanSuite extends AnyFunSuite {
 
   test("no CartesianProduct/BroadcastNestedLoopJoin outside the whitelist") {
     val allowed = Set("join_cross", "join_theta_range", "llm_simsearch_topk",
+      // broadcast probe-set crossJoin (the simsearch_topk exact-search
+      // baseline shape: big side scans once, never shuffles) and the
+      // 1-row broadcast corpus-total crossJoin (in-plan-N pattern)
+      "llm_hard_negatives", "llm_dataset_card",
       "llm_text_tfidf", "llm_simsearch_ivf", "llm_ivf_fit", "llm_dedup_embed",
       // 1-row broadcast sign-matrix crossJoin (the llm_dedup_embed
       // quantizer pattern); the candidate join itself is bucket-local
