@@ -662,7 +662,61 @@ object Aggregates {
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
     """.stripMargin.trim))
 
+  /** Exponentially-decayed customer LTV — the time-weighted scoring
+    * behind churn-risk ranking and marketing spend allocation: each
+    * order contributes price·e^(−age/30d) against the corpus'
+    * observation end, summed per customer, top-20 emitted. The decay
+    * weight is the IDENTICAL double expression tree in both engines
+    * (exact integer day-diff through exp), money enters through the
+    * exact decimal chain, and the per-customer sum's order sensitivity
+    * is absorbed by the 4-dp round (values ~1e5, fold drift ~1e-7 —
+    * the llm_ngram_logprob precedent); ranks read the ROUNDED score
+    * with custkey tie pins.
+    *
+    * Scale shape: one pushdown-pruned scan → per-customer partial+final
+    * aggregate; the observation-end date rides in as a broadcast 1-row
+    * max (in-plan-N), and the top-20 runs as sort+limit
+    * (TakeOrderedAndProject — per-partition top-k then a 20-row merge,
+    * never a global sort), with the rank window over the 20 survivors.
+    */
+  val aggDecayedLtv: Op = Op(
+    "agg_decayed_ltv",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+      val mx = o.agg(max(col("o_orderdate")).as("mx_d"))
+      o.crossJoin(broadcast(mx))
+        .select(col("o_custkey"),
+          (dec2(col("o_totalprice")).cast(DoubleType) *
+            exp(datediff(col("mx_d"), col("o_orderdate")).cast(DoubleType)
+              / lit(-30.0))).as("w"))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("w")), 4).as("ltv"))
+        .orderBy(col("ltv").desc, col("o_custkey")).limit(20)
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("ltv").desc, col("o_custkey"))))
+        .orderBy("rn")
+    },
+    Some("""
+      WITH mx AS (SELECT MAX(o_orderdate) AS mx_d FROM orders),
+      w AS (
+        SELECT o_custkey,
+          CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) *
+            EXP(CAST(date_diff('day', o_orderdate, mx_d) AS DOUBLE) / -30.0)
+            AS w
+        FROM orders, mx
+      ), ltv AS (
+        SELECT o_custkey, COUNT(*) AS n_orders, ROUND(SUM(w), 4) AS ltv
+        FROM w GROUP BY 1
+      )
+      SELECT o_custkey, n_orders, ltv, CAST(rn AS INT) AS rn FROM (
+        SELECT *, row_number() OVER (ORDER BY ltv DESC, o_custkey) AS rn
+        FROM ltv)
+      WHERE rn <= 20 ORDER BY rn
+    """.stripMargin.trim))
+
   val ops: Seq[Op] = Seq(
+    aggDecayedLtv,
     aggBitmapDistinct,
     aggPricingSummary, aggFilterClause, aggGlobal, aggCountDistinct, aggApproxDistinct,
     aggSketchMerge, aggHaving, aggArgExtrema, aggStats, aggCorr, aggRegression,

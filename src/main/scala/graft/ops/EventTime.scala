@@ -2096,7 +2096,98 @@ WITH hourly AS (
       GROUP BY r.event_type, p.peak ORDER BY r.event_type
     """.stripMargin.trim))
 
+  /** Kaplan–Meier survival curve over engagement spells — the churn
+    * analysis every subscription/engagement team runs, with honest
+    * RIGHT-CENSORING: spells still active near the corpus end (last
+    * event within 3 days of max(ts)) exit the risk set without
+    * counting as churn, which is what separates KM from a naive
+    * lifetime histogram. The subject is a (user, event_type)
+    * engagement spell rather than the whole user: on this dense
+    * fixture every USER stays active to the end (an all-censored
+    * curve would grade nothing — the validate_constraints "detector
+    * graded on zeros" rule), while per-type spells really lapse
+    * (126 churned / 624 censored at sf0.01). S(t) = Π_{tᵢ≤t}
+    * (1 − dᵢ/nᵢ) computed as exp(Σ ln(·)) over the ascending-t
+    * cumulative window — both engines fold IDENTICAL doubles in the
+    * IDENTICAL (ordered) window sequence, and the d=n boundary
+    * (everyone at risk churns) is pinned to −∞ explicitly so neither
+    * engine's ln(0) convention decides the row.
+    *
+    * Scale shape: the only corpus-scale work is one per-spell min/max
+    * aggregate (partial+final, co-keyed on (user_id, event_type));
+    * everything after is keyed by lifetime-in-days — bounded by
+    * CALENDAR span, not data volume — so the KM fold is
+    * dimension-sized (the single-partition window over ≤|days| rows is
+    * deliberate and safe at any corpus size; the observation-end bound
+    * rides in as a broadcast 1-row max, the in-plan-N pattern).
+    */
+  val eventsSurvivalCurve: Op = Op(
+    "events_survival_curve",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), to_date(col("ts")).as("d"))
+      val life = ev.groupBy("user_id", "event_type")
+        .agg(min(col("d")).as("first_d"), max(col("d")).as("last_d"))
+      val mx = ev.agg(max(col("d")).as("mx_d"))
+      val obs = life.crossJoin(broadcast(mx))
+        .select(
+          datediff(col("last_d"), col("first_d")).cast(LongType).as("t"),
+          when(col("last_d") >= date_sub(col("mx_d"), 3), 1)
+            .otherwise(0).as("censored"))
+      val byT = obs.groupBy("t").agg(
+        sum(when(col("censored") === 0, 1L).otherwise(0L)).as("d_churn"),
+        sum(when(col("censored") === 1, 1L).otherwise(0L)).as("n_censor"))
+      val tot = obs.agg(count(lit(1)).as("n_total"))
+      val wPrev = Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+      byT.crossJoin(broadcast(tot))
+        .withColumn("n_risk", col("n_total") -
+          coalesce(sum(col("d_churn") + col("n_censor")).over(wPrev), lit(0L)))
+        .withColumn("lnf",
+          when(col("d_churn") === col("n_risk"), lit(Double.NegativeInfinity))
+            .otherwise(log(lit(1.0) -
+              col("d_churn").cast(DoubleType) / col("n_risk"))))
+        .select(col("t"), col("n_risk"), col("d_churn"), col("n_censor"),
+          round(exp(sum(col("lnf")).over(wCum)), 6).as("survival"))
+        .orderBy("t")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_type, CAST(ts AS DATE) AS d FROM events
+      ), life AS (
+        SELECT user_id, event_type, MIN(d) AS first_d, MAX(d) AS last_d
+        FROM ev GROUP BY 1, 2
+      ), mx AS (SELECT MAX(d) AS mx_d FROM ev),
+      obs AS (
+        SELECT date_diff('day', first_d, last_d) AS t,
+          CASE WHEN last_d >= mx_d - INTERVAL 3 DAY THEN 1 ELSE 0 END
+            AS censored
+        FROM life, mx
+      ), byt AS (
+        SELECT t,
+          CAST(SUM(CASE WHEN censored = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS d_churn,
+          CAST(SUM(CASE WHEN censored = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_censor
+        FROM obs GROUP BY 1
+      ), km AS (
+        SELECT t, d_churn, n_censor,
+          CAST((SELECT COUNT(*) FROM obs) - COALESCE(SUM(d_churn + n_censor)
+            OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        FROM byt
+      )
+      SELECT t, n_risk, d_churn, n_censor,
+        ROUND(EXP(SUM(CASE WHEN d_churn = n_risk
+            THEN CAST('-infinity' AS DOUBLE)
+            ELSE LN(1 - CAST(d_churn AS DOUBLE) / n_risk) END)
+          OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 6) AS survival
+      FROM km ORDER BY t
+    """.stripMargin.trim))
+
   val ops: Seq[Op] = Seq(
+    eventsSurvivalCurve,
     streamTumbling, streamSliding, streamSession, streamDedupKeys,
     streamReplayTumbling, streamReplayDedup, streamReplaySession,
     streamReplaySliding, streamReplayJoin, streamReplayWatermarked,

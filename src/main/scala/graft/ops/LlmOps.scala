@@ -322,17 +322,24 @@ object LlmOps {
   val llmLangId: Op = Op(
     "llm_lang_id",
     (s, dir) => {
-      // checkpointed once: both the profile build and the scoring pass
-      // consume it — without this the corpus-scale explode+distinct
-      // runs twice (the heaviest stage of the op)
-      val docTri = Tables.documents(s, dir)
+      // per-doc trigram dedup happens ROW-LOCALLY (array_distinct over
+      // the in-row transform) — the corpus-wide explode→shuffle→distinct
+      // this replaces moved every gram over the wire to dedupe keys that
+      // never collide across docs (dedup is per-doc by definition). At
+      // sf0.1 local[32] wall-clock is parity (trigram GENERATION, not
+      // the exchange, bounds the op locally — DevBench 3.05→3.02 s),
+      // but the eliminated exchange is the term that grows with cluster
+      // width; the checkpoint also shrinks to the compact array form
+      // (one row per doc), and both consumers re-explode row-locally
+      val docTriArr = Tables.documents(s, dir)
         .filter(length(col("text")) >= 3)
-        .select(col("doc_id"), col("lang"), col("text"),
-          explode(sequence(lit(1), length(col("text")) - 2)).as("i"))
         .select(col("doc_id"), col("lang"),
-          col("text").substr(col("i"), lit(3)).as("tri"))
-        .distinct()
+          array_distinct(expr(
+            "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+            .as("tris"))
         .localCheckpoint(true)
+      val docTri = docTriArr
+        .select(col("doc_id"), col("lang"), explode(col("tris")).as("tri"))
       val profile = docTri.groupBy(col("lang").as("plang"), col("tri"))
         .agg(count(lit(1)).as("df"))
         .withColumn("rk", row_number().over(
@@ -3139,8 +3146,88 @@ object LlmOps {
       FROM card ORDER BY source, lang
     """.stripMargin.trim))
 
+  /** BM25 retrieval scoring — the lexical-retrieval standard behind
+    * RAG indexing, eval-set mining, and retrieval-based dedup
+    * (Okapi BM25, k1=1.2, b=0.75): probe queries are the distinct
+    * terms of docs ∤ 100 (the simsearch probe convention), every other
+    * doc scores Σ_{t∈q∩d} idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))
+    * with idf = ln(1+(N−df+.5)/(df+.5)), top-5 per query. All inputs
+    * are exact integers (tf, df, dl, N) through the IDENTICAL double
+    * expression tree in both engines; the per-(query,doc) term-sum is
+    * the one order-sensitive fold, absorbed by the 6-dp round (the
+    * llm_ngram_logprob precedent), and ranks read the ROUNDED score
+    * with doc-id tie pins.
+    *
+    * Scale shape: ONE corpus scan builds the (doc, term, tf) table
+    * (checkpointed — df, length, and scoring all consume it); scoring
+    * joins candidates BY TERM (only docs sharing a query term ever
+    * pair — the inverted-index shape, never doc×doc), then co-keyed
+    * joins pull df/length; the probe set is a bounded batch per pass
+    * exactly like the ANN probes.
+    */
+  val llmBm25Retrieval: Op = Op(
+    "llm_bm25_retrieval",
+    (s, dir) => {
+      val tf = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(toks).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
+      val len = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      val stats = len.agg(count(lit(1)).as("nd"),
+        avg(col("dl").cast(DoubleType)).as("avgdl"))
+      val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val q = tf.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("q_id"), col("term"))
+      val scores = tf.join(q, "term")
+        .filter(col("doc_id") =!= col("q_id"))
+        .join(dft, "term")
+        .join(len, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("q_id"), col("doc_id"),
+          (log(lit(1.0) + (col("nd") - col("df") + 0.5) / (col("df") + 0.5)) *
+            (col("tf") * 2.2) /
+            (col("tf") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))).as("part"))
+        .groupBy("q_id", "doc_id")
+        .agg(round(sum("part"), 6).as("bm25"))
+      scores.withColumn("rn", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("bm25").desc, col("doc_id"))))
+        .filter(col("rn") <= 5)
+        .orderBy("q_id", "rn")
+    },
+    Some("""
+      WITH tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        GROUP BY 1, 2
+      ), len AS (
+        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+      ), stats AS (
+        SELECT COUNT(*) AS nd, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM len
+      ), dft AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+      ), q AS (
+        SELECT doc_id AS q_id, term FROM tf WHERE doc_id % 100 = 0
+      ), parts AS (
+        SELECT q.q_id, tf.doc_id,
+          LN(1 + (s.nd - d.df + 0.5) / (d.df + 0.5)) * (tf.tf * 2.2) /
+            (tf.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS part
+        FROM tf JOIN q USING (term) JOIN dft d USING (term)
+          JOIN len l ON l.doc_id = tf.doc_id CROSS JOIN stats s
+        WHERE tf.doc_id != q.q_id
+      ), sc AS (
+        SELECT q_id, doc_id, ROUND(SUM(part), 6) AS bm25
+        FROM parts GROUP BY 1, 2
+      )
+      SELECT q_id, doc_id, bm25, CAST(rn AS INT) AS rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+          ORDER BY bm25 DESC, doc_id) AS rn FROM sc)
+      WHERE rn <= 5 ORDER BY q_id, rn
+    """.stripMargin.trim))
+
   val ops: Seq[Op] = Seq(
-    llmHardNegatives, llmDatasetCard,
+    llmHardNegatives, llmDatasetCard, llmBm25Retrieval,
     llmVocabMerges, llmVocabApply,
     llmPackSequences, llmRepetitionFilter, llmDocChunk, llmCrossDedup,
     llmVocabInduce, llmMixSources, llmMixSourcesScale, llmMixEntropy,

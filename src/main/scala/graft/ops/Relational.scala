@@ -54,6 +54,78 @@ object Relational {
             FROM lineitem WHERE l_shipdate >= TIMESTAMP '1999-06-01 00:00:00'
             ORDER BY l_orderkey, l_linenumber"""))
 
+  /** MERGE-ON-READ — the other half of the lake-merge design space
+    * (merge_upsert/merge_scd2 are copy-on-write: the merge pays at
+    * WRITE time by rewriting data files). MOR instead logs change
+    * batches as cheap delta files and pays at READ time: the scan
+    * unions base + deltas and resolves latest-per-key, exactly how
+    * Iceberg/Delta/Hudi readers fold position/equality deltas. Here
+    * the base snapshot and two sequenced delta batches (updates+inserts
+    * at seq 1, deletes at seq 2 — a key hit by both proves the
+    * sequence order wins) are REAL parquet files in scratch; the
+    * read-side fold is generic (row_number over (key, seq desc), drop
+    * 'D'), never the closed form — the ORACLE recomputes the closed
+    * form from the original table, so the hash match proves the
+    * file-log fold equivalent to the direct merge.
+    *
+    * Scale shape: the fold is ONE co-keyed shuffle of base ∪ deltas on
+    * the merge key; a production MOR reader scopes it per file-group /
+    * bucket so the window never sees more than one group's rows, and
+    * compaction (sink_clustered_prune's job) bounds delta depth. Delta
+    * volume rides the CHANGED set, never the table — the whole point
+    * at 100 TB write rates.
+    */
+  val sinkMergeOnRead: Op = Op(
+    "sink_merge_on_read",
+    (s, dir) => {
+      val tmp = scratch("sink_mor")
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+          col("o_totalprice").as("price"))
+      o.write.mode("overwrite").parquet(s"$tmp/base")
+      val d1 = o.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("status"),
+          (dec2(col("price")) + 100).cast(DoubleType).as("price"),
+          lit(1L).as("seq"), lit("U").as("op"))
+        .unionByName(o.filter(col("o_orderkey") % 11 === 0)
+          .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
+            lit("N").as("status"), col("price"),
+            lit(1L).as("seq"), lit("I").as("op")))
+      val d2 = o.filter(col("o_orderkey") % 13 === 0)
+        .select(col("o_orderkey"), col("status"), col("price"),
+          lit(2L).as("seq"), lit("D").as("op"))
+      d1.unionByName(d2).write.mode("overwrite").parquet(s"$tmp/delta")
+      val base = s.read.parquet(s"$tmp/base")
+        .select(col("o_orderkey"), col("status"), col("price"),
+          lit(0L).as("seq"), lit("U").as("op"))
+      val resolved = base.unionByName(s.read.parquet(s"$tmp/delta"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("o_orderkey").orderBy(col("seq").desc)))
+        .filter(col("rn") === 1 && col("op") =!= "D")
+      resolved.groupBy("status")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("price"))).cast(DoubleType).as("total_price"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+        .orderBy("status")
+    },
+    Some("""
+      WITH final AS (
+        SELECT o_orderkey, o_orderstatus AS status,
+          CASE WHEN o_orderkey % 7 = 0
+            THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 100
+                      AS DECIMAL(12,2))
+            ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS price
+        FROM orders WHERE o_orderkey % 13 != 0
+        UNION ALL
+        SELECT o_orderkey + 20000000, 'N', CAST(o_totalprice AS DECIMAL(12,2))
+        FROM orders WHERE o_orderkey % 11 = 0
+      )
+      SELECT status, COUNT(*) AS n,
+        CAST(SUM(price) AS DOUBLE) AS total_price,
+        MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      FROM final GROUP BY status ORDER BY status
+    """.stripMargin.trim))
+
   /** Binary-file ingest — how multimodal payloads (images, audio, model
     * shards) actually ARRIVE in a lake: `binaryFile` reads each file as
     * one (path, length, content) row with bytes as an opaque binary
@@ -3110,7 +3182,7 @@ object Relational {
     q15TopSupplier, q22GlobalSales, cdcSnapshotDiff,
     joinLateralTopk,
     scanFull, scanPrune, scanPred, scanBinaryfile,
-    sinkParquet, sinkCsvJson, sinkOrcRoundtrip,
+    sinkParquet, sinkCsvJson, sinkOrcRoundtrip, sinkMergeOnRead,
     sinkPartitionedPrune, sinkSchemaEvolution, joinBucketed,
     projectCompute, filterCompound, filterNull3vl,
     joinInnerEqui, joinBroadcast, joinSortMerge, joinLeftOuter, joinRightOuter,

@@ -461,7 +461,8 @@ class PlanSuite extends AnyFunSuite {
       // 1-row broadcast pooled-moments / normalizer / max-day crossJoin
       // (the rfm in-plan-N pattern); corpus-side aggregates are hash aggs
       "events_ab_cuped", "llm_mix_temperature", "events_growth_accounting",
-      "llm_token_budget", "basket_brand_pairs",
+      "llm_token_budget", "basket_brand_pairs", "events_survival_curve",
+      "llm_bm25_retrieval", "agg_decayed_ltv",
       // 1-row broadcast totals crossJoin (the same in-plan-N pattern);
       // the contingency-side aggs are hash aggs over a 120-row frame
       "events_chisq_independence",
