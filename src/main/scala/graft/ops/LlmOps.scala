@@ -3226,8 +3226,81 @@ object LlmOps {
       WHERE rn <= 5 ORDER BY q_id, rn
     """.stripMargin.trim))
 
+  /** Embedding-population drift monitor — the ML-ops check every
+    * embedding pipeline schedules between snapshot versions (model
+    * refresh, re-crawl, encoder upgrade): split the table into a
+    * reference and a current population (vec_id parity — a
+    * deterministic stand-in for two snapshot dates), then per label
+    * report sizes, the cosine between the two MEAN vectors (semantic
+    * drift direction) and the mean-norm ratio (magnitude drift).
+    * Per-dimension means fold identical doubles in both engines
+    * (float→double is exact); the only order-sensitive folds (the avg
+    * and the 64-term dot) sit under the 6-dp round (ngram_logprob
+    * precedent).
+    *
+    * Scale shape: ONE scan explodes E×64 (vec, dim) rows into a
+    * partial+final average keyed (label, pop, dim) — output bounded by
+    * labels × dims, not corpus size; everything after is
+    * dimension-sized. The count pass is a second narrow scan of the
+    * same parquet (column-pruned to 2 ints).
+    */
+  val llmEmbeddingDrift: Op = Op(
+    "llm_embedding_drift",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val dims = e
+        .select(col("label"), (col("vec_id") % 2).as("pop"),
+          posexplode(col("embedding")))
+        .select(col("label"), col("pop"), col("pos"),
+          col("col").cast(DoubleType).as("v"))
+      val means = dims.groupBy("label", "pop", "pos").agg(avg("v").as("m"))
+      val ref = means.filter(col("pop") === 0)
+        .select(col("label"), col("pos"), col("m").as("mr"))
+      val cur = means.filter(col("pop") === 1)
+        .select(col("label"), col("pos"), col("m").as("mc"))
+      val drift = ref.join(cur, Seq("label", "pos"))
+        .groupBy("label")
+        .agg(sum(col("mr") * col("mc")).as("dot"),
+          sum(col("mr") * col("mr")).as("nr"),
+          sum(col("mc") * col("mc")).as("nc"))
+      val counts = e.groupBy("label").agg(
+        sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("n_cur"))
+      counts.join(drift, "label")
+        .select(col("label"), col("n_ref"), col("n_cur"),
+          round(col("dot") / sqrt(col("nr") * col("nc")), 6).as("mean_cosine"),
+          round(sqrt(col("nr")) / sqrt(col("nc")), 6).as("norm_ratio"))
+        .orderBy("label")
+    },
+    Some("""
+      WITH d AS (
+        SELECT label, vec_id % 2 AS pop, i, CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings,
+          LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+      ), m AS (
+        SELECT label, pop, i, AVG(v) AS m FROM d GROUP BY 1, 2, 3
+      ), j AS (
+        SELECT r.label, SUM(r.m * c.m) AS dot,
+          SUM(r.m * r.m) AS nr, SUM(c.m * c.m) AS nc
+        FROM m r JOIN m c
+          ON r.label = c.label AND r.i = c.i AND r.pop = 0 AND c.pop = 1
+        GROUP BY 1
+      ), cnt AS (
+        SELECT label,
+          CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_ref,
+          CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_cur
+        FROM embeddings GROUP BY 1
+      )
+      SELECT cnt.label, n_ref, n_cur,
+        ROUND(dot / SQRT(nr * nc), 6) AS mean_cosine,
+        ROUND(SQRT(nr) / SQRT(nc), 6) AS norm_ratio
+      FROM cnt JOIN j ON cnt.label = j.label ORDER BY cnt.label
+    """.stripMargin.trim))
+
   val ops: Seq[Op] = Seq(
-    llmHardNegatives, llmDatasetCard, llmBm25Retrieval,
+    llmHardNegatives, llmDatasetCard, llmBm25Retrieval, llmEmbeddingDrift,
     llmVocabMerges, llmVocabApply,
     llmPackSequences, llmRepetitionFilter, llmDocChunk, llmCrossDedup,
     llmVocabInduce, llmMixSources, llmMixSourcesScale, llmMixEntropy,

@@ -14,8 +14,10 @@ import graft.ops.{LlmOps, Relational, EventTime, WeightedAvgAgg}
   *
   * Synthetic fixtures are written as `<tmp>/<name>.parquet` so the graded
   * op functions run unchanged against them. Synthetic `events.ts` is a
-  * LONG of nanoseconds, matching what the loader sees after the
-  * nanosAsLong read of the real fixture.
+  * LONG of nanoseconds — the nanos-generation shape — which deliberately
+  * keeps the loader's nanos-as-long branch exercised now that the real
+  * fixture drop moved to TIMESTAMP(MICROS) and takes the NTZ branch
+  * (Tables.events adapts on the observed type).
   */
 class UnitSuite extends AnyFunSuite {
 
