@@ -1074,6 +1074,89 @@ object EventTime {
       GROUP BY 1 ORDER BY channel
     """.stripMargin.trim))
 
+  /** U-SHAPED (position-based) multi-touch attribution — the
+    * complement of `events_attribution`'s last-touch model: every
+    * purchase distributes its value across ALL touchpoints in its
+    * 7-day lookback, 40 % to the first touch, 40 % to the last, the
+    * middle 20 % split evenly (n=1 → 100 %, n=2 → 50/50 — the
+    * standard degenerate conventions), credited per channel. Touch
+    * order is totally pinned by (ts, event_id); credits are identical
+    * double literals/divisions in both engines and the per-channel
+    * sum sits under the 4-dp round. Purchases with an EMPTY lookback
+    * attribute nothing by design (the last-touch op's 'none' bucket
+    * covers that reading).
+    *
+    * Scale shape: one co-keyed self-join on user_id (both sides from
+    * one checkpointed narrow projection, shuffled once on the shared
+    * key); the pair space is bounded by per-user purchases × lookback
+    * activity, never corpus²; the rank/count windows key on purchase
+    * id — high-cardinality, well spread. The credit model is the
+    * portable closed form of what Shapley-value attribution
+    * approximates position-wise.
+    */
+  val eventsAttributionUshape: Op = Op(
+    "events_attribution_ushape",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          dec2(col("value")).as("v"), unix_micros(col("ts")).as("tus"))
+        .localCheckpoint(true)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          col("tus").as("p_tus"), col("v").cast(DoubleType).as("p_value"))
+      val touches = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("event_id").as("t_id"),
+          col("event_type").as("channel"), col("tus").as("t_tus"))
+      val joined = purchases.join(touches, Seq("user_id"))
+        .filter(col("t_tus") < col("p_tus") &&
+          col("t_tus") >= col("p_tus") - lit(7L * 86400L * 1000000L))
+      joined
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("p_id").orderBy(col("t_tus"), col("t_id"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("p_id")))
+        .withColumn("credit",
+          when(col("n") === 1, 1.0)
+            .when(col("n") === 2, 0.5)
+            .when(col("rn") === 1 || col("rn") === col("n"), 0.4)
+            .otherwise(lit(0.2) / (col("n") - 2)))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_touches"),
+          round(sum(col("credit") * col("p_value")), 4).as("attributed_value"))
+        .orderBy("channel")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_id, user_id, event_type,
+          CAST(value AS DECIMAL(12,2)) AS v, epoch_us(ts) AS tus
+        FROM events
+      ), p AS (
+        SELECT user_id, event_id AS p_id, tus AS p_tus,
+          CAST(v AS DOUBLE) AS p_value
+        FROM ev WHERE event_type = 'purchase'
+      ), t AS (
+        SELECT user_id, event_id AS t_id, event_type AS channel,
+          tus AS t_tus
+        FROM ev WHERE event_type != 'purchase'
+      ), j AS (
+        SELECT p.p_id, p.p_value, t.channel, t.t_tus, t.t_id
+        FROM p JOIN t ON p.user_id = t.user_id
+        WHERE t.t_tus < p.p_tus
+          AND t.t_tus >= p.p_tus - CAST(604800000000 AS BIGINT)
+      ), r AS (
+        SELECT p_id, p_value, channel,
+          row_number() OVER (PARTITION BY p_id ORDER BY t_tus, t_id) AS rn,
+          COUNT(*) OVER (PARTITION BY p_id) AS n
+        FROM j
+      )
+      SELECT channel, COUNT(*) AS n_touches,
+        ROUND(SUM(CASE WHEN n = 1 THEN 1.0
+                       WHEN n = 2 THEN 0.5
+                       WHEN rn = 1 OR rn = n THEN 0.4
+                       ELSE 0.2 / (n - 2) END * p_value), 4)
+          AS attributed_value
+      FROM r GROUP BY channel ORDER BY channel
+    """.stripMargin.trim))
+
   /** Event-type transition matrix — first-order Markov statistics over
     * each user's event stream: count every (previous type → type)
     * transition and its conditional probability. The sequence-mining
@@ -2195,6 +2278,7 @@ WITH hourly AS (
     streamReplayTransformState,
     eventsCohortRetention, eventsHistogram, eventsSeasonality,
     eventsSessionize, eventsFunnel, timeseriesGapfill, eventsAttribution,
+    eventsAttributionUshape,
     eventsTransitions, eventsAnomalyZscore, eventsRollingDistinct,
     eventsTrendSlope, eventsAbTtest, eventsAbCuped, eventsPathTopk,
     eventsAnomalyMad, eventsAlertEpisodes, eventsGrowthAccounting,
