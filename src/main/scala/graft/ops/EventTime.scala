@@ -175,33 +175,39 @@ object EventTime {
     * to a driver-side collect of the stream: an unbounded deployment
     * replaces it with a file/table sink in update mode + watermark.
     */
-  private def runReplay(s: org.apache.spark.sql.SparkSession, qname: String,
-      mode: String)(build: org.apache.spark.sql.SparkSession => DataFrame): DataFrame = {
-    // Each replay runs on a session CLONE (`newSession`: shared
-    // SparkContext, private SQLConf + temp-view catalog — the
-    // scan_agg_pushdown isolation pattern, round-9 advice): the
-    // state-store sizing below is private to the replay, so a batch
-    // query planned concurrently on the shared session can never pick
-    // up the override; the clone's fresh catalog also makes the memory
-    // sink's temp view collision-free across invocations.
+  /** The replay conf contract, in ONE place (round-13 advice — every
+    * replay op must share it so a future tz/partitions change can't
+    * drift): a session CLONE (`newSession`: shared SparkContext,
+    * private SQLConf + temp-view catalog — the scan_agg_pushdown
+    * isolation pattern), the PARENT's runtime conf copied on first
+    * (modifiable keys only — static confs throw), so a driver-set flag
+    * (ANSI mode, legacy parsers, …) applies identically to the replay
+    * and its batch twin, then the replay-specific overrides pinned:
+    * UTC, and 8 shuffle partitions — the state-store partition count is
+    * fixed at the query's FIRST run from spark.sql.shuffle.partitions;
+    * 8 stores comfortably hold every replay's state (≤3 600 windows /
+    * 100 k dedup keys / the join's parked rows) and cost 4× less
+    * per-micro-batch setup + delta-file churn than the session default
+    * of 32 (results are partition-count invariant — the CPUS=1-vs-4
+    * gate proves exactly that). `extraConf` is the per-op hook (e.g.
+    * the RocksDB state-store provider for transformWithState).
+    */
+  private def replaySession(s: org.apache.spark.sql.SparkSession,
+      extraConf: Map[String, String] = Map.empty): org.apache.spark.sql.SparkSession = {
     val s2 = s.newSession()
-    // `newSession` resets runtime SQL confs to SparkConf initial values;
-    // copy the PARENT's runtime conf onto the clone first (modifiable
-    // keys only — static confs throw), so a driver-set flag (ANSI mode,
-    // legacy parsers, …) applies identically to the replay and its batch
-    // twin, then pin the replay-specific overrides (round-10 advice).
     s.conf.getAll.foreach { case (k, v) =>
       if (s2.conf.isModifiable(k) && s2.conf.getOption(k) != Some(v)) s2.conf.set(k, v)
     }
     s2.conf.set("spark.sql.session.timeZone", "UTC")
-    // state-store partition count is fixed at the query's FIRST run from
-    // spark.sql.shuffle.partitions; 8 stores comfortably hold every
-    // replay's state (≤3 600 windows / 100 k dedup keys / the join's
-    // parked rows) and cost 4× less per-micro-batch setup + delta-file
-    // churn than the session default of 32 (results are partition-count
-    // invariant — the CPUS=1-vs-4 gate proves exactly that). A real
-    // deployment sizes this to state volume, not to the batch default.
     s2.conf.set("spark.sql.shuffle.partitions", "8")
+    extraConf.foreach { case (k, v) => s2.conf.set(k, v) }
+    s2
+  }
+
+  private def runReplay(s: org.apache.spark.sql.SparkSession, qname: String,
+      mode: String, extraConf: Map[String, String] = Map.empty)(
+      build: org.apache.spark.sql.SparkSession => DataFrame): DataFrame = {
+    val s2 = replaySession(s, extraConf)
     val q = build(s2).writeStream.format("memory").queryName(qname)
       .outputMode(mode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -558,18 +564,21 @@ object EventTime {
     * batch) whose planted late file REDELIVERS the first hour: the
     * upsert absorbs the duplicates without changing the result, the
     * idempotence every at-least-once sink must have.
+    *
+    * Precision-proofing (round-13, the one persistent red cell):
+    * (a) `last_value` leaves as DOUBLE after the DECIMAL(12,2) snap on
+    * BOTH sides — the rendering class the green transform_state twin
+    * proves the driver hashes identically (a raw DECIMAL cell was the
+    * only output class differing from that passing twin); (b) the
+    * oracle's argmax orders by epoch_us(ts), pinning DuckDB's row
+    * selection to the µs instant Spark evaluates — a driver fixture
+    * with sub-µs precision can never flip the selected row again.
     */
   val streamReplayUpsert: Op = Op(
     "stream_replay_upsert",
     (s, dir) => {
       val src = wmReplaySrc(s, dir)
-      val s2 = s.newSession()
-      s.conf.getAll.foreach { case (k, v) =>
-        if (s2.conf.isModifiable(k) && s2.conf.getOption(k) != Some(v))
-          s2.conf.set(k, v)
-      }
-      s2.conf.set("spark.sql.session.timeZone", "UTC")
-      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val s2 = replaySession(s)
       var state: Option[DataFrame] = None
       val q = s2.readStream.schema(Tables.expectedSchemas("events"))
         .option("maxFilesPerTrigger", "4")
@@ -594,17 +603,104 @@ object EventTime {
       state.get
         .select(col("user_id"), fmtSec(col("rec.ts")).as("last_ts"),
           col("rec.event_id").as("last_event_id"),
-          dec2(col("rec.value")).as("last_value"))
+          dec2(col("rec.value")).cast(DoubleType).as("last_value"))
         .orderBy("user_id")
     },
     Some("""
       SELECT user_id,
         strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
         event_id AS last_event_id,
-        CAST(value AS DECIMAL(12,2)) AS last_value
+        CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS last_value
       FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
-          ORDER BY ts DESC, event_id DESC) AS rn
+          ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1 ORDER BY user_id
+    """.stripMargin.trim))
+
+  /** EXACTLY-ONCE file-commit streaming sink — the production twin of
+    * stream_replay_upsert's in-memory fold (round-12 verdict #9): each
+    * micro-batch reduces to latest-per-key and lands as REAL parquet
+    * through the classic commit protocol — write to a temp dir, ATOMIC
+    * rename into `data/batch=<id>`, then record the batch id in a
+    * commit manifest. Redelivery idempotence is exercised IN-PLAN: the
+    * foreachBatch body deliberately invokes the commit twice per batch
+    * (at-least-once delivery), and the manifest check makes the second
+    * call a provable no-op (StreamingSuite asserts one data dir + one
+    * mark per batch, and that a whole re-run reproduces the identical
+    * fold). On top of that the source's planted late file REDELIVERS
+    * the first hour's DATA, which the keep-latest fold absorbs — both
+    * failure modes of an at-least-once pipeline, covered by one sink.
+    *
+    * The read side folds the committed log with the same ASSOCIATIVE
+    * max(struct(ts, event_id, value)) — batch attribution doesn't
+    * matter, so the fold is split-invariant like the upsert's. Scale
+    * shape: per-batch reduce bounds what lands (≤|users| rows/batch);
+    * the log read is a pruned columnar scan + one co-keyed fold; a
+    * deployment checkpoints the manifest with the state store and
+    * compacts the log (sink_compact_rewrite's job). Output/oracle are
+    * the precision-proofed upsert contract (DOUBLE value, µs-pinned
+    * argmax).
+    */
+  val streamReplaySinkCommit: Op = Op(
+    "stream_replay_sink_commit",
+    (s, dir) => {
+      val src = wmReplaySrc(s, dir)
+      val s2 = replaySession(s)
+      val runDir = s"${sys.props("java.io.tmpdir")}/graft_scratch/sink_commit_" +
+        SessionArtifact.dirTag(dir)
+      // wipe the previous run's log so a changed fixture can never be
+      // served stale; the commit protocol below rebuilds it
+      val root = new java.io.File(runDir)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      if (root.exists) rm(root)
+      new java.io.File(s"$runDir/commits").mkdirs()
+      new java.io.File(s"$runDir/data").mkdirs()
+      val q = s2.readStream.schema(Tables.expectedSchemas("events"))
+        .option("maxFilesPerTrigger", "4")
+        .parquet(src)
+        .select(col("user_id"),
+          struct(col("ts"), col("event_id"), col("value")).as("rec"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            bid: Long) =>
+          val reduced = batch.groupBy("user_id").agg(max(col("rec")).as("rec"))
+          def commit(): Unit = {
+            val mark = new java.io.File(s"$runDir/commits/$bid")
+            if (mark.exists) return // already committed — redelivery no-ops
+            val tmpDir = s"$runDir/_tmp_$bid"
+            reduced.write.mode("overwrite").parquet(tmpDir)
+            java.nio.file.Files.move(
+              java.nio.file.Paths.get(tmpDir),
+              java.nio.file.Paths.get(s"$runDir/data/batch=$bid"),
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            mark.createNewFile(); ()
+          }
+          commit()
+          commit() // simulated redelivery: MUST no-op via the manifest
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      s2.read.parquet(s"$runDir/data")
+        .groupBy("user_id").agg(max(col("rec")).as("rec"))
+        .select(col("user_id"), fmtSec(col("rec.ts")).as("last_ts"),
+          col("rec.event_id").as("last_event_id"),
+          dec2(col("rec.value")).cast(DoubleType).as("last_value"))
+        .orderBy("user_id")
+    },
+    Some("""
+      SELECT user_id,
+        strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+        event_id AS last_event_id,
+        CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS last_value
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+          ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         FROM events
       ) WHERE rn = 1 ORDER BY user_id
     """.stripMargin.trim))
@@ -631,36 +727,26 @@ object EventTime {
     "stream_replay_transform_state",
     (s, dir) => {
       val src = wmReplaySrc(s, dir)
-      val s2 = s.newSession()
-      s.conf.getAll.foreach { case (k, v) =>
-        if (s2.conf.isModifiable(k) && s2.conf.getOption(k) != Some(v))
-          s2.conf.set(k, v)
+      // transformWithState requires the RocksDB store; passed through
+      // runReplay's extra-conf hook, scoped to the session clone so
+      // batch queries keep the default provider
+      runReplay(s, "graft_stream_tws", "update", Map(
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) { s2 =>
+        import s2.implicits._
+        s2.readStream.schema(Tables.expectedSchemas("events"))
+          .option("maxFilesPerTrigger", "4")
+          .parquet(src)
+          .select(col("user_id"), col("event_id"),
+            expr("unix_micros(ts)").as("ts_us"),
+            (dec2(col("value")) * 100).cast(LongType).as("cents"))
+          .as[graft.streaming.EvIn]
+          .groupByKey(_.user_id)
+          .transformWithState(new graft.streaming.DedupRunningAgg,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+          .toDF()
       }
-      s2.conf.set("spark.sql.session.timeZone", "UTC")
-      s2.conf.set("spark.sql.shuffle.partitions", "8")
-      // transformWithState requires the RocksDB store; scoped to the
-      // session clone so batch queries keep the default provider
-      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      import s2.implicits._
-      val in = s2.readStream.schema(Tables.expectedSchemas("events"))
-        .option("maxFilesPerTrigger", "4")
-        .parquet(src)
-        .select(col("user_id"), col("event_id"),
-          expr("unix_micros(ts)").as("ts_us"),
-          (dec2(col("value")) * 100).cast(LongType).as("cents"))
-        .as[graft.streaming.EvIn]
-      val q = in.groupByKey(_.user_id)
-        .transformWithState(new graft.streaming.DedupRunningAgg,
-          org.apache.spark.sql.streaming.TimeMode.None(),
-          org.apache.spark.sql.streaming.OutputMode.Update())
-        .toDF()
-        .writeStream.format("memory").queryName("graft_stream_tws")
-        .outputMode("update")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination() finally q.stop()
-      s2.table("graft_stream_tws")
         .groupBy("user_id")
         .agg(max(struct(col("n_events"), col("cents"), col("last_ts_us"),
           col("last_event_id"))).as("r"))
@@ -2275,7 +2361,7 @@ WITH hourly AS (
     streamReplayTumbling, streamReplayDedup, streamReplaySession,
     streamReplaySliding, streamReplayJoin, streamReplayWatermarked,
     streamReplaySessionWatermarked, streamReplayUpsert,
-    streamReplayTransformState,
+    streamReplaySinkCommit, streamReplayTransformState,
     eventsCohortRetention, eventsHistogram, eventsSeasonality,
     eventsSessionize, eventsFunnel, timeseriesGapfill, eventsAttribution,
     eventsAttributionUshape,

@@ -310,45 +310,58 @@ object LlmOps {
     * on a real multi-script corpus the same plan separates languages
     * sharply.
     *
-    * Scale shape: ONE corpus-scale pass (index-sequence explode →
-    * distinct — never a computed-array Generate), a partial+final
-    * aggregate to doc frequencies, a ~250-row profile riding back as a
-    * BROADCAST dimension (the corpus never reshuffles for the join),
-    * then two high-cardinality-key aggregates (doc_id) and the tiny
-    * matrix rollup. Self-classification (train = test) is the honest
-    * fixture framing; a deployment ships the profile table like the
-    * IVF fit.
+    * Scale shape: corpus-scale passes stay FULLY CODEGEN'D (round-13,
+    * the fix for the 3.85→6.35→11.68 s official trend): the r12
+    * row-local `array_distinct(transform(sequence(...)))` form was an
+    * INTERPRETED higher-order-function chain — every doc allocated the
+    * index array, a lambda-evaluated substring array, and an
+    * array_distinct scan outside whole-stage codegen, and it ran TWICE
+    * once the materialization (its own fixed cost) was dropped.
+    * DevBench showed 7.9 s warm for that form vs 0.9 s for this one:
+    * the trigram stream is explode(sequence) → substring (Generate +
+    * projection, both codegen'd), and the per-doc dedup rides INSIDE
+    * the aggregates as count(DISTINCT …) — Spark's two-phase distinct
+    * aggregate dedups (doc, tri) map-side, so the exchange still only
+    * carries deduped keys (the r12 goal) without any interpreted
+    * per-row array work. Profile: partial+final over (lang, tri);
+    * scores: the ~1 250-row profile rides back BROADCAST (the corpus
+    * never reshuffles for the join), then two high-cardinality-key
+    * aggregates (doc_id) and the tiny matrix rollup. Self-
+    * classification (train = test) is the honest fixture framing; a
+    * deployment ships the profile table like the IVF fit.
     */
   val llmLangId: Op = Op(
     "llm_lang_id",
     (s, dir) => {
-      // per-doc trigram dedup happens ROW-LOCALLY (array_distinct over
-      // the in-row transform) — the corpus-wide explode→shuffle→distinct
-      // this replaces moved every gram over the wire to dedupe keys that
-      // never collide across docs (dedup is per-doc by definition). At
-      // sf0.1 local[32] wall-clock is parity (trigram GENERATION, not
-      // the exchange, bounds the op locally — DevBench 3.05→3.02 s),
-      // but the eliminated exchange is the term that grows with cluster
-      // width; the checkpoint also shrinks to the compact array form
-      // (one row per doc), and both consumers re-explode row-locally
-      val docTriArr = Tables.documents(s, dir)
+      // Spread the COMPACT pre-explode rows first: the fixture corpus is
+      // one ~1.5 MB parquet file → ONE scan partition, so without this
+      // the ×300 explode and every partial aggregate above it ran on a
+      // single core ((0+1)/1 stages — the actual source of the official
+      // trend; profiled round-13: 7.4 s → 1.3 s warm). The shuffle moves
+      // only (doc_id, lang, text) BEFORE the multiply — at 100 TB the
+      // scan already splits by maxPartitionBytes and AQE coalesces, but
+      // spreading narrow rows ahead of a generate-heavy stage is the
+      // right order at any scale. The partition count is EXPLICIT
+      // (defaultParallelism): a bare repartition(col) is AQE-coalescible,
+      // and AQE folds this 1.5 MB input right back to one partition —
+      // exactly the starvation being fixed (AQE sizes by bytes and
+      // can't see the ×300 generate above the exchange).
+      val docTri = Tables.documents(s, dir)
         .filter(length(col("text")) >= 3)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), col("lang"), col("text"),
+          explode(expr("sequence(1, length(text) - 2)")).as("i"))
         .select(col("doc_id"), col("lang"),
-          array_distinct(expr(
-            "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
-            .as("tris"))
-        .localCheckpoint(true)
-      val docTri = docTriArr
-        .select(col("doc_id"), col("lang"), explode(col("tris")).as("tri"))
+          expr("substring(text, i, 3)").as("tri"))
       val profile = docTri.groupBy(col("lang").as("plang"), col("tri"))
-        .agg(count(lit(1)).as("df"))
+        .agg(countDistinct(col("doc_id")).as("df"))
         .withColumn("rk", row_number().over(
           Window.partitionBy("plang").orderBy(col("df").desc, col("tri"))))
         .filter(col("rk") <= 50)
         .select(col("plang"), col("tri"))
       val scores = docTri.join(broadcast(profile), "tri")
         .groupBy("doc_id", "lang", "plang")
-        .agg(count(lit(1)).as("score"))
+        .agg(countDistinct(col("tri")).as("score"))
       scores.withColumn("rn", row_number().over(
           Window.partitionBy("doc_id").orderBy(col("score").desc, col("plang"))))
         .filter(col("rn") === 1)
@@ -1850,6 +1863,91 @@ object LlmOps {
       WHERE rn <= 5 ORDER BY p_id, rn
     """.stripMargin.trim))
 
+  /** IVF-bucketed SEMANTIC dedup — near-dup detection in true embedding
+    * space (llm_dedup_embed works on hashed-BoW term vectors; this op
+    * closes that gap, round-12 verdict #8). Reuses the SHARED fitted
+    * quantizer (ivfCents — fit once, every consumer reads the
+    * artifact): candidate pairs form only WITHIN an IVF cell, with
+    * multi-probe (top-2 nearest cells per vector) covering boundary
+    * pairs, then EXACT cosine ≥ 0.9 verifies — the candidate space is
+    * Σ_cells |cell|² instead of N², the standard ANN-dedup shape.
+    *
+    * Fixture honesty note (the llm_pii_scrub treatment): the synthetic
+    * embeddings are near-uniform — max pairwise cosine 0.51 at sf0.01,
+    * measured round-13 — so a real threshold finds nothing. The op
+    * therefore PLANTS deterministic near-dups in-plan (every vec_id %
+    * 25 == 0 gains a copy at id+100000, each component x → 0.9·x+0.01
+    * — cosine ≈ 0.996, well over the 0.9 gate, while the additive tilt
+    * keeps it below 1.0 so the verify threshold does real work), and
+    * the scrub provably finds EXACTLY the planted pairs: candidate
+    * recall vs brute-force ≥-0.9 pairs is 20/20 = 1.0 at sf0.01
+    * (planted twins share a primary cell by construction — they sit
+    * 0.996 apart; SemanticDedupSuite asserts this against the
+    * brute-force pair set).
+    *
+    * Scale shape: assignment is the broadcast-centroid narrow fold
+    * (never a corpus shuffle); the pair self-join keys on cell, so
+    * pair work is cell-bounded (at 100 TB: more cells, same bound);
+    * exact-cosine verify touches only candidates. The per-pair cosine
+    * runs over the DOUBLE vectors via the sequential in-plan fold —
+    * identical left-to-right order in both engines, so the rounded
+    * value is portable (graft_cosine is float-typed; the planted
+    * transform lives in double).
+    */
+  val llmDedupSemantic: Op = Op(
+    "llm_dedup_semantic",
+    (s, dir) => {
+      graft.functions.SqDist.register(s)
+      graft.functions.NearestCells.register(s)
+      val e = ivfVecs(s, dir)
+      val planted = e.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("v"), x => x * 0.9 + 0.01).as("v"))
+      val aug = e.unionByName(planted)
+      val centArr = ivfCentArr(ivfCents(s, dir))
+      val asg = aug.crossJoin(broadcast(centArr))
+        .select(col("vec_id"), explode(nearestCells("v", 2)).as("cell"))
+      val cand = asg.as("a")
+        .join(asg.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+        .distinct()
+      val sims = cand
+        .join(aug.select(col("vec_id").as("a_id"), col("v").as("av")), "a_id")
+        .join(aug.select(col("vec_id").as("b_id"), col("v").as("bv")), "b_id")
+        .select(col("a_id"), col("b_id"),
+          (dot(col("av"), col("bv")) / (l2(col("av")) * l2(col("bv")))).as("cs"))
+      sims.filter(col("cs") >= 0.9)
+        .select(col("a_id"), col("b_id"), round(col("cs"), 6).as("cos_sim"))
+        .orderBy("a_id", "b_id")
+    },
+    Some(s"""$ivfOracleCtes
+      , aug AS (
+        SELECT vec_id, v FROM e
+        UNION ALL
+        SELECT vec_id + 100000, list_transform(v, x -> 0.9 * x + 0.01)
+        FROM e WHERE vec_id % 25 = 0
+      ), masg AS (
+        SELECT vec_id, cell FROM (
+          SELECT a.vec_id, c.cell, row_number() OVER (PARTITION BY a.vec_id
+            ORDER BY ROUND(list_sum(list_transform(list_zip(a.v, c.cvec),
+              z -> (z[1] - z[2]) * (z[1] - z[2]))), 6), c.cell) AS rn
+          FROM aug a CROSS JOIN cents c) WHERE rn <= 2
+      ), cand AS (
+        SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM masg a JOIN masg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      ), sims AS (
+        SELECT c.a_id, c.b_id,
+          list_sum(list_transform(list_zip(x.v, y.v), z -> z[1] * z[2])) /
+            (sqrt(list_sum(list_transform(x.v, t -> t * t))) *
+             sqrt(list_sum(list_transform(y.v, t -> t * t)))) AS cs
+        FROM cand c JOIN aug x ON x.vec_id = c.a_id
+                    JOIN aug y ON y.vec_id = c.b_id
+      )
+      SELECT a_id, b_id, ROUND(cs, 6) AS cos_sim
+      FROM sims WHERE cs >= 0.9 ORDER BY a_id, b_id
+    """.stripMargin.trim))
+
   /** PII scrubbing — the redaction pass a released corpus runs last:
     * regex-detect emails and phone-shaped numbers, replace with typed
     * placeholders, count what was hit. The fixture text carries no PII,
@@ -3314,5 +3412,6 @@ object LlmOps {
     llmDedupEmbed, llmFingerprintWinnow, llmDecontaminate, llmPiiScrub,
     llmPipelineCurate,
     llmSimsearchTopk, llmSimsearchLsh, llmSimsearchLshDet, llmIvfFit, llmSimsearchIvf,
+    llmDedupSemantic,
     llmEmbedQuantize, llmNgramLogprob, llmMultimodalJoin)
 }
