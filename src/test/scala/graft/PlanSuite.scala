@@ -441,6 +441,9 @@ class PlanSuite extends AnyFunSuite {
       // 1-row broadcast corpus-total crossJoin (in-plan-N pattern)
       "llm_hard_negatives", "llm_dataset_card",
       "llm_text_tfidf", "llm_simsearch_ivf", "llm_ivf_fit", "llm_dedup_embed",
+      // same 1-row broadcast centroid-array crossJoin as the IVF pair
+      // above; the pair join itself keys on cell (bucket-local)
+      "llm_dedup_semantic",
       // 1-row broadcast sign-matrix crossJoin (the llm_dedup_embed
       // quantizer pattern); the candidate join itself is bucket-local
       "llm_simsearch_lsh_det",

@@ -203,4 +203,40 @@ class SinkCapabilitySuite extends AnyFunSuite {
       assert(files.forall(_.contains(s".$ext.")), s"codec $codec file naming")
     }
   }
+
+  test("sink_time_travel: version 2 snapshot equals sink_merge_on_read's final fold") {
+    val tt = graft.ops.Relational.sinkTimeTravel.build(s, TestSpark.Sf0001)
+      .filter(col("version") === 2)
+      .select("status", "n", "total_price", "min_key", "max_key")
+      .orderBy("status").collect().toSeq
+    val mor = graft.ops.Relational.sinkMergeOnRead.build(s, TestSpark.Sf0001)
+      .select("status", "n", "total_price", "min_key", "max_key")
+      .orderBy("status").collect().toSeq
+    assert(tt == mor, "latest time-travel snapshot must equal the MOR fold")
+  }
+
+  test("sink_time_travel: version 0 is the untouched base snapshot") {
+    val v0 = graft.ops.Relational.sinkTimeTravel.build(s, TestSpark.Sf0001)
+      .filter(col("version") === 0)
+      .agg(sum("n")).collect()(0).getLong(0)
+    val nOrders = Tables.orders(s, TestSpark.Sf0001).count()
+    assert(v0 == nOrders, "version 0 must contain every base row, no deltas")
+  }
+
+  test("sink_compact_rewrite: compacted table re-folds to itself (fold idempotence)") {
+    // run the op once so the compacted parquet exists, then prove the
+    // compacted table is a fixed point: folding it AGAIN as a base with
+    // zero deltas and re-aggregating reproduces the graded output
+    val graded = graft.ops.Relational.sinkCompactRewrite.build(s, TestSpark.Sf0001)
+      .collect().toSeq
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_scratch/sink_compact"
+    val again = s.read.parquet(s"$tmp/compacted")
+      .groupBy(col("status"), (col("o_orderkey") % 3).as("shard"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("price").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+          .cast(org.apache.spark.sql.types.DoubleType).as("total_price"),
+        max("o_orderkey").as("max_key"))
+      .orderBy("status", "shard").collect().toSeq
+    assert(again == graded)
+  }
 }

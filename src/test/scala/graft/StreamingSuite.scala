@@ -445,4 +445,26 @@ class StreamingSuite extends AnyFunSuite {
     val ids = s.table("dedup_stream").collect().map(_.getLong(0)).sorted.toSeq
     assert(ids == Seq(1L, 2L, 3L))
   }
+
+  test("stream_replay_sink_commit: one committed dir + one mark per batch, rerun identical") {
+    val first = EventTime.streamReplaySinkCommit.build(s, TestSpark.Sf0001)
+      .collect().toSeq
+    val runDir = s"${sys.props("java.io.tmpdir")}/graft_scratch/sink_commit_" +
+      graft.ops.SessionArtifact.dirTag(TestSpark.Sf0001)
+    val dataDirs = new java.io.File(s"$runDir/data").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    val marks = new java.io.File(s"$runDir/commits").listFiles()
+      .map(_.getName).sorted.toSeq
+    // the foreachBatch body calls commit() TWICE per batch; the manifest
+    // must have made the second call a no-op — exactly one data dir and
+    // one mark per micro-batch, marks matching dirs 1:1
+    assert(dataDirs.nonEmpty && dataDirs == marks.map(m => s"batch=$m"),
+      s"commit log inconsistent: data=$dataDirs marks=$marks")
+    // 9 source files at 4/trigger → the state-merge path ran (>1 batch)
+    assert(dataDirs.size > 1, "replay must split into multiple micro-batches")
+    // full rerun (wipe + replay + commit) reproduces the identical fold
+    val second = EventTime.streamReplaySinkCommit.build(s, TestSpark.Sf0001)
+      .collect().toSeq
+    assert(second == first, "sink-commit replay must be deterministic")
+  }
 }
