@@ -25,6 +25,26 @@ object LlmOps {
 
   private def toks: Column = split(col("text"), " ")
 
+  /** The documents corpus, SPREAD across the cluster before any
+    * row-multiplying work (round-13): every fixture table is ONE
+    * single-row-group parquet file, so a plain scan yields one
+    * partition and everything below the first exchange — explodes,
+    * per-term hashing, map-side partial aggregates — serializes on one
+    * core (the root cause of the llm_lang_id official trend; profiled
+    * 7.4 → 1.3 s warm there). The exchange moves only the compact
+    * (doc-level) rows BEFORE the multiply. The partition count is
+    * EXPLICIT: a bare repartition(col) is AQE-coalescible, and AQE
+    * folds a 1.5 MB exchange right back to one partition (it sizes by
+    * bytes and cannot see the generate above). Filters written above
+    * this still push to the scan (PushDownPredicates moves predicates
+    * through RepartitionByExpression). At 100 TB the scan splits by
+    * maxPartitionBytes and this exchange is a cheap narrow-row
+    * rebalance; locally it is the difference between 1 and 32 cores.
+    */
+  private def spreadDocs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+
   /** THE normalized-text fingerprint (lower/trim/squeeze-spaces →
     * sha256) — one definition shared by exact dedup, the curation
     * pipeline, and cross-corpus dedup, which are DOCUMENTED to agree on
@@ -333,22 +353,12 @@ object LlmOps {
   val llmLangId: Op = Op(
     "llm_lang_id",
     (s, dir) => {
-      // Spread the COMPACT pre-explode rows first: the fixture corpus is
-      // one ~1.5 MB parquet file → ONE scan partition, so without this
-      // the ×300 explode and every partial aggregate above it ran on a
-      // single core ((0+1)/1 stages — the actual source of the official
-      // trend; profiled round-13: 7.4 s → 1.3 s warm). The shuffle moves
-      // only (doc_id, lang, text) BEFORE the multiply — at 100 TB the
-      // scan already splits by maxPartitionBytes and AQE coalesces, but
-      // spreading narrow rows ahead of a generate-heavy stage is the
-      // right order at any scale. The partition count is EXPLICIT
-      // (defaultParallelism): a bare repartition(col) is AQE-coalescible,
-      // and AQE folds this 1.5 MB input right back to one partition —
-      // exactly the starvation being fixed (AQE sizes by bytes and
-      // can't see the ×300 generate above the exchange).
-      val docTri = Tables.documents(s, dir)
+      // spreadDocs: the ×300 trigram generate and the partial aggregates
+      // above it must not inherit the scan's single partition — this op
+      // was the official-trend casualty that motivated the helper
+      // (7.4 → 1.3 s warm; full rationale on spreadDocs)
+      val docTri = spreadDocs(s, dir)
         .filter(length(col("text")) >= 3)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), col("lang"), col("text"),
           explode(expr("sequence(1, length(text) - 2)")).as("i"))
         .select(col("doc_id"), col("lang"),
@@ -393,6 +403,63 @@ object LlmOps {
       )
       SELECT lang AS actual_lang, plang AS pred_lang, COUNT(*) AS n_docs
       FROM pred GROUP BY 1, 2 ORDER BY 1, 2
+    """.stripMargin.trim))
+
+  /** CURRICULUM ordering — the staged-training schedule a pretraining
+    * run consumes: rank documents easy→hard inside each language by a
+    * deterministic composite difficulty (token count, mean token
+    * length, type-token ratio — all integer-derived, divisions in
+    * double rounded at 6 dp) and emit each doc's curriculum position
+    * and decile. The stats are ONE row-local projection (size/
+    * array_distinct over the split — no explode, no corpus shuffle);
+    * the only wide op is the per-lang rank window (high-cardinality
+    * enough here; a 100 TB curriculum shards the window key further —
+    * (lang, difficulty-band) — exactly like the win_*_scale twins).
+    * Ties pin on doc_id, so the schedule is total and hash-gradable.
+    */
+  val llmCurriculumOrder: Op = Op(
+    "llm_curriculum_order",
+    (s, dir) => {
+      val stats = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          size(toks).as("n_toks"),
+          (length(col("text")) - size(toks) + 1).as("n_chars_tok"),
+          size(array_distinct(toks)).as("n_types"))
+        .select(col("doc_id"), col("lang"), col("n_toks"),
+          round(col("n_chars_tok").cast(DoubleType) / col("n_toks"), 6)
+            .as("mean_tok_len"),
+          round(col("n_types").cast(DoubleType) / col("n_toks"), 6).as("ttr"))
+      val difficulty = round(col("n_toks") * 0.5 +
+        col("mean_tok_len") * 10.0 + col("ttr") * 20.0, 6)
+      val w = Window.partitionBy("lang")
+        .orderBy(col("difficulty"), col("doc_id"))
+      stats.withColumn("difficulty", difficulty)
+        .withColumn("pos", row_number().over(w))
+        .withColumn("decile", ntile(10).over(w))
+        .select(col("lang"), col("doc_id"), col("n_toks"),
+          col("mean_tok_len"), col("ttr"), col("difficulty"),
+          col("pos"), col("decile"))
+        .orderBy("lang", "pos")
+    },
+    Some("""
+      WITH stats AS (
+        SELECT doc_id, lang,
+          len(string_split(text, ' ')) AS n_toks,
+          ROUND(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+            / len(string_split(text, ' ')), 6) AS mean_tok_len,
+          ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' ')), 6) AS ttr
+        FROM documents
+      ), d AS (
+        SELECT *, ROUND(n_toks * 0.5 + mean_tok_len * 10.0 + ttr * 20.0, 6)
+          AS difficulty
+        FROM stats
+      )
+      SELECT lang, doc_id, n_toks, mean_tok_len, ttr, difficulty,
+        row_number() OVER w AS pos, ntile(10) OVER w AS decile
+      FROM d
+      WINDOW w AS (PARTITION BY lang ORDER BY difficulty, doc_id)
+      ORDER BY lang, pos
     """.stripMargin.trim))
 
   /** Corpus statistics per language: doc/token/term counts, type-token
@@ -757,7 +824,9 @@ object LlmOps {
   val llmPipelineCurate: Op = Op(
     "llm_pipeline_curate",
     (s, dir) => {
-      val base = Tables.documents(s, dir).withColumn("n_toks", size(toks))
+      // spreadDocs: the curate chain's shingle explode and checkpoint
+      // otherwise inherit the scan's single partition end-to-end
+      val base = spreadDocs(s, dir).withColumn("n_toks", size(toks))
       val gated = base.filter(col("n_toks") >= 10)
       val fp = gated.withColumn("fp", normFp)
       val keepIds = fp.groupBy("fp").agg(min("doc_id").as("doc_id"))
@@ -1257,7 +1326,7 @@ object LlmOps {
     * signatures, corpus stats, both dot sides). Integer counts: the
     * signature path is exact int64 end to end. */
   private def embedTf(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(col("doc_id"), explode(toks).as("term"))
+    spreadDocs(s, dir).select(col("doc_id"), explode(toks).as("term"))
       .withColumn("dim",
         expr("cast(cast(conv(substring(md5(term), 1, 7), 16, 10) as bigint) % 128 as int)"))
       .groupBy("doc_id", "dim")
@@ -1889,16 +1958,18 @@ object LlmOps {
     * (never a corpus shuffle); the pair self-join keys on cell, so
     * pair work is cell-bounded (at 100 TB: more cells, same bound);
     * exact-cosine verify touches only candidates. The per-pair cosine
-    * runs over the DOUBLE vectors via the sequential in-plan fold —
-    * identical left-to-right order in both engines, so the rounded
-    * value is portable (graft_cosine is float-typed; the planted
-    * transform lives in double).
+    * is the native codegen'd graft_cosine (widened to double arrays
+    * round-13 for exactly this op — the candidate set is cell-bounded
+    * but still the hot loop; the interpreted zip_with/aggregate fold it
+    * replaces cost ~1 s at sf0.1): one fused left-to-right pass,
+    * bit-identical to DuckDB's sequential list_sum formula.
     */
   val llmDedupSemantic: Op = Op(
     "llm_dedup_semantic",
     (s, dir) => {
       graft.functions.SqDist.register(s)
       graft.functions.NearestCells.register(s)
+      graft.functions.CosineSim.register(s)
       val e = ivfVecs(s, dir)
       val planted = e.filter(col("vec_id") % 25 === 0)
         .select((col("vec_id") + 100000L).as("vec_id"),
@@ -1915,8 +1986,7 @@ object LlmOps {
       val sims = cand
         .join(aug.select(col("vec_id").as("a_id"), col("v").as("av")), "a_id")
         .join(aug.select(col("vec_id").as("b_id"), col("v").as("bv")), "b_id")
-        .select(col("a_id"), col("b_id"),
-          (dot(col("av"), col("bv")) / (l2(col("av")) * l2(col("bv")))).as("cs"))
+        .select(col("a_id"), col("b_id"), expr("graft_cosine(av, bv)").as("cs"))
       sims.filter(col("cs") >= 0.9)
         .select(col("a_id"), col("b_id"), round(col("cs"), 6).as("cos_sim"))
         .orderBy("a_id", "b_id")
@@ -3266,7 +3336,7 @@ object LlmOps {
   val llmBm25Retrieval: Op = Op(
     "llm_bm25_retrieval",
     (s, dir) => {
-      val tf = Tables.documents(s, dir)
+      val tf = spreadDocs(s, dir)
         .select(col("doc_id"), explode(toks).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         .localCheckpoint(true)
@@ -3404,7 +3474,7 @@ object LlmOps {
     llmVocabInduce, llmMixSources, llmMixSourcesScale, llmMixEntropy,
     llmMixTemperature, llmTokenBudget, llmSplitHoldout,
     llmQualityFilter, llmQualityScore, llmPrefPairs, llmTokenCount, llmLangId,
-    llmNgramNovelty,
+    llmNgramNovelty, llmCurriculumOrder,
     llmTextStats, llmTextTfidf, llmDedupExact,
     llmDedupNear, llmDedupCluster, llmDedupClusterScale, llmDedupMinhash,
     llmDedupSimhash, llmDedupFuzzy,

@@ -60,4 +60,47 @@ class CosineSimSuite extends AnyFunSuite {
       .select(expr("graft_cosine(a, b)").as("sim"))
     assert(df.collect().map(_.getDouble(0)).toSeq == Seq(0.0, 0.0))
   }
+
+  private def bothFormulationsDouble(factoryMode: String): Seq[(Double, Double)] = {
+    s.conf.set("spark.sql.codegen.factoryMode", factoryMode)
+    try {
+      CosineSim.register(s)
+      // double-typed vectors, including the llm_dedup_semantic planted
+      // transform (x -> 0.9x + 0.01), exercised through the double branch
+      val e = Tables.embeddings(s, TestSpark.Sf0001)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("w", transform(col("v"), x => x * 0.9 + 0.01))
+        .filter(col("vec_id") % 25 === 0)
+      val composed = aggregate(
+        zip_with(col("v"), col("w"), (x, y) => x * y), lit(0.0), (a, x) => a + x) /
+        (sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)) *
+          sqrt(aggregate(transform(col("w"), x => x * x), lit(0.0), (a, x) => a + x)))
+      e.select(expr("graft_cosine(v, w)").as("native"), composed.as("composed"))
+        .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    } finally s.conf.unset("spark.sql.codegen.factoryMode")
+  }
+
+  test("double-array inputs == composition, codegen path") {
+    val rows = bothFormulationsDouble("CODEGEN_ONLY")
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, c) => assert(n == c) }
+  }
+
+  test("double-array inputs == composition, interpreted path") {
+    val rows = bothFormulationsDouble("NO_CODEGEN")
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, c) => assert(n == c) }
+  }
+
+  test("mixed float/double array inputs are rejected") {
+    import s.implicits._
+    CosineSim.register(s)
+    val df = Seq((Array(1f, 2f), Array(1.0, 2.0))).toDF("a", "b")
+    val err = intercept[Exception] {
+      df.select(expr("graft_cosine(a, b)")).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("graft_cosine") ||
+      err.getMessage.toLowerCase.contains("data type mismatch"))
+  }
 }
