@@ -783,6 +783,56 @@ object EventTime {
     * numbering is pinned explicitly: Spark's `dayofweek` is 1=Sunday,
     * DuckDB's is 0=Sunday, so the oracle adds 1.
     */
+  /** POINT-IN-TIME-correct feature extraction — the feature-store
+    * correctness contract behind every training set built from event
+    * logs: for each label row (purchases here) the features must see
+    * ONLY events strictly before the label's timestamp, or the model
+    * trains on the future (training-serving skew). One cumulative
+    * window per user ordered by (ts, event_id) with ROWS UNBOUNDED
+    * PRECEDING → 1 PRECEDING computes the as-of features in a single
+    * co-keyed pass — no as-of join, no per-label scan; the purchase
+    * filter applies AFTER the frame so non-label events still feed
+    * history. Money folds through exact DECIMAL inside the frame (sum
+    * order is frame order — identical in both engines under the total
+    * (ts, event_id) ordering). Scale shape: one shuffle on user_id
+    * (high-cardinality), then narrow frame arithmetic; labels at 100 TB
+    * are a filter, never a join.
+    */
+  val eventsPointintimeFeatures: Op = Op(
+    "events_pointintime_features",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"), dec2(col("value")).as("v"))
+        .withColumn("n_prior", count(lit(1)).over(w))
+        .withColumn("n_prior_purchases",
+          coalesce(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .over(w), lit(0L)))
+        .withColumn("prior_value",
+          coalesce(sum(col("v")).over(w).cast(DoubleType), lit(0.0)))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), fmtSec(col("ts")).as("label_ts"),
+          col("n_prior"), col("n_prior_purchases"), col("prior_value"))
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT event_id, user_id,
+        strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS label_ts,
+        COUNT(*) OVER w AS n_prior,
+        COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          OVER w AS BIGINT), 0) AS n_prior_purchases,
+        COALESCE(CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE), 0.0)
+          AS prior_value
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      QUALIFY event_type = 'purchase'
+      ORDER BY event_id
+    """.stripMargin.trim))
+
   val eventsSeasonality: Op = Op(
     "events_seasonality",
     (s, dir) =>
@@ -2362,6 +2412,7 @@ WITH hourly AS (
     streamReplaySliding, streamReplayJoin, streamReplayWatermarked,
     streamReplaySessionWatermarked, streamReplayUpsert,
     streamReplaySinkCommit, streamReplayTransformState,
+    eventsPointintimeFeatures,
     eventsCohortRetention, eventsHistogram, eventsSeasonality,
     eventsSessionize, eventsFunnel, timeseriesGapfill, eventsAttribution,
     eventsAttributionUshape,

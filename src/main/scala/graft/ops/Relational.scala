@@ -1652,6 +1652,55 @@ object Relational {
     * all-to-one-partition hazard has nothing to move). At serve time
     * the encoding map is a broadcast dim against any fact stream.
     */
+  /** Numeric feature SCALING — the standard ML-prep transforms
+    * (min-max to [0,1], z-score) over customer balances, computed the
+    * distributed way: ONE partial+final aggregate produces the 1-row
+    * stats dimension (n, min, max, exact-decimal Σx and Σx²), which
+    * rides back as a broadcast crossJoin so the table never reshuffles
+    * for the normalize (the in-plan-N pattern). Mean/std derive in
+    * DOUBLE from the exact sums — population std via
+    * sqrt(Σx²/n − (Σx/n)²), identical inputs → identical IEEE results
+    * in both engines; outputs round at 6 dp. Scale shape: the stats agg
+    * is a full-scan partial+final; the apply is a narrow per-row map —
+    * a 100 TB feature pipeline runs exactly this (fit stats once,
+    * broadcast, apply), never a sort or a global window.
+    */
+  val featureScalePack: Op = Op(
+    "feature_scale_pack",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey"), dec2(col("c_acctbal")).as("bal"))
+      val stats = c.agg(
+        count(lit(1)).as("n"),
+        min(col("bal")).as("mn"), max(col("bal")).as("mx"),
+        sum(col("bal")).as("sx"),
+        sum((col("bal") * col("bal")).cast(DecimalType(30, 4))).as("sxx"))
+      val mean = col("sx").cast(DoubleType) / col("n")
+      val std = sqrt(col("sxx").cast(DoubleType) / col("n") - mean * mean)
+      c.crossJoin(broadcast(stats))
+        .select(col("c_custkey"), col("bal").cast(DoubleType).as("bal"),
+          round((col("bal") - col("mn")).cast(DoubleType) /
+            (col("mx") - col("mn")).cast(DoubleType), 6).as("minmax"),
+          round((col("bal").cast(DoubleType) - mean) / std, 6).as("zscore"))
+        .orderBy("c_custkey")
+    },
+    Some("""
+      WITH c AS (
+        SELECT c_custkey, CAST(c_acctbal AS DECIMAL(12,2)) AS bal FROM customer
+      ), stats AS (
+        SELECT COUNT(*) AS n, MIN(bal) AS mn, MAX(bal) AS mx,
+          SUM(bal) AS sx,
+          SUM(CAST(bal * bal AS DECIMAL(30,4))) AS sxx
+        FROM c
+      )
+      SELECT c_custkey, CAST(bal AS DOUBLE) AS bal,
+        ROUND(CAST(bal - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE), 6) AS minmax,
+        ROUND((CAST(bal AS DOUBLE) - CAST(sx AS DOUBLE) / n) /
+          sqrt(CAST(sxx AS DOUBLE) / n -
+            (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)), 6) AS zscore
+      FROM c, stats ORDER BY c_custkey
+    """.stripMargin.trim))
+
   val featureTargetEncode: Op = Op(
     "feature_target_encode",
     (s, dir) => {
@@ -3366,5 +3415,5 @@ object Relational {
     sortMultiNulls, limitTopk,
     setUnionAll, setUnionDistinct, setIntersect, setExcept,
     setIntersectAll, setExceptAll, setUnionByName, scanCsvPermissive,
-    scanJsonPermissive, joinNullSafe, featureTargetEncode)
+    scanJsonPermissive, joinNullSafe, featureTargetEncode, featureScalePack)
 }

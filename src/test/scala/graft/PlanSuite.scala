@@ -199,6 +199,42 @@ class PlanSuite extends AnyFunSuite {
       s"lang landed in PushedFilters (row-level) instead of partition pruning: $pushed")
   }
 
+  test("sink_time_travel folds the log in ONE co-keyed pass per snapshot") {
+    val p = plan("sink_time_travel")
+    // the latest-per-key window co-keys (version, o_orderkey) in a single
+    // hash exchange; the only other hash exchange is the (version, status)
+    // aggregate, and the final total ORDER BY is one range exchange. A
+    // third hash exchange means the fold stopped being one co-keyed pass.
+    val hashEx = "hashpartitioning\\(([^)]+)\\)".r.findAllMatchIn(p)
+      .map(_.group(1)).toSeq
+    assert(hashEx.length == 2, s"expected 2 hash exchanges, got $hashEx:\n$p")
+    assert(hashEx.exists(e => e.contains("version") && e.contains("o_orderkey")),
+      s"no (version, o_orderkey) co-keyed exchange for the fold: $hashEx")
+    assert("rangepartitioning\\(".r.findAllIn(p).length == 1,
+      s"expected exactly the final ORDER BY range exchange:\n$p")
+    assert(p.contains("Window"), s"latest-per-key fold lost its window:\n$p")
+  }
+
+  test("feature_scale_pack broadcasts the stats row and never reshuffles the table") {
+    val p = plan("feature_scale_pack")
+    assert(p.contains("BroadcastExchange"),
+      s"stats row must ride a broadcast:\n$p")
+    assert("hashpartitioning\\(".r.findFirstIn(p).isEmpty,
+      s"the normalize pass must not reshuffle the table:\n$p")
+    assert("rangepartitioning\\(".r.findAllIn(p).length == 1,
+      s"expected exactly the final ORDER BY range exchange:\n$p")
+  }
+
+  test("events_pointintime_features is one co-keyed window pass on user_id") {
+    val p = plan("events_pointintime_features")
+    val hashEx = "hashpartitioning\\(([^)]+)\\)".r.findAllMatchIn(p)
+      .map(_.group(1)).toSeq
+    assert(hashEx.length == 1 && hashEx.head.startsWith("user_id"),
+      s"expected exactly one user_id exchange for the cumulative frame, got $hashEx:\n$p")
+    assert("rangepartitioning\\(".r.findAllIn(p).length == 1,
+      s"expected exactly the final ORDER BY range exchange:\n$p")
+  }
+
   test("join_bucketed joins with ZERO exchange on the join key (bucketed co-location)") {
     // disable broadcast for the audit: at the test SF the small side fits
     // a broadcast, which also needs no join-key shuffle but would leave
@@ -466,6 +502,9 @@ class PlanSuite extends AnyFunSuite {
       "events_ab_cuped", "llm_mix_temperature", "events_growth_accounting",
       "llm_token_budget", "basket_brand_pairs", "events_survival_curve",
       "llm_bm25_retrieval", "agg_decayed_ltv",
+      // 1-row broadcast min/max/Σx/Σx² stats crossJoin (in-plan-N);
+      // the apply side is a narrow per-row map, never reshuffled
+      "feature_scale_pack",
       // 1-row broadcast totals crossJoin (the same in-plan-N pattern);
       // the contingency-side aggs are hash aggs over a 120-row frame
       "events_chisq_independence",
