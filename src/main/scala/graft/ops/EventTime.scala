@@ -618,6 +618,71 @@ object EventTime {
       ) WHERE rn = 1 ORDER BY user_id
     """.stripMargin.trim))
 
+  /** Streaming CDC upsert WITH DELETES — the streaming twin of the
+    * batch merge_cdc_apply: the event stream reads as a changelog
+    * (event_type 'error' ⇒ tombstone 'D', everything else an upsert
+    * 'U'), and the foreachBatch fold MERGEs keep-latest-per-key state
+    * where a key whose LATEST record is a tombstone leaves the serving
+    * table. The tombstone must ride INSIDE the folded struct (never a
+    * pre-fold filter — dropping deletes early would resurrect the
+    * previous upsert, the classic CDC-merge bug), so the fold stays the
+    * associative max(struct(ts, event_id, op, value)) and the delete
+    * applies as a POST-fold filter; the op column never influences
+    * which record wins (event_id is unique under ts). Same
+    * at-least-once source as the upsert (late file redelivers the
+    * first hour — absorbed), same precision-proofed output contract
+    * (DOUBLE value, µs-pinned oracle argmax). State bounded by
+    * |users|; a deployment MERGEs into a keyed table WHEN MATCHED AND
+    * op='D' THEN DELETE.
+    */
+  val streamReplayCdcUpsert: Op = Op(
+    "stream_replay_cdc_upsert",
+    (s, dir) => {
+      val src = wmReplaySrc(s, dir)
+      val s2 = replaySession(s)
+      var state: Option[DataFrame] = None
+      val q = s2.readStream.schema(Tables.expectedSchemas("events"))
+        .option("maxFilesPerTrigger", "4")
+        .parquet(src)
+        .select(col("user_id"),
+          struct(col("ts"), col("event_id"),
+            when(col("event_type") === "error", lit("D")).otherwise(lit("U"))
+              .as("op"),
+            col("value")).as("rec"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          val bLatest = batch.groupBy("user_id").agg(max(col("rec")).as("rec"))
+          val merged = state match {
+            case Some(st) =>
+              st.union(bLatest).groupBy("user_id").agg(max(col("rec")).as("rec"))
+            case None => bLatest
+          }
+          state = Some(merged.localCheckpoint(true))
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      state.get
+        .filter(col("rec.op") =!= "D")
+        .select(col("user_id"), fmtSec(col("rec.ts")).as("last_ts"),
+          col("rec.event_id").as("last_event_id"),
+          dec2(col("rec.value")).cast(DoubleType).as("last_value"))
+        .orderBy("user_id")
+    },
+    Some("""
+      SELECT user_id,
+        strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+        event_id AS last_event_id,
+        CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS last_value
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+          ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1 AND event_type != 'error' ORDER BY user_id
+    """.stripMargin.trim))
+
   /** EXACTLY-ONCE file-commit streaming sink — the production twin of
     * stream_replay_upsert's in-memory fold (round-12 verdict #9): each
     * micro-batch reduces to latest-per-key and lands as REAL parquet
@@ -2411,7 +2476,7 @@ WITH hourly AS (
     streamReplayTumbling, streamReplayDedup, streamReplaySession,
     streamReplaySliding, streamReplayJoin, streamReplayWatermarked,
     streamReplaySessionWatermarked, streamReplayUpsert,
-    streamReplaySinkCommit, streamReplayTransformState,
+    streamReplayCdcUpsert, streamReplaySinkCommit, streamReplayTransformState,
     eventsPointintimeFeatures,
     eventsCohortRetention, eventsHistogram, eventsSeasonality,
     eventsSessionize, eventsFunnel, timeseriesGapfill, eventsAttribution,

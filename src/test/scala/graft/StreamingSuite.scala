@@ -467,4 +467,26 @@ class StreamingSuite extends AnyFunSuite {
       .collect().toSeq
     assert(second == first, "sink-commit replay must be deterministic")
   }
+
+  test("stream_replay_cdc_upsert applies tombstones post-fold (no resurrection)") {
+    // batch ground truth: the set of users whose LATEST event (by ts,
+    // event_id) is an 'error' must be exactly the users the CDC upsert
+    // drops relative to the plain upsert
+    val latest = Tables.events(s, TestSpark.Sf0001)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+    val tombstoned = latest.filter(col("event_type") === "error")
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    assert(tombstoned.nonEmpty,
+      "fixture must contain users whose latest event is a tombstone")
+    val upsert = EventTime.streamReplayUpsert.build(s, TestSpark.Sf0001)
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    val cdc = EventTime.streamReplayCdcUpsert.build(s, TestSpark.Sf0001)
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    assert(upsert -- cdc == tombstoned,
+      s"CDC delete set diverged: dropped=${upsert -- cdc} expected=$tombstoned")
+    assert((cdc -- upsert).isEmpty, "CDC output must be a subset of the upsert's")
+  }
 }
