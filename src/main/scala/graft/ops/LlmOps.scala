@@ -2370,6 +2370,55 @@ object LlmOps {
       FROM c GROUP BY 1, 2 ORDER BY source, pack_id
     """.stripMargin.trim))
 
+  /** Training-SHARD export manifest — the planning step between a
+    * packed corpus and the shard files a training job reads: every
+    * document assigns to one of 16 shards by a deterministic content
+    * hash (md5 of doc_id — stable across engines and reruns, never
+    * pmod(hash) which is engine-private), and the manifest a writer
+    * needs comes out per shard: document/token counts, byte estimate,
+    * id range, and the token-balance ratio vs the ideal uniform share
+    * (the skew a trainer cares about — a hot shard stalls the epoch).
+    * ONE partial+final aggregate over a row-local projection; at
+    * 100 TB the same hash IS the write partitioning
+    * (repartition(shard) → per-shard files), so the manifest and the
+    * layout can never disagree.
+    */
+  val llmShardManifest: Op = Op(
+    "llm_shard_manifest",
+    (s, dir) => {
+      val nShards = 16
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), length(col("text")).cast(LongType).as("n_bytes"),
+          size(toks).cast(LongType).as("n_toks"),
+          (expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 7), 16, 10) as bigint)")
+            % nShards).as("shard"))
+      val tot = d.agg(sum("n_toks").as("tot_toks"))
+      d.groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"),
+          sum("n_bytes").as("n_bytes"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .crossJoin(broadcast(tot))
+        .select(col("shard"), col("n_docs"), col("n_tokens"), col("n_bytes"),
+          col("min_doc"), col("max_doc"),
+          round(col("n_tokens").cast(DoubleType) * nShards /
+            col("tot_toks"), 6).as("balance"))
+        .orderBy("shard")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+          CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+            % 16 AS shard
+        FROM documents
+      ), tot AS (SELECT SUM(n_toks) AS tot_toks FROM d)
+      SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+        CAST(SUM(n_bytes) AS BIGINT) AS n_bytes,
+        MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+        ROUND(CAST(SUM(n_toks) AS DOUBLE) * 16 / tot_toks, 6) AS balance
+      FROM d, tot GROUP BY shard, tot_toks ORDER BY shard
+    """.stripMargin.trim))
+
   /** Repetition filtering — the Gopher-style quality rule family that
     * catches boilerplate and degenerate generation: per document, the
     * duplicate-word fraction (1 − distinct/total) and the fraction of
@@ -3474,7 +3523,7 @@ object LlmOps {
     llmVocabInduce, llmMixSources, llmMixSourcesScale, llmMixEntropy,
     llmMixTemperature, llmTokenBudget, llmSplitHoldout,
     llmQualityFilter, llmQualityScore, llmPrefPairs, llmTokenCount, llmLangId,
-    llmNgramNovelty, llmCurriculumOrder,
+    llmNgramNovelty, llmCurriculumOrder, llmShardManifest,
     llmTextStats, llmTextTfidf, llmDedupExact,
     llmDedupNear, llmDedupCluster, llmDedupClusterScale, llmDedupMinhash,
     llmDedupSimhash, llmDedupFuzzy,

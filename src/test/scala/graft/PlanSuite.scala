@@ -505,6 +505,9 @@ class PlanSuite extends AnyFunSuite {
       // 1-row broadcast min/max/Σx/Σx² stats crossJoin (in-plan-N);
       // the apply side is a narrow per-row map, never reshuffled
       "feature_scale_pack",
+      // 1-row broadcast corpus-total crossJoin (in-plan-N) feeding the
+      // per-shard balance ratio; the manifest agg is partial+final
+      "llm_shard_manifest",
       // 1-row broadcast totals crossJoin (the same in-plan-N pattern);
       // the contingency-side aggs are hash aggs over a 120-row frame
       "events_chisq_independence",
