@@ -735,14 +735,23 @@ object EventTime {
           val reduced = batch.groupBy("user_id").agg(max(col("rec")).as("rec"))
           def commit(): Unit = {
             val mark = new java.io.File(s"$runDir/commits/$bid")
-            if (mark.exists) return // already committed — redelivery no-ops
+            val dest = java.nio.file.Paths.get(s"$runDir/data/batch=$bid")
+            // the atomic RENAME is the commit point, the mark only the
+            // manifest record — so an existing dest counts as committed
+            // even when the writer died between rename and mark (review
+            // finding: checking the mark alone left a redelivery window
+            // where the second attempt crashed on the existing dir
+            // instead of no-oping)
+            if (mark.exists || java.nio.file.Files.exists(dest)) return
             val tmpDir = s"$runDir/_tmp_$bid"
             reduced.write.mode("overwrite").parquet(tmpDir)
             java.nio.file.Files.move(
-              java.nio.file.Paths.get(tmpDir),
-              java.nio.file.Paths.get(s"$runDir/data/batch=$bid"),
+              java.nio.file.Paths.get(tmpDir), dest,
               java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-            mark.createNewFile(); ()
+            if (!mark.createNewFile() && !mark.exists)
+              throw new java.io.IOException(
+                s"batch $bid committed but its manifest mark could not be recorded")
+            ()
           }
           commit()
           commit() // simulated redelivery: MUST no-op via the manifest
@@ -859,7 +868,10 @@ object EventTime {
     * filter applies AFTER the frame so non-label events still feed
     * history. Money folds through exact DECIMAL inside the frame (sum
     * order is frame order — identical in both engines under the total
-    * (ts, event_id) ordering). Scale shape: one shuffle on user_id
+    * (ts, event_id) ordering). The oracle's frame orders by
+    * epoch_us(ts) like the upsert family's argmax: a sub-µs driver
+    * fixture must not be able to flip the frame order DuckDB sees
+    * relative to Spark's µs view (review finding, round-13). Scale shape: one shuffle on user_id
     * (high-cardinality), then narrow frame arithmetic; labels at 100 TB
     * are a filter, never a join.
     */
@@ -892,7 +904,7 @@ object EventTime {
         COALESCE(CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE), 0.0)
           AS prior_value
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
       QUALIFY event_type = 'purchase'
       ORDER BY event_id

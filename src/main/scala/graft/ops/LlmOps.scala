@@ -1974,10 +1974,16 @@ object LlmOps {
       val planted = e.filter(col("vec_id") % 25 === 0)
         .select((col("vec_id") + 100000L).as("vec_id"),
           transform(col("v"), x => x * 0.9 + 0.01).as("v"))
-      val aug = e.unionByName(planted)
+      // both consumed repeatedly — aug by the assignment and BOTH sims
+      // joins, asg by both sides of the candidate self-join — so each
+      // materializes once (the llm_ngram_novelty round-11 treatment;
+      // without this the broadcast-centroid assignment ran twice and
+      // the augmented scan three times)
+      val aug = e.unionByName(planted).localCheckpoint(true)
       val centArr = ivfCentArr(ivfCents(s, dir))
       val asg = aug.crossJoin(broadcast(centArr))
         .select(col("vec_id"), explode(nearestCells("v", 2)).as("cell"))
+        .localCheckpoint(true)
       val cand = asg.as("a")
         .join(asg.as("b"),
           col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))

@@ -75,14 +75,26 @@ object Relational {
     * volume rides the CHANGED set, never the table — the whole point
     * at 100 TB write rates.
     */
-  val sinkMergeOnRead: Op = Op(
-    "sink_merge_on_read",
-    (s, dir) => {
-      val tmp = scratch("sink_mor")
+  /** The ONE definition of the synthetic MOR change log (base snapshot
+    * + sequenced deltas: %7-stride price updates and %11-stride +20M
+    * inserts at seq 1, %13-stride deletes at seq 2), written ONCE per
+    * (session, fixture dir) and shared by sink_merge_on_read,
+    * sink_time_travel and sink_compact_rewrite — the log is an
+    * immutable INPUT to all three (each op's own graded work starts at
+    * the read-side fold), so sharing it is the wmReplaySrc treatment:
+    * no three-way copy-paste of the stride semantics to drift apart,
+    * no 3× redundant write I/O per run (round-13 review finding). A
+    * fresh session rewrites, so a changed fixture is never served
+    * stale. Returns the log root (base/ + delta/).
+    */
+  private val morLogWritten = new SessionArtifact[String]
+  private def morLog(s: SparkSession, dir: String): String =
+    morLogWritten(s, dir) {
+      val p = scratch("mor_log_" + SessionArtifact.dirTag(dir))
       val o = Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_orderstatus").as("status"),
           col("o_totalprice").as("price"))
-      o.write.mode("overwrite").parquet(s"$tmp/base")
+      o.write.mode("overwrite").parquet(s"$p/base")
       val d1 = o.filter(col("o_orderkey") % 7 === 0)
         .select(col("o_orderkey"), col("status"),
           (dec2(col("price")) + 100).cast(DoubleType).as("price"),
@@ -94,7 +106,29 @@ object Relational {
       val d2 = o.filter(col("o_orderkey") % 13 === 0)
         .select(col("o_orderkey"), col("status"), col("price"),
           lit(2L).as("seq"), lit("D").as("op"))
-      d1.unionByName(d2).write.mode("overwrite").parquet(s"$tmp/delta")
+      d1.unionByName(d2).write.mode("overwrite").parquet(s"$p/delta")
+      p
+    }
+
+  /** The closed form of the fully-applied log, shared verbatim by the
+    * sink_merge_on_read and sink_compact_rewrite oracles (one string —
+    * the stride semantics cannot fork per oracle).
+    */
+  private val morFinalCteSql: String = """
+        SELECT o_orderkey, o_orderstatus AS status,
+          CASE WHEN o_orderkey % 7 = 0
+            THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 100
+                      AS DECIMAL(12,2))
+            ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS price
+        FROM orders WHERE o_orderkey % 13 != 0
+        UNION ALL
+        SELECT o_orderkey + 20000000, 'N', CAST(o_totalprice AS DECIMAL(12,2))
+        FROM orders WHERE o_orderkey % 11 = 0"""
+
+  val sinkMergeOnRead: Op = Op(
+    "sink_merge_on_read",
+    (s, dir) => {
+      val tmp = morLog(s, dir)
       val base = s.read.parquet(s"$tmp/base")
         .select(col("o_orderkey"), col("status"), col("price"),
           lit(0L).as("seq"), lit("U").as("op"))
@@ -108,17 +142,8 @@ object Relational {
           min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
         .orderBy("status")
     },
-    Some("""
-      WITH final AS (
-        SELECT o_orderkey, o_orderstatus AS status,
-          CASE WHEN o_orderkey % 7 = 0
-            THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 100
-                      AS DECIMAL(12,2))
-            ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS price
-        FROM orders WHERE o_orderkey % 13 != 0
-        UNION ALL
-        SELECT o_orderkey + 20000000, 'N', CAST(o_totalprice AS DECIMAL(12,2))
-        FROM orders WHERE o_orderkey % 11 = 0
+    Some(s"""
+      WITH final AS ($morFinalCteSql
       )
       SELECT status, COUNT(*) AS n,
         CAST(SUM(price) AS DOUBLE) AS total_price,
@@ -128,9 +153,9 @@ object Relational {
 
   /** TIME-TRAVEL read over the merge-on-read log — the lake capability
     * MOR makes cheap: any historical snapshot is "fold the log up to
-    * version k". Writes the SAME base + sequenced delta layout as
-    * sink_merge_on_read (own scratch copy — ops never share mutable
-    * scratch), then folds the log AS OF every version in one plan: a
+    * version k". Reads the SHARED immutable morLog (one write per
+    * session/fixture — the wmReplaySrc treatment; see morLog's
+    * scaladoc), then folds the log AS OF every version in one plan: a
     * tiny versions dimension joins on seq <= version, and the
     * keep-latest fold windows on (version, key). Version 0 = base
     * snapshot, 1 = updates+inserts applied, 2 = deletes applied — the
@@ -150,23 +175,7 @@ object Relational {
   val sinkTimeTravel: Op = Op(
     "sink_time_travel",
     (s, dir) => {
-      val tmp = scratch("sink_tt")
-      val o = Tables.orders(s, dir)
-        .select(col("o_orderkey"), col("o_orderstatus").as("status"),
-          col("o_totalprice").as("price"))
-      o.write.mode("overwrite").parquet(s"$tmp/base")
-      val d1 = o.filter(col("o_orderkey") % 7 === 0)
-        .select(col("o_orderkey"), col("status"),
-          (dec2(col("price")) + 100).cast(DoubleType).as("price"),
-          lit(1L).as("seq"), lit("U").as("op"))
-        .unionByName(o.filter(col("o_orderkey") % 11 === 0)
-          .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
-            lit("N").as("status"), col("price"),
-            lit(1L).as("seq"), lit("I").as("op")))
-      val d2 = o.filter(col("o_orderkey") % 13 === 0)
-        .select(col("o_orderkey"), col("status"), col("price"),
-          lit(2L).as("seq"), lit("D").as("op"))
-      d1.unionByName(d2).write.mode("overwrite").parquet(s"$tmp/delta")
+      val tmp = morLog(s, dir)
       val log = s.read.parquet(s"$tmp/base")
         .select(col("o_orderkey"), col("status"), col("price"),
           lit(0L).as("seq"), lit("U").as("op"))
@@ -233,27 +242,14 @@ object Relational {
   val sinkCompactRewrite: Op = Op(
     "sink_compact_rewrite",
     (s, dir) => {
+      val log = morLog(s, dir)
+      // the compacted output stays op-PRIVATE scratch (only the input
+      // log is shared): compaction owns its rewrite target
       val tmp = scratch("sink_compact")
-      val o = Tables.orders(s, dir)
-        .select(col("o_orderkey"), col("o_orderstatus").as("status"),
-          col("o_totalprice").as("price"))
-      o.write.mode("overwrite").parquet(s"$tmp/base")
-      val d1 = o.filter(col("o_orderkey") % 7 === 0)
-        .select(col("o_orderkey"), col("status"),
-          (dec2(col("price")) + 100).cast(DoubleType).as("price"),
-          lit(1L).as("seq"), lit("U").as("op"))
-        .unionByName(o.filter(col("o_orderkey") % 11 === 0)
-          .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
-            lit("N").as("status"), col("price"),
-            lit(1L).as("seq"), lit("I").as("op")))
-      val d2 = o.filter(col("o_orderkey") % 13 === 0)
-        .select(col("o_orderkey"), col("status"), col("price"),
-          lit(2L).as("seq"), lit("D").as("op"))
-      d1.unionByName(d2).write.mode("overwrite").parquet(s"$tmp/delta")
-      val folded = s.read.parquet(s"$tmp/base")
+      val folded = s.read.parquet(s"$log/base")
         .select(col("o_orderkey"), col("status"), col("price"),
           lit(0L).as("seq"), lit("U").as("op"))
-        .unionByName(s.read.parquet(s"$tmp/delta"))
+        .unionByName(s.read.parquet(s"$log/delta"))
         .withColumn("rn", row_number().over(
           Window.partitionBy("o_orderkey").orderBy(col("seq").desc)))
         .filter(col("rn") === 1 && col("op") =!= "D")
@@ -266,17 +262,8 @@ object Relational {
           max("o_orderkey").as("max_key"))
         .orderBy("status", "shard")
     },
-    Some("""
-      WITH final AS (
-        SELECT o_orderkey, o_orderstatus AS status,
-          CASE WHEN o_orderkey % 7 = 0
-            THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 100
-                      AS DECIMAL(12,2))
-            ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS price
-        FROM orders WHERE o_orderkey % 13 != 0
-        UNION ALL
-        SELECT o_orderkey + 20000000, 'N', CAST(o_totalprice AS DECIMAL(12,2))
-        FROM orders WHERE o_orderkey % 11 = 0
+    Some(s"""
+      WITH final AS ($morFinalCteSql
       )
       SELECT status, o_orderkey % 3 AS shard, COUNT(*) AS n,
         CAST(SUM(price) AS DOUBLE) AS total_price,
