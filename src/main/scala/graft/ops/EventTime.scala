@@ -2482,6 +2482,166 @@ WITH hourly AS (
       FROM km ORDER BY t
     """.stripMargin.trim))
 
+  /** CUSUM drift/changepoint detection over each event type's daily
+    * count series — the monitoring layer a pipeline runs on its own
+    * volume: "has this source's rate shifted upward?". The recursive
+    * CUSUM statistic S_t = max(0, S_{t-1} + (x_t − μ − k)) is evaluated
+    * in CLOSED FORM (S_t = P_t − min(0, min_{j≤t} P_j) with P the
+    * prefix sum of the slack-adjusted series) so the whole detector is
+    * two running windows — no recursion, no driver loop. Slack k = σ/2
+    * and alarm threshold h = 4σ per the standard tuning; μ and σ come
+    * from EXACT integer sums (Σn, Σn²) so every per-row double input
+    * is bit-deterministic, and the running sums fold those in frame
+    * order — identical left-to-right in both engines — so partition
+    * invariance holds by construction (the events_ewma precedent).
+    *
+    * Scale shape: daily counts are one partial+final hash aggregate
+    * (dimension-sized output: types × days); the windows run over that
+    * tiny series. At 100 TB only the first aggregate sees data volume,
+    * and it map-side combines.
+    */
+  val eventsCusum: Op = Op(
+    "events_cusum",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), fmtDay(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val stats = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("nd"), sum("n").as("sn"),
+          sum(col("n") * col("n")).as("snn"))
+        .select(col("event_type").as("et_s"),
+          (col("sn").cast(DoubleType) / col("nd")).as("mu"),
+          sqrt((col("snn").cast(DoubleType)
+            - col("sn").cast(DoubleType) * col("sn") / col("nd"))
+            / col("nd")).as("sigma"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      daily.join(stats, col("event_type") === col("et_s"))
+        .withColumn("y", col("n") - col("mu") - lit(0.5) * col("sigma"))
+        .withColumn("p", sum(col("y")).over(w))
+        .withColumn("m", min(col("p")).over(w))
+        .withColumn("cusum", col("p") - least(col("m"), lit(0.0)))
+        .select(col("event_type"), col("day"), col("n"),
+          round(col("cusum"), 6).as("cusum"),
+          (col("cusum") > lit(4.0) * col("sigma")).cast(IntegerType).as("alarm"))
+        .orderBy("event_type", "day")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+      ), stats AS (
+        SELECT event_type,
+          CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mu,
+          sqrt((CAST(SUM(n * n) AS DOUBLE)
+            - CAST(SUM(n) AS DOUBLE) * SUM(n) / COUNT(*))
+            / COUNT(*)) AS sigma
+        FROM daily GROUP BY 1
+      ), series AS (
+        SELECT d.event_type, d.day, d.n, s.sigma,
+          d.n - s.mu - 0.5 * s.sigma AS y
+        FROM daily d JOIN stats s ON d.event_type = s.event_type
+      ), pref AS (
+        SELECT event_type, day, n, sigma,
+          SUM(y) OVER (PARTITION BY event_type ORDER BY day) AS p
+        FROM series
+      ), pref2 AS (
+        SELECT event_type, day, n, sigma, p,
+          MIN(p) OVER (PARTITION BY event_type ORDER BY day) AS m
+        FROM pref
+      )
+      SELECT event_type, day, n,
+        ROUND(p - LEAST(m, 0.0), 6) AS cusum,
+        CAST(p - LEAST(m, 0.0) > 4.0 * sigma AS INT) AS alarm
+      FROM pref2 ORDER BY event_type, day
+    """.stripMargin.trim))
+
+  /** Mann–Whitney U (rank-sum) test of each event type's value
+    * distribution against the 'purchase' arm — the NONPARAMETRIC
+    * sibling of events_ab_ttest for the heavy-tailed metrics a t-test
+    * mishandles. Each non-purchase type forms a pair with the shared
+    * purchase sample (replicated via a broadcast of the tiny type
+    * dimension — in-plan, data-derived, never hardcoded); average
+    * ranks resolve ties as rank_min + (tie_size−1)/2, U₁ derives from
+    * the treatment rank sum, and z uses the tie-corrected variance
+    * n₁n₂/12·((N+1) − Σ(t³−t)/(N(N−1))) with Σ(t³−t) folded as the
+    * per-row sum of (tc²−1). Every summed term is an exact half-integer
+    * (ranks) or exact integer (tie counts) — EXACT in double at this
+    * magnitude, so partial-aggregation order cannot perturb the fold
+    * and the single z division rounds at 6 dp on identical inputs.
+    *
+    * Scale shape: one rank window per pair partition (the win_ntile
+    * machinery — distributed by pair), aggregates are partial+final.
+    * The purchase replication rides |types|, a fixed small factor.
+    */
+  val eventsMannWhitney: Op = Op(
+    "events_mann_whitney",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+      val pairsDim = ev.filter(col("event_type") =!= "purchase")
+        .select(col("event_type").as("pair")).distinct()
+      val treat = ev.filter(col("event_type") =!= "purchase")
+        .select(col("event_type").as("pair"), col("event_type"), col("value"))
+      val ctrl = ev.filter(col("event_type") === "purchase")
+        .crossJoin(broadcast(pairsDim))
+        .select(col("pair"), col("event_type"), col("value"))
+      val ranked = treat.unionByName(ctrl)
+        .withColumn("rk", rank().over(
+          Window.partitionBy("pair").orderBy("value")))
+        .withColumn("tc", count(lit(1)).over(
+          Window.partitionBy("pair", "value")))
+      ranked.groupBy("pair")
+        .agg(
+          sum(when(col("event_type") =!= "purchase", 1).otherwise(0)).as("n1"),
+          sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("n2"),
+          sum(when(col("event_type") =!= "purchase",
+            col("rk") + (col("tc") - 1) / lit(2.0)).otherwise(lit(0.0))).as("r1"),
+          sum(col("tc").cast(DoubleType) * col("tc") - 1).as("tsum"),
+          count(lit(1)).as("n"))
+        .select(col("pair").as("event_type"), col("n1"), col("n2"),
+          round(col("r1") - col("n1") * (col("n1") + 1) / lit(2.0), 6).as("u1"),
+          round((col("r1") - col("n1") * (col("n1") + 1) / lit(2.0)
+              - col("n1") * col("n2") / lit(2.0)) /
+            sqrt(col("n1") * col("n2") / lit(12.0) *
+              ((col("n") + 1) - col("tsum")
+                / (col("n").cast(DoubleType) * (col("n") - 1)))), 6).as("z"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT DISTINCT event_type AS pair FROM events
+        WHERE event_type <> 'purchase'
+      ), samp AS (
+        SELECT event_type AS pair, event_type, value FROM events
+        WHERE event_type <> 'purchase'
+        UNION ALL
+        SELECT p.pair, e.event_type, e.value
+        FROM events e CROSS JOIN pairs p WHERE e.event_type = 'purchase'
+      ), ranked AS (
+        SELECT pair, event_type,
+          rank() OVER (PARTITION BY pair ORDER BY value) AS rk,
+          COUNT(*) OVER (PARTITION BY pair, value) AS tc
+        FROM samp
+      ), agg AS (
+        SELECT pair,
+          SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) AS n1,
+          SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n2,
+          SUM(CASE WHEN event_type <> 'purchase'
+              THEN rk + (tc - 1) / 2.0 ELSE 0.0 END) AS r1,
+          SUM(CAST(tc AS DOUBLE) * tc - 1) AS tsum,
+          COUNT(*) AS n
+        FROM ranked GROUP BY pair
+      )
+      SELECT pair AS event_type,
+        -- DuckDB SUM(int) yields HUGEINT, the one int class the driver's
+        -- hash does NOT normalize (check_oracle round-5 finding)
+        CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        ROUND(r1 - n1 * (n1 + 1) / 2.0, 6) AS u1,
+        ROUND((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0) /
+          sqrt(n1 * n2 / 12.0 *
+            ((n + 1) - tsum / (CAST(n AS DOUBLE) * (n - 1)))), 6) AS z
+      FROM agg ORDER BY event_type
+    """.stripMargin.trim))
+
   val ops: Seq[Op] = Seq(
     eventsSurvivalCurve,
     streamTumbling, streamSliding, streamSession, streamDedupKeys,
@@ -2498,5 +2658,5 @@ WITH hourly AS (
     eventsAnomalyMad, eventsAlertEpisodes, eventsGrowthAccounting,
     eventsConcurrencyPeak, eventsInterarrivalStats,
     eventsEwma, eventsTypeOverlap, eventsForecastNaive,
-    eventsChisqIndependence)
+    eventsChisqIndependence, eventsCusum, eventsMannWhitney)
 }

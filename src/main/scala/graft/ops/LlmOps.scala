@@ -682,6 +682,92 @@ object LlmOps {
       SELECT a_id, b_id, jacc FROM vp ORDER BY a_id, b_id
     """.stripMargin.trim))
 
+  /** CONTAINMENT near-dup detection — the asymmetric complement of
+    * llm_dedup_near's Jaccard: C(A→B) = |A∩B| / |A| flags a document
+    * whose shingle set is (mostly) swallowed by a larger one — the
+    * boilerplate-wrapped / quoted-in-full / superset-crawl case that
+    * symmetric Jaccard under-scores (J of a doc inside one 3× its size
+    * tops out at ⅓ while C = 1.0). Candidate generation is the
+    * INVERTED-INDEX shape, not a band self-join: the candidate's 5
+    * lexicographically-min shingles equi-join the full shingle table
+    * (if ≥ 80 % of A sits inside B, at least one of A's min-5 shingles
+    * is in B with P ≈ 1 − 0.2⁵), then the exact two-pointer intersect
+    * verifies on the candidate set only. Orientation: the smaller set
+    * is the contained side; equal-size pairs emit once (a_id < b_id,
+    * where C is symmetric anyway).
+    *
+    * Scale shape: the big exchange is the by-shingle candidate join —
+    * the llm_bm25_retrieval inverted-index pattern (shuffle keys on
+    * the posting term, never doc×doc); at 100 TB the min-5 probe side
+    * stays 5 rows/doc while the full-set side hash-partitions by
+    * shingle, and the verify join rides the tiny candidate set against
+    * the checkpointed shingle arrays (the nearPairs treatment).
+    */
+  val llmDedupContainment: Op = Op(
+    "llm_dedup_containment",
+    (s, dir) => {
+      graft.functions.SortedIntersectCount.register(s)
+      // spreadDocs: unlike nearPairs' 5-shingle band explode, the
+      // posting side below explodes the FULL shingle set — from the
+      // single-file scan's one partition that whole generate would
+      // serialize on one core (the llm_lang_id starvation class)
+      val docs = spreadDocs(s, dir)
+        .select(col("doc_id"), toks.as("toks"))
+        .filter(size(col("toks")) >= 5)
+      val withSh = shingleArr(docs).localCheckpoint(true)
+      val probe = withSh.select(col("doc_id"),
+        explode(slice(col("shs"), 1, 5)).as("shingle"))
+      val posting = withSh.select(col("doc_id").as("out_probe"),
+        explode(col("shs")).as("shingle"))
+      val cpairs = probe
+        .join(posting,
+          probe("shingle") === posting("shingle")
+            && col("doc_id") =!= col("out_probe"))
+        .select(col("doc_id").as("in_id"), col("out_probe").as("out_id"))
+        .distinct()
+      val inter = expr("graft_sorted_intersect_count(in_shs, out_shs)")
+        .cast(DoubleType)
+      val cont = inter / size(col("in_shs"))
+      cpairs
+        .join(withSh.select(col("doc_id").as("in_id"), col("shs").as("in_shs")),
+          "in_id")
+        .join(withSh.select(col("doc_id").as("out_id"), col("shs").as("out_shs")),
+          "out_id")
+        .filter(cont >= 0.8 &&
+          (size(col("in_shs")) < size(col("out_shs")) ||
+            (size(col("in_shs")) === size(col("out_shs"))
+              && col("in_id") < col("out_id"))))
+        .select(col("in_id"), col("out_id"), round(cont, 6).as("containment"))
+        .orderBy("in_id", "out_id")
+    },
+    Some(s"""
+      WITH ${shingleSqlCtes()}, probe AS (
+        SELECT doc_id, shingle
+        FROM (SELECT doc_id, shingle,
+                row_number() OVER (PARTITION BY doc_id ORDER BY shingle) AS rn
+              FROM sh)
+        WHERE rn <= 5
+      ), cpairs AS (
+        SELECT DISTINCT a.doc_id AS in_id, b.doc_id AS out_id
+        FROM probe a JOIN sh b
+          ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      ), inter AS (
+        SELECT p.in_id, p.out_id, COUNT(*) AS inter
+        FROM cpairs p
+          JOIN sh sa ON sa.doc_id = p.in_id
+          JOIN sh sb ON sb.doc_id = p.out_id AND sb.shingle = sa.shingle
+        GROUP BY 1, 2
+      )
+      SELECT i.in_id, i.out_id,
+        ROUND(CAST(inter AS DOUBLE) / za.sz, 6) AS containment
+      FROM inter i
+        JOIN sizes za ON za.doc_id = i.in_id
+        JOIN sizes zb ON zb.doc_id = i.out_id
+      WHERE CAST(inter AS DOUBLE) / za.sz >= 0.8
+        AND (za.sz < zb.sz OR (za.sz = zb.sz AND i.in_id < i.out_id))
+      ORDER BY in_id, out_id
+    """.stripMargin.trim))
+
   /** The near-dup CTE chain up to the verified-pair set `vp(a_id, b_id,
     * jacc)` — shared by the pair op's oracle and the cluster op's
     * (which prepends RECURSIVE and appends the component CTEs).
@@ -3531,7 +3617,8 @@ object LlmOps {
     llmQualityFilter, llmQualityScore, llmPrefPairs, llmTokenCount, llmLangId,
     llmNgramNovelty, llmCurriculumOrder, llmShardManifest,
     llmTextStats, llmTextTfidf, llmDedupExact,
-    llmDedupNear, llmDedupCluster, llmDedupClusterScale, llmDedupMinhash,
+    llmDedupNear, llmDedupContainment, llmDedupCluster, llmDedupClusterScale,
+    llmDedupMinhash,
     llmDedupSimhash, llmDedupFuzzy,
     llmDocEmbed,
     llmDedupEmbed, llmFingerprintWinnow, llmDecontaminate, llmPiiScrub,

@@ -271,6 +271,177 @@ object Relational {
       FROM final GROUP BY status, shard ORDER BY status, shard
     """.stripMargin.trim))
 
+  /** CHANGE-DATA-FEED read over the merge-on-read log — the "what
+    * changed between version j and k" query every incremental consumer
+    * (downstream sync, cache invalidation, audit) runs against a lake
+    * table. Reads the SHARED immutable morLog, folds the two requested
+    * snapshots (v0 = base, v2 = fully applied) with the generic
+    * keep-latest window, then FULL OUTER joins them per key and
+    * classifies each key's net change: insert (absent→present), delete
+    * (present→absent), update (value moved). Keys untouched between
+    * the versions are dropped — the feed rides the CHANGED set, never
+    * the table. ORACLE: the closed-form change set recomputed from the
+    * original table (updates = %7 keys that survive the %13 delete,
+    * deletes = %13 keys, inserts = the +20M %11 keys), so the hash
+    * match proves the generic snapshot-diff equals the log's declared
+    * deltas — including the key hit by BOTH an update (seq 1) and a
+    * delete (seq 2), whose net change must come out 'delete' with the
+    * PRE-update image.
+    *
+    * Scale shape: both folds and the diff join are co-keyed on the
+    * merge key — one shuffle lineage end-to-end (the window and the
+    * full-outer join reuse the same hash partitioning). A production
+    * CDF reader prunes delta files to (j, k] by sequence BEFORE any
+    * shuffle, so cost rides the delta span, not table size.
+    */
+  val sinkChangeFeed: Op = Op(
+    "sink_change_feed",
+    (s, dir) => {
+      val log = morLog(s, dir)
+      val all = s.read.parquet(s"$log/base")
+        .select(col("o_orderkey"), col("status"), col("price"),
+          lit(0L).as("seq"), lit("U").as("op"))
+        .unionByName(s.read.parquet(s"$log/delta"))
+      def snap(ver: Int): DataFrame = all.filter(col("seq") <= ver)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("o_orderkey").orderBy(col("seq").desc)))
+        .filter(col("rn") === 1 && col("op") =!= "D")
+        .select(col("o_orderkey"), col("status"), col("price"))
+      val pre = snap(0).select(col("o_orderkey"),
+        col("status").as("old_status"), col("price").as("old_price"))
+      val post = snap(2).select(col("o_orderkey"),
+        col("status").as("new_status"), col("price").as("new_price"))
+      pre.join(post, Seq("o_orderkey"), "full_outer")
+        .withColumn("change",
+          when(col("old_price").isNull, lit("insert"))
+            .when(col("new_price").isNull, lit("delete"))
+            .when(dec2(col("old_price")) =!= dec2(col("new_price"))
+              || col("old_status") =!= col("new_status"), lit("update"))
+            .otherwise(lit("none")))
+        .filter(col("change") =!= "none")
+        .select(col("o_orderkey"), col("change"),
+          dec2(col("old_price")).cast(DoubleType).as("old_price"),
+          dec2(col("new_price")).cast(DoubleType).as("new_price"))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      WITH changes AS (
+        SELECT o_orderkey, 'update' AS change,
+          CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS old_price,
+          CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 100
+               AS DECIMAL(12,2)) AS DOUBLE) AS new_price
+        FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 != 0
+        UNION ALL
+        SELECT o_orderkey, 'delete',
+          CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE), NULL
+        FROM orders WHERE o_orderkey % 13 = 0
+        UNION ALL
+        SELECT o_orderkey + 20000000, 'insert', NULL,
+          CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE)
+        FROM orders WHERE o_orderkey % 11 = 0
+      )
+      SELECT o_orderkey, change, old_price, new_price
+      FROM changes ORDER BY o_orderkey
+    """.stripMargin.trim))
+
+  /** Retention VACUUM — the lifecycle step after compaction: once a
+    * log's deltas are folded into a new base, the superseded base and
+    * delta files are PHYSICALLY deleted and every later read serves
+    * from the compacted file alone. This op owns a PRIVATE customer
+    * change log (base + %5-stride balance updates at seq 1 + %9-stride
+    * deletes at seq 2 — private because vacuuming the shared orders
+    * morLog would yank files out from under the three MOR ops that
+    * read it in the same session), compacts it, writes a 1-row vacuum
+    * manifest IN-PLAN (rows about to be removed, counted by a Spark
+    * aggregate over the log — no driver-side count), deletes the old
+    * base+delta dirs through the Hadoop FileSystem API, and serves the
+    * graded read from the compacted table with the manifest joined on
+    * (1-row broadcast crossJoin — the in-plan-N pattern) plus a
+    * dirs_remaining column recomputed from live fs.exists probes, so
+    * the hash match pins BOTH fold-correctness after physical deletion
+    * AND that the deletion actually happened. ORACLE: closed form from
+    * the original customer table plus the arithmetic row counts.
+    *
+    * Scale shape: compaction's one co-keyed fold is the only wide
+    * exchange; vacuum itself is pure file-metadata work (list+delete),
+    * exactly as cheap at 100 TB. The manifest write is dimension-sized.
+    */
+  private val vacuumDone = new SessionArtifact[String]
+  private def vacuumedLog(s: SparkSession, dir: String): String =
+    vacuumDone(s, dir) {
+      val p = scratch("vacuum_log_" + SessionArtifact.dirTag(dir))
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_acctbal").as("bal"),
+          col("c_mktsegment").as("segment"))
+      c.write.mode("overwrite").parquet(s"$p/base")
+      val d1 = c.filter(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey"),
+          (dec2(col("bal")) + 50).cast(DoubleType).as("bal"),
+          col("segment"), lit(1L).as("seq"), lit("U").as("op"))
+      val d2 = c.filter(col("c_custkey") % 9 === 0)
+        .select(col("c_custkey"), col("bal"), col("segment"),
+          lit(2L).as("seq"), lit("D").as("op"))
+      d1.unionByName(d2).write.mode("overwrite").parquet(s"$p/delta")
+      val log = s.read.parquet(s"$p/base")
+        .select(col("c_custkey"), col("bal"), col("segment"),
+          lit(0L).as("seq"), lit("U").as("op"))
+        .unionByName(s.read.parquet(s"$p/delta"))
+      log.withColumn("rn", row_number().over(
+          Window.partitionBy("c_custkey").orderBy(col("seq").desc)))
+        .filter(col("rn") === 1 && col("op") =!= "D")
+        .select("c_custkey", "bal", "segment")
+        .write.mode("overwrite").parquet(s"$p/compacted")
+      // vacuum manifest: rows in the files about to be removed —
+      // counted in-plan by a Spark aggregate, written before deletion
+      log.agg(count(lit(1)).as("vacuumed_rows"))
+        .write.mode("overwrite").parquet(s"$p/manifest")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$p/base"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$p/delta"), true)
+      p
+    }
+
+  val sinkVacuum: Op = Op(
+    "sink_vacuum",
+    (s, dir) => {
+      val p = vacuumedLog(s, dir)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      // live filesystem probe: base and delta must be GONE, compacted
+      // must remain — folded into the graded output so the driver's
+      // hash compare pins the physical deletion, not just the fold
+      val remaining = Seq("base", "delta", "compacted")
+        .count(d => fs.exists(new org.apache.hadoop.fs.Path(s"$p/$d")))
+      val manifest = s.read.parquet(s"$p/manifest")
+      s.read.parquet(s"$p/compacted")
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("bal"))).cast(DoubleType).as("total_bal"),
+          min("c_custkey").as("min_key"), max("c_custkey").as("max_key"))
+        .crossJoin(broadcast(manifest))
+        .withColumn("dirs_remaining", lit(remaining))
+        .orderBy("segment")
+    },
+    Some("""
+      WITH final AS (
+        SELECT c_custkey,
+          CASE WHEN c_custkey % 5 = 0
+            THEN CAST(CAST(c_acctbal AS DECIMAL(12,2)) + 50 AS DECIMAL(12,2))
+            ELSE CAST(c_acctbal AS DECIMAL(12,2)) END AS bal,
+          c_mktsegment AS segment
+        FROM customer WHERE c_custkey % 9 != 0
+      )
+      SELECT segment, COUNT(*) AS n, CAST(SUM(bal) AS DOUBLE) AS total_bal,
+        MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key,
+        (SELECT COUNT(*) FROM customer)
+          + (SELECT COUNT(*) FROM customer WHERE c_custkey % 5 = 0)
+          + (SELECT COUNT(*) FROM customer WHERE c_custkey % 9 = 0)
+          AS vacuumed_rows,
+        1 AS dirs_remaining
+      FROM final GROUP BY segment ORDER BY segment
+    """.stripMargin.trim))
+
   /** Binary-file ingest — how multimodal payloads (images, audio, model
     * shards) actually ARRIVE in a lake: `binaryFile` reads each file as
     * one (path, length, content) row with bytes as an opaque binary
@@ -3381,7 +3552,7 @@ object Relational {
     joinLateralTopk,
     scanFull, scanPrune, scanPred, scanBinaryfile,
     sinkParquet, sinkCsvJson, sinkOrcRoundtrip, sinkMergeOnRead,
-    sinkTimeTravel, sinkCompactRewrite,
+    sinkTimeTravel, sinkCompactRewrite, sinkChangeFeed, sinkVacuum,
     sinkPartitionedPrune, sinkSchemaEvolution, joinBucketed,
     projectCompute, filterCompound, filterNull3vl,
     joinInnerEqui, joinBroadcast, joinSortMerge, joinLeftOuter, joinRightOuter,

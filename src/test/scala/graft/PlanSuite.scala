@@ -511,6 +511,12 @@ class PlanSuite extends AnyFunSuite {
       // 1-row broadcast totals crossJoin (the same in-plan-N pattern);
       // the contingency-side aggs are hash aggs over a 120-row frame
       "events_chisq_independence",
+      // 1-row broadcast vacuum-manifest crossJoin (in-plan-N); the
+      // compacted-table agg is a plain partial+final hash agg
+      "sink_vacuum",
+      // broadcast |types|-row pair-dimension crossJoin replicating the
+      // shared control arm; the rank windows partition by pair
+      "events_mann_whitney",
       // collated-key dim join: collated strings lack binary equality so
       // the planner demotes the 6-row broadcast dim join to BNLJ —
       // bounded 6 cmp/row, documented in the op's Scaladoc
