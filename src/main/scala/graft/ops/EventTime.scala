@@ -2642,12 +2642,328 @@ WITH hourly AS (
       FROM agg ORDER BY event_type
     """.stripMargin.trim))
 
+  /** A/B test POWER ANALYSIS — the planning read-out that precedes
+    * events_ab_ttest: per metric (event type), the per-arm sample size
+    * needed to detect a 5 % lift at α = 0.05 / power = 0.8, n = 2σ²(z_α/2
+    * + z_β)²/δ². Moments close in exact DECIMAL (the ttest pattern), the
+    * z-constant sum is written as the literal expression (1.959964 +
+    * 0.841621)² on BOTH sides so constant folding yields the identical
+    * double, and the single ceil() rides one deterministic expression
+    * tree — identical bits in, identical integer out.
+    *
+    * Scale shape: one partial+final hash aggregate over the corpus;
+    * everything downstream is |types| rows.
+    */
+  val eventsPowerAnalysis: Op = Op(
+    "events_power_analysis",
+    (s, dir) => {
+      val sums = Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("value"))).as("sv"),
+          sum(dec2(col("value")) * dec2(col("value"))).as("svv"))
+      sums.select(col("event_type"), col("n"),
+          (col("sv").cast(DoubleType) / col("n")).as("mean"),
+          sqrt((col("svv").cast(DoubleType)
+            - col("sv").cast(DoubleType) * col("sv") / col("n"))
+            / (col("n") - 1)).as("sd"))
+        .select(col("event_type"), col("n"),
+          round(col("mean"), 6).as("mean"), round(col("sd"), 6).as("sd"),
+          round(lit(0.05) * col("mean"), 6).as("mde"),
+          ceil(lit(2.0) * col("sd") * col("sd")
+            * ((lit(1.959964) + lit(0.841621)) * (lit(1.959964) + lit(0.841621)))
+            / (lit(0.05) * col("mean") * lit(0.05) * col("mean"))).as("n_per_arm"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH s AS (
+        SELECT event_type, COUNT(*) AS n,
+          SUM(CAST(value AS DECIMAL(12,2))) AS sv,
+          SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS svv
+        FROM events GROUP BY 1
+      ), m AS (
+        SELECT event_type, n,
+          CAST(sv AS DOUBLE) / n AS mean,
+          sqrt((CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * sv / n) / (n - 1)) AS sd
+        FROM s
+      )
+      SELECT event_type, n, ROUND(mean, 6) AS mean, ROUND(sd, 6) AS sd,
+        ROUND(0.05 * mean, 6) AS mde,
+        CAST(ceil(2.0 * sd * sd
+          * ((1.959964 + 0.841621) * (1.959964 + 0.841621))
+          / (0.05 * mean * 0.05 * mean)) AS BIGINT) AS n_per_arm
+      FROM m ORDER BY event_type
+    """.stripMargin.trim))
+
+  /** Gaps-and-islands user activity STREAKS — per user, total active
+    * days, number of distinct consecutive-day runs, and the longest
+    * run: the classic engagement query (and the canonical
+    * gaps-and-islands formulation: epoch-day − row_number is constant
+    * within a consecutive run, so one window + one aggregate resolve
+    * all islands — no self-join, no recursion). Day boundaries are UTC
+    * on both sides (the loader pins session tz; DuckDB reads the same
+    * wall clock from the ntz fixture).
+    *
+    * Scale shape: the distinct (user, day) projection is one
+    * partial+final aggregate that collapses the corpus to ≤ users×days
+    * rows; the window and island aggregates shard by user.
+    */
+  val eventsUserStreaks: Op = Op(
+    "events_user_streaks",
+    (s, dir) => {
+      val days = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val keyed = days.withColumn("grp",
+        datediff(col("day"), to_date(lit("1970-01-01")))
+          - row_number().over(Window.partitionBy("user_id").orderBy("day")))
+      keyed.groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(sum("len").as("active_days"), count(lit(1)).as("n_streaks"),
+          max("len").as("max_streak"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      ), keyed AS (
+        SELECT user_id, day,
+          date_diff('day', DATE '1970-01-01', day)
+            - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        FROM days
+      ), streaks AS (
+        SELECT user_id, grp, COUNT(*) AS len FROM keyed GROUP BY 1, 2
+      )
+      SELECT user_id, CAST(SUM(len) AS BIGINT) AS active_days,
+        COUNT(*) AS n_streaks, MAX(len) AS max_streak
+      FROM streaks GROUP BY user_id ORDER BY user_id
+    """.stripMargin.trim))
+
+  /** IQR (Tukey-fence) outlier detection per event type — completes the
+    * outlier family (events_anomaly_zscore: parametric; events_anomaly_mad:
+    * robust location; this: robust spread on the raw distribution):
+    * exact interpolated quartiles (the agg_percentile_exact machinery),
+    * fences at q1/q3 ∓ 1.5·IQR computed FROM THE 4-dp-ROUNDED quartiles
+    * so both engines build the fence from the identical double (the
+    * raw interpolation can differ in the last ulp — rounding once at
+    * the stats stage makes every downstream comparison bit-identical),
+    * then one corpus pass counts fence violations.
+    *
+    * Scale shape: quartiles are one sort-based aggregate per type; the
+    * count-back pass is a broadcast join of the 5-row fence dimension
+    * against the corpus — the big side never shuffles.
+    */
+  val eventsOutlierIqr: Op = Op(
+    "events_outlier_iqr",
+    (s, dir) => {
+      val st = Tables.events(s, dir).groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(expr("percentile(value, 0.25)"), 4).as("q1"),
+          round(expr("percentile(value, 0.75)"), 4).as("q3"))
+      val f = st.select(col("event_type").as("et"), col("n"),
+        col("q1"), col("q3"),
+        (col("q1") - lit(1.5) * (col("q3") - col("q1"))).as("lo"),
+        (col("q3") + lit(1.5) * (col("q3") - col("q1"))).as("hi"))
+      Tables.events(s, dir).select(col("event_type"), col("value"))
+        .join(broadcast(f), col("event_type") === col("et"))
+        .groupBy("event_type", "n", "q1", "q3")
+        .agg(sum(when(col("value") < col("lo")
+          || col("value") > col("hi"), 1).otherwise(0)).as("n_out"))
+        .select(col("event_type"), col("n"), col("q1"), col("q3"),
+          col("n_out"),
+          round(col("n_out").cast(DoubleType) / col("n"), 6).as("out_pct"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH st AS (
+        SELECT event_type, COUNT(*) AS n,
+          ROUND(quantile_cont(value, 0.25), 4) AS q1,
+          ROUND(quantile_cont(value, 0.75), 4) AS q3
+        FROM events GROUP BY 1
+      ), f AS (
+        SELECT event_type, n, q1, q3,
+          q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+        FROM st
+      )
+      SELECT f.event_type, f.n, f.q1, f.q3,
+        CAST(SUM(CASE WHEN e.value < f.lo OR e.value > f.hi
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
+        ROUND(CAST(SUM(CASE WHEN e.value < f.lo OR e.value > f.hi
+             THEN 1 ELSE 0 END) AS DOUBLE) / f.n, 6) AS out_pct
+      FROM events e JOIN f ON e.event_type = f.event_type
+      GROUP BY f.event_type, f.n, f.q1, f.q3 ORDER BY f.event_type
+    """.stripMargin.trim))
+
+  /** STATIONARY DISTRIBUTION of the event-type Markov chain — the
+    * PageRank-class iterative computation over the transition matrix
+    * `events_transitions` renders: π = πP solved by 8 fixed power
+    * iterations from the uniform vector (the chain is 5-state, dense,
+    * aperiodic — ‖π₈ − π₇‖ is far below the 6-dp output rounding).
+    * Determinism is the interesting part: each iteration's π_j =
+    * Σ_i π_i·P_ij is a 5-term DOUBLE sum whose partial-aggregation
+    * order Spark doesn't fix, so the fold runs over the
+    * from-type-SORTED term list on BOTH engines (collect_list →
+    * array_sort → aggregate() left fold ⇄ DuckDB list(... ORDER BY) →
+    * list_aggregate 'sum') — bit-identical prefix sums by
+    * construction, the llm-fold treatment for non-associative money.
+    * The oracle unrolls the same 8 iterations as chained CTEs (lag
+    * ordering pinned to epoch_us(ts) per the precision contract).
+    *
+    * Scale shape: the corpus is touched ONCE (the lag window pass →
+    * 25-cell aggregate); iterations run on the |types|²-row broadcast-
+    * scale matrix — at 100 TB the iteration cost is invariant in data
+    * size, exactly how a production PageRank over a contracted graph
+    * behaves. The uniform start rides a 1-row broadcast count
+    * (in-plan-N).
+    */
+  /** Stream-stream LEFT OUTER interval join — the hardest join mode
+    * Structured Streaming offers, graded: purchases LEFT OUTER their
+    * preceding 10-minute view window (same user), BOTH sides
+    * watermarked 30 min over the pinned-order multi-batch source.
+    * What this grades beyond stream_replay_join's inner form:
+    * (1) MATCHED pairs emit as they join (the inner subset — identical
+    * to the batch interval join because the ts-ordered files guarantee
+    * every candidate view arrives no later than its purchase);
+    * (2) NULL-EXTENSION — an unmatched purchase emits (purchase_id,
+    * NULL) only when the watermark passes its match-window upper bound
+    * (p_ts — no future view can satisfy v_ts ≤ p_ts once wm > p_ts),
+    * so the result holds exactly the unmatched purchases with
+    * p_ts < final watermark and NO later ones — append finalization on
+    * JOIN state rather than window state. The final watermark is
+    * min(max purchase ts, max view ts) − 30 min: with a watermark
+    * node per side, the GLOBAL watermark is the MIN across nodes
+    * (spark.sql.streaming.multipleWatermarkPolicy default) — verified
+    * empirically at sf0.01, where the purchase stream's max trails the
+    * view stream's by 32 min and exactly the two purchases between the
+    * naive max(ts)-derived bound and the true min-policy bound stay
+    * unemitted;
+    * (3) LATE-DROP — the planted late file redelivers the first hour
+    * (purchases AND views) with the watermark already final; every copy
+    * must be dropped before touching join state or it would duplicate
+    * early pairs / resurrect evicted state. The oracle encodes the full
+    * rule over the ORIGINAL events at µs precision (epoch_us — the
+    * precision contract), with the NULLS FIRST tiebreak pinned
+    * explicitly (DuckDB defaults NULLS LAST, Spark NULLS FIRST).
+    *
+    * Scale shape: the production unbounded pattern verbatim — state is
+    * bounded to ~40 min of events per side by the watermark + time
+    * condition regardless of history length; the join keys on user_id
+    * so state shards across the store partitions.
+    */
+  val streamReplayOuterJoin: Op = Op(
+    "stream_replay_outer_join",
+    (s, dir) => {
+      val src = wmReplaySrc(s, dir)
+      runReplay(s, "graft_stream_replay_outer_join", "append") { s2 =>
+        val ev = s2.readStream.schema(Tables.expectedSchemas("events"))
+          .option("maxFilesPerTrigger", "4")
+          .parquet(src)
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"),
+            col("user_id").as("p_user"), col("ts").as("p_ts"))
+          .withWatermark("p_ts", "30 minutes")
+        val v = ev.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"),
+            col("user_id").as("v_user"), col("ts").as("v_ts"))
+          .withWatermark("v_ts", "30 minutes")
+        p.join(v,
+          col("p_user") === col("v_user") &&
+            col("v_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+            col("v_ts") <= col("p_ts"),
+          "left_outer")
+          .select("purchase_id", "view_id")
+      }.orderBy(col("purchase_id"), col("view_id").asc_nulls_first)
+    },
+    Some("""
+      WITH mx AS (
+        SELECT LEAST(
+          (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'),
+          (SELECT MAX(ts) FROM events WHERE event_type = 'view')) AS m
+      ),
+      p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+            WHERE event_type = 'purchase'),
+      v AS (SELECT event_id AS view_id, user_id, ts FROM events
+            WHERE event_type = 'view'),
+      j AS (
+        SELECT p.purchase_id, v.view_id, p.ts AS p_ts
+        FROM p LEFT JOIN v ON p.user_id = v.user_id
+          AND epoch_us(v.ts) >= epoch_us(p.ts) - 600000000
+          AND epoch_us(v.ts) <= epoch_us(p.ts)
+      )
+      SELECT purchase_id, view_id FROM j, mx
+      WHERE view_id IS NOT NULL
+         OR epoch_us(p_ts) < epoch_us(m) - 1800000000
+      ORDER BY purchase_id, view_id NULLS FIRST
+    """.stripMargin.trim))
+
+  val eventsMarkovStationary: Op = Op(
+    "events_markov_stationary",
+    (s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val trans = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("from_type", lag("event_type", 1).over(byUser))
+        .filter(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("p", col("cnt").cast(DoubleType) /
+          sum("cnt").over(Window.partitionBy("from_type")))
+        .select("from_type", "to_type", "p")
+        // 25 rows re-read by every iteration: materialize once
+        .localCheckpoint(true)
+      val types = trans.select(col("from_type").as("t")).distinct()
+      val nTypes = types.agg(count(lit(1)).as("nt"))
+      var pi = types.crossJoin(broadcast(nTypes))
+        .select(col("t"), (lit(1.0) / col("nt")).as("pi"))
+      for (_ <- 1 to 8) {
+        pi = trans.join(pi, trans("from_type") === pi("t"))
+          .select(col("to_type"), col("from_type"),
+            (col("pi") * col("p")).as("term"))
+          .groupBy(col("to_type").as("t"))
+          .agg(expr("aggregate(array_sort(collect_list(struct(from_type, term)))," +
+            " cast(0.0 as double), (acc, x) -> acc + x.term)").as("pi"))
+      }
+      pi.select(col("t").as("event_type"), round(col("pi"), 6).as("pi"))
+        .orderBy("event_type")
+    },
+    Some {
+      val iters = (1 to 8).map { k =>
+        s"""it$k AS (
+        SELECT tr.to_type AS t,
+          list_aggregate(list(it${k - 1}.p * tr.p ORDER BY tr.from_type),
+            'sum') AS p
+        FROM tr JOIN it${k - 1} ON tr.from_type = it${k - 1}.t
+        GROUP BY tr.to_type
+      )"""
+      }.mkString(", ")
+      s"""
+      WITH pairs AS (
+        SELECT from_type, event_type AS to_type
+        FROM (SELECT event_type,
+                lag(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id) AS from_type
+              FROM events)
+        WHERE from_type IS NOT NULL
+      ), tr AS (
+        SELECT from_type, to_type,
+          CAST(COUNT(*) AS DOUBLE) /
+            SUM(COUNT(*)) OVER (PARTITION BY from_type) AS p
+        FROM pairs GROUP BY 1, 2
+      ), types AS (
+        SELECT DISTINCT from_type AS t FROM tr
+      ), it0 AS (
+        SELECT t, 1.0 / (SELECT COUNT(*) FROM types) AS p FROM types
+      ), $iters
+      SELECT t AS event_type, ROUND(p, 6) AS pi FROM it8 ORDER BY event_type
+    """.stripMargin.trim
+    })
+
   val ops: Seq[Op] = Seq(
     eventsSurvivalCurve,
     streamTumbling, streamSliding, streamSession, streamDedupKeys,
     streamReplayTumbling, streamReplayDedup, streamReplaySession,
     streamReplaySliding, streamReplayJoin, streamReplayWatermarked,
     streamReplaySessionWatermarked, streamReplayUpsert,
+    streamReplayOuterJoin,
     streamReplayCdcUpsert, streamReplaySinkCommit, streamReplayTransformState,
     eventsPointintimeFeatures,
     eventsCohortRetention, eventsHistogram, eventsSeasonality,
@@ -2658,5 +2974,7 @@ WITH hourly AS (
     eventsAnomalyMad, eventsAlertEpisodes, eventsGrowthAccounting,
     eventsConcurrencyPeak, eventsInterarrivalStats,
     eventsEwma, eventsTypeOverlap, eventsForecastNaive,
-    eventsChisqIndependence, eventsCusum, eventsMannWhitney)
+    eventsChisqIndependence, eventsCusum, eventsMannWhitney,
+    eventsPowerAnalysis, eventsUserStreaks, eventsOutlierIqr,
+    eventsMarkovStationary)
 }

@@ -810,6 +810,69 @@ object LlmOps {
         WHERE CAST(inter AS DOUBLE) / (za.sz + zb.sz - inter) >= 0.8
       )"""
 
+  /** SUB-DOCUMENT span dedup (the C4/RefinedWeb line-dedup adapted to
+    * the fixture's unbroken text): docs split into fixed 10-word
+    * chunks, chunks fingerprinted, and every occurrence of a
+    * fingerprint AFTER its first (ordered by (doc_id, chunk_idx) — the
+    * deterministic "first writer keeps" rule) is marked duplicate; the
+    * graded output is each doc's span-duplication profile (chunk
+    * count, dup count, dup ratio), the signal a curation pipeline
+    * thresholds to drop boilerplate-heavy pages that DOC-level dedup
+    * (exact or near) never catches because the surrounding page
+    * differs. Companion to llm_dedup_containment: containment finds
+    * the wrapped-document case, this finds the repeated-span case.
+    *
+    * Scale shape: chunking is narrow (spreadDocs feeds it — the full
+    * per-doc explode is the starvation class); the only wide exchange
+    * keys on the chunk FINGERPRINT (bounded fan-in per key), then the
+    * per-doc profile re-keys on doc_id — two co-bounded shuffles, no
+    * doc×doc anywhere.
+    */
+  val llmDedupSpans: Op = Op(
+    "llm_dedup_spans",
+    (s, dir) => {
+      val chunks = spreadDocs(s, dir)
+        .select(col("doc_id"), toks.as("toks"))
+        .filter(size(col("toks")) >= 1)
+        .select(col("doc_id"), posexplode(
+          expr("transform(sequence(0, cast(ceil(size(toks) / 10.0) as int) - 1)," +
+            " i -> md5(concat_ws(' ', slice(toks, i*10+1, 10))))")))
+        .select(col("doc_id"), col("pos").as("chunk_idx"), col("col").as("fp"))
+      chunks
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("fp").orderBy("doc_id", "chunk_idx")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("rn") > 1, 1).otherwise(0)).as("n_dup"))
+        .select(col("doc_id"), col("n_chunks"), col("n_dup"),
+          round(col("n_dup").cast(DoubleType) / col("n_chunks"), 6)
+            .as("dup_ratio"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE len(string_split(text, ' ')) >= 1
+      ), idx AS (
+        SELECT doc_id, toks,
+          unnest(generate_series(0, CAST(ceil(len(toks) / 10.0) AS INT) - 1)) AS i
+        FROM t
+      ), ch AS (
+        SELECT doc_id, i AS chunk_idx,
+          md5(array_to_string(toks[i*10+1 : i*10+10], ' ')) AS fp
+        FROM idx
+      ), flagged AS (
+        SELECT doc_id, chunk_idx,
+          row_number() OVER (PARTITION BY fp ORDER BY doc_id, chunk_idx) AS rn
+        FROM ch
+      )
+      SELECT doc_id, COUNT(*) AS n_chunks,
+        CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        ROUND(CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+          / COUNT(*), 6) AS dup_ratio
+      FROM flagged GROUP BY doc_id ORDER BY doc_id
+    """.stripMargin.trim))
+
   /** Cluster resolution: verified near-dup PAIRS → connected components
     * → a keep-one verdict per clustered doc (the step SURVEY §2.10's
     * "connected keep-one" promises; a real dedup pipeline drops every
@@ -3617,8 +3680,8 @@ object LlmOps {
     llmQualityFilter, llmQualityScore, llmPrefPairs, llmTokenCount, llmLangId,
     llmNgramNovelty, llmCurriculumOrder, llmShardManifest,
     llmTextStats, llmTextTfidf, llmDedupExact,
-    llmDedupNear, llmDedupContainment, llmDedupCluster, llmDedupClusterScale,
-    llmDedupMinhash,
+    llmDedupNear, llmDedupContainment, llmDedupSpans, llmDedupCluster,
+    llmDedupClusterScale, llmDedupMinhash,
     llmDedupSimhash, llmDedupFuzzy,
     llmDocEmbed,
     llmDedupEmbed, llmFingerprintWinnow, llmDecontaminate, llmPiiScrub,

@@ -517,6 +517,9 @@ class PlanSuite extends AnyFunSuite {
       // broadcast |types|-row pair-dimension crossJoin replicating the
       // shared control arm; the rank windows partition by pair
       "events_mann_whitney",
+      // 1-row broadcast type-count crossJoin seeding the uniform vector
+      // (in-plan-N); the power iterations are |types|²-scale equi-joins
+      "events_markov_stationary",
       // collated-key dim join: collated strings lack binary equality so
       // the planner demotes the 6-row broadcast dim join to BNLJ —
       // bounded 6 cmp/row, documented in the op's Scaladoc
