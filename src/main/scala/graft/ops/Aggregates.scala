@@ -715,7 +715,52 @@ object Aggregates {
       WHERE rn <= 20 ORDER BY rn
     """.stripMargin.trim))
 
+  /** GEOMETRIC and HARMONIC means per return flag — the two Pythagorean
+    * means the arithmetic `agg_stats` pack omits, and the standard
+    * aggregates for ratio-like and rate-like metrics (price indices,
+    * throughput averaging). Both are non-associative double folds
+    * (Σ ln x, Σ 1/x), so each per-row term is ONE deterministic double
+    * expression rounded to 12 dp and summed as EXACT DECIMAL(24,12) —
+    * the events_chisq_independence treatment: an associative decimal
+    * sum is partition-invariant by construction, and 12 dp keeps ~7
+    * significant digits even for the 1/x terms at 1e-5 magnitude. The
+    * final exp/divide is one deterministic expression on the exact sum.
+    */
+  val aggGeoHarmonicMean: Op = Op(
+    "agg_geo_harmonic_mean",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          round(log(col("l_extendedprice")), 12)
+            .cast(DecimalType(24, 12)).as("tln"),
+          round(lit(1.0) / col("l_extendedprice"), 12)
+            .cast(DecimalType(24, 12)).as("tinv"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum("tln").as("sln"), sum("tinv").as("sinv"))
+        .select(col("l_returnflag"), col("n"),
+          round(exp(col("sln").cast(DoubleType) / col("n")), 6).as("geo_mean"),
+          round(col("n") / col("sinv").cast(DoubleType), 6).as("harm_mean"))
+        .orderBy("l_returnflag"),
+    Some("""
+      WITH t AS (
+        SELECT l_returnflag,
+          CAST(ROUND(ln(l_extendedprice), 12) AS DECIMAL(24,12)) AS tln,
+          CAST(ROUND(1.0 / l_extendedprice, 12) AS DECIMAL(24,12)) AS tinv
+        FROM lineitem
+      ), a AS (
+        SELECT l_returnflag, COUNT(*) AS n,
+          SUM(tln) AS sln, SUM(tinv) AS sinv
+        FROM t GROUP BY 1
+      )
+      SELECT l_returnflag, n,
+        ROUND(exp(CAST(sln AS DOUBLE) / n), 6) AS geo_mean,
+        ROUND(n / CAST(sinv AS DOUBLE), 6) AS harm_mean
+      FROM a ORDER BY l_returnflag
+    """.stripMargin.trim))
+
   val ops: Seq[Op] = Seq(
+    aggGeoHarmonicMean,
     aggDecayedLtv,
     aggBitmapDistinct,
     aggPricingSummary, aggFilterClause, aggGlobal, aggCountDistinct, aggApproxDistinct,

@@ -2793,6 +2793,58 @@ WITH hourly AS (
       GROUP BY f.event_type, f.n, f.q1, f.q3 ORDER BY f.event_type
     """.stripMargin.trim))
 
+  /** CHAINED STATEFUL AGGREGATIONS — Spark 4's multiple-stateful-
+    * operator pipeline, graded: hourly windowed aggregate → daily
+    * rollup aggregate, BOTH stateful, in ONE streaming query (the
+    * `window(window_time(w), '1 day')` composition that older releases
+    * rejected with multiple-stateful-ops errors). What it grades:
+    * hourly windows finalize against the watermark and flow DOWNSTREAM
+    * WITHIN the same micro-batch to the daily state, the daily window
+    * emits when the (single, shared) watermark passes its end, and the
+    * late file's first-hour redelivery is dropped at INPUT — a leak
+    * would inflate day 1's counts through both levels. Append-
+    * finalization bound: days with end ≤ max(ts) − 30 min (one
+    * watermark node here, unlike the outer join's min-policy pair).
+    * Money rides exact DECIMAL through BOTH state levels and leaves as
+    * DOUBLE once.
+    *
+    * Scale shape: the production two-level rollup without an
+    * intermediate table — hourly state is (hour × type)-keyed, daily
+    * state is 24× smaller; both shard across the store; state is
+    * watermark-bounded regardless of history.
+    */
+  val streamReplayChainedAgg: Op = Op(
+    "stream_replay_chained_agg",
+    (s, dir) => {
+      val src = wmReplaySrc(s, dir)
+      runReplay(s, "graft_stream_replay_chained_agg", "append") { s2 =>
+        s2.readStream.schema(Tables.expectedSchemas("events"))
+          .option("maxFilesPerTrigger", "4")
+          .parquet(src)
+          .select(col("ts"), col("event_type"), dec2(col("value")).as("v"))
+          .withWatermark("ts", "30 minutes")
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+          .groupBy(window(expr("window_time(w)"), "1 day").as("d"),
+            col("event_type"))
+          .agg(sum("n").as("n"), sum("sv").cast(DoubleType).as("sum_value"))
+          .select(fmtSec(col("d.start")).as("day_start"),
+            col("event_type"), col("n"), col("sum_value"))
+      }.orderBy("day_start", "event_type")
+    },
+    Some("""
+      WITH mx AS (SELECT MAX(ts) AS m FROM events),
+      d AS (
+        SELECT date_trunc('day', ts) AS ds, event_type, COUNT(*) AS n,
+          SUM(CAST(value AS DECIMAL(12,2))) AS sv
+        FROM events GROUP BY 1, 2)
+      SELECT strftime(ds, '%Y-%m-%d %H:%M:%S') AS day_start,
+        event_type, n, CAST(sv AS DOUBLE) AS sum_value
+      FROM d, mx
+      WHERE ds + INTERVAL 1 DAY <= m - INTERVAL 30 MINUTE
+      ORDER BY day_start, event_type
+    """.stripMargin.trim))
+
   /** STATIONARY DISTRIBUTION of the event-type Markov chain — the
     * PageRank-class iterative computation over the transition matrix
     * `events_transitions` renders: π = πP solved by 8 fixed power
@@ -2963,7 +3015,7 @@ WITH hourly AS (
     streamReplayTumbling, streamReplayDedup, streamReplaySession,
     streamReplaySliding, streamReplayJoin, streamReplayWatermarked,
     streamReplaySessionWatermarked, streamReplayUpsert,
-    streamReplayOuterJoin,
+    streamReplayOuterJoin, streamReplayChainedAgg,
     streamReplayCdcUpsert, streamReplaySinkCommit, streamReplayTransformState,
     eventsPointintimeFeatures,
     eventsCohortRetention, eventsHistogram, eventsSeasonality,

@@ -873,6 +873,123 @@ object LlmOps {
       FROM flagged GROUP BY doc_id ORDER BY doc_id
     """.stripMargin.trim))
 
+  /** Per-document word-distribution ENTROPY — the gibberish/boilerplate
+    * detector quality pipelines threshold alongside the repetition
+    * filter: low entropy = a few words dominate (spam keyword stuffing,
+    * template pages), evenness (H / log₂ distinct) normalizes away
+    * vocabulary size so long and short docs compare. The per-doc sum
+    * −Σ (c/n)·log₂(c/n) is a non-associative DOUBLE fold, so it runs
+    * over the word-SORTED term list on both engines (collect_list →
+    * array_sort → aggregate() ⇄ list(ORDER BY) → list_aggregate 'sum'
+    * — the events_markov_stationary treatment): bit-identical prefix
+    * sums by construction.
+    *
+    * Scale shape: explode → (doc, word) count → per-doc fold, all
+    * co-keyed on doc_id after the first aggregate's map-side combine;
+    * spreadDocs feeds the explode (single-file starvation class).
+    */
+  val llmDocEntropy: Op = Op(
+    "llm_doc_entropy",
+    (s, dir) => {
+      val counts = spreadDocs(s, dir)
+        .select(col("doc_id"), explode(toks).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+        .withColumn("n", sum("c").over(Window.partitionBy("doc_id")))
+      counts
+        .withColumn("term",
+          -(col("c").cast(DoubleType) / col("n"))
+            * log2(col("c").cast(DoubleType) / col("n")))
+        .groupBy("doc_id")
+        .agg(max("n").as("n_toks"), count(lit(1)).as("n_distinct"),
+          expr("aggregate(array_sort(collect_list(struct(word, term)))," +
+            " cast(0.0 as double), (acc, x) -> acc + x.term)").as("h"))
+        .select(col("doc_id"), col("n_toks"), col("n_distinct"),
+          round(col("h"), 6).as("entropy"),
+          round(when(col("n_distinct") === 1, lit(0.0))
+            .otherwise(col("h") / log2(col("n_distinct"))), 6).as("evenness"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      w AS (SELECT doc_id, unnest(toks) AS word FROM t),
+      c AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY 1, 2),
+      cn AS (SELECT doc_id, word, c,
+               SUM(c) OVER (PARTITION BY doc_id) AS n FROM c),
+      e AS (SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_toks,
+              COUNT(*) AS n_distinct,
+              list_aggregate(list(-(CAST(c AS DOUBLE) / n)
+                * log2(CAST(c AS DOUBLE) / n) ORDER BY word), 'sum') AS h
+            FROM cn GROUP BY doc_id)
+      SELECT doc_id, n_toks, n_distinct, ROUND(h, 6) AS entropy,
+        ROUND(CASE WHEN n_distinct = 1 THEN 0.0
+              ELSE h / log2(n_distinct) END, 6) AS evenness
+      FROM e ORDER BY doc_id
+    """.stripMargin.trim))
+
+  /** COLLOCATION mining by pointwise mutual information — the corpus
+    * statistic behind phrase detection (word2vec-style phrase merging,
+    * multiword tokenizer entries): unordered word pairs co-occurring
+    * within a forward window of 4, scored PMI = log₂(p(ab)/(p(a)p(b))),
+    * min support 5, top-100 by (pmi, a, b). Pair generation is IN-ROW
+    * (each position's partner list is a slice — no self-join, no
+    * positions table shuffle): the corpus-wide exchanges key on the
+    * pair and the unigram, inverted-index style. Totals N (tokens) and
+    * P (pairs) ride a 1-row broadcast crossJoin (in-plan-N). The sort
+    * key is the ROUNDED pmi on both engines so the top-100 cutoff
+    * can't straddle a last-ulp difference.
+    *
+    * Scale shape: one narrow pair-explode pass (spreadDocs against the
+    * single-file scan), two partial+final aggregates, a broadcast
+    * unigram join (vocabulary-sized), TakeOrdered top-100.
+    */
+  val llmCollocationPmi: Op = Op(
+    "llm_collocation_pmi",
+    (s, dir) => {
+      val docs = spreadDocs(s, dir).select(col("doc_id"), toks.as("toks"))
+      val pairs = docs.select(explode(expr(
+          "flatten(transform(sequence(1, size(toks)), i -> " +
+            "transform(slice(toks, i + 1, 4), y -> " +
+            "struct(least(element_at(toks, i), y) as a, " +
+            "greatest(element_at(toks, i), y) as b))))")).as("pr"))
+        .select(col("pr.a").as("a"), col("pr.b").as("b"))
+        .localCheckpoint(true)
+      val pairCounts = pairs.groupBy("a", "b").agg(count(lit(1)).as("n_pair"))
+      val uni = docs.select(explode(col("toks")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("c"))
+      val totals = uni.agg(sum("c").cast(DoubleType).as("n"))
+        .crossJoin(pairs.agg(count(lit(1)).cast(DoubleType).as("p")))
+      pairCounts
+        .join(broadcast(uni.select(col("word").as("a"), col("c").as("ca"))), "a")
+        .join(broadcast(uni.select(col("word").as("b"), col("c").as("cb"))), "b")
+        .crossJoin(broadcast(totals))
+        .filter(col("n_pair") >= 5)
+        .select(col("a"), col("b"), col("n_pair"),
+          round(log2((col("n_pair").cast(DoubleType) / col("p"))
+            / ((col("ca").cast(DoubleType) / col("n"))
+              * (col("cb").cast(DoubleType) / col("n")))), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("a"), col("b"))
+        .limit(100)
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      idx AS (SELECT doc_id, toks,
+                unnest(generate_series(1, len(toks))) AS i FROM t),
+      pr AS (SELECT doc_id, least(toks[i], unnest(toks[i+1:i+4])) AS a,
+                    greatest(toks[i], unnest(toks[i+1:i+4])) AS b
+             FROM idx),
+      pc AS (SELECT a, b, COUNT(*) AS n_pair FROM pr GROUP BY 1, 2),
+      uni AS (SELECT word, COUNT(*) AS c
+              FROM (SELECT unnest(toks) AS word FROM t) GROUP BY 1),
+      tot AS (SELECT (SELECT CAST(SUM(c) AS DOUBLE) FROM uni) AS n,
+                     (SELECT CAST(COUNT(*) AS DOUBLE) FROM pr) AS p)
+      SELECT a, b, CAST(n_pair AS BIGINT) AS n_pair,
+        ROUND(log2((CAST(n_pair AS DOUBLE) / p) /
+          ((CAST(ca.c AS DOUBLE) / n) * (CAST(cb.c AS DOUBLE) / n))), 6) AS pmi
+      FROM pc JOIN uni ca ON ca.word = pc.a JOIN uni cb ON cb.word = pc.b, tot
+      WHERE n_pair >= 5
+      ORDER BY pmi DESC, a, b LIMIT 100
+    """.stripMargin.trim))
+
   /** Cluster resolution: verified near-dup PAIRS → connected components
     * → a keep-one verdict per clustered doc (the step SURVEY §2.10's
     * "connected keep-one" promises; a real dedup pipeline drops every
@@ -948,6 +1065,54 @@ object LlmOps {
         CASE WHEN l.id = l.cluster_id THEN 1 ELSE 0 END AS keep
       FROM lbl l JOIN sz s USING (cluster_id)
       ORDER BY cluster_id, doc_id
+    """.stripMargin.trim))
+
+  /** DEDUP-AWARE SAMPLING WEIGHTS — the step that turns a dedup verdict
+    * into a training sampler: every SURVIVING doc (cluster keeper or
+    * untouched singleton) carries weight = its cluster size, so the
+    * deduplicated corpus preserves the original's source-frequency mass
+    * (a doc that appeared 4× trains 4× as often through one physical
+    * copy — the standard correction when dedup would otherwise
+    * down-weight popular content). Weights sum to the original corpus
+    * size by construction, so samp_prob = weight / N normalizes in one
+    * broadcast. Consumes the SAME detector artifact (nearPairs →
+    * clusterLabels) as the cluster ops — one detector run, many
+    * downstream readings, the production shape.
+    *
+    * Scale shape: cluster sizes are a pair-set-bounded aggregate; the
+    * singleton complement is a left ANTI join of the corpus against the
+    * (tiny) clustered-id set; N rides a 1-row broadcast (in-plan-N).
+    */
+  val llmDedupReweight: Op = Op(
+    "llm_dedup_reweight",
+    (s, dir) => {
+      val lbl = clusterLabels(nearPairs(s, dir).select("a_id", "b_id"))
+      val keepers = lbl.groupBy(col("lbl").as("doc_id"))
+        .agg(count(lit(1)).as("w"))
+      val singles = Tables.documents(s, dir).select(col("doc_id"))
+        .join(lbl.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit(1L).as("w"))
+      val total = Tables.documents(s, dir).agg(count(lit(1)).cast(DoubleType).as("n"))
+      keepers.unionByName(singles)
+        .crossJoin(broadcast(total))
+        .select(col("doc_id"), col("w").as("weight"),
+          round(col("w") / col("n"), 6).as("samp_prob"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE ${nearPairsSqlCtes()}
+      , $ccSqlCtes, keepers AS (
+        SELECT cluster_id AS doc_id, COUNT(*) AS w FROM lbl GROUP BY 1
+      ), singles AS (
+        SELECT d.doc_id, 1 AS w FROM documents d
+        WHERE d.doc_id NOT IN (SELECT id FROM lbl)
+      ), allw AS (
+        SELECT * FROM keepers UNION ALL SELECT * FROM singles
+      ), tot AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents
+      )
+      SELECT doc_id, CAST(w AS BIGINT) AS weight, ROUND(w / n, 6) AS samp_prob
+      FROM allw, tot ORDER BY doc_id
     """.stripMargin.trim))
 
   /** The END-TO-END corpus curation pipeline as ONE query — the actual
@@ -3679,9 +3844,10 @@ object LlmOps {
     llmMixTemperature, llmTokenBudget, llmSplitHoldout,
     llmQualityFilter, llmQualityScore, llmPrefPairs, llmTokenCount, llmLangId,
     llmNgramNovelty, llmCurriculumOrder, llmShardManifest,
+    llmDocEntropy, llmCollocationPmi,
     llmTextStats, llmTextTfidf, llmDedupExact,
     llmDedupNear, llmDedupContainment, llmDedupSpans, llmDedupCluster,
-    llmDedupClusterScale, llmDedupMinhash,
+    llmDedupClusterScale, llmDedupReweight, llmDedupMinhash,
     llmDedupSimhash, llmDedupFuzzy,
     llmDocEmbed,
     llmDedupEmbed, llmFingerprintWinnow, llmDecontaminate, llmPiiScrub,

@@ -520,6 +520,12 @@ class PlanSuite extends AnyFunSuite {
       // 1-row broadcast type-count crossJoin seeding the uniform vector
       // (in-plan-N); the power iterations are |types|²-scale equi-joins
       "events_markov_stationary",
+      // 1-row broadcast N/P-totals crossJoin (in-plan-N); the unigram
+      // joins are broadcast hash joins on the word key
+      "llm_collocation_pmi",
+      // 1-row broadcast corpus-size crossJoin normalizing the sampling
+      // weights (in-plan-N); the weight build is pair-set-bounded
+      "llm_dedup_reweight",
       // collated-key dim join: collated strings lack binary equality so
       // the planner demotes the 6-row broadcast dim join to BNLJ —
       // bounded 6 cmp/row, documented in the op's Scaladoc
