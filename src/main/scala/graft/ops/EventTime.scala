@@ -271,6 +271,37 @@ object EventTime {
     },
     streamDedupKeys.oracle)
 
+  /** WATERMARK-BOUNDED streaming dedup — dropDuplicatesWithinWatermark,
+    * the production form of stream_replay_dedup: plain dropDuplicates
+    * keeps every key seen FOREVER (state grows with history — the
+    * scale-killer on an unbounded stream), while the within-watermark
+    * form evicts keys once the watermark passes them, bounding state to
+    * the dedup horizon. Graded over the 9-file pinned-order source
+    * whose late file REDELIVERS the first hour's rows (same event_ids):
+    * by then the watermark is final, so the copies are dropped at
+    * INPUT — even though their state entries were long evicted, no
+    * duplicate can re-emit (the exact at-least-once redelivery scenario
+    * this operator exists for). Output therefore equals the batch
+    * dedup of the original corpus — the same oracle as the unbounded
+    * twin, now with O(horizon) state instead of O(history).
+    */
+  val streamReplayDedupWithinWm: Op = Op(
+    "stream_replay_dedup_within_wm",
+    (s, dir) => {
+      val src = wmReplaySrc(s, dir)
+      runReplay(s, "graft_stream_replay_dedup_within_wm", "append") { s2 =>
+        s2.readStream.schema(Tables.expectedSchemas("events"))
+          .option("maxFilesPerTrigger", "4")
+          .parquet(src)
+          .withWatermark("ts", "30 minutes")
+          .dropDuplicatesWithinWatermark("event_id")
+          .select(
+            col("event_id"), fmtSec(col("ts")).as("ts_s"),
+            col("user_id"), col("event_type"))
+      }.orderBy("event_id")
+    },
+    streamDedupKeys.oracle)
+
   /** TRUE-STREAMING twin of `stream_session`, graded — the third and
     * hardest member of the replay family: session windows MERGE across
     * micro-batches (two sessions open in different batches fuse when a
@@ -2793,6 +2824,138 @@ WITH hourly AS (
       GROUP BY f.event_type, f.n, f.q1, f.q3 ORDER BY f.event_type
     """.stripMargin.trim))
 
+  /** Heuristic BOT/AUTOMATION scoring per user — the abuse-filter
+    * reading of the inter-arrival machinery: automated traffic shows
+    * LOW gap variability (cv = sd/mean of inter-event gaps — a cron
+    * job's cv → 0, humans ≈ 1 for Poisson-like arrivals), high volume,
+    * and narrow type diversity; the score ln(n)/(cv+0.1)/n_types folds
+    * those three deterministically and the top DECILE is flagged (a
+    * relative threshold always fires — the "detector graded on zeros"
+    * rule; on this i.i.d. fixture absolute rules would flag nobody).
+    * Gap moments fold EXACTLY: gaps are integer µs, Σg is a long
+    * telescoping sum, Σg² rides DECIMAL(19,0)² → DECIMAL(38,0) (a long
+    * would overflow at ~670 events/user), so cv is one deterministic
+    * double expression on exact sums. The decile window is global like
+    * win_ntile_pct's — at user cardinality beyond one partition, swap
+    * in win_ntile_pct_scale's two-phase distributed rank machinery.
+    */
+  val eventsBotScore: Op = Op(
+    "events_bot_score",
+    (s, dir) => {
+      val g = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("gap", col("us") - lag("us", 1).over(
+          Window.partitionBy("user_id").orderBy("us", "event_id")))
+      val agg = g.groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          countDistinct("event_type").as("n_types"),
+          sum(col("gap").cast(DecimalType(19, 0))).cast(DoubleType).as("sg"),
+          sum(col("gap").cast(DecimalType(19, 0))
+            * col("gap").cast(DecimalType(19, 0))).cast(DoubleType).as("sg2"),
+          count("gap").as("k"))
+        .filter(col("n") >= 2)
+      val sc = agg.select(col("user_id"), col("n"), col("n_types"),
+        (col("sg") / col("k") / lit(1000000.0)).as("mean_gap_s"),
+        (sqrt(col("sg2") / col("k") - (col("sg") / col("k"))
+          * (col("sg") / col("k"))) / (col("sg") / col("k"))).as("cv"))
+      sc.select(col("user_id"), col("n"), col("n_types"),
+          round(col("mean_gap_s"), 6).as("mean_gap_s"),
+          round(col("cv"), 6).as("cv"),
+          round(log(col("n")) / (col("cv") + lit(0.1)) / col("n_types"), 6)
+            .as("bot_score"))
+        .withColumn("decile", ntile(10).over(
+          Window.orderBy(col("bot_score").desc, col("user_id"))))
+        .withColumn("is_bot", (col("decile") === 1).cast(IntegerType))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH g AS (
+        SELECT user_id, event_type,
+          epoch_us(ts) - lag(epoch_us(ts)) OVER (
+            PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+        FROM events
+      ), agg AS (
+        SELECT user_id, COUNT(*) AS n, COUNT(DISTINCT event_type) AS n_types,
+          CAST(SUM(CAST(gap AS DECIMAL(19,0))) AS DOUBLE) AS sg,
+          CAST(SUM(CAST(gap AS DECIMAL(19,0)) * CAST(gap AS DECIMAL(19,0)))
+            AS DOUBLE) AS sg2,
+          COUNT(gap) AS k
+        FROM g GROUP BY user_id HAVING COUNT(*) >= 2
+      ), sc AS (
+        SELECT user_id, n, n_types,
+          sg / k / 1000000.0 AS mean_gap_s,
+          sqrt(sg2 / k - (sg / k) * (sg / k)) / (sg / k) AS cv
+        FROM agg
+      ), scored AS (
+        SELECT user_id, n, n_types,
+          ROUND(mean_gap_s, 6) AS mean_gap_s, ROUND(cv, 6) AS cv,
+          ROUND(ln(n) / (cv + 0.1) / n_types, 6) AS bot_score
+        FROM sc
+      )
+      SELECT user_id, n, n_types, mean_gap_s, cv, bot_score,
+        ntile(10) OVER (ORDER BY bot_score DESC, user_id) AS decile,
+        CAST(ntile(10) OVER (ORDER BY bot_score DESC, user_id) = 1 AS INT)
+          AS is_bot
+      FROM scored ORDER BY user_id
+    """.stripMargin.trim))
+
+  /** FUNNEL CONVERSION LATENCY — the time-to-convert read-out on top of
+    * events_funnel's who-converts: per user, first view → first
+    * LATER purchase, then the exact latency quantile profile
+    * (p25/p50/p75/p90) plus conversion rate. Latencies are exact µs
+    * differences scaled once to seconds; quantiles ride the
+    * agg_percentile_exact machinery (interpolated, 4-dp rounded);
+    * the user-count denominator is a 1-row broadcast (in-plan-N).
+    *
+    * Scale shape: two per-user min aggregates (partial+final,
+    * map-side combined) → a co-keyed join → one global quantile
+    * aggregate over the (small) converter set.
+    */
+  val eventsFunnelLatency: Op = Op(
+    "events_funnel_latency",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("v_us"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("p_user"))
+        .agg(min(unix_micros(col("ts"))).as("p_us"))
+      val conv = v.join(p,
+          col("user_id") === col("p_user") && col("p_us") > col("v_us"))
+        .select(((col("p_us") - col("v_us")) / lit(1000000.0)).as("lat_s"))
+      val users = ev.agg(countDistinct("user_id").as("n_users"))
+      conv.agg(count(lit(1)).as("n_converted"),
+          round(expr("percentile(lat_s, 0.25)"), 4).as("p25"),
+          round(expr("percentile(lat_s, 0.5)"), 4).as("p50"),
+          round(expr("percentile(lat_s, 0.75)"), 4).as("p75"),
+          round(expr("percentile(lat_s, 0.9)"), 4).as("p90"))
+        .crossJoin(broadcast(users))
+        .select(col("n_users"), col("n_converted"),
+          round(col("n_converted").cast(DoubleType) / col("n_users"), 6)
+            .as("conv_rate"),
+          col("p25"), col("p50"), col("p75"), col("p90"))
+    },
+    Some("""
+      WITH v AS (SELECT user_id, MIN(epoch_us(ts)) AS v_us FROM events
+                 WHERE event_type = 'view' GROUP BY 1),
+      p AS (SELECT user_id, MIN(epoch_us(ts)) AS p_us FROM events
+            WHERE event_type = 'purchase' GROUP BY 1),
+      u AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM events),
+      conv AS (
+        SELECT (p.p_us - v.v_us) / 1000000.0 AS lat_s
+        FROM v JOIN p ON v.user_id = p.user_id AND p.p_us > v.v_us
+      )
+      SELECT (SELECT n_users FROM u) AS n_users, COUNT(*) AS n_converted,
+        ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT n_users FROM u), 6)
+          AS conv_rate,
+        ROUND(quantile_cont(lat_s, 0.25), 4) AS p25,
+        ROUND(quantile_cont(lat_s, 0.5), 4) AS p50,
+        ROUND(quantile_cont(lat_s, 0.75), 4) AS p75,
+        ROUND(quantile_cont(lat_s, 0.9), 4) AS p90
+      FROM conv
+    """.stripMargin.trim))
+
   /** CHAINED STATEFUL AGGREGATIONS — Spark 4's multiple-stateful-
     * operator pipeline, graded: hourly windowed aggregate → daily
     * rollup aggregate, BOTH stateful, in ONE streaming query (the
@@ -3015,7 +3178,7 @@ WITH hourly AS (
     streamReplayTumbling, streamReplayDedup, streamReplaySession,
     streamReplaySliding, streamReplayJoin, streamReplayWatermarked,
     streamReplaySessionWatermarked, streamReplayUpsert,
-    streamReplayOuterJoin, streamReplayChainedAgg,
+    streamReplayOuterJoin, streamReplayChainedAgg, streamReplayDedupWithinWm,
     streamReplayCdcUpsert, streamReplaySinkCommit, streamReplayTransformState,
     eventsPointintimeFeatures,
     eventsCohortRetention, eventsHistogram, eventsSeasonality,
@@ -3028,5 +3191,5 @@ WITH hourly AS (
     eventsEwma, eventsTypeOverlap, eventsForecastNaive,
     eventsChisqIndependence, eventsCusum, eventsMannWhitney,
     eventsPowerAnalysis, eventsUserStreaks, eventsOutlierIqr,
-    eventsMarkovStationary)
+    eventsMarkovStationary, eventsBotScore, eventsFunnelLatency)
 }

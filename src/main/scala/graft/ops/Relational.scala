@@ -536,6 +536,104 @@ object Relational {
       GROUP BY 1, 2 ORDER BY n_nationkey
     """.stripMargin.trim))
 
+  /** TEXT-format roundtrip — the rawest source Spark offers (one string
+    * column per line, the shape log shippers and legacy feeds deliver):
+    * nation leaves as TAB-delimited lines through the `text` writer and
+    * comes back through `spark.read.text` + an explicit split/cast
+    * parse — the parse-it-yourself contract that distinguishes this
+    * from the csv reader's schema projection. ORACLE recomputes from
+    * the original table, so the hash match proves the manual
+    * line-parse chain (delimiter, int casts, column order) lossless.
+    * Scale note: text splits by line like csv — per-file parallel
+    * reads, no footer metadata; parsing cost rides the projection.
+    */
+  val scanTextRoundtrip: Op = Op(
+    "scan_text_roundtrip",
+    (s, dir) => {
+      val tmp = scratch("scan_text")
+      Tables.nation(s, dir)
+        .select(concat_ws("\t", col("n_nationkey"), col("n_name"),
+          col("n_regionkey")).as("value"))
+        .write.mode("overwrite").text(tmp)
+      val parts = split(col("value"), "\t")
+      s.read.text(tmp)
+        .select(parts.getItem(0).cast(IntegerType).as("n_nationkey"),
+          parts.getItem(1).as("n_name"),
+          parts.getItem(2).cast(IntegerType).as("n_regionkey"))
+        .orderBy("n_nationkey")
+    },
+    Some("""
+      SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
+    """.stripMargin.trim))
+
+  /** XML roundtrip — Spark 4's built-in XML datasource (the spark-xml
+    * package merged into core in 4.0; no external jar): region leaves
+    * as <row> elements under a root tag and comes back through
+    * `spark.read.option(rowTag).xml` with an explicit schema. ORACLE
+    * recomputes from the original table — the hash match proves
+    * element naming, escaping, and int decoding lossless. Scale note:
+    * XML files split on the rowTag boundary; like json, schema
+    * inference costs an extra pass, so production reads pin the schema
+    * (as here).
+    */
+  val scanXmlRoundtrip: Op = Op(
+    "scan_xml_roundtrip",
+    (s, dir) => {
+      val tmp = scratch("scan_xml")
+      Tables.region(s, dir)
+        .write.mode("overwrite").option("rowTag", "row")
+        .format("xml").save(tmp)
+      s.read.schema(Tables.expectedSchemas("region"))
+        .option("rowTag", "row").format("xml").load(tmp)
+        .orderBy("r_regionkey")
+    },
+    Some("""
+      SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey
+    """.stripMargin.trim))
+
+  /** Compression-codec roundtrip — the storage knob a 100 TB lake
+    * tunes first: the SAME supplier aggregate written as parquet under
+    * snappy (read-optimized default), gzip (size-optimized cold tier),
+    * and zstd (the modern balance), each read back and tagged with its
+    * codec. ORACLE = the aggregate from the original table × the codec
+    * label dimension, so one hash match proves all three codec
+    * write/read chains value-lossless. Scale note: codec choice is
+    * per-file metadata — readers mix freely, so tiering (hot snappy /
+    * cold zstd) needs no reader change; the ~3-5× gzip/zstd size
+    * reduction is what turns 100 TB hot into ~25 TB cold.
+    */
+  val sinkCodecRoundtrip: Op = Op(
+    "sink_codec_roundtrip",
+    (s, dir) => {
+      val tmp = scratch("sink_codec")
+      val agg = Tables.supplier(s, dir)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_supp"),
+          sumMoney(dec2(col("s_acctbal"))).as("bal"))
+      val codecs = Seq("snappy", "gzip", "zstd")
+      codecs.foreach { c =>
+        agg.write.mode("overwrite").option("compression", c)
+          .parquet(s"$tmp/$c")
+      }
+      codecs.map { c =>
+          s.read.parquet(s"$tmp/$c").withColumn("codec", lit(c))
+        }.reduce(_.unionByName(_))
+        .select("codec", "s_nationkey", "n_supp", "bal")
+        .orderBy("codec", "s_nationkey")
+    },
+    Some("""
+      WITH agg AS (
+        SELECT s_nationkey, COUNT(*) AS n_supp,
+          CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+        FROM supplier GROUP BY 1
+      ), codecs AS (
+        SELECT * FROM (VALUES ('snappy'), ('gzip'), ('zstd')) c(codec)
+      )
+      SELECT codec, s_nationkey, n_supp, bal
+      FROM agg CROSS JOIN codecs
+      ORDER BY codec, s_nationkey
+    """.stripMargin.trim))
+
   /** ORC roundtrip — the second columnar lake format (orc-core ships in
     * the Spark distro; the Avro DATASOURCE jar does not — recorded as
     * env-blocked in SURVEY §2.1's capability notes): orders written and
@@ -3553,6 +3651,7 @@ object Relational {
     scanFull, scanPrune, scanPred, scanBinaryfile,
     sinkParquet, sinkCsvJson, sinkOrcRoundtrip, sinkMergeOnRead,
     sinkTimeTravel, sinkCompactRewrite, sinkChangeFeed, sinkVacuum,
+    scanTextRoundtrip, scanXmlRoundtrip, sinkCodecRoundtrip,
     sinkPartitionedPrune, sinkSchemaEvolution, joinBucketed,
     projectCompute, filterCompound, filterNull3vl,
     joinInnerEqui, joinBroadcast, joinSortMerge, joinLeftOuter, joinRightOuter,

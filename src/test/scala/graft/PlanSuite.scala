@@ -526,6 +526,9 @@ class PlanSuite extends AnyFunSuite {
       // 1-row broadcast corpus-size crossJoin normalizing the sampling
       // weights (in-plan-N); the weight build is pair-set-bounded
       "llm_dedup_reweight",
+      // 1-row broadcast user-count crossJoin (in-plan-N) for the
+      // conversion-rate denominator; the converter join is co-keyed
+      "events_funnel_latency",
       // collated-key dim join: collated strings lack binary equality so
       // the planner demotes the 6-row broadcast dim join to BNLJ —
       // bounded 6 cmp/row, documented in the op's Scaladoc
