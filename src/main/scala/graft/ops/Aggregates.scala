@@ -759,8 +759,83 @@ object Aggregates {
       FROM a ORDER BY l_returnflag
     """.stripMargin.trim))
 
+  /** SKEWNESS and EXCESS KURTOSIS per event type — the higher moments
+    * `agg_stats` (mean/var) stops short of, and the distribution-shape
+    * read-out an A/B owner checks before trusting a t-test. Spark's
+    * built-in skewness/kurtosis fold doubles in partition order
+    * (nondeterministic), so the raw power sums Σv..Σv⁴ ride EXACT
+    * DECIMAL instead — each power cast to a precision that provably
+    * holds it (v ≤ DECIMAL(12,2) ⇒ v⁴ needs 48 int digits in the
+    * unconstrained ladder but only ~19 for the fixture's ≤ 500 values;
+    * DECIMAL(24,8) bounds it with headroom; v2 is cast to precision 19 and v4 chains v3*v because DuckDB multiplies two p<=18 decimals in int64 and ERRORS on overflow instead of widening — one operand above 18 forces the int128 path) — and the central-moment /
+    * standardization arithmetic is ONE identical expr() tree on both
+    * engines, rounded once at 6 dp.
+    */
+  val aggHigherMoments: Op = Op(
+    "agg_higher_moments",
+    (s, dir) => {
+      val sums = Tables.events(s, dir)
+        .select(col("event_type"), dec2(col("value")).as("v"))
+        .withColumn("v2", (col("v") * col("v")).cast(DecimalType(19, 4)))
+        .withColumn("v3", (col("v2") * col("v")).cast(DecimalType(20, 6)))
+        .withColumn("v4", (col("v3") * col("v")).cast(DecimalType(24, 8)))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum("v").cast(DoubleType).as("s1"),
+          sum("v2").cast(DoubleType).as("s2"),
+          sum("v3").cast(DoubleType).as("s3"),
+          sum("v4").cast(DoubleType).as("s4"))
+      sums
+        .withColumn("mu", expr("s1 / n"))
+        .withColumn("m2", expr("s2 / n - mu * mu"))
+        .withColumn("m3", expr("s3 / n - 3 * mu * s2 / n + 2 * mu * mu * mu"))
+        .withColumn("m4", expr(
+          "s4 / n - 4 * mu * s3 / n + 6 * mu * mu * s2 / n - 3 * mu * mu * mu * mu"))
+        .select(col("event_type"), col("n"),
+          round(col("mu"), 6).as("mean"),
+          round(sqrt(col("m2")), 6).as("std_pop"),
+          round(expr("m3 / pow(m2, 1.5)"), 6).as("skewness"),
+          round(expr("m4 / (m2 * m2) - 3"), 6).as("kurtosis_excess"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH p AS (
+        SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v,
+          CAST(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))
+            AS DECIMAL(19,4)) AS v2
+        FROM events
+      ), p2 AS (
+        SELECT event_type, v, v2,
+          CAST(v2 * v AS DECIMAL(20,6)) AS v3
+        FROM p
+      ), p3 AS (
+        SELECT event_type, v, v2, v3,
+          CAST(v3 * v AS DECIMAL(24,8)) AS v4
+        FROM p2
+      ), sums AS (
+        SELECT event_type, COUNT(*) AS n,
+          CAST(SUM(v) AS DOUBLE) AS s1, CAST(SUM(v2) AS DOUBLE) AS s2,
+          CAST(SUM(v3) AS DOUBLE) AS s3, CAST(SUM(v4) AS DOUBLE) AS s4
+        FROM p3 GROUP BY 1
+      ), m AS (
+        SELECT event_type, n, s1 / n AS mu,
+          s2 / n - (s1 / n) * (s1 / n) AS m2,
+          s3 / n - 3 * (s1 / n) * s2 / n
+            + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+          s4 / n - 4 * (s1 / n) * s3 / n
+            + 6 * (s1 / n) * (s1 / n) * s2 / n
+            - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+        FROM sums
+      )
+      SELECT event_type, n, ROUND(mu, 6) AS mean,
+        ROUND(sqrt(m2), 6) AS std_pop,
+        ROUND(m3 / pow(m2, 1.5), 6) AS skewness,
+        ROUND(m4 / (m2 * m2) - 3, 6) AS kurtosis_excess
+      FROM m ORDER BY event_type
+    """.stripMargin.trim))
+
   val ops: Seq[Op] = Seq(
-    aggGeoHarmonicMean,
+    aggGeoHarmonicMean, aggHigherMoments,
     aggDecayedLtv,
     aggBitmapDistinct,
     aggPricingSummary, aggFilterClause, aggGlobal, aggCountDistinct, aggApproxDistinct,

@@ -2839,36 +2839,44 @@ WITH hourly AS (
     * win_ntile_pct's — at user cardinality beyond one partition, swap
     * in win_ntile_pct_scale's two-phase distributed rank machinery.
     */
+  /** The per-user scored frame (user_id, n, n_types, mean_gap_s, cv,
+    * bot_score) shared by events_bot_score and its decile-machinery
+    * scale twin — one definition so the score semantics cannot fork.
+    */
+  private def botScored(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val g = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("gap", col("us") - lag("us", 1).over(
+        Window.partitionBy("user_id").orderBy("us", "event_id")))
+    val agg = g.groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        countDistinct("event_type").as("n_types"),
+        sum(col("gap").cast(DecimalType(19, 0))).cast(DoubleType).as("sg"),
+        sum(col("gap").cast(DecimalType(19, 0))
+          * col("gap").cast(DecimalType(19, 0))).cast(DoubleType).as("sg2"),
+        count("gap").as("k"))
+      .filter(col("n") >= 2)
+    val sc = agg.select(col("user_id"), col("n"), col("n_types"),
+      (col("sg") / col("k") / lit(1000000.0)).as("mean_gap_s"),
+      (sqrt(col("sg2") / col("k") - (col("sg") / col("k"))
+        * (col("sg") / col("k"))) / (col("sg") / col("k"))).as("cv"))
+    sc.select(col("user_id"), col("n"), col("n_types"),
+      round(col("mean_gap_s"), 6).as("mean_gap_s"),
+      round(col("cv"), 6).as("cv"),
+      round(log(col("n")) / (col("cv") + lit(0.1)) / col("n_types"), 6)
+        .as("bot_score"))
+  }
+
   val eventsBotScore: Op = Op(
     "events_bot_score",
-    (s, dir) => {
-      val g = Tables.events(s, dir)
-        .select(col("user_id"), col("event_type"), col("event_id"),
-          unix_micros(col("ts")).as("us"))
-        .withColumn("gap", col("us") - lag("us", 1).over(
-          Window.partitionBy("user_id").orderBy("us", "event_id")))
-      val agg = g.groupBy("user_id")
-        .agg(count(lit(1)).as("n"),
-          countDistinct("event_type").as("n_types"),
-          sum(col("gap").cast(DecimalType(19, 0))).cast(DoubleType).as("sg"),
-          sum(col("gap").cast(DecimalType(19, 0))
-            * col("gap").cast(DecimalType(19, 0))).cast(DoubleType).as("sg2"),
-          count("gap").as("k"))
-        .filter(col("n") >= 2)
-      val sc = agg.select(col("user_id"), col("n"), col("n_types"),
-        (col("sg") / col("k") / lit(1000000.0)).as("mean_gap_s"),
-        (sqrt(col("sg2") / col("k") - (col("sg") / col("k"))
-          * (col("sg") / col("k"))) / (col("sg") / col("k"))).as("cv"))
-      sc.select(col("user_id"), col("n"), col("n_types"),
-          round(col("mean_gap_s"), 6).as("mean_gap_s"),
-          round(col("cv"), 6).as("cv"),
-          round(log(col("n")) / (col("cv") + lit(0.1)) / col("n_types"), 6)
-            .as("bot_score"))
+    (s, dir) =>
+      botScored(s, dir)
         .withColumn("decile", ntile(10).over(
           Window.orderBy(col("bot_score").desc, col("user_id"))))
         .withColumn("is_bot", (col("decile") === 1).cast(IntegerType))
-        .orderBy("user_id")
-    },
+        .orderBy("user_id"),
     Some("""
       WITH g AS (
         SELECT user_id, event_type,
@@ -2899,6 +2907,48 @@ WITH hourly AS (
           AS is_bot
       FROM scored ORDER BY user_id
     """.stripMargin.trim))
+
+  /** SCALE TWIN of events_bot_score's decile — the global ntile window
+    * replaced by the win_ntile_pct_scale machinery (range-repartition
+    * on the sort key → per-partition local row_number → tiny
+    * offsets/summary broadcast → ntile(10) closed form), so the rank
+    * never funnels through one partition; at billions of users only
+    * the 8-row partition summary is ever single-task. Shares
+    * botScored() with the spec form and grades against the SAME
+    * oracle, so the physical rewrite is proven bit-equivalent every
+    * round (the house _scale-twin contract).
+    */
+  val eventsBotScoreScale: Op = Op(
+    "events_bot_score_scale",
+    (s, dir) => {
+      val parted = botScored(s, dir)
+        .repartitionByRange(8, col("bot_score").desc, col("user_id"))
+        .withColumn("pid", spark_partition_id())
+      val local = parted.withColumn("lrn", row_number().over(
+        Window.partitionBy("pid")
+          .orderBy(col("bot_score").desc, col("user_id"))).cast(LongType))
+      val offsets = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum("cnt").over(
+          Window.orderBy("pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("nn", sum("cnt").over(Window.partitionBy()))
+        .select("pid", "off", "nn")
+      local.join(broadcast(offsets), "pid")
+        .withColumn("rn", col("lrn") + col("off"))
+        // ntile(10) closed form: first nn%10 buckets hold nn div 10 + 1
+        // rows, the rest nn div 10 (the win_ntile_pct_scale expression)
+        .withColumn("decile", expr("""cast(case
+            when rn <= (nn % 10) * (nn div 10 + 1)
+            then (rn - 1) div (nn div 10 + 1)
+            else (nn % 10) + (rn - 1 - (nn % 10) * (nn div 10 + 1))
+              div greatest(nn div 10, 1)
+          end + 1 as int)"""))
+        .withColumn("is_bot", (col("decile") === 1).cast(IntegerType))
+        .select("user_id", "n", "n_types", "mean_gap_s", "cv", "bot_score",
+          "decile", "is_bot")
+        .orderBy("user_id")
+    },
+    eventsBotScore.oracle)
 
   /** FUNNEL CONVERSION LATENCY — the time-to-convert read-out on top of
     * events_funnel's who-converts: per user, first view → first
@@ -2954,6 +3004,77 @@ WITH hourly AS (
         ROUND(quantile_cont(lat_s, 0.75), 4) AS p75,
         ROUND(quantile_cont(lat_s, 0.9), 4) AS p90
       FROM conv
+    """.stripMargin.trim))
+
+  /** LAG-k AUTOCORRELATION of each type's daily count series (k = 1
+    * and 7) — the numeric seasonality detector that complements
+    * events_seasonality's calendar profile and events_trend_slope's
+    * drift: acf_7 near the weekly period exposes weekly structure,
+    * acf_1 exposes short-memory burstiness. r_k = Σ(x_t−μ)(x_{t−k}−μ)
+    * / Σ(x_t−μ)² over the day-ordered series; each product term is ONE
+    * deterministic double expression rounded to 8 dp and summed as
+    * EXACT DECIMAL(20,8) (the chisq treatment — associative, so
+    * partition order can't perturb the fold), and boundary rows with
+    * no lag partner contribute an exact zero.
+    *
+    * Scale shape: the corpus collapses to types×days in one map-side-
+    * combined aggregate; lags and folds run on that tiny series.
+    */
+  val eventsAutocorrelation: Op = Op(
+    "events_autocorrelation",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val mu = daily.groupBy(col("event_type").as("et"))
+        .agg((sum("x").cast(DoubleType) / count(lit(1))).as("mu"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val lagged = daily.join(mu, col("event_type") === col("et"))
+        .withColumn("x1", lag("x", 1).over(w))
+        .withColumn("x7", lag("x", 7).over(w))
+      val t0 = round((col("x") - col("mu")) * (col("x") - col("mu")), 8)
+        .cast(DecimalType(20, 8))
+      val t1 = round(when(col("x1").isNull, lit(0.0))
+        .otherwise((col("x") - col("mu")) * (col("x1") - col("mu"))), 8)
+        .cast(DecimalType(20, 8))
+      val t7 = round(when(col("x7").isNull, lit(0.0))
+        .otherwise((col("x") - col("mu")) * (col("x7") - col("mu"))), 8)
+        .cast(DecimalType(20, 8))
+      lagged.select(col("event_type"), t0.as("t0"), t1.as("t1"), t7.as("t7"))
+        .groupBy("event_type")
+        .agg(sum("t0").as("s0"), sum("t1").as("s1"), sum("t7").as("s7"))
+        .select(col("event_type"),
+          round(col("s1").cast(DoubleType) / col("s0").cast(DoubleType), 6)
+            .as("acf_1"),
+          round(col("s7").cast(DoubleType) / col("s0").cast(DoubleType), 6)
+            .as("acf_7"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+        FROM events GROUP BY 1, 2
+      ), mu AS (
+        SELECT event_type, CAST(SUM(x) AS DOUBLE) / COUNT(*) AS mu
+        FROM daily GROUP BY 1
+      ), lagged AS (
+        SELECT d.event_type, d.x, m.mu,
+          lag(d.x, 1) OVER (PARTITION BY d.event_type ORDER BY d.day) AS x1,
+          lag(d.x, 7) OVER (PARTITION BY d.event_type ORDER BY d.day) AS x7
+        FROM daily d JOIN mu m ON d.event_type = m.event_type
+      ), terms AS (
+        SELECT event_type,
+          CAST(ROUND((x - mu) * (x - mu), 8) AS DECIMAL(20,8)) AS t0,
+          CAST(ROUND(CASE WHEN x1 IS NULL THEN 0.0
+               ELSE (x - mu) * (x1 - mu) END, 8) AS DECIMAL(20,8)) AS t1,
+          CAST(ROUND(CASE WHEN x7 IS NULL THEN 0.0
+               ELSE (x - mu) * (x7 - mu) END, 8) AS DECIMAL(20,8)) AS t7
+        FROM lagged
+      )
+      SELECT event_type,
+        ROUND(CAST(SUM(t1) AS DOUBLE) / CAST(SUM(t0) AS DOUBLE), 6) AS acf_1,
+        ROUND(CAST(SUM(t7) AS DOUBLE) / CAST(SUM(t0) AS DOUBLE), 6) AS acf_7
+      FROM terms GROUP BY 1 ORDER BY event_type
     """.stripMargin.trim))
 
   /** CHAINED STATEFUL AGGREGATIONS — Spark 4's multiple-stateful-
@@ -3191,5 +3312,6 @@ WITH hourly AS (
     eventsEwma, eventsTypeOverlap, eventsForecastNaive,
     eventsChisqIndependence, eventsCusum, eventsMannWhitney,
     eventsPowerAnalysis, eventsUserStreaks, eventsOutlierIqr,
-    eventsMarkovStationary, eventsBotScore, eventsFunnelLatency)
+    eventsMarkovStationary, eventsBotScore, eventsBotScoreScale,
+    eventsFunnelLatency, eventsAutocorrelation)
 }
