@@ -3006,6 +3006,61 @@ WITH hourly AS (
       FROM conv
     """.stripMargin.trim))
 
+  /** COHORT REVENUE CURVE — the monetary reading of
+    * events_cohort_retention: per first-activity-week cohort and
+    * age-week, active purchasers, period revenue, and the CUMULATIVE
+    * revenue curve (the LTV-by-age read-out a growth team plots).
+    * Revenue folds as exact DECIMAL end-to-end — including the
+    * cumulative window, whose decimal running sum is associative and
+    * frame-ordered, so no rounding is needed anywhere before the final
+    * DOUBLE surfacing. Week truncation is ISO-Monday in both engines.
+    *
+    * Scale shape: one per-user min aggregate, a co-keyed join back,
+    * one (cohort, age) aggregate, and a window over the tiny
+    * cohort×age frame.
+    */
+  val eventsCohortRevenue: Op = Op(
+    "events_cohort_revenue",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val firstDay = ev.groupBy(col("user_id").as("fu"))
+        .agg(min(to_date(col("ts"))).as("d0"))
+      val cohorted = ev.filter(col("event_type") === "purchase")
+        .join(firstDay, col("user_id") === col("fu"))
+        .select(col("user_id"),
+          fmtDay(date_trunc("week", col("d0"))).as("cohort_week"),
+          expr("datediff(to_date(ts), d0) div 7").as("age_week"),
+          dec2(col("value")).as("v"))
+      val wk = cohorted.groupBy("cohort_week", "age_week")
+        .agg(countDistinct("user_id").as("n_active"), sum("v").as("rev"))
+      wk.select(col("cohort_week"), col("age_week"), col("n_active"),
+          col("rev").cast(DoubleType).as("revenue"),
+          sum("rev").over(Window.partitionBy("cohort_week")
+            .orderBy("age_week")).cast(DoubleType).as("cum_revenue"))
+        .orderBy("cohort_week", "age_week")
+    },
+    Some("""
+      WITH first_day AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY 1
+      ), cohorted AS (
+        SELECT e.user_id,
+          strftime(date_trunc('week', f.d0), '%Y-%m-%d') AS cohort_week,
+          date_diff('day', f.d0, CAST(e.ts AS DATE)) // 7 AS age_week,
+          CAST(e.value AS DECIMAL(12,2)) AS v
+        FROM events e JOIN first_day f ON e.user_id = f.user_id
+        WHERE e.event_type = 'purchase'
+      ), wk AS (
+        SELECT cohort_week, age_week, COUNT(DISTINCT user_id) AS n_active,
+          SUM(v) AS rev
+        FROM cohorted GROUP BY 1, 2
+      )
+      SELECT cohort_week, age_week, n_active,
+        CAST(rev AS DOUBLE) AS revenue,
+        CAST(SUM(rev) OVER (PARTITION BY cohort_week ORDER BY age_week)
+          AS DOUBLE) AS cum_revenue
+      FROM wk ORDER BY cohort_week, age_week
+    """.stripMargin.trim))
+
   /** LAG-k AUTOCORRELATION of each type's daily count series (k = 1
     * and 7) — the numeric seasonality detector that complements
     * events_seasonality's calendar profile and events_trend_slope's
@@ -3313,5 +3368,5 @@ WITH hourly AS (
     eventsChisqIndependence, eventsCusum, eventsMannWhitney,
     eventsPowerAnalysis, eventsUserStreaks, eventsOutlierIqr,
     eventsMarkovStationary, eventsBotScore, eventsBotScoreScale,
-    eventsFunnelLatency, eventsAutocorrelation)
+    eventsFunnelLatency, eventsAutocorrelation, eventsCohortRevenue)
 }

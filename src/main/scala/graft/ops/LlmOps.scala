@@ -90,6 +90,56 @@ object LlmOps {
       ORDER BY doc_id
     """.stripMargin.trim))
 
+  /** FILTER ABLATION — the per-rule attribution a pipeline owner reads
+    * before tuning the quality gate: for each of llm_quality_filter's
+    * three rules (lang, char band, min tokens), how many docs per
+    * source does that rule ALONE remove (fail it, pass the others) vs
+    * how many fall to multiple rules at once — the "what would
+    * relaxing this rule buy" question, answered from flag combinations
+    * in ONE aggregate pass (no per-rule re-scans). Exact integer
+    * counts throughout.
+    */
+  val llmFilterAblation: Op = Op(
+    "llm_filter_ablation",
+    (s, dir) => {
+      val f = Tables.documents(s, dir).select(col("source"),
+        when(col("lang") === "en", 1).otherwise(0).as("f_lang"),
+        when(col("n_chars").between(100, 2000), 1).otherwise(0).as("f_len"),
+        when(size(toks) >= 10, 1).otherwise(0).as("f_toks"))
+      f.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("f_lang") * col("f_len") * col("f_toks")).as("n_pass"),
+          sum(when(col("f_lang") === 0 && col("f_len") === 1
+            && col("f_toks") === 1, 1).otherwise(0)).as("only_lang"),
+          sum(when(col("f_len") === 0 && col("f_lang") === 1
+            && col("f_toks") === 1, 1).otherwise(0)).as("only_len"),
+          sum(when(col("f_toks") === 0 && col("f_lang") === 1
+            && col("f_len") === 1, 1).otherwise(0)).as("only_toks"),
+          sum(when(col("f_lang") + col("f_len") + col("f_toks") <= 1, 1)
+            .otherwise(0)).as("multi_fail"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH f AS (
+        SELECT source,
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS f_lang,
+          CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 1 ELSE 0 END AS f_len,
+          CASE WHEN len(string_split(text, ' ')) >= 10 THEN 1 ELSE 0 END AS f_toks
+        FROM documents
+      )
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(f_lang * f_len * f_toks) AS BIGINT) AS n_pass,
+        CAST(SUM(CASE WHEN f_lang = 0 AND f_len = 1 AND f_toks = 1
+             THEN 1 ELSE 0 END) AS BIGINT) AS only_lang,
+        CAST(SUM(CASE WHEN f_len = 0 AND f_lang = 1 AND f_toks = 1
+             THEN 1 ELSE 0 END) AS BIGINT) AS only_len,
+        CAST(SUM(CASE WHEN f_toks = 0 AND f_lang = 1 AND f_len = 1
+             THEN 1 ELSE 0 END) AS BIGINT) AS only_toks,
+        CAST(SUM(CASE WHEN f_lang + f_len + f_toks <= 1
+             THEN 1 ELSE 0 END) AS BIGINT) AS multi_fail
+      FROM f GROUP BY source ORDER BY source
+    """.stripMargin.trim))
+
   /** Quality SCORING — the graded companion to the boolean gate above
     * (a real pipeline ranks/thresholds on a score, it doesn't just
     * drop): per-doc length/stopword/punctuation/type-token features and
@@ -1296,9 +1346,14 @@ object LlmOps {
   private val MhA = Seq(999983L, 1000003L, 1000033L, 1000037L, 1000039L)
   private val MhB = Seq(17L, 8191L, 131071L, 524287L, 6700417L)
 
-  val llmDedupMinhash: Op = Op(
-    "llm_dedup_minhash",
-    (s, dir) => {
+  /** The minhash-banded verified pair set (a_id, b_id, jacc — exact
+    * Jaccard ≥ 0.8 on band candidates), cached per (session, dir) like
+    * nearPairs: consumed by llm_dedup_minhash and the detector-
+    * agreement op, so the detector runs once per session.
+    */
+  private val minhashPairsCache = new SessionArtifact[DataFrame]
+  private def minhashPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = minhashPairsCache(s, dir) {
       graft.functions.SortedIntersectCount.register(s)
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), toks.as("toks"))
@@ -1330,11 +1385,16 @@ object LlmOps {
         .join(withSh.select(col("doc_id").as("b_id"), col("shs").as("b_shs")), "b_id")
         .filter(jacc >= 0.8)
         .select(col("a_id"), col("b_id"), round(jacc, 6).as("jacc"))
-        .orderBy("a_id", "b_id")
-    },
-    Some(s"""
-      WITH ${shingleSqlCtes()}
-      , h AS (
+        .localCheckpoint(true)
+        .toDF("a_id", "b_id", "jacc")
+    }
+
+  /** The minhash CTE chain (assumes sh/sizes from shingleSqlCtes are
+    * in scope) up to `mvp(a_id, b_id, jacc)` — shared by the minhash
+    * op's oracle and the detector-agreement oracle, so the seeded-hash
+    * constants cannot fork between them.
+    */
+  private def minhashSqlCtes: String = s"""h AS (
         SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % $MhM AS hv
         FROM sh
       ), seeds(j, a, b) AS (
@@ -1351,14 +1411,67 @@ object LlmOps {
           JOIN sh sa ON sa.doc_id = p.a_id
           JOIN sh sb ON sb.doc_id = p.b_id AND sb.shingle = sa.shingle
         GROUP BY 1, 2
+      ), mvp AS (
+        SELECT i.a_id, i.b_id,
+          ROUND(CAST(inter AS DOUBLE) / (za.sz + zb.sz - inter), 6) AS jacc
+        FROM minter i
+          JOIN sizes za ON za.doc_id = i.a_id
+          JOIN sizes zb ON zb.doc_id = i.b_id
+        WHERE CAST(inter AS DOUBLE) / (za.sz + zb.sz - inter) >= 0.8
+      )"""
+
+  val llmDedupMinhash: Op = Op(
+    "llm_dedup_minhash",
+    (s, dir) => minhashPairs(s, dir).orderBy("a_id", "b_id"),
+    Some(s"""
+      WITH ${shingleSqlCtes()}
+      , $minhashSqlCtes
+      SELECT a_id, b_id, jacc FROM mvp ORDER BY a_id, b_id
+    """.stripMargin.trim))
+
+  /** DETECTOR AGREEMENT — evaluation ON the dedup pipeline itself: the
+    * deterministic lexicographic-prefix band detector (nearPairs) and
+    * the seeded minhash band detector (minhashPairs) both verify
+    * candidates with EXACT Jaccard ≥ 0.8, so each output is a subset
+    * of the true pair set and their symmetric difference is exactly
+    * the band-stage recall difference — the number an operator reads
+    * before trusting one detector's band budget at 100 TB. One-row
+    * profile: per-detector counts, overlap, exclusive counts, and the
+    * pair-set Jaccard. Consumes both cached detector ARTIFACTS (each
+    * runs once per session across all its consumers).
+    */
+  val llmDedupDetectorAgreement: Op = Op(
+    "llm_dedup_detector_agreement",
+    (s, dir) => {
+      val p = nearPairs(s, dir).select(col("a_id"), col("b_id"),
+        lit(1).as("in_p"))
+      val m = minhashPairs(s, dir).select(col("a_id"), col("b_id"),
+        lit(1).as("in_m"))
+      p.join(m, Seq("a_id", "b_id"), "full_outer")
+        .select(coalesce(col("in_p"), lit(0)).as("in_p"),
+          coalesce(col("in_m"), lit(0)).as("in_m"))
+        .agg(sum("in_p").as("n_prefix"), sum("in_m").as("n_minhash"),
+          sum(col("in_p") * col("in_m")).as("n_common"),
+          sum(col("in_p") * (lit(1) - col("in_m"))).as("only_prefix"),
+          sum(col("in_m") * (lit(1) - col("in_p"))).as("only_minhash"),
+          round(sum(col("in_p") * col("in_m")).cast(DoubleType)
+            / count(lit(1)), 6).as("agreement"))
+    },
+    Some(s"""
+      WITH ${nearPairsSqlCtes()}
+      , $minhashSqlCtes, j AS (
+        SELECT COALESCE(v.in_p, 0) AS in_p, COALESCE(m.in_m, 0) AS in_m
+        FROM (SELECT a_id, b_id, 1 AS in_p FROM vp) v
+          FULL OUTER JOIN (SELECT a_id, b_id, 1 AS in_m FROM mvp) m
+          ON v.a_id = m.a_id AND v.b_id = m.b_id
       )
-      SELECT i.a_id, i.b_id,
-        ROUND(CAST(inter AS DOUBLE) / (za.sz + zb.sz - inter), 6) AS jacc
-      FROM minter i
-        JOIN sizes za ON za.doc_id = i.a_id
-        JOIN sizes zb ON zb.doc_id = i.b_id
-      WHERE CAST(inter AS DOUBLE) / (za.sz + zb.sz - inter) >= 0.8
-      ORDER BY a_id, b_id
+      SELECT CAST(SUM(in_p) AS BIGINT) AS n_prefix,
+        CAST(SUM(in_m) AS BIGINT) AS n_minhash,
+        CAST(SUM(in_p * in_m) AS BIGINT) AS n_common,
+        CAST(SUM(in_p * (1 - in_m)) AS BIGINT) AS only_prefix,
+        CAST(SUM(in_m * (1 - in_p)) AS BIGINT) AS only_minhash,
+        ROUND(CAST(SUM(in_p * in_m) AS DOUBLE) / COUNT(*), 6) AS agreement
+      FROM j
     """.stripMargin.trim))
 
   /** SimHash near-dedup — the signature-based alternative to the
@@ -3842,12 +3955,14 @@ object LlmOps {
     llmPackSequences, llmRepetitionFilter, llmDocChunk, llmCrossDedup,
     llmVocabInduce, llmMixSources, llmMixSourcesScale, llmMixEntropy,
     llmMixTemperature, llmTokenBudget, llmSplitHoldout,
-    llmQualityFilter, llmQualityScore, llmPrefPairs, llmTokenCount, llmLangId,
+    llmQualityFilter, llmQualityScore, llmFilterAblation,
+    llmPrefPairs, llmTokenCount, llmLangId,
     llmNgramNovelty, llmCurriculumOrder, llmShardManifest,
     llmDocEntropy, llmCollocationPmi,
     llmTextStats, llmTextTfidf, llmDedupExact,
     llmDedupNear, llmDedupContainment, llmDedupSpans, llmDedupCluster,
     llmDedupClusterScale, llmDedupReweight, llmDedupMinhash,
+    llmDedupDetectorAgreement,
     llmDedupSimhash, llmDedupFuzzy,
     llmDocEmbed,
     llmDedupEmbed, llmFingerprintWinnow, llmDecontaminate, llmPiiScrub,
