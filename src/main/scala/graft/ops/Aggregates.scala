@@ -767,7 +767,7 @@ object Aggregates {
     * DECIMAL instead — each power cast to a precision that provably
     * holds it (v ≤ DECIMAL(12,2) ⇒ v⁴ needs 48 int digits in the
     * unconstrained ladder but only ~19 for the fixture's ≤ 500 values;
-    * DECIMAL(24,8) bounds it with headroom; v2 is cast to precision 19 and v4 chains v3*v because DuckDB multiplies two p<=18 decimals in int64 and ERRORS on overflow instead of widening — one operand above 18 forces the int128 path) — and the central-moment /
+    * DECIMAL(24,8) bounds it with headroom; the FIRST multiply takes one operand pre-cast to precision 19 and v4 chains v3*v because DuckDB multiplies two p<=18 decimals in int64 and ERRORS on overflow instead of widening — an operand above 18 in every multiply forces the int128 path) — and the central-moment /
     * standardization arithmetic is ONE identical expr() tree on both
     * engines, rounded once at 6 dp.
     */
@@ -801,7 +801,10 @@ object Aggregates {
     Some("""
       WITH p AS (
         SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v,
-          CAST(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))
+          -- first operand at p=19: the multiply itself must take the
+          -- int128 path (a post-multiply CAST would not save a p12×p12
+          -- int64 product from overflowing on large values)
+          CAST(CAST(value AS DECIMAL(19,2)) * CAST(value AS DECIMAL(12,2))
             AS DECIMAL(19,4)) AS v2
         FROM events
       ), p2 AS (

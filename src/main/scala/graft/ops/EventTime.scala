@@ -284,6 +284,15 @@ object EventTime {
     * this operator exists for). Output therefore equals the batch
     * dedup of the original corpus — the same oracle as the unbounded
     * twin, now with O(horizon) state instead of O(history).
+    *
+    * Oracle-validity envelope (same caveat as the unbounded twin's):
+    * the shared batch oracle dedups event_id GLOBALLY, which matches
+    * this op only because fixture event_ids are unique and the only
+    * duplicates are the late copies (dropped at input). A fixture with
+    * genuine same-key rows spaced further apart than the 30-min
+    * horizon would re-emit here while the oracle keeps one — switch
+    * the oracle to a horizon-windowed dedup if the fixture ever gains
+    * real long-range replays.
     */
   val streamReplayDedupWithinWm: Op = Op(
     "stream_replay_dedup_within_wm",
@@ -2710,7 +2719,9 @@ WITH hourly AS (
       WITH s AS (
         SELECT event_type, COUNT(*) AS n,
           SUM(CAST(value AS DECIMAL(12,2))) AS sv,
-          SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS svv
+          -- one operand at p=19: DuckDB multiplies two p<=18 decimals in
+          -- int64 and errors on overflow instead of widening (SKILL.md)
+          SUM(CAST(value AS DECIMAL(19,2)) * CAST(value AS DECIMAL(12,2))) AS svv
         FROM events GROUP BY 1
       ), m AS (
         SELECT event_type, n,
@@ -3068,9 +3079,11 @@ WITH hourly AS (
     * acf_1 exposes short-memory burstiness. r_k = Σ(x_t−μ)(x_{t−k}−μ)
     * / Σ(x_t−μ)² over the day-ordered series; each product term is ONE
     * deterministic double expression rounded to 8 dp and summed as
-    * EXACT DECIMAL(20,8) (the chisq treatment — associative, so
-    * partition order can't perturb the fold), and boundary rows with
-    * no lag partner contribute an exact zero.
+    * EXACT DECIMAL(28,8) (the chisq treatment — associative, so
+    * partition order can't perturb the fold; 28,8 holds 20 integer
+    * digits because, unlike chisq's /E-normalized terms, these are raw
+    * count-deviation products that grow with daily volume), and
+    * boundary rows with no lag partner contribute an exact zero.
     *
     * Scale shape: the corpus collapses to types×days in one map-side-
     * combined aggregate; lags and folds run on that tiny series.
@@ -3088,13 +3101,13 @@ WITH hourly AS (
         .withColumn("x1", lag("x", 1).over(w))
         .withColumn("x7", lag("x", 7).over(w))
       val t0 = round((col("x") - col("mu")) * (col("x") - col("mu")), 8)
-        .cast(DecimalType(20, 8))
+        .cast(DecimalType(28, 8))
       val t1 = round(when(col("x1").isNull, lit(0.0))
         .otherwise((col("x") - col("mu")) * (col("x1") - col("mu"))), 8)
-        .cast(DecimalType(20, 8))
+        .cast(DecimalType(28, 8))
       val t7 = round(when(col("x7").isNull, lit(0.0))
         .otherwise((col("x") - col("mu")) * (col("x7") - col("mu"))), 8)
-        .cast(DecimalType(20, 8))
+        .cast(DecimalType(28, 8))
       lagged.select(col("event_type"), t0.as("t0"), t1.as("t1"), t7.as("t7"))
         .groupBy("event_type")
         .agg(sum("t0").as("s0"), sum("t1").as("s1"), sum("t7").as("s7"))
@@ -3119,11 +3132,11 @@ WITH hourly AS (
         FROM daily d JOIN mu m ON d.event_type = m.event_type
       ), terms AS (
         SELECT event_type,
-          CAST(ROUND((x - mu) * (x - mu), 8) AS DECIMAL(20,8)) AS t0,
+          CAST(ROUND((x - mu) * (x - mu), 8) AS DECIMAL(28,8)) AS t0,
           CAST(ROUND(CASE WHEN x1 IS NULL THEN 0.0
-               ELSE (x - mu) * (x1 - mu) END, 8) AS DECIMAL(20,8)) AS t1,
+               ELSE (x - mu) * (x1 - mu) END, 8) AS DECIMAL(28,8)) AS t1,
           CAST(ROUND(CASE WHEN x7 IS NULL THEN 0.0
-               ELSE (x - mu) * (x7 - mu) END, 8) AS DECIMAL(20,8)) AS t7
+               ELSE (x - mu) * (x7 - mu) END, 8) AS DECIMAL(28,8)) AS t7
         FROM lagged
       )
       SELECT event_type,

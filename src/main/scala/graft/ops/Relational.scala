@@ -87,6 +87,21 @@ object Relational {
     * fresh session rewrites, so a changed fixture is never served
     * stale. Returns the log root (base/ + delta/).
     */
+  /** THE keep-latest fold over a sequenced change log — latest row per
+    * key set wins by `seq`, tombstones ('D') drop AFTER selection (a
+    * pre-selection filter would resurrect the previous upsert). One
+    * definition for the whole MOR family (merge_on_read, time_travel,
+    * compact_rewrite, change_feed, vacuum) — round-13 review: this
+    * expression had been inlined at five sites, so a fold tweak (a
+    * tie-break, a second sequence column) could silently fork the
+    * snapshot semantics between ops that prove each other.
+    */
+  private def foldLatest(log: DataFrame, keys: String*): DataFrame =
+    log.withColumn("rn", row_number().over(
+        Window.partitionBy(keys.map(col): _*).orderBy(col("seq").desc)))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .drop("rn")
+
   private val morLogWritten = new SessionArtifact[String]
   private def morLog(s: SparkSession, dir: String): String =
     morLogWritten(s, dir) {
@@ -132,10 +147,8 @@ object Relational {
       val base = s.read.parquet(s"$tmp/base")
         .select(col("o_orderkey"), col("status"), col("price"),
           lit(0L).as("seq"), lit("U").as("op"))
-      val resolved = base.unionByName(s.read.parquet(s"$tmp/delta"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("o_orderkey").orderBy(col("seq").desc)))
-        .filter(col("rn") === 1 && col("op") =!= "D")
+      val resolved = foldLatest(
+        base.unionByName(s.read.parquet(s"$tmp/delta")), "o_orderkey")
       resolved.groupBy("status")
         .agg(count(lit(1)).as("n"),
           sum(dec2(col("price"))).cast(DoubleType).as("total_price"),
@@ -181,10 +194,9 @@ object Relational {
           lit(0L).as("seq"), lit("U").as("op"))
         .unionByName(s.read.parquet(s"$tmp/delta"))
       val versions = s.range(0, 3).select(col("id").as("version"))
-      val asOf = log.join(broadcast(versions), col("seq") <= col("version"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("version", "o_orderkey").orderBy(col("seq").desc)))
-        .filter(col("rn") === 1 && col("op") =!= "D")
+      val asOf = foldLatest(
+        log.join(broadcast(versions), col("seq") <= col("version")),
+        "version", "o_orderkey")
       asOf.groupBy("version", "status")
         .agg(count(lit(1)).as("n"),
           sum(dec2(col("price"))).cast(DoubleType).as("total_price"),
@@ -246,13 +258,11 @@ object Relational {
       // the compacted output stays op-PRIVATE scratch (only the input
       // log is shared): compaction owns its rewrite target
       val tmp = scratch("sink_compact")
-      val folded = s.read.parquet(s"$log/base")
-        .select(col("o_orderkey"), col("status"), col("price"),
-          lit(0L).as("seq"), lit("U").as("op"))
-        .unionByName(s.read.parquet(s"$log/delta"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("o_orderkey").orderBy(col("seq").desc)))
-        .filter(col("rn") === 1 && col("op") =!= "D")
+      val folded = foldLatest(
+        s.read.parquet(s"$log/base")
+          .select(col("o_orderkey"), col("status"), col("price"),
+            lit(0L).as("seq"), lit("U").as("op"))
+          .unionByName(s.read.parquet(s"$log/delta")), "o_orderkey")
         .select("o_orderkey", "status", "price")
       folded.write.mode("overwrite").parquet(s"$tmp/compacted")
       s.read.parquet(s"$tmp/compacted")
@@ -302,11 +312,9 @@ object Relational {
         .select(col("o_orderkey"), col("status"), col("price"),
           lit(0L).as("seq"), lit("U").as("op"))
         .unionByName(s.read.parquet(s"$log/delta"))
-      def snap(ver: Int): DataFrame = all.filter(col("seq") <= ver)
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("o_orderkey").orderBy(col("seq").desc)))
-        .filter(col("rn") === 1 && col("op") =!= "D")
-        .select(col("o_orderkey"), col("status"), col("price"))
+      def snap(ver: Int): DataFrame =
+        foldLatest(all.filter(col("seq") <= ver), "o_orderkey")
+          .select(col("o_orderkey"), col("status"), col("price"))
       val pre = snap(0).select(col("o_orderkey"),
         col("status").as("old_status"), col("price").as("old_price"))
       val post = snap(2).select(col("o_orderkey"),
@@ -386,9 +394,7 @@ object Relational {
         .select(col("c_custkey"), col("bal"), col("segment"),
           lit(0L).as("seq"), lit("U").as("op"))
         .unionByName(s.read.parquet(s"$p/delta"))
-      log.withColumn("rn", row_number().over(
-          Window.partitionBy("c_custkey").orderBy(col("seq").desc)))
-        .filter(col("rn") === 1 && col("op") =!= "D")
+      foldLatest(log, "c_custkey")
         .select("c_custkey", "bal", "segment")
         .write.mode("overwrite").parquet(s"$p/compacted")
       // vacuum manifest: rows in the files about to be removed —
@@ -610,6 +616,9 @@ object Relational {
         .groupBy("s_nationkey")
         .agg(count(lit(1)).as("n_supp"),
           sumMoney(dec2(col("s_acctbal"))).as("bal"))
+        // materialize once: the three codec writes reuse the computed
+        // aggregate instead of re-scanning supplier per codec
+        .localCheckpoint(true)
       val codecs = Seq("snappy", "gzip", "zstd")
       codecs.foreach { c =>
         agg.write.mode("overwrite").option("compression", c)
