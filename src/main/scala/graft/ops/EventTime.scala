@@ -3072,6 +3072,60 @@ WITH hourly AS (
       FROM wk ORDER BY cohort_week, age_week
     """.stripMargin.trim))
 
+  /** WINSORIZED MEAN per event type — the robust location estimate the
+    * raw mean family lacks: values clamp to the [p05, p95] band before
+    * averaging, so a handful of extreme rows cannot move the estimate
+    * (the metric-aggregation guard for heavy-tailed spend/latency).
+    * Bounds come from the 4-dp-ROUNDED exact percentiles (the
+    * events_outlier_iqr treatment — both engines clamp against the
+    * identical double), clamped values are exact DECIMAL(14,4) (the
+    * raw 2-dp values and 4-dp bounds both fit), so both means fold as
+    * associative decimal sums with ONE final division.
+    *
+    * Scale shape: percentile sort-agg per type, then a broadcast
+    * 5-row bounds join against the corpus — the big side never
+    * shuffles.
+    */
+  val aggWinsorizedMean: Op = Op(
+    "agg_winsorized_mean",
+    (s, dir) => {
+      val st = Tables.events(s, dir).groupBy(col("event_type").as("et"))
+        .agg(round(expr("percentile(value, 0.05)"), 4).as("p05"),
+          round(expr("percentile(value, 0.95)"), 4).as("p95"))
+      Tables.events(s, dir).select(col("event_type"), col("value"))
+        .join(broadcast(st), col("event_type") === col("et"))
+        .select(col("event_type"), col("p05"), col("p95"),
+          col("value").cast(DecimalType(14, 4)).as("v"),
+          when(col("value") < col("p05"), col("p05"))
+            .when(col("value") > col("p95"), col("p95"))
+            .otherwise(col("value")).cast(DecimalType(14, 4)).as("w"))
+        .groupBy("event_type", "p05", "p95")
+        .agg(count(lit(1)).as("n"), sum("v").as("sv"), sum("w").as("sw"))
+        .select(col("event_type"), col("n"), col("p05"), col("p95"),
+          round(col("sv").cast(DoubleType) / col("n"), 6).as("mean_raw"),
+          round(col("sw").cast(DoubleType) / col("n"), 6).as("mean_winsor"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH st AS (
+        SELECT event_type,
+          ROUND(quantile_cont(value, 0.05), 4) AS p05,
+          ROUND(quantile_cont(value, 0.95), 4) AS p95
+        FROM events GROUP BY 1
+      ), cl AS (
+        SELECT e.event_type, st.p05, st.p95,
+          CAST(e.value AS DECIMAL(14,4)) AS v,
+          CAST(CASE WHEN e.value < st.p05 THEN st.p05
+                    WHEN e.value > st.p95 THEN st.p95
+                    ELSE e.value END AS DECIMAL(14,4)) AS w
+        FROM events e JOIN st ON e.event_type = st.event_type
+      )
+      SELECT event_type, COUNT(*) AS n, p05, p95,
+        ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS mean_raw,
+        ROUND(CAST(SUM(w) AS DOUBLE) / COUNT(*), 6) AS mean_winsor
+      FROM cl GROUP BY event_type, p05, p95 ORDER BY event_type
+    """.stripMargin.trim))
+
   /** LAG-k AUTOCORRELATION of each type's daily count series (k = 1
     * and 7) — the numeric seasonality detector that complements
     * events_seasonality's calendar profile and events_trend_slope's
@@ -3381,5 +3435,6 @@ WITH hourly AS (
     eventsChisqIndependence, eventsCusum, eventsMannWhitney,
     eventsPowerAnalysis, eventsUserStreaks, eventsOutlierIqr,
     eventsMarkovStationary, eventsBotScore, eventsBotScoreScale,
-    eventsFunnelLatency, eventsAutocorrelation, eventsCohortRevenue)
+    eventsFunnelLatency, eventsAutocorrelation, eventsCohortRevenue,
+    aggWinsorizedMean)
 }

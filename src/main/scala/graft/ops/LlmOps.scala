@@ -140,6 +140,55 @@ object LlmOps {
       FROM f GROUP BY source ORDER BY source
     """.stripMargin.trim))
 
+  /** Per-source GINI COEFFICIENT of document length — the mixture-
+    * balance inequality read-out (a source whose token mass sits in a
+    * few huge docs behaves differently under sampling than one with
+    * uniform lengths, even at equal totals; the same statistic
+    * economists run on income). G = Σ(2i−n−1)·x_i / (n·Σx) over the
+    * ascending length-sorted sequence (tie-broken by doc_id — total
+    * order, so rank is deterministic). Everything stays EXACT INTEGER
+    * until the single final division: ranks, counts, Σx, and the
+    * weighted sum are all int64 — no decimal ladder, no rounding
+    * dance, determinism for free.
+    *
+    * Scale shape: one rank window per source partition plus a
+    * partial+final aggregate; output is |sources| rows.
+    */
+  val llmSourceGini: Op = Op(
+    "llm_source_gini",
+    (s, dir) => {
+      val w = Window.partitionBy("source")
+      val r = Tables.documents(s, dir)
+        .select(col("source"), col("n_chars"), col("doc_id"))
+        .withColumn("i", row_number().over(
+          w.orderBy(col("n_chars"), col("doc_id"))))
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("tot", sum("n_chars").over(w))
+      r.groupBy("source")
+        .agg(max("n").as("n_docs"), max("tot").as("total_chars"),
+          sum((lit(2) * col("i") - col("n") - 1) * col("n_chars")).as("g"))
+        .select(col("source"), col("n_docs"), col("total_chars"),
+          round(col("g").cast(DoubleType)
+            / (col("n_docs").cast(DoubleType) * col("total_chars")), 6)
+            .as("gini"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH r AS (
+        SELECT source, n_chars,
+          row_number() OVER (PARTITION BY source
+                             ORDER BY n_chars, doc_id) AS i,
+          COUNT(*) OVER (PARTITION BY source) AS n,
+          SUM(n_chars) OVER (PARTITION BY source) AS tot
+        FROM documents
+      )
+      SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+        CAST(MAX(tot) AS BIGINT) AS total_chars,
+        ROUND(CAST(SUM((2 * i - n - 1) * n_chars) AS DOUBLE)
+          / (CAST(MAX(n) AS DOUBLE) * MAX(tot)), 6) AS gini
+      FROM r GROUP BY source ORDER BY source
+    """.stripMargin.trim))
+
   /** Quality SCORING — the graded companion to the boolean gate above
     * (a real pipeline ranks/thresholds on a score, it doesn't just
     * drop): per-doc length/stopword/punctuation/type-token features and
@@ -3955,7 +4004,7 @@ object LlmOps {
     llmPackSequences, llmRepetitionFilter, llmDocChunk, llmCrossDedup,
     llmVocabInduce, llmMixSources, llmMixSourcesScale, llmMixEntropy,
     llmMixTemperature, llmTokenBudget, llmSplitHoldout,
-    llmQualityFilter, llmQualityScore, llmFilterAblation,
+    llmQualityFilter, llmQualityScore, llmFilterAblation, llmSourceGini,
     llmPrefPairs, llmTokenCount, llmLangId,
     llmNgramNovelty, llmCurriculumOrder, llmShardManifest,
     llmDocEntropy, llmCollocationPmi,
