@@ -187,6 +187,16 @@ class PlanSuite extends AnyFunSuite {
       "range partition is not over the ranking order key")
   }
 
+  test("events_bot_score_scale range-partitions for the distributed decile") {
+    val p = plan("events_bot_score_scale")
+    // the scale twin's whole point: an explicit repartitionByRange on
+    // the decile sort key replaces the spec form's single-task global
+    // ntile window
+    assert(p.contains("REPARTITION_BY_NUM"), s"explicit range repartition missing:\n$p")
+    assert("rangepartitioning\\([^)]*bot_score".r.findFirstIn(p).isDefined,
+      "range partition is not over the decile sort key")
+  }
+
   test("sink_partitioned_prune answers its lang filter from directory pruning") {
     val p = plan("sink_partitioned_prune")
     val pf = "PartitionFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(p)

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.Windows
+import graft.ops.{EventTime, Windows}
 
 /** The scale-safe two-pass window formulations must be BIT-identical to
   * their single-window spec forms — same rows, same doubles, down to the
@@ -16,6 +16,15 @@ class WindowScaleSuite extends AnyFunSuite {
 
   private def rows(df: DataFrame): Seq[String] =
     df.collect().toSeq.map(_.toString)
+
+  test("events_bot_score_scale ≡ events_bot_score (bit-identical)") {
+    val spec = rows(EventTime.eventsBotScore.build(spark, sf))
+    val scale = rows(EventTime.eventsBotScoreScale.build(spark, sf))
+    assert(scale.size == spec.size)
+    scale.zip(spec).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a == b, s"row $i differs")
+    }
+  }
 
   test("win_range_frame_scale ≡ win_range_frame (bit-identical)") {
     val spec = rows(Windows.winRangeFrame.build(spark, sf))
