@@ -3432,6 +3432,108 @@ object Relational {
       ORDER BY cntrycode
     """.stripMargin.trim))
 
+  /** TPC-H Q4 shape — order-priority checking: count orders per
+    * priority in one quarter that had at least one LATE line. One
+    * fixture adaptation, documented: the spec's lateness predicate
+    * (l_commitdate < l_receiptdate) uses columns the fixture omits, so
+    * lateness becomes "some line shipped more than 30 days after the
+    * order date" — keeping the load-bearing shape intact: a date-pruned
+    * order slice EXISTS-joined (left semi) against the fact table with
+    * an equi key plus a non-equi residual that references BOTH sides.
+    *
+    * Scale shape: the quarter filter prunes orders to ~4% before the
+    * semi join, so AQE broadcasts the order slice and lineitem never
+    * shuffles; at 100 TB with a date-partitioned fact the same plan
+    * additionally partition-prunes the lineitem scan by ship window.
+    * The semi join deduplicates per order by construction — no
+    * distinct, no count-then-filter second pass.
+    */
+  val q4OrderPriority: Op = Op(
+    "q4_order_priority",
+    (s, dir) => {
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1997-07-01") &&
+          col("o_orderdate") < lit("1997-10-01"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+      ord.join(li,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAY"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey
+                      AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """.stripMargin.trim))
+
+  /** TPC-H Q12 shape — shipping class vs order priority: the
+    * two-conditional-count aggregate (high-priority and low-priority
+    * line counts per shipping class) over a one-year ship window. Two
+    * fixture adaptations, documented: there is no l_shipmode column, so
+    * the class derives from the ship latency (datediff between order
+    * and ship date, bucketed ≤30 / ≤60 / beyond) — and because the
+    * fixture draws ship dates INDEPENDENTLY of order dates the latency
+    * is a synthetic bucketing dimension (negatives land in the first
+    * bucket), which leaves the graded machinery untouched: a
+    * fact-side date-pruned join to orders, a derived categorical from a
+    * cross-table expression, and CASE-guarded conditional SUMs — the
+    * Q12 aggregate shape — in one pass. Counts ride CAST(... AS BIGINT)
+    * in the oracle because DuckDB's SUM(int) is HUGEINT (the rendering
+    * class the driver's hash treats differently — round-6 finding).
+    *
+    * Scale shape: the year filter pushes into the lineitem scan; the
+    * join co-keys on orderkey (AQE broadcasts the pruned slice when it
+    * fits); the conditional sums are one partial+final aggregate over
+    * 3 groups — no second pass, no pivot shuffle.
+    */
+  val q12ShipClassPriority: Op = Op(
+    "q12_ship_class_priority",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1998-01-01") &&
+          col("l_shipdate") < lit("1999-01-01"))
+        .select("l_orderkey", "l_shipdate")
+      val ord = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("delay_d", datediff(col("l_shipdate"), col("o_orderdate")))
+        .withColumn("ship_class",
+          when(col("delay_d") <= 30, "EXPRESS")
+            .when(col("delay_d") <= 60, "STANDARD")
+            .otherwise("DEFERRED"))
+        .groupBy("ship_class")
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("ship_class")
+    },
+    Some("""
+      SELECT ship_class,
+        CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                      THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      FROM (
+        SELECT o_orderpriority,
+          CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN 'EXPRESS'
+               WHEN date_diff('day', o_orderdate, l_shipdate) <= 60 THEN 'STANDARD'
+               ELSE 'DEFERRED' END AS ship_class
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+      )
+      GROUP BY ship_class ORDER BY ship_class
+    """.stripMargin.trim))
+
   /** LATERAL correlated join — the per-row-subquery surface (SQL:2016
     * LATERAL, a.k.a. CROSS APPLY): for each nation, its top-2
     * customers by account balance, where the inner query references
@@ -3656,6 +3758,7 @@ object Relational {
     q3ShippingPriority, q5LocalSupplierVolume, q6ForecastRevenue,
     q7VolumeShipping, q10ReturnedItems, q13CustomerDistribution,
     q15TopSupplier, q22GlobalSales, cdcSnapshotDiff,
+    q4OrderPriority, q12ShipClassPriority,
     joinLateralTopk,
     scanFull, scanPrune, scanPred, scanBinaryfile,
     sinkParquet, sinkCsvJson, sinkOrcRoundtrip, sinkMergeOnRead,
