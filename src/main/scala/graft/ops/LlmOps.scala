@@ -189,6 +189,57 @@ object LlmOps {
       FROM r GROUP BY source ORDER BY source
     """.stripMargin.trim))
 
+  /** Per-source THEIL T INDEX of document length — the Gini's
+    * information-theoretic sibling, and the inequality measure that
+    * DECOMPOSES (total corpus inequality = within-source + between-
+    * source, so a mixture owner can attribute imbalance to a source);
+    * T = (1/n) Σ (x/μ)·ln(x/μ). Unlike the Gini there is no rank
+    * window: per-source mean rides back as a broadcast dimension
+    * (|sources| rows) and each doc contributes one closed-form term —
+    * the cheaper shape when ranks aren't needed. The term is a
+    * non-associative double fold, so it takes the chisq treatment:
+    * one deterministic double expression per row (μ derives from the
+    * EXACT integer Σx, ln cross-engine bit-equality proven by
+    * agg_geo_harmonic_mean), rounded once at 12 dp, summed as EXACT
+    * DECIMAL(24,12) — associative ⇒ partition-invariant by
+    * construction — then one final division.
+    *
+    * Scale shape: two passes over documents (stats agg, term fold),
+    * broadcast join between them, no window; output |sources| rows.
+    */
+  val llmSourceTheil: Op = Op(
+    "llm_source_theil",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("source"), col("n_chars"))
+      val stats = docs.groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("sx"))
+        .withColumn("mu", col("sx").cast(DoubleType) / col("n"))
+        .select("source", "mu")
+      docs.join(broadcast(stats), "source")
+        .withColumn("r", col("n_chars").cast(DoubleType) / col("mu"))
+        .withColumn("t",
+          round(col("r") * log(col("r")), 12).cast(DecimalType(24, 12)))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("t").as("st"))
+        .select(col("source"), col("n_docs"),
+          round(col("st").cast(DoubleType) / col("n_docs"), 6).as("theil_t"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH st AS (
+        SELECT source, CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mu
+        FROM documents GROUP BY 1
+      ), t AS (
+        SELECT d.source,
+          CAST(ROUND((d.n_chars / st.mu) * ln(d.n_chars / st.mu), 12)
+               AS DECIMAL(24,12)) AS t
+        FROM documents d JOIN st ON d.source = st.source
+      )
+      SELECT source, COUNT(*) AS n_docs,
+        ROUND(CAST(SUM(t) AS DOUBLE) / COUNT(*), 6) AS theil_t
+      FROM t GROUP BY source ORDER BY source
+    """.stripMargin.trim))
+
   /** Quality SCORING — the graded companion to the boolean gate above
     * (a real pipeline ranks/thresholds on a score, it doesn't just
     * drop): per-doc length/stopword/punctuation/type-token features and
@@ -4005,6 +4056,7 @@ object LlmOps {
     llmVocabInduce, llmMixSources, llmMixSourcesScale, llmMixEntropy,
     llmMixTemperature, llmTokenBudget, llmSplitHoldout,
     llmQualityFilter, llmQualityScore, llmFilterAblation, llmSourceGini,
+    llmSourceTheil,
     llmPrefPairs, llmTokenCount, llmLangId,
     llmNgramNovelty, llmCurriculumOrder, llmShardManifest,
     llmDocEntropy, llmCollocationPmi,
