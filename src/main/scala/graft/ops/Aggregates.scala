@@ -776,6 +776,17 @@ object Aggregates {
     (s, dir) => {
       val sums = Tables.events(s, dir)
         .select(col("event_type"), dec2(col("value")).as("v"))
+        // The power ladder only holds for |v| < 1e4 (v⁴ needs 16 int
+        // digits at DECIMAL(24,8)); beyond it the non-ANSI cast would
+        // NULL silently while DuckDB errors — an asymmetric corruption
+        // (round-13 ADVICE). Fail LOUDLY in-plan instead: a fixture
+        // that outgrows the documented ≤500 bound turns into a hard
+        // error on both engines, never a hash mismatch.
+        .withColumn("v",
+          when(abs(col("v")) < 10000, col("v"))
+            .otherwise(raise_error(concat(
+              lit("agg_higher_moments: |value| exceeds decimal-ladder bound 1e4: "),
+              col("v").cast(StringType)))))
         .withColumn("v2", (col("v") * col("v")).cast(DecimalType(19, 4)))
         .withColumn("v3", (col("v2") * col("v")).cast(DecimalType(20, 6)))
         .withColumn("v4", (col("v3") * col("v")).cast(DecimalType(24, 8)))

@@ -217,8 +217,15 @@ object LlmOps {
         .select("source", "mu")
       docs.join(broadcast(stats), "source")
         .withColumn("r", col("n_chars").cast(DoubleType) / col("mu"))
+        // lim x→0⁺ of x·ln x = 0, but r=0 gives 0·(-inf) = NaN, which
+        // Spark's round/cast turns into NULL (silently dropped from the
+        // decimal SUM) while DuckDB propagates NaN — guard BOTH sides to
+        // the limit value so a zero-length doc can't diverge the engines
+        // (round-13 ADVICE; mirrors the evenness guard in
+        // llm_doc_entropy).
         .withColumn("t",
-          round(col("r") * log(col("r")), 12).cast(DecimalType(24, 12)))
+          when(col("n_chars") > 0, round(col("r") * log(col("r")), 12))
+            .otherwise(lit(0.0)).cast(DecimalType(24, 12)))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("t").as("st"))
         .select(col("source"), col("n_docs"),
@@ -231,7 +238,9 @@ object LlmOps {
         FROM documents GROUP BY 1
       ), t AS (
         SELECT d.source,
-          CAST(ROUND((d.n_chars / st.mu) * ln(d.n_chars / st.mu), 12)
+          CAST(ROUND(CASE WHEN d.n_chars > 0
+                 THEN (d.n_chars / st.mu) * ln(d.n_chars / st.mu)
+                 ELSE 0 END, 12)
                AS DECIMAL(24,12)) AS t
         FROM documents d JOIN st ON d.source = st.source
       )

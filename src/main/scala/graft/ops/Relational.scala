@@ -78,7 +78,22 @@ object Relational {
   /** The ONE definition of the synthetic MOR change log (base snapshot
     * + sequenced deltas: %7-stride price updates and %11-stride +20M
     * inserts at seq 1, %13-stride deletes at seq 2), written ONCE per
-    * (session, fixture dir) and shared by sink_merge_on_read,
+    * (session, fixture dir).
+    *
+    * FIXTURE-SCALE CEILING (round-13 ADVICE): the +20 000 000 insert
+    * offset assumes max(o_orderkey) < 20M, which holds for TPC-H up to
+    * sf ≈ 3.3 (orderkey ≈ 6M·sf) — far above the gated sf0.001–0.1.
+    * Past that ceiling an "insert" key could collide with a real order
+    * and the change-feed would reclassify it as an update while the
+    * oracle (which hard-codes the same +20M in its closed forms) still
+    * labels it an insert. The offset is hard-coded in FOUR oracle
+    * strings (morFinalCteSql, time_travel v1/v2, change_feed, and the
+    * mv_incremental family), so any change must move ALL of them in
+    * lock-step — deriving it from max(o_orderkey) in-plan would force
+    * every oracle through a scalar subquery for no gain at gated
+    * scales.
+    *
+    * Shared by sink_merge_on_read,
     * sink_time_travel and sink_compact_rewrite — the log is an
     * immutable INPUT to all three (each op's own graded work starts at
     * the read-side fold), so sharing it is the wmReplaySrc treatment:
