@@ -319,29 +319,39 @@ object Relational {
     * CDF reader prunes delta files to (j, k] by sequence BEFORE any
     * shuffle, so cost rides the delta span, not table size.
     */
+  /** The keyed v0→v2 change set (insert/update/delete classification
+    * with full old/new images) — factored out of sink_change_feed so
+    * the MV maintainer's CDC files are produced by the SAME
+    * classification the change-feed op grades (one definition; the
+    * two ops prove each other instead of drifting).
+    */
+  private def changeSet(s: SparkSession, dir: String): DataFrame = {
+    val log = morLog(s, dir)
+    val all = s.read.parquet(s"$log/base")
+      .select(col("o_orderkey"), col("status"), col("price"),
+        lit(0L).as("seq"), lit("U").as("op"))
+      .unionByName(s.read.parquet(s"$log/delta"))
+    def snap(ver: Int): DataFrame =
+      foldLatest(all.filter(col("seq") <= ver), "o_orderkey")
+        .select(col("o_orderkey"), col("status"), col("price"))
+    val pre = snap(0).select(col("o_orderkey"),
+      col("status").as("old_status"), col("price").as("old_price"))
+    val post = snap(2).select(col("o_orderkey"),
+      col("status").as("new_status"), col("price").as("new_price"))
+    pre.join(post, Seq("o_orderkey"), "full_outer")
+      .withColumn("change",
+        when(col("old_price").isNull, lit("insert"))
+          .when(col("new_price").isNull, lit("delete"))
+          .when(dec2(col("old_price")) =!= dec2(col("new_price"))
+            || col("old_status") =!= col("new_status"), lit("update"))
+          .otherwise(lit("none")))
+      .filter(col("change") =!= "none")
+  }
+
   val sinkChangeFeed: Op = Op(
     "sink_change_feed",
     (s, dir) => {
-      val log = morLog(s, dir)
-      val all = s.read.parquet(s"$log/base")
-        .select(col("o_orderkey"), col("status"), col("price"),
-          lit(0L).as("seq"), lit("U").as("op"))
-        .unionByName(s.read.parquet(s"$log/delta"))
-      def snap(ver: Int): DataFrame =
-        foldLatest(all.filter(col("seq") <= ver), "o_orderkey")
-          .select(col("o_orderkey"), col("status"), col("price"))
-      val pre = snap(0).select(col("o_orderkey"),
-        col("status").as("old_status"), col("price").as("old_price"))
-      val post = snap(2).select(col("o_orderkey"),
-        col("status").as("new_status"), col("price").as("new_price"))
-      pre.join(post, Seq("o_orderkey"), "full_outer")
-        .withColumn("change",
-          when(col("old_price").isNull, lit("insert"))
-            .when(col("new_price").isNull, lit("delete"))
-            .when(dec2(col("old_price")) =!= dec2(col("new_price"))
-              || col("old_status") =!= col("new_status"), lit("update"))
-            .otherwise(lit("none")))
-        .filter(col("change") =!= "none")
+      changeSet(s, dir)
         .select(col("o_orderkey"), col("change"),
           dec2(col("old_price")).cast(DoubleType).as("old_price"),
           dec2(col("new_price")).cast(DoubleType).as("new_price"))
@@ -365,6 +375,77 @@ object Relational {
       )
       SELECT o_orderkey, change, old_price, new_price
       FROM changes ORDER BY o_orderkey
+    """.stripMargin.trim))
+
+  /** INCREMENTAL MATERIALIZED-VIEW MAINTENANCE — the consumer side of
+    * the change feed: a per-status aggregate MV is persisted at v0
+    * (real parquet), the v0→v2 change set lands as CDC files (produced
+    * by the SHARED changeSet classification), and the APPLY folds MV +
+    * ± adjustments in ONE co-keyed pass — each delete/update
+    * contributes its old image negatively, each insert/update its new
+    * image positively, so the maintained MV equals the full re-aggregate
+    * WITHOUT ever touching the fact table again (PlanSuite asserts the
+    * apply plan reads only scratch: zero fixture scans). ORACLE: the
+    * same aggregate recomputed from the v2 closed form, so the hash
+    * match IS the incremental ≡ full proof. The MV total rides
+    * DECIMAL(18,2) (not the row-level 12,2): a per-status SUM clears
+    * 10^10 around sf0.1 and the non-ANSI cast would NULL silently.
+    *
+    * Scale shape: this is THE pattern that makes aggregates serveable
+    * at 100 TB — the apply's cost rides |MV| + |changed keys|, never
+    * the table; one hash exchange (the status re-aggregate) and the
+    * final ORDER BY. A deployment MERGEs the adjustments into the MV
+    * keyed store instead of rewriting it.
+    */
+  private val mvArtifact = new SessionArtifact[String]
+  private def mvDirs(s: SparkSession, dir: String): String =
+    mvArtifact(s, dir) {
+      val p = scratch("mv_incr_" + SessionArtifact.dirTag(dir))
+      val log = morLog(s, dir)
+      s.read.parquet(s"$log/base")
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("price"))).cast(DoubleType).as("total"))
+        .write.mode("overwrite").parquet(s"$p/mv0")
+      changeSet(s, dir)
+        .select(col("o_orderkey"), col("change"), col("old_status"),
+          dec2(col("old_price")).cast(DoubleType).as("old_price"),
+          col("new_status"),
+          dec2(col("new_price")).cast(DoubleType).as("new_price"))
+        .write.mode("overwrite").parquet(s"$p/changes")
+      p
+    }
+
+  val sinkMvIncremental: Op = Op(
+    "sink_mv_incremental",
+    (s, dir) => {
+      val p = mvDirs(s, dir)
+      val mv0 = s.read.parquet(s"$p/mv0")
+        .select(col("status"), col("n").as("dn"),
+          col("total").cast(DecimalType(18, 2)).as("dtotal"))
+      val ch = s.read.parquet(s"$p/changes")
+      val oldSide = ch.filter(col("change").isin("delete", "update"))
+        .select(col("old_status").as("status"), lit(-1L).as("dn"),
+          (-dec2(col("old_price"))).cast(DecimalType(18, 2)).as("dtotal"))
+      val newSide = ch.filter(col("change").isin("insert", "update"))
+        .select(col("new_status").as("status"), lit(1L).as("dn"),
+          dec2(col("new_price")).cast(DecimalType(18, 2)).as("dtotal"))
+      mv0.unionByName(oldSide).unionByName(newSide)
+        .groupBy("status")
+        .agg(sum("dn").as("n"), sum("dtotal").as("tot"))
+        .filter(col("n") > 0)
+        .select(col("status"), col("n"),
+          col("tot").cast(DoubleType).as("total_price"),
+          round(col("tot").cast(DoubleType) / col("n"), 6).as("avg_price"))
+        .orderBy("status")
+    },
+    Some(s"""
+      WITH final AS ($morFinalCteSql
+      )
+      SELECT status, COUNT(*) AS n,
+        CAST(SUM(price) AS DOUBLE) AS total_price,
+        ROUND(CAST(SUM(price) AS DOUBLE) / COUNT(*), 6) AS avg_price
+      FROM final GROUP BY status ORDER BY status
     """.stripMargin.trim))
 
   /** Retention VACUUM — the lifecycle step after compaction: once a
@@ -3778,6 +3859,7 @@ object Relational {
     scanFull, scanPrune, scanPred, scanBinaryfile,
     sinkParquet, sinkCsvJson, sinkOrcRoundtrip, sinkMergeOnRead,
     sinkTimeTravel, sinkCompactRewrite, sinkChangeFeed, sinkVacuum,
+    sinkMvIncremental,
     scanTextRoundtrip, scanXmlRoundtrip, sinkCodecRoundtrip,
     sinkPartitionedPrune, sinkSchemaEvolution, joinBucketed,
     projectCompute, filterCompound, filterNull3vl,

@@ -225,6 +225,26 @@ class PlanSuite extends AnyFunSuite {
     assert(p.contains("Window"), s"latest-per-key fold lost its window:\n$p")
   }
 
+  test("sink_mv_incremental's apply reads only the MV and CDC files (no fact re-scan)") {
+    val p = plan("sink_mv_incremental")
+    // the incremental apply consumes the persisted MV + change files
+    // from scratch; a scan of the fixture dir means the "incremental"
+    // maintenance silently regressed to a full re-aggregate
+    // slash-delimited match: the scratch dir NAME embeds the sanitized
+    // fixture path (underscores), so only a real fixture scan Location
+    // carries the slashed form
+    assert(!p.contains("/testdata/"),
+      s"apply plan scans the fixture (full re-aggregate, not incremental):\n$p")
+    assert(p.contains("graft_scratch"),
+      s"apply plan lost its scratch MV/CDC scans:\n$p")
+    // one co-keyed pass: union → partial agg → ONE hash exchange on
+    // status → final agg, plus the final total-ORDER-BY range exchange
+    assert("hashpartitioning\\(".r.findAllIn(p).length == 1,
+      s"expected 1 hash exchange (the status re-aggregate):\n$p")
+    assert("rangepartitioning\\(".r.findAllIn(p).length == 1,
+      s"expected exactly the final ORDER BY range exchange:\n$p")
+  }
+
   test("feature_scale_pack broadcasts the stats row and never reshuffles the table") {
     val p = plan("feature_scale_pack")
     assert(p.contains("BroadcastExchange"),
