@@ -192,7 +192,7 @@ object EventTime {
     * gate proves exactly that). `extraConf` is the per-op hook (e.g.
     * the RocksDB state-store provider for transformWithState).
     */
-  private def replaySession(s: org.apache.spark.sql.SparkSession,
+  private[ops] def replaySession(s: org.apache.spark.sql.SparkSession,
       extraConf: Map[String, String] = Map.empty): org.apache.spark.sql.SparkSession = {
     val s2 = s.newSession()
     s.conf.getAll.foreach { case (k, v) =>

@@ -448,6 +448,80 @@ object Relational {
       FROM final GROUP BY status ORDER BY status
     """.stripMargin.trim))
 
+  /** STREAMING LAKE-LOG CATCH-UP — the production BACKFILL pattern
+    * that completes batch/streaming symmetry for the MOR story: a new
+    * consumer bootstraps its keyed state from the BASE snapshot (one
+    * batch read), then streams the delta log (real file-source
+    * micro-batches, Trigger.AvailableNow, 1 file per trigger) and
+    * MERGEs each batch into state with the associative
+    * max(struct(seq, op, status, price)) fold — the same
+    * keep-latest-by-seq semantics as the batch foldLatest, but
+    * order-INDEPENDENT: because seq rides inside the folded struct,
+    * the final state is bit-identical no matter how the delta files
+    * split into micro-batches or which order they arrive (stronger
+    * than "consume in sequence order" — at-least-once redelivery and
+    * out-of-order file listing are both absorbed). Tombstones ride the
+    * struct and apply POST-fold (the CDC no-resurrection rule: a
+    * pre-fold drop would resurrect the superseded upsert — the key hit
+    * by update seq 1 AND delete seq 2 proves it). ORACLE: the same v2
+    * closed form as the batch fold, so the hash match proves streaming
+    * catch-up ≡ batch merge; StreamingSuite adds the keyed
+    * no-resurrection/price-image assertions the aggregate can't see.
+    *
+    * Scale shape: state is bounded by |live keys| and each micro-batch
+    * reduces itself before touching state (per-batch map-side fold);
+    * at 100 TB the same foreachBatch body MERGEs into a keyed table
+    * and the file source paces by maxFilesPerTrigger — catch-up cost
+    * rides the delta span, never the table.
+    */
+  private[graft] def catchupState(s: SparkSession, dir: String): DataFrame = {
+    val log = morLog(s, dir)
+    val s2 = EventTime.replaySession(s)
+    val rec = (seqC: Column, opC: Column) => struct(
+      seqC.as("seq"), opC.as("op"), col("status"), col("price"))
+    var state = s2.read.parquet(s"$log/base")
+      .select(col("o_orderkey"), rec(lit(0L), lit("U")).as("rec"))
+      .localCheckpoint(true)
+    val q = s2.readStream.schema(s2.read.parquet(s"$log/delta").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$log/delta")
+      .select(col("o_orderkey"), rec(col("seq"), col("op")).as("rec"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        val bLatest = batch.groupBy("o_orderkey").agg(max(col("rec")).as("rec"))
+        state = state.union(bLatest).groupBy("o_orderkey")
+          .agg(max(col("rec")).as("rec")).localCheckpoint(true)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    state
+  }
+
+  val streamReplayLogCatchup: Op = Op(
+    "stream_replay_log_catchup",
+    (s, dir) => {
+      catchupState(s, dir)
+        .filter(col("rec.op") =!= "D")
+        .groupBy(col("rec.status").as("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("rec.price"))).cast(DoubleType).as("total_price"),
+          sum(when(col("o_orderkey") >= 20000000L, 1L).otherwise(0L))
+            .as("n_inserted"))
+        .orderBy("status")
+    },
+    Some(s"""
+      WITH final AS ($morFinalCteSql
+      )
+      SELECT status, COUNT(*) AS n,
+        CAST(SUM(price) AS DOUBLE) AS total_price,
+        CAST(SUM(CASE WHEN o_orderkey >= 20000000 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_inserted
+      FROM final GROUP BY status ORDER BY status
+    """.stripMargin.trim))
+
   /** Retention VACUUM — the lifecycle step after compaction: once a
     * log's deltas are folded into a new base, the superseded base and
     * delta files are PHYSICALLY deleted and every later read serves
@@ -3859,7 +3933,7 @@ object Relational {
     scanFull, scanPrune, scanPred, scanBinaryfile,
     sinkParquet, sinkCsvJson, sinkOrcRoundtrip, sinkMergeOnRead,
     sinkTimeTravel, sinkCompactRewrite, sinkChangeFeed, sinkVacuum,
-    sinkMvIncremental,
+    sinkMvIncremental, streamReplayLogCatchup,
     scanTextRoundtrip, scanXmlRoundtrip, sinkCodecRoundtrip,
     sinkPartitionedPrune, sinkSchemaEvolution, joinBucketed,
     projectCompute, filterCompound, filterNull3vl,

@@ -489,4 +489,44 @@ class StreamingSuite extends AnyFunSuite {
       s"CDC delete set diverged: dropped=${upsert -- cdc} expected=$tombstoned")
     assert((cdc -- upsert).isEmpty, "CDC output must be a subset of the upsert's")
   }
+
+  test("stream_replay_log_catchup: keyed state matches the log's declared deltas") {
+    // the graded op only sees the aggregate; this row pins the KEYED
+    // semantics: deletes stay deleted (no resurrection of the seq-1
+    // update on %91 keys), updates carry the +100 image, inserts land
+    val st = graft.ops.Relational.catchupState(s, TestSpark.Sf0001)
+      .select(col("o_orderkey"), col("rec.seq").as("seq"),
+        col("rec.op").as("op"), col("rec.status").as("status"),
+        col("rec.price").as("price"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getString(3), r.getDouble(4))))
+      .toMap
+    val base = Tables.orders(s, TestSpark.Sf0001)
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(base.keys.exists(_ % 91 == 0),
+      "fixture must contain a key hit by BOTH the %7 update and the %13 delete")
+    base.foreach { case (k, p0) =>
+      val (seq, op, _, price) = st(k)
+      if (k % 13 == 0) {
+        // latest record is the tombstone — even where an update arrived
+        // at seq 1 (k % 91 == 0), the seq-2 delete must win the fold
+        assert(seq == 2L && op == "D", s"key $k: expected tombstone, got $op@$seq")
+      } else if (k % 7 == 0) {
+        assert(op == "U" && seq == 1L && math.abs(price - (p0 + 100)) < 1e-6,
+          s"key $k: update image lost ($op@$seq price=$price base=$p0)")
+      } else {
+        assert(seq == 0L && math.abs(price - p0) < 1e-6,
+          s"key $k: untouched key mutated ($op@$seq price=$price base=$p0)")
+      }
+      if (k % 11 == 0) {
+        val (iseq, iop, istatus, iprice) = st(k + 20000000L)
+        assert(iseq == 1L && iop == "I" && istatus == "N"
+            && math.abs(iprice - p0) < 1e-6,
+          s"insert for key $k missing or wrong: $iop@$iseq $istatus $iprice")
+      }
+    }
+    assert(st.size == base.size + base.keys.count(_ % 11 == 0),
+      "state must hold exactly base keys + inserted keys")
+  }
 }
