@@ -2546,6 +2546,76 @@ object Relational {
       GROUP BY o_orderstatus ORDER BY o_orderstatus
     """.stripMargin.trim))
 
+  /** DATA-SKIPPING STATS INDEX — the manifest-level half of file
+    * skipping that sink_clustered_prune's footer path can't show: a
+    * per-file min/max/count stats TABLE (the Iceberg/Delta manifest
+    * pattern) written in-plan from the clustered rewrite via
+    * `_metadata.file_path`, consulted BEFORE any data scan to
+    * enumerate the surviving files of a selective band query — the
+    * scan then opens ONLY those files (a manifest-sized driver-side
+    * file list, the sink_vacuum precedent: the enumeration IS the
+    * graded point; at 100 TB this is exactly how a table format plans
+    * a scan without touching data or footers). The residual predicate
+    * still applies on the pruned scan (stats prune files, not rows).
+    * ORACLE: the plain filter+aggregate on the original table, so the
+    * hash match proves pruning lost no qualifying row;
+    * SinkCapabilitySuite asserts the index matches the parquet footers
+    * byte-for-byte, that the band survives ≤2 of 8 files, and that the
+    * graded scan's inputFiles are exactly the survivors.
+    *
+    * Scale shape: the index build is the pay-once scan at write time
+    * (production lifts it from footer metadata for free); every later
+    * selective read costs |stats| rows of planning + the 1–2 surviving
+    * files. The stats table itself is file-count-sized — millions of
+    * files at 100 TB, still a broadcast-scale planning input.
+    */
+  private val statsIndexWritten = new SessionArtifact[String]
+  private def statsIndexDirs(s: SparkSession, dir: String): String =
+    statsIndexWritten(s, dir) {
+      val p = scratch("stats_index_" + SessionArtifact.dirTag(dir))
+      Tables.orders(s, dir)
+        .repartitionByRange(8, col("o_totalprice"), col("o_orderkey"))
+        .sortWithinPartitions("o_totalprice", "o_orderkey")
+        .write.mode("overwrite").parquet(s"$p/orders_by_price")
+      s.read.parquet(s"$p/orders_by_price")
+        .select(col("_metadata.file_path").as("file_path"), col("o_totalprice"))
+        .groupBy("file_path")
+        .agg(min("o_totalprice").as("min_price"),
+          max("o_totalprice").as("max_price"),
+          count(lit(1)).as("n_rows"))
+        .write.mode("overwrite").parquet(s"$p/stats")
+      p
+    }
+
+  val sinkStatsIndex: Op = Op(
+    "sink_stats_index",
+    (s, dir) => {
+      val p = statsIndexDirs(s, dir)
+      val (lo, hi) = (200000.0, 210000.0)
+      val survivors = s.read.parquet(s"$p/stats")
+        .filter(col("max_price") >= lo && col("min_price") < hi)
+        .select("file_path").collect().map(_.getString(0)).sorted
+      val src =
+        if (survivors.nonEmpty) s.read.parquet(survivors.toIndexedSeq: _*)
+        else s.read.parquet(s"$p/orders_by_price").filter(lit(false))
+      src.filter(col("o_totalprice") >= lo && col("o_totalprice") < hi)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("o_totalprice"))).cast(DoubleType).as("tot"),
+          round(sum(dec2(col("o_totalprice"))).cast(DoubleType)
+            / count(lit(1)), 6).as("avg_price"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS tot,
+        ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+          / COUNT(*), 6) AS avg_price
+      FROM orders
+      WHERE o_totalprice >= 200000.0 AND o_totalprice < 210000.0
+      GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """.stripMargin.trim))
+
   /** Constraint validation — the dbt-test / data-contract gate every
     * lake runs on ingest: referential integrity (orders→customer,
     * lineitem→orders), primary-key uniqueness, a value-range rule, and
@@ -3933,7 +4003,7 @@ object Relational {
     scanFull, scanPrune, scanPred, scanBinaryfile,
     sinkParquet, sinkCsvJson, sinkOrcRoundtrip, sinkMergeOnRead,
     sinkTimeTravel, sinkCompactRewrite, sinkChangeFeed, sinkVacuum,
-    sinkMvIncremental, streamReplayLogCatchup,
+    sinkMvIncremental, streamReplayLogCatchup, sinkStatsIndex,
     scanTextRoundtrip, scanXmlRoundtrip, sinkCodecRoundtrip,
     sinkPartitionedPrune, sinkSchemaEvolution, joinBucketed,
     projectCompute, filterCompound, filterNull3vl,

@@ -79,6 +79,48 @@ class SinkCapabilitySuite extends AnyFunSuite {
       s"price predicate not pushed to the clustered scan:\n$p")
   }
 
+  test("sink_stats_index: index matches footers; graded scan opens only surviving files") {
+    val df = SparkEntry.queries("sink_stats_index")(s, TestSpark.Sf0001)
+    df.collect() // ensure the rewrite + index build ran
+    val root = s"${sys.props("java.io.tmpdir")}/graft_scratch/stats_index_" +
+      graft.ops.SessionArtifact.dirTag(TestSpark.Sf0001)
+    val stats = s.read.parquet(s"$root/stats")
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(stats.size >= 4, s"expected one stats row per clustered file: ${stats.size}")
+    // the index must agree with the parquet footers a statistics reader
+    // would consult — min/max per file, byte-for-byte
+    val conf = s.sparkContext.hadoopConfiguration
+    stats.foreach { case (path, (mn, mx, nRows)) =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(path), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val blocks = reader.getFooter.getBlocks
+        val cst = (0 until blocks.size()).map { i =>
+          blocks.get(i).getColumns.asScala
+            .find(_.getPath.toDotString == "o_totalprice").get.getStatistics
+        }
+        assert(cst.map(_.genericGetMin.asInstanceOf[Double]).min == mn
+            && cst.map(_.genericGetMax.asInstanceOf[Double]).max == mx,
+          s"stats index diverged from footer for $path")
+        assert((0 until blocks.size()).map(blocks.get(_).getRowCount).sum == nRows,
+          s"stats row count diverged from footer for $path")
+      } finally reader.close()
+    }
+    // the graded band must survive in at most 2 of the files, and the
+    // graded plan must open EXACTLY the surviving files (plus the index)
+    val survivors = stats.filter { case (_, (mn, mx, _)) =>
+      mx >= 200000.0 && mn < 210000.0
+    }.keySet
+    assert(survivors.nonEmpty && survivors.size <= 2,
+      s"band should survive 1-2 of ${stats.size} files, got ${survivors.size}")
+    val scanned = df.inputFiles.filter(_.contains("orders_by_price")).toSet
+    assert(scanned.map(_.replaceFirst("^file:/+", "/"))
+        == survivors.map(_.replaceFirst("^file:/+", "/")),
+      s"graded scan opened $scanned, index says $survivors")
+  }
+
   test("sink_zorder_prune: every file bounds BOTH dimensions; 2-D band prunes files") {
     // the property a 1-D sort cannot deliver: after the z-order rewrite,
     // (almost) every file's footer min/max is sub-domain in BOTH
