@@ -2484,6 +2484,183 @@ object LlmOps {
       WHERE rn <= 5 ORDER BY p_id, rn
     """.stripMargin.trim))
 
+  /** PRODUCT-QUANTIZATION ANN — the third leg of the ANN family
+    * (brute force = exact baseline, IVF = partition-and-probe, PQ =
+    * COMPRESS-and-scan): each 128-dim vector splits into M=16
+    * subspaces of 8 dims, each subspace learns a KS=32-entry codebook
+    * (md5('pq:'||vec_id)-seeded deterministic sample + ONE Lloyd step
+    * — the ivfSeeds/ivfLloyd discipline per subspace, means through
+    * exact DECIMAL(20,12)), and every vector is ENCODED as 16 code
+    * ids (~80 bits vs 8 KB raw — the memory-bound regime PQ exists
+    * for). Search is ADC (asymmetric distance): the probe builds a
+    * (subspace, code) → partial-sqdist lookup table against the
+    * codebook ONLY, a candidate's approximate distance is the sum of
+    * 16 LUT entries (each partial rounded at 8 dp and summed as exact
+    * DECIMAL(20,8) — associative ⇒ partition-invariant, the chisq
+    * treatment), the ADC top-50 shortlist re-ranks EXACTLY on the raw
+    * vectors, and the graded output is the exact top-5 — the
+    * production shortlist+re-rank shape. Tie-breaks everywhere on
+    * (rounded distance, id); float→double is exact — fully
+    * ORACLE-GRADED like IVF (no recall hand-wave in the graded path;
+    * AnnRecallSuite separately gates recall ≥ 0.8 vs brute force —
+    * 0.820 in-engine at sf0.001, deterministic for a fixed fixture;
+    * the round-14 numpy prototype that chose m/ks/shortlist read
+    * 0.96/1.00 at sf0.001/sf0.01 on its own argmin conventions).
+    *
+    * Scale shape: the codebook is M×KS tiny rows (broadcast), codes
+    * are N×M skinny ints (production packs them to bytes in one
+    * column), the LUT is |probes|×M×KS and rides a broadcast, and the
+    * ADC fold is ONE co-keyed aggregate of codes ⋈ broadcast-LUT —
+    * the corpus never shuffles and the raw vectors are touched only
+    * for |probes|×50 re-rank rows. At 100 TB the scan reads 10 B/vec
+    * instead of 512 B/vec: PQ trades a bounded approximation error
+    * (absorbed by the re-rank) for a 50× smaller scan.
+    */
+  private val PqM = 16
+  private val PqSub = 8
+  private val PqKs = 32
+  private val PqShortlist = 50
+
+  val llmSimsearchPq: Op = Op(
+    "llm_simsearch_pq",
+    (s, dir) => {
+      graft.functions.SqDist.register(s)
+      val e = ivfVecs(s, dir)
+      val js = s.range(0, PqM).select(col("id").cast(IntegerType).as("j"))
+      val seeds = e.select(col("vec_id").as("cell"), col("v").as("cvec"),
+          md5(concat(lit("pq:"), col("vec_id").cast(StringType))).as("hkey"))
+        .orderBy("hkey", "cell").limit(PqKs)
+      val cb0 = seeds.crossJoin(broadcast(js))
+        .select(col("j"), col("cell"),
+          expr(s"slice(cvec, j * $PqSub + 1, $PqSub)").as("csub"))
+      // 3 consumers (seed assign, Lloyd member join, encode) — one pass
+      val subs = e.crossJoin(broadcast(js))
+        .select(col("vec_id"), col("j"),
+          expr(s"slice(v, j * $PqSub + 1, $PqSub)").as("subv"))
+        .localCheckpoint(true)
+      // nearest sub-centroid per (vector, subspace): agg-min on the
+      // (rounded sqdist, cell) struct — partial aggregates map-side,
+      // no window, the corpus-side never reshuffles on the codebook
+      def assign(cb: DataFrame): DataFrame =
+        subs.join(broadcast(cb), "j")
+          .groupBy("vec_id", "j")
+          .agg(min(struct(round(sqdist(col("subv"), col("csub")), 6).as("d"),
+            col("cell"))).as("mn"))
+          .select(col("vec_id"), col("j"), col("mn.cell").as("cell"))
+      val cb = assign(cb0)
+        .join(subs, Seq("vec_id", "j"))
+        .select(col("j"), col("cell"), posexplode(col("subv")))
+        .groupBy("j", "cell", "pos")
+        .agg((sum(col("col").cast(DecimalType(20, 12))).cast(DoubleType) /
+          count(lit(1))).as("m"))
+        .groupBy("j", "cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("csub"))
+        .localCheckpoint(true)
+      val codes = assign(cb).withColumnRenamed("cell", "code")
+      val probes = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("p_id"), col("v").as("pv"))
+      val lut = probes.crossJoin(broadcast(js))
+        .select(col("p_id"), col("j"),
+          expr(s"slice(pv, j * $PqSub + 1, $PqSub)").as("psub"))
+        .join(broadcast(cb), "j")
+        .select(col("p_id"), col("j"), col("cell"),
+          round(sqdist(col("psub"), col("csub")), 8)
+            .cast(DecimalType(20, 8)).as("pd"))
+      val adc = codes.join(broadcast(lut),
+          codes("j") === lut("j") && codes("code") === lut("cell"))
+        .filter(col("vec_id") =!= col("p_id"))
+        .groupBy("p_id", "vec_id")
+        .agg(sum("pd").as("adc"))
+      val short = adc
+        .withColumn("srn", row_number().over(
+          Window.partitionBy("p_id").orderBy(col("adc"), col("vec_id"))))
+        .filter(col("srn") <= PqShortlist)
+        .select("p_id", "vec_id")
+      short.join(e, "vec_id")
+        .join(broadcast(probes), "p_id")
+        .select(col("p_id"), col("vec_id").as("n_id"),
+          round(sqrt(sqdist(col("pv"), col("v"))), 6).as("dist"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("p_id").orderBy(col("dist"), col("n_id"))))
+        .filter(col("rn") <= 5)
+        .select(col("p_id"), col("n_id"), col("dist"), col("rn"))
+        .orderBy("p_id", "rn")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+      ), js AS (
+        SELECT unnest(generate_series(0, ${PqM - 1})) AS j
+      ), seeds AS (
+        SELECT vec_id AS cell, v AS cvec
+        FROM e ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT $PqKs
+      ), cb0 AS (
+        SELECT j, cell,
+          list_slice(cvec, j * $PqSub + 1, j * $PqSub + $PqSub) AS csub
+        FROM seeds, js
+      ), subs AS (
+        SELECT vec_id, j,
+          list_slice(v, j * $PqSub + 1, j * $PqSub + $PqSub) AS subv
+        FROM e, js
+      ), asg0 AS (
+        SELECT vec_id, j, cell FROM (
+          SELECT s.vec_id, s.j, c.cell,
+            row_number() OVER (PARTITION BY s.vec_id, s.j
+              ORDER BY ROUND(list_sum(list_transform(list_zip(s.subv, c.csub),
+                z -> (z[1] - z[2]) * (z[1] - z[2]))), 6), c.cell) AS rn
+          FROM subs s JOIN cb0 c ON c.j = s.j) WHERE rn = 1
+      ), dims0 AS (
+        SELECT a.j, a.cell, s.subv,
+          unnest(generate_series(1, $PqSub)) AS i
+        FROM asg0 a JOIN subs s ON s.vec_id = a.vec_id AND s.j = a.j
+      ), means AS (
+        SELECT j, cell, i - 1 AS pos,
+          CAST(SUM(CAST(subv[i] AS DECIMAL(20,12))) AS DOUBLE) / COUNT(*) AS m
+        FROM dims0 GROUP BY 1, 2, 3
+      ), cb AS (
+        SELECT j, cell, list(m ORDER BY pos) AS csub FROM means GROUP BY j, cell
+      ), codes AS (
+        SELECT vec_id, j, cell AS code FROM (
+          SELECT s.vec_id, s.j, c.cell,
+            row_number() OVER (PARTITION BY s.vec_id, s.j
+              ORDER BY ROUND(list_sum(list_transform(list_zip(s.subv, c.csub),
+                z -> (z[1] - z[2]) * (z[1] - z[2]))), 6), c.cell) AS rn
+          FROM subs s JOIN cb c ON c.j = s.j) WHERE rn = 1
+      ), probes AS (
+        SELECT vec_id AS p_id, v AS pv FROM e WHERE vec_id % 50 = 0
+      ), lut AS (
+        SELECT p.p_id, c.j, c.cell,
+          CAST(ROUND(list_sum(list_transform(
+            list_zip(list_slice(p.pv, c.j * $PqSub + 1, c.j * $PqSub + $PqSub),
+                     c.csub),
+            z -> (z[1] - z[2]) * (z[1] - z[2]))), 8) AS DECIMAL(20,8)) AS pd
+        FROM probes p, cb c
+      ), adc AS (
+        SELECT l.p_id, k.vec_id, SUM(l.pd) AS adc
+        FROM codes k JOIN lut l ON l.j = k.j AND l.cell = k.code
+        WHERE k.vec_id != l.p_id
+        GROUP BY 1, 2
+      ), short AS (
+        SELECT p_id, vec_id FROM (
+          SELECT p_id, vec_id, row_number() OVER (PARTITION BY p_id
+            ORDER BY adc, vec_id) AS srn FROM adc) WHERE srn <= $PqShortlist
+      )
+      SELECT p_id, n_id, dist, rn FROM (
+        SELECT sh.p_id, sh.vec_id AS n_id,
+          ROUND(sqrt(list_sum(list_transform(list_zip(p.pv, e.v),
+            z -> (z[1] - z[2]) * (z[1] - z[2])))), 6) AS dist,
+          row_number() OVER (PARTITION BY sh.p_id
+            ORDER BY ROUND(sqrt(list_sum(list_transform(list_zip(p.pv, e.v),
+              z -> (z[1] - z[2]) * (z[1] - z[2])))), 6), sh.vec_id) AS rn
+        FROM short sh
+          JOIN e ON e.vec_id = sh.vec_id
+          JOIN probes p ON p.p_id = sh.p_id
+      ) WHERE rn <= 5 ORDER BY p_id, rn
+    """.stripMargin.trim))
+
   /** IVF-bucketed SEMANTIC dedup — near-dup detection in true embedding
     * space (llm_dedup_embed works on hashed-BoW term vectors; this op
     * closes that gap, round-12 verdict #8). Reuses the SHARED fitted
@@ -4094,6 +4271,7 @@ object LlmOps {
     llmDedupEmbed, llmFingerprintWinnow, llmDecontaminate, llmPiiScrub,
     llmPipelineCurate,
     llmSimsearchTopk, llmSimsearchLsh, llmSimsearchLshDet, llmIvfFit, llmSimsearchIvf,
+    llmSimsearchPq,
     llmDedupSemantic,
     llmEmbedQuantize, llmNgramLogprob, llmMultimodalJoin)
 }
