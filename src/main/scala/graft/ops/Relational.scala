@@ -2616,6 +2616,113 @@ object Relational {
       GROUP BY o_orderstatus ORDER BY o_orderstatus
     """.stripMargin.trim))
 
+  /** BLOOM-FILTER FILE INDEX — the point-lookup complement to
+    * sink_stats_index's min/max manifest: range stats prune BAND
+    * queries on the clustering key, but an equality probe on a
+    * NON-clustered key (order id against price-clustered files) gets
+    * nothing from min/max — the production answer is a per-file bloom
+    * filter (Iceberg puffin / parquet bloom, here materialized as an
+    * index TABLE the planner can join). Build: per file, each key
+    * hashes to BfK=3 positions in a BfM=2^18-bit array, packed as
+    * (file_path, word, bits) rows via shiftleft + bit_or — a columnar
+    * bitset, built in ONE pass over the clustered rewrite. Probe: the
+    * key set's (word, mask) rows join the index and a file survives a
+    * key iff EVERY probe word has (bits & mask) == mask (an absent
+    * word row fails the count — zero bits can't satisfy a mask);
+    * surviving files are enumerated BEFORE the scan (the stats-index /
+    * vacuum manifest pattern) and the residual predicate still
+    * applies, so false positives cost I/O, never correctness, and
+    * false negatives are impossible by construction. ORACLE: the plain
+    * point-lookup on the original table. SinkCapabilitySuite asserts
+    * ≤2 surviving files per probe (fpp at this load ≈ 0.7%), that
+    * each key's TRUE file survives, and that the graded scan opens
+    * only surviving files.
+    *
+    * Scale shape: the index is |files| × (BfM/64) skinny long rows
+    * worst case (~4k words/file) — manifest-scale, broadcast-able
+    * planning input; the probe side is |keys|×3 rows. At 100 TB a
+    * point lookup touches the 1–2 files that can contain the key
+    * instead of every file the band stats can't exclude. Probe keys
+    * here derive from a 1-column pruned scan of the original table
+    * (the fixture stand-in for caller-supplied keys).
+    */
+  private val BfM = 262144
+  private val BfK = 3
+  private val bloomIndexWritten = new SessionArtifact[String]
+  private def bloomIndexDirs(s: SparkSession, dir: String): String =
+    bloomIndexWritten(s, dir) {
+      val p = scratch("bloom_index_" + SessionArtifact.dirTag(dir))
+      Tables.orders(s, dir)
+        .repartitionByRange(8, col("o_totalprice"), col("o_orderkey"))
+        .sortWithinPartitions("o_totalprice", "o_orderkey")
+        .write.mode("overwrite").parquet(s"$p/orders_by_price")
+      s.read.parquet(s"$p/orders_by_price")
+        .select(col("_metadata.file_path").as("file_path"),
+          col("o_orderkey").as("k"))
+        .select(col("file_path"),
+          explode(array((0 until BfK).map(bloomHash): _*)).as("pos"))
+        .select(col("file_path"),
+          expr("cast(pos div 64 as int)").as("word"),
+          expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))").as("bit"))
+        .groupBy("file_path", "word")
+        .agg(expr("bit_or(bit)").as("bits"))
+        .write.mode("overwrite").parquet(s"$p/bloom")
+      p
+    }
+
+  /** Position of hash i for the key column `k` (md5-seeded double
+    * hashing — deterministic and engine-portable, the embedTf dim
+    * discipline). */
+  private def bloomHash(i: Int): Column =
+    expr(s"cast(conv(substring(md5(concat('bf$i:', cast(k as string))), " +
+      s"1, 12), 16, 10) as bigint) % $BfM")
+
+  /** (k, file_path) pairs that survive the bloom probe — exposed so
+    * SinkCapabilitySuite can assert selectivity and zero false
+    * negatives on the production subplan. */
+  private[graft] def bloomSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val p = bloomIndexDirs(s, dir)
+    val bloom = s.read.parquet(s"$p/bloom")
+    val pp = Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 2500 === 0)
+      .select(col("o_orderkey").as("k"))
+      .select(col("k"), explode(array((0 until BfK).map(bloomHash): _*)).as("pos"))
+      .select(col("k"),
+        expr("cast(pos div 64 as int)").as("word"),
+        expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))").as("bit"))
+      .groupBy("k", "word").agg(expr("bit_or(bit)").as("mask"))
+    val nw = pp.groupBy("k").agg(count(lit(1)).as("n_words"))
+    bloom.join(broadcast(pp), "word")
+      .filter(col("bits").bitwiseAND(col("mask")) === col("mask"))
+      .groupBy("k", "file_path").agg(count(lit(1)).as("n_ok"))
+      .join(broadcast(nw), "k")
+      .filter(col("n_ok") === col("n_words"))
+      .select("k", "file_path")
+  }
+
+  val sinkBloomIndex: Op = Op(
+    "sink_bloom_index",
+    (s, dir) => {
+      val p = bloomIndexDirs(s, dir)
+      val files = bloomSurvivors(s, dir)
+        .select("file_path").distinct()
+        .collect().map(_.getString(0)).sorted
+      val src =
+        if (files.nonEmpty) s.read.parquet(files.toIndexedSeq: _*)
+        else s.read.parquet(s"$p/orders_by_price").filter(lit(false))
+      src.filter(col("o_orderkey") % 2500 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus").as("status"),
+          dec2(col("o_totalprice")).cast(DoubleType).as("price"))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, o_orderstatus AS status,
+        CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey % 2500 = 0
+      ORDER BY o_orderkey
+    """.stripMargin.trim))
+
   /** Constraint validation — the dbt-test / data-contract gate every
     * lake runs on ingest: referential integrity (orders→customer,
     * lineitem→orders), primary-key uniqueness, a value-range rule, and
@@ -4004,6 +4111,7 @@ object Relational {
     sinkParquet, sinkCsvJson, sinkOrcRoundtrip, sinkMergeOnRead,
     sinkTimeTravel, sinkCompactRewrite, sinkChangeFeed, sinkVacuum,
     sinkMvIncremental, streamReplayLogCatchup, sinkStatsIndex,
+    sinkBloomIndex,
     scanTextRoundtrip, scanXmlRoundtrip, sinkCodecRoundtrip,
     sinkPartitionedPrune, sinkSchemaEvolution, joinBucketed,
     projectCompute, filterCompound, filterNull3vl,

@@ -121,6 +121,35 @@ class SinkCapabilitySuite extends AnyFunSuite {
       s"graded scan opened $scanned, index says $survivors")
   }
 
+  test("sink_bloom_index: selective, zero false negatives, scan opens only survivors") {
+    val df = SparkEntry.queries("sink_bloom_index")(s, TestSpark.Sf0001)
+    df.collect() // ensure the rewrite + bloom build ran
+    val surv = graft.ops.Relational.bloomSurvivors(s, TestSpark.Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val byKey = surv.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byKey.nonEmpty, "no probe keys at sf0.001 — fixture drifted")
+    // ground truth: the file that actually holds each probe key
+    val root = s"${sys.props("java.io.tmpdir")}/graft_scratch/bloom_index_" +
+      graft.ops.SessionArtifact.dirTag(TestSpark.Sf0001)
+    val truth = s.read.parquet(s"$root/orders_by_price")
+      .filter(col("o_orderkey") % 2500 === 0)
+      .select(col("o_orderkey"), col("_metadata.file_path"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    truth.foreach { case (k, f) =>
+      assert(byKey(k).contains(f),
+        s"FALSE NEGATIVE: key $k lives in $f but bloom pruned it")
+      assert(byKey(k).size <= 2,
+        s"key $k survives ${byKey(k).size} of 8 files — bloom not selective")
+    }
+    // the graded scan must open no file outside the surviving union
+    val union = byKey.values.flatten.toSet.map((p: String) =>
+      p.replaceFirst("^file:/+", "/"))
+    val scanned = df.inputFiles.filter(_.contains("orders_by_price"))
+      .map(_.replaceFirst("^file:/+", "/")).toSet
+    assert(scanned.subsetOf(union) && scanned.nonEmpty,
+      s"graded scan opened $scanned, bloom allows only $union")
+  }
+
   test("sink_zorder_prune: every file bounds BOTH dimensions; 2-D band prunes files") {
     // the property a 1-D sort cannot deliver: after the z-order rewrite,
     // (almost) every file's footer min/max is sub-domain in BOTH
