@@ -881,6 +881,73 @@ object Relational {
             FROM documents WHERE lang IN ('en', 'fr')
             GROUP BY lang ORDER BY lang"""))
 
+  /** PARTITION-SPEC EVOLUTION — the layout half of the evolution story
+    * (sink_schema_evolution covers columns): a table's early
+    * generation was written hive-partitioned by YEAR, the spec later
+    * evolved to (YEAR, MONTH), and BOTH generations keep serving one
+    * logical table without a rewrite — exactly Iceberg partition
+    * evolution, expressed as two hive layouts under one union view.
+    * The graded window [1997-11, 1998-03) STRADDLES the evolution
+    * point (gen1 holds < 1998, gen2 ≥ 1998), so one query must prune
+    * each generation BY ITS OWN SPEC: gen1 prunes to the year=1997
+    * dirs and row-filters the months (the old spec can't do better —
+    * the reason the spec evolved), gen2 prunes to year=1998/month∈{1,2}
+    * from directory listing alone. ORACLE: the same window aggregate
+    * on the original table, proving the split/evolve/union chain
+    * lossless; SinkCapabilitySuite asserts the pruning from
+    * df.inputFiles (gen1 files all under y=1997, gen2 files only under
+    * y=1998/m=1|2, nothing else touched).
+    *
+    * Scale shape: partition pruning is directory-listing work on both
+    * specs; the union is a metadata concat of two pruned scans. At
+    * 100 TB this is how a table migrates to a finer spec without
+    * rewriting history — new data gets the new layout, old partitions
+    * stay valid, every reader prunes each era as well as that era
+    * allows.
+    */
+  private val partEvoWritten = new SessionArtifact[String]
+  private def partEvoDirs(s: SparkSession, dir: String): String =
+    partEvoWritten(s, dir) {
+      val p = scratch("part_evo_" + SessionArtifact.dirTag(dir))
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderdate"),
+          year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+      o.filter(col("y") < 1998).drop("m")
+        .write.mode("overwrite").partitionBy("y").parquet(s"$p/gen1")
+      o.filter(col("y") >= 1998)
+        .write.mode("overwrite").partitionBy("y", "m").parquet(s"$p/gen2")
+      p
+    }
+
+  val sinkPartitionEvolution: Op = Op(
+    "sink_partition_evolution",
+    (s, dir) => {
+      val p = partEvoDirs(s, dir)
+      val gen1 = s.read.parquet(s"$p/gen1")
+        .filter(col("y") === 1997 &&
+          col("o_orderdate") >= lit("1997-11-01").cast(TimestampType))
+        .select(col("o_orderdate"), col("o_totalprice"))
+      val gen2 = s.read.parquet(s"$p/gen2")
+        .filter(col("y") === 1998 && col("m").isin(1, 2))
+        .select(col("o_orderdate"), col("o_totalprice"))
+      gen1.unionByName(gen2)
+        .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM")
+          .as("ym"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("o_totalprice"))).cast(DoubleType).as("total_price"))
+        .orderBy("ym")
+    },
+    Some("""
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS ym,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-11-01'
+        AND o_orderdate < TIMESTAMP '1998-03-01'
+      GROUP BY 1 ORDER BY 1
+    """.stripMargin.trim))
+
   /** Schema evolution on read — the lake reality that files written in
     * different eras carry different columns: two parquet writes into one
     * directory with DISJOINT column tails (era 'a': doc_id, tag, lang;
@@ -4111,7 +4178,7 @@ object Relational {
     sinkParquet, sinkCsvJson, sinkOrcRoundtrip, sinkMergeOnRead,
     sinkTimeTravel, sinkCompactRewrite, sinkChangeFeed, sinkVacuum,
     sinkMvIncremental, streamReplayLogCatchup, sinkStatsIndex,
-    sinkBloomIndex,
+    sinkBloomIndex, sinkPartitionEvolution,
     scanTextRoundtrip, scanXmlRoundtrip, sinkCodecRoundtrip,
     sinkPartitionedPrune, sinkSchemaEvolution, joinBucketed,
     projectCompute, filterCompound, filterNull3vl,

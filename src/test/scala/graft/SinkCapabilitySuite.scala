@@ -150,6 +150,41 @@ class SinkCapabilitySuite extends AnyFunSuite {
       s"graded scan opened $scanned, bloom allows only $union")
   }
 
+  test("sink_partition_evolution: each generation prunes by its own spec") {
+    // df.inputFiles reports the UNPRUNED listing, so the evidence is the
+    // executed scans' numFiles metric: after partition pruning, each
+    // generation's scan must read exactly the files its spec allows
+    val df = SparkEntry.queries("sink_partition_evolution")(s, TestSpark.Sf0001)
+    df.collect() // executes both pruned scans; metrics are now populated
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case o => o.children.flatMap(scans)
+    }
+    val byGen = scans(df.queryExecution.executedPlan).map { f =>
+      val root = f.relation.location.rootPaths.head.toString
+      val gen = if (root.contains("gen1")) "gen1" else "gen2"
+      gen -> f.metrics("numFiles").value
+    }.toMap
+    assert(byGen.keySet == Set("gen1", "gen2"),
+      s"window must straddle the evolution point, got scans: $byGen")
+    val root = s"${sys.props("java.io.tmpdir")}/graft_scratch/part_evo_" +
+      graft.ops.SessionArtifact.dirTag(TestSpark.Sf0001)
+    def filesUnder(sub: String): Long =
+      Option(new java.io.File(s"$root/$sub").listFiles()).map(
+        _.count(_.getName.endsWith(".parquet")).toLong).getOrElse(0L)
+    // old spec: only the y=1997 dir is listed (months row-filter inside)
+    assert(byGen("gen1") == filesUnder("gen1/y=1997") && byGen("gen1") > 0,
+      s"gen1 read ${byGen("gen1")} files, y=1997 holds ${filesUnder("gen1/y=1997")}")
+    // evolved spec: only 1998's Jan+Feb dirs are listed
+    val g2Expected = filesUnder("gen2/y=1998/m=1") + filesUnder("gen2/y=1998/m=2")
+    assert(byGen("gen2") == g2Expected && byGen("gen2") > 0,
+      s"gen2 read ${byGen("gen2")} files, m=1+m=2 hold $g2Expected")
+  }
+
   test("sink_zorder_prune: every file bounds BOTH dimensions; 2-D band prunes files") {
     // the property a 1-D sort cannot deliver: after the z-order rewrite,
     // (almost) every file's footer min/max is sub-domain in BOTH
