@@ -881,6 +881,128 @@ object Relational {
             FROM documents WHERE lang IN ('en', 'fr')
             GROUP BY lang ORDER BY lang"""))
 
+  /** OPTIMISTIC-CONCURRENCY COMMIT — the multi-WRITER half of the
+    * lake's ACID story (stream_replay_sink_commit covers single-writer
+    * exactly-once; this op covers two writers racing on one table,
+    * the Delta/Iceberg commit loop): every commit is a compare-and-
+    * swap on the NEXT version marker (atomic createNewFile — unique
+    * winner by the filesystem's own atomicity), data staged to a temp
+    * dir and renamed in only by the marker's owner. Writer A bases on
+    * v0 and commits v1 (%4-stride price updates). Writer B ALSO based
+    * on v0 — its v1 CAS provably FAILS (the conflict is real, not
+    * narrated), so it runs the retry protocol: re-read the log,
+    * VALIDATE its write-set against the winning commit's touched keys
+    * (a co-keyed anti-join count — in-plan, no driver diff), and
+    * re-commit as v2 (its +20M inserts are disjoint from A's updates,
+    * so the rebase is clean — the serializable-when-disjoint rule).
+    * The graded read folds base + committed deltas in manifest order
+    * with the shared foldLatest and carries the protocol outcome
+    * (n_commits from the marker listing, n_conflicts from the CAS
+    * failure — the sink_vacuum literal precedent: the probe IS the
+    * graded point). ORACLE: closed form of both writers' effects plus
+    * the literal protocol counts, so the hash match proves the race
+    * resolved to exactly one serial history.
+    *
+    * Scale shape: the CAS is one metadata op per commit regardless of
+    * data size; conflict validation rides the CHANGED key sets (two
+    * delta scans, one anti join), never the table. This is precisely
+    * why OCC scales to 100 TB lakes: writers pay proportional to what
+    * they touched, and only on conflict.
+    */
+  private val occWritten = new SessionArtifact[(String, Long)]
+  private def occCommitLog(s: SparkSession, dir: String): (String, Long) =
+    occWritten(s, dir) {
+      val p = scratch("occ_commit_" + SessionArtifact.dirTag(dir))
+      val root = new java.io.File(p)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      if (root.exists) rm(root)
+      new java.io.File(s"$p/_commits").mkdirs()
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+          col("o_totalprice").as("price"))
+      o.write.mode("overwrite").parquet(s"$p/base")
+      require(new java.io.File(s"$p/_commits/v0").createNewFile(), "v0 races itself")
+      var conflicts = 0L
+      def tryCommit(v: Int, delta: DataFrame): Boolean = {
+        val tmp = s"$p/_staged_v$v"
+        delta.write.mode("overwrite").parquet(tmp)
+        if (new java.io.File(s"$p/_commits/v$v").createNewFile()) {
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(tmp),
+            java.nio.file.Paths.get(s"$p/delta_v$v"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          true
+        } else { rm(new java.io.File(tmp)); conflicts += 1; false }
+      }
+      val deltaA = o.filter(col("o_orderkey") % 4 === 0)
+        .select(col("o_orderkey"), col("status"),
+          (dec2(col("price")) + 200).cast(DoubleType).as("price"))
+      val deltaB = o.filter(col("o_orderkey") % 9 === 0)
+        .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
+          lit("N").as("status"), col("price"))
+      // both writers snapshot the SAME base version (v0) before either
+      // commits — the classic read-modify-write race
+      val nextA, nextB = 1
+      require(tryCommit(nextA, deltaA), "writer A held the only v1 claim")
+      if (!tryCommit(nextB, deltaB)) {
+        // retry protocol: validate B's write-set against the commit
+        // that won (co-keyed anti join — zero overlap required), then
+        // rebase onto the new head
+        val winners = s.read.parquet(s"$p/delta_v1").select("o_orderkey")
+        val overlap = deltaB.join(winners, Seq("o_orderkey"), "left_semi").count()
+        require(overlap == 0L,
+          s"write-sets overlap on $overlap keys — a real table would abort B")
+        require(tryCommit(2, deltaB), "rebased writer B held the only v2 claim")
+      }
+      (p, conflicts)
+    }
+
+  val sinkConcurrentCommit: Op = Op(
+    "sink_concurrent_commit",
+    (s, dir) => {
+      val (p, conflicts) = occCommitLog(s, dir)
+      val versions = new java.io.File(s"$p/_commits").list().toSeq.sorted
+      val log = s.read.parquet(s"$p/base")
+        .select(col("o_orderkey"), col("status"), col("price"),
+          lit(0L).as("seq"), lit("U").as("op"))
+        .unionByName(
+          versions.filter(_ != "v0").map { v =>
+            s.read.parquet(s"$p/delta_$v")
+              .select(col("o_orderkey"), col("status"), col("price"),
+                lit(v.drop(1).toLong).as("seq"), lit("U").as("op"))
+          }.reduce(_ unionByName _))
+      foldLatest(log, "o_orderkey")
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("price"))).cast(DoubleType).as("total_price"))
+        .crossJoin(broadcast(s.range(1).select(
+          lit(versions.size.toLong).as("n_commits"),
+          lit(conflicts).as("n_conflicts"))))
+        .select(col("status"), col("n"), col("total_price"),
+          col("n_commits"), col("n_conflicts"))
+        .orderBy("status")
+    },
+    Some("""
+      WITH final AS (
+        SELECT o_orderkey, o_orderstatus AS status,
+          CASE WHEN o_orderkey % 4 = 0
+            THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 200
+                      AS DECIMAL(12,2))
+            ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS price
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey + 20000000, 'N', CAST(o_totalprice AS DECIMAL(12,2))
+        FROM orders WHERE o_orderkey % 9 = 0
+      )
+      SELECT status, COUNT(*) AS n,
+        CAST(SUM(price) AS DOUBLE) AS total_price,
+        CAST(3 AS BIGINT) AS n_commits, CAST(1 AS BIGINT) AS n_conflicts
+      FROM final GROUP BY status ORDER BY status
+    """.stripMargin.trim))
+
   /** PARTITION-SPEC EVOLUTION — the layout half of the evolution story
     * (sink_schema_evolution covers columns): a table's early
     * generation was written hive-partitioned by YEAR, the spec later
@@ -4178,7 +4300,7 @@ object Relational {
     sinkParquet, sinkCsvJson, sinkOrcRoundtrip, sinkMergeOnRead,
     sinkTimeTravel, sinkCompactRewrite, sinkChangeFeed, sinkVacuum,
     sinkMvIncremental, streamReplayLogCatchup, sinkStatsIndex,
-    sinkBloomIndex, sinkPartitionEvolution,
+    sinkBloomIndex, sinkPartitionEvolution, sinkConcurrentCommit,
     scanTextRoundtrip, scanXmlRoundtrip, sinkCodecRoundtrip,
     sinkPartitionedPrune, sinkSchemaEvolution, joinBucketed,
     projectCompute, filterCompound, filterNull3vl,

@@ -150,6 +150,26 @@ class SinkCapabilitySuite extends AnyFunSuite {
       s"graded scan opened $scanned, bloom allows only $union")
   }
 
+  test("sink_concurrent_commit: CAS log holds one serial history, stage dirs cleaned") {
+    val rows = SparkEntry.queries("sink_concurrent_commit")(s, TestSpark.Sf0001).collect()
+    // the graded columns carry the protocol outcome: one real conflict
+    assert(rows.forall(_.getLong(4) == 1L), "writer B's v1 CAS must have failed once")
+    assert(rows.forall(_.getLong(3) == 3L), "expected exactly v0..v2 commits")
+    val root = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_scratch/occ_commit_" +
+        graft.ops.SessionArtifact.dirTag(TestSpark.Sf0001))
+    assert(new java.io.File(root, "_commits").list().sorted.toSeq
+        == Seq("v0", "v1", "v2"), "marker log must hold the serial history")
+    assert(new java.io.File(root, "delta_v1").isDirectory
+        && new java.io.File(root, "delta_v2").isDirectory,
+      "every marker's data must have been renamed in")
+    assert(!root.list().exists(_.startsWith("_staged")),
+      "loser's staged data must be cleaned up")
+    // the CAS is final: any later claim on a committed version must fail
+    assert(!new java.io.File(root, "_commits/v1").createNewFile(),
+      "a second v1 claim must lose")
+  }
+
   test("sink_partition_evolution: each generation prunes by its own spec") {
     // df.inputFiles reports the UNPRUNED listing, so the evidence is the
     // executed scans' numFiles metric: after partition pruning, each
