@@ -513,6 +513,10 @@ class PlanSuite extends AnyFunSuite {
       // 1-row broadcast sign-matrix crossJoin (the llm_dedup_embed
       // quantizer pattern); the candidate join itself is bucket-local
       "llm_simsearch_lsh_det",
+      // 16-row broadcast subspace dimension + broadcast codebook/LUT
+      // crossJoins (the in-plan-N pattern); the ADC join itself is a
+      // co-keyed equi join on (subspace, code)
+      "llm_simsearch_pq",
       "llm_embed_quantize", "llm_ngram_logprob", "events_funnel",
       "timeseries_gapfill",
       // broadcast 1-row max-revenue / avg-balance dimension (the
