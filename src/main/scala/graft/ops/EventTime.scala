@@ -441,6 +441,13 @@ object EventTime {
       // order; stamp strictly increasing mod times (2 s apart — the
       // source's file timestamps are ms) to pin the replay order
       val inOrder = parts
+      // the round-14 dedup diet (8 files/trigger) leaves ZERO slack: the
+      // late file must be the 9th file so it lands alone in batch 2 with
+      // the watermark final — an empty ts-range partition would silently
+      // pull it into batch 1 and leak duplicates (review finding), so
+      // fail loudly instead
+      require(inOrder.length == 8,
+        s"wm replay source expects exactly 8 in-order files, got ${inOrder.length}")
       val t0 = 1600000000000L
       // setLastModified can silently no-op on some filesystems; the
       // entire determinism argument rests on these stamps, so fail

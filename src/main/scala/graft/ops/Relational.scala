@@ -1046,9 +1046,12 @@ object Relational {
     "sink_partition_evolution",
     (s, dir) => {
       val p = partEvoDirs(s, dir)
+      // plain string literal (no cast): the comparison stays in the
+      // column's own NTZ type and the date residual remains
+      // pushdown-eligible (round-14 review — a cast on the column side
+      // would force post-scan row filtering of all of y=1997)
       val gen1 = s.read.parquet(s"$p/gen1")
-        .filter(col("y") === 1997 &&
-          col("o_orderdate") >= lit("1997-11-01").cast(TimestampType))
+        .filter(col("y") === 1997 && col("o_orderdate") >= lit("1997-11-01"))
         .select(col("o_orderdate"), col("o_totalprice"))
       val gen2 = s.read.parquet(s"$p/gen2")
         .filter(col("y") === 1998 && col("m").isin(1, 2))
@@ -2758,15 +2761,30 @@ object Relational {
     * files. The stats table itself is file-count-sized — millions of
     * files at 100 TB, still a broadcast-scale planning input.
     */
+  /** The ONE price-clustered orders rewrite BOTH file indexes consume
+    * (round-14 review finding — the morLog sharing treatment: the
+    * stats and bloom builders had each paid an identical full
+    * scan+shuffle+sort+write, and two independent rewrites could drift
+    * while the suites assume one layout). The rewrite is an immutable
+    * INPUT to both; each index op's own graded work starts at its
+    * index build. */
+  private val clusteredOrdersWritten = new SessionArtifact[String]
+  private def clusteredOrders(s: SparkSession, dir: String): String =
+    clusteredOrdersWritten(s, dir) {
+      val p = scratch("clustered_orders_" + SessionArtifact.dirTag(dir)) +
+        "/orders_by_price"
+      Tables.orders(s, dir)
+        .repartitionByRange(8, col("o_totalprice"), col("o_orderkey"))
+        .sortWithinPartitions("o_totalprice", "o_orderkey")
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+
   private val statsIndexWritten = new SessionArtifact[String]
   private def statsIndexDirs(s: SparkSession, dir: String): String =
     statsIndexWritten(s, dir) {
       val p = scratch("stats_index_" + SessionArtifact.dirTag(dir))
-      Tables.orders(s, dir)
-        .repartitionByRange(8, col("o_totalprice"), col("o_orderkey"))
-        .sortWithinPartitions("o_totalprice", "o_orderkey")
-        .write.mode("overwrite").parquet(s"$p/orders_by_price")
-      s.read.parquet(s"$p/orders_by_price")
+      s.read.parquet(clusteredOrders(s, dir))
         .select(col("_metadata.file_path").as("file_path"), col("o_totalprice"))
         .groupBy("file_path")
         .agg(min("o_totalprice").as("min_price"),
@@ -2786,7 +2804,7 @@ object Relational {
         .select("file_path").collect().map(_.getString(0)).sorted
       val src =
         if (survivors.nonEmpty) s.read.parquet(survivors.toIndexedSeq: _*)
-        else s.read.parquet(s"$p/orders_by_price").filter(lit(false))
+        else s.read.parquet(clusteredOrders(s, dir)).filter(lit(false))
       src.filter(col("o_totalprice") >= lo && col("o_totalprice") < hi)
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"),
@@ -2841,11 +2859,7 @@ object Relational {
   private def bloomIndexDirs(s: SparkSession, dir: String): String =
     bloomIndexWritten(s, dir) {
       val p = scratch("bloom_index_" + SessionArtifact.dirTag(dir))
-      Tables.orders(s, dir)
-        .repartitionByRange(8, col("o_totalprice"), col("o_orderkey"))
-        .sortWithinPartitions("o_totalprice", "o_orderkey")
-        .write.mode("overwrite").parquet(s"$p/orders_by_price")
-      s.read.parquet(s"$p/orders_by_price")
+      s.read.parquet(clusteredOrders(s, dir))
         .select(col("_metadata.file_path").as("file_path"),
           col("o_orderkey").as("k"))
         .select(col("file_path"),
@@ -2892,13 +2906,13 @@ object Relational {
   val sinkBloomIndex: Op = Op(
     "sink_bloom_index",
     (s, dir) => {
-      val p = bloomIndexDirs(s, dir)
+      bloomIndexDirs(s, dir)
       val files = bloomSurvivors(s, dir)
         .select("file_path").distinct()
         .collect().map(_.getString(0)).sorted
       val src =
         if (files.nonEmpty) s.read.parquet(files.toIndexedSeq: _*)
-        else s.read.parquet(s"$p/orders_by_price").filter(lit(false))
+        else s.read.parquet(clusteredOrders(s, dir)).filter(lit(false))
       src.filter(col("o_orderkey") % 2500 === 0)
         .select(col("o_orderkey"), col("o_custkey"),
           col("o_orderstatus").as("status"),

@@ -230,10 +230,11 @@ class PlanSuite extends AnyFunSuite {
     // the incremental apply consumes the persisted MV + change files
     // from scratch; a scan of the fixture dir means the "incremental"
     // maintenance silently regressed to a full re-aggregate
-    // slash-delimited match: the scratch dir NAME embeds the sanitized
-    // fixture path (underscores), so only a real fixture scan Location
-    // carries the slashed form
-    assert(!p.contains("/testdata/"),
+    // match the suite's actual fixture path (slashed): the scratch dir
+    // NAME embeds only the sanitized (underscored) form, so a hit can
+    // only be a real fixture scan Location — and the assert can't go
+    // vacuous if the fixture root ever moves
+    assert(!p.contains(sf),
       s"apply plan scans the fixture (full re-aggregate, not incremental):\n$p")
     assert(p.contains("graft_scratch"),
       s"apply plan lost its scratch MV/CDC scans:\n$p")

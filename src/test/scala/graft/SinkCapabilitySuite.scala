@@ -129,7 +129,7 @@ class SinkCapabilitySuite extends AnyFunSuite {
     val byKey = surv.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     assert(byKey.nonEmpty, "no probe keys at sf0.001 — fixture drifted")
     // ground truth: the file that actually holds each probe key
-    val root = s"${sys.props("java.io.tmpdir")}/graft_scratch/bloom_index_" +
+    val root = s"${sys.props("java.io.tmpdir")}/graft_scratch/clustered_orders_" +
       graft.ops.SessionArtifact.dirTag(TestSpark.Sf0001)
     val truth = s.read.parquet(s"$root/orders_by_price")
       .filter(col("o_orderkey") % 2500 === 0)
