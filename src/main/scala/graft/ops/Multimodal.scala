@@ -352,5 +352,135 @@ object Multimodal {
     },
     None) // binary pipeline: no SQL oracle; UnitSuite pins the kernels
 
-  val ops: Seq[Op] = Seq(llmMultimodalFeatures, llmMultimodalResample)
+  /** 64-bit finalizer mix (splitmix64's) — per-image INDEPENDENT pixel
+    * patterns for the dedup fixture below (encodePng's shared affine
+    * gradient makes every same-size image a near-dup of every other,
+    * useless for grading a detector). */
+  private[graft] def mix64(a: Long): Long = {
+    var x = a
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33; x
+  }
+
+  /** Real PNG whose pixels come from a mixed hash of (seed, x, y) —
+    * statistically independent across seeds — plus a CLAMPED brightness
+    * shift (the near-dup perturbation: +shift saturating at 255 keeps
+    * almost every local gradient's sign). */
+  private[graft] def encodePngMixed(w: Int, h: Int, seed: Long, shift: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val m = mix64(seed * 1000003L + x.toLong * 8191L + y.toLong * 127L)
+        def ch(k: Int): Int =
+          math.min(((m >>> (8 * k)) & 0xff).toInt + shift, 255)
+        img.setRGB(x, y, (ch(0) << 16) | (ch(1) << 8) | ch(2))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Difference hash (dHash) over the REAL decoded pixels: nearest-
+    * neighbor resize to 9×8 grayscale, one bit per horizontal
+    * gradient sign — the classic perceptual image fingerprint
+    * (robust to brightness shifts, which move both neighbors equally).
+    */
+  private[graft] def dHash(payload: Array[Byte]): Long = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    val g = Array.ofDim[Int](8, 9)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 9) {
+        val rgb = img.getRGB(x * img.getWidth / 9, y * img.getHeight / 8)
+        g(y)(x) = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+        x += 1
+      }
+      y += 1
+    }
+    var hsh = 0L
+    var bit = 0
+    y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (g(y)(x + 1) > g(y)(x)) hsh |= (1L << bit)
+        bit += 1; x += 1
+      }
+      y += 1
+    }
+    hsh
+  }
+
+  private val hashSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("dhash", LongType)))
+
+  /** PERCEPTUAL image dedup — the multimodal member of the dedup
+    * family (MinHash/SimHash/embedding cover text; a training corpus
+    * dedups images by perceptual fingerprint): every image reduces to
+    * a 64-bit dHash IN THE SCAN STAGE (real PNG decode → 9×8 resize →
+    * gradient signs — the only thing that ever shuffles is the 8-byte
+    * hash), candidates form by 4×16-bit LSH band equality (never
+    * all-pairs), and survivors verify on full hamming distance ≤ 10
+    * via codegen'd `bit_count(xor)`. The fixture PLANTS near-dup twins
+    * in-plan (every %30 image gains an id+1M copy at +24 clamped
+    * brightness — dHash moves only where a neighbor saturates, so
+    * twins sit a few bits apart while independent mixed-hash images
+    * sit near the binomial mean of 32): the llm_dedup_semantic
+    * honesty treatment — a detector graded only on zero matches
+    * proves nothing. No SQL oracle (binary decode pipeline);
+    * UnitSuite pins the planted-recall and separation properties.
+    *
+    * Scale shape: blob → 8-byte fingerprint before any wide op (THE
+    * multimodal rule), band join is bucket-local, verify rides the
+    * candidate set; at 100 TB this is exactly how image corpora dedup
+    * — fingerprints in the scan, pair work bounded by bucket sizes.
+    */
+  val llmMultimodalDedup: Op = Op(
+    "llm_multimodal_dedup",
+    (s, dir) => {
+      val enc = RowEncoder.encoderFor(hashSchema)
+      val base = Tables.documents(s, dir).filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("media_id"), lit(0).as("shift"))
+      val planted = base.filter(col("media_id") % 30 === 0)
+        .select((col("media_id") + 1000000L).as("media_id"), lit(24).as("shift"))
+      val hashes = base.unionByName(planted)
+        .mapPartitions { it =>
+          it.map { r =>
+            val id = r.getLong(0)
+            val seed = if (r.getInt(1) == 0) id else id - 1000000L
+            Row(id, dHash(encodePngMixed(16, 16, seed, r.getInt(1))))
+          }
+        }(enc)
+        .localCheckpoint(true) // 3 consumers: band explode + both verify sides
+      val bands = hashes.select(col("media_id"), col("dhash"),
+          explode(expr("sequence(0, 3)")).as("band"))
+        .select(col("media_id"), col("band"),
+          expr("(dhash >> (band * 16)) & 65535").as("key"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.media_id") < col("b.media_id"))
+        .select(col("a.media_id").as("a_id"), col("b.media_id").as("b_id"))
+        .distinct()
+      cand
+        .join(hashes.select(col("media_id").as("a_id"), col("dhash").as("ha")), "a_id")
+        .join(hashes.select(col("media_id").as("b_id"), col("dhash").as("hb")), "b_id")
+        .select(col("a_id"), col("b_id"),
+          expr("bit_count(ha ^ hb)").cast(LongType).as("hamming"))
+        .filter(col("hamming") <= 10)
+        .orderBy("a_id", "b_id")
+    },
+    None) // binary decode pipeline: no SQL oracle; UnitSuite pins recall/separation
+
+  val ops: Seq[Op] = Seq(llmMultimodalFeatures, llmMultimodalResample,
+    llmMultimodalDedup)
 }

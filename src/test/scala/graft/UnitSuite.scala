@@ -235,6 +235,35 @@ class UnitSuite extends AnyFunSuite {
     assert(row.getAs[Int]("n_bytes") > 0) // real PNG container bytes
   }
 
+  test("llm_multimodal_dedup finds exactly the planted twins, well separated") {
+    // compensating test for the no-oracle op (binary decode pipeline):
+    // planted recall must be 1.0 with zero extras, and independent
+    // images must sit far above the hamming threshold
+    val sf = TestSpark.Sf0001
+    val planted = graft.tables.Tables.documents(s, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 30 === 0).select("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(0) + 1000000L)).toSet
+    assert(planted.nonEmpty, "fixture must contain planted twins")
+    val found = graft.ops.Multimodal.llmMultimodalDedup.build(s, sf)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    assert(found.map(_._1).toSet == planted,
+      s"detector diverged: missing=${planted -- found.map(_._1)} " +
+        s"extras=${found.map(_._1).toSet -- planted}")
+    assert(found.forall(_._2 <= 2), "twin perturbation moved too many bits")
+    // separation: every non-planted image pair sits far above the gate
+    val hs = graft.tables.Tables.documents(s, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 3 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).map { id =>
+        id -> graft.ops.Multimodal.dHash(
+          graft.ops.Multimodal.encodePngMixed(16, 16, id, 0))
+      }
+    val minCross = (for {
+      (a, ha) <- hs; (b, hb) <- hs if a < b
+    } yield java.lang.Long.bitCount(ha ^ hb)).min
+    assert(minCross > 10,
+      s"independent images too close (min hamming $minCross) — no margin")
+  }
+
   test("llm_dedup_near is idempotent: surviving docs contain no pairs") {
     val words = (1 to 20).map(i => s"w$i").mkString(" ")
     val other = (1 to 20).map(i => s"z$i").mkString(" ")
