@@ -453,6 +453,11 @@ object Multimodal {
       val planted = base.filter(col("media_id") % 30 === 0)
         .select((col("media_id") + 1000000L).as("media_id"), lit(24).as("shift"))
       val hashes = base.unionByName(planted)
+        // explicit-count spread BEFORE the codec work: the single-file
+        // documents scan is one partition, and an un-spread encode+
+        // decode chain would serialize ~2k codec calls on one core
+        // (the scan-starvation gotcha; explicit N survives AQE)
+        .repartition(16)
         .mapPartitions { it =>
           it.map { r =>
             val id = r.getLong(0)
