@@ -881,6 +881,83 @@ object Relational {
             FROM documents WHERE lang IN ('en', 'fr')
             GROUP BY lang ORDER BY lang"""))
 
+  /** DISTRIBUTION-DRIFT MONITOR (PSI) — the temporal companion to
+    * profile_columns' static profile, and the check every production
+    * pipeline schedules between table versions: the Population
+    * Stability Index of the price distribution between the v0 base
+    * snapshot and the fully-applied v2 MOR fold (shared morLog +
+    * foldLatest — drift is measured on the SAME lake history the CDC
+    * family grades). Prices band into 12 fixed 50k buckets on a
+    * broadcast bucket spine (fixed bands, not quantiles — engine-
+    * portable and version-stable, the property a drift monitor needs);
+    * shares are Laplace-smoothed ((n+1)/(N+12), so an empty band
+    * contributes a finite term instead of ln 0), and each band's PSI
+    * term (q−p)·ln(q/p) is ONE deterministic double expression on the
+    * exact integer counts, rounded once at 8 dp. The total PSI is the
+    * reader's one-line sum; the graded surface keeps the per-band
+    * terms because that's what an operator alerts and drills into.
+    * ORACLE: v2 recomputed from the closed form, same spine, same
+    * smoothing — the hash match proves the drift math AND the fold it
+    * ran on.
+    *
+    * Scale shape: two band-count aggregates (partial+final over
+    * int64), a 12-row broadcast spine join, per-band closed-form math
+    * — drift cost rides |bands|, never the table, at any scale.
+    */
+  val profileDrift: Op = Op(
+    "profile_drift",
+    (s, dir) => {
+      val logRoot = morLog(s, dir)
+      val v0 = s.read.parquet(s"$logRoot/base")
+      val v2 = foldLatest(
+        v0.select(col("o_orderkey"), col("status"), col("price"),
+            lit(0L).as("seq"), lit("U").as("op"))
+          .unionByName(s.read.parquet(s"$logRoot/delta")), "o_orderkey")
+      def bands(df: DataFrame, n: String): DataFrame =
+        df.select(least(floor(col("price") / 50000), lit(11)).cast(IntegerType)
+            .as("band"))
+          .groupBy("band").agg(count(lit(1)).as(n))
+      val spine = s.range(0, 12).select(col("id").cast(IntegerType).as("band"))
+      spine
+        .join(bands(v0, "n_v0"), Seq("band"), "left")
+        .join(bands(v2, "n_v2"), Seq("band"), "left")
+        .na.fill(0L, Seq("n_v0", "n_v2"))
+        .withColumn("p", (col("n_v0") + 1).cast(DoubleType) /
+          (sum("n_v0").over(Window.partitionBy()) + 12))
+        .withColumn("q", (col("n_v2") + 1).cast(DoubleType) /
+          (sum("n_v2").over(Window.partitionBy()) + 12))
+        .select(col("band"), col("n_v0"), col("n_v2"),
+          round((col("q") - col("p")) * log(col("q") / col("p")), 8)
+            .as("psi_term"))
+        .orderBy("band")
+    },
+    Some(s"""
+      WITH v2 AS ($morFinalCteSql
+      ), spine AS (
+        SELECT unnest(generate_series(0, 11)) AS band
+      ), b0 AS (
+        SELECT LEAST(CAST(FLOOR(o_totalprice / 50000) AS INT), 11) AS band,
+          COUNT(*) AS n_v0
+        FROM orders GROUP BY 1
+      ), b2 AS (
+        SELECT LEAST(CAST(FLOOR(price / 50000) AS INT), 11) AS band,
+          COUNT(*) AS n_v2
+        FROM v2 GROUP BY 1
+      ), j AS (
+        SELECT s.band, COALESCE(b0.n_v0, 0) AS n_v0, COALESCE(b2.n_v2, 0) AS n_v2
+        FROM spine s LEFT JOIN b0 ON b0.band = s.band
+                     LEFT JOIN b2 ON b2.band = s.band
+      ), t AS (
+        SELECT band, n_v0, n_v2,
+          CAST(n_v0 + 1 AS DOUBLE) / (SUM(n_v0) OVER () + 12) AS p,
+          CAST(n_v2 + 1 AS DOUBLE) / (SUM(n_v2) OVER () + 12) AS q
+        FROM j
+      )
+      SELECT band, CAST(n_v0 AS BIGINT) AS n_v0, CAST(n_v2 AS BIGINT) AS n_v2,
+        ROUND((q - p) * ln(q / p), 8) AS psi_term
+      FROM t ORDER BY band
+    """.stripMargin.trim))
+
   /** OPTIMISTIC-CONCURRENCY COMMIT — the multi-WRITER half of the
     * lake's ACID story (stream_replay_sink_commit covers single-writer
     * exactly-once; this op covers two writers racing on one table,
@@ -4315,6 +4392,7 @@ object Relational {
     sinkTimeTravel, sinkCompactRewrite, sinkChangeFeed, sinkVacuum,
     sinkMvIncremental, streamReplayLogCatchup, sinkStatsIndex,
     sinkBloomIndex, sinkPartitionEvolution, sinkConcurrentCommit,
+    profileDrift,
     scanTextRoundtrip, scanXmlRoundtrip, sinkCodecRoundtrip,
     sinkPartitionedPrune, sinkSchemaEvolution, joinBucketed,
     projectCompute, filterCompound, filterNull3vl,
