@@ -881,6 +881,71 @@ object Relational {
             FROM documents WHERE lang IN ('en', 'fr')
             GROUP BY lang ORDER BY lang"""))
 
+  /** POSITION DELETES (deletion vectors) — the third delete mechanism
+    * of the modern lake, distinct from everything the MOR family
+    * grades: copy-on-write rewrites files (merge_upsert), equality
+    * deltas log the KEY and pay a keyed fold at read (morLog);
+    * deletion vectors record (file, row_position) pairs in a sidecar
+    * and pay only a positional anti join — no rewrite, no key, the
+    * Delta-DV / Iceberg-position-delete design. The positions come
+    * from the reader's own `_metadata.row_index` (the physical row
+    * number parquet readers expose), written as a real sidecar table;
+    * the graded read scans the base files, anti-joins the sidecar on
+    * (file_path, row_index), and aggregates the survivors. ORACLE:
+    * the same aggregate on the original table with the delete
+    * predicate inverted, so the hash match proves positional identity
+    * (the sidecar deleted EXACTLY the predicate's rows — an off-by-one
+    * in row_index, a file-path mismatch, or a reader reorder would
+    * all hash-break).
+    *
+    * Scale shape: the sidecar rides the DELETED set; the anti join is
+    * co-keyed on (file, position) — in production it compiles to a
+    * per-file bitmap consulted inside the scan (zero join), which is
+    * why DVs beat equality deletes for point deletes at 100 TB: read
+    * cost is a bitmap probe, not a keyed shuffle.
+    */
+  private val posDeleteWritten = new SessionArtifact[String]
+  private def posDeleteDirs(s: SparkSession, dir: String): String =
+    posDeleteWritten(s, dir) {
+      val p = scratch("pos_delete_" + SessionArtifact.dirTag(dir))
+      Tables.orders(s, dir)
+        .repartition(4, col("o_orderkey"))
+        .write.mode("overwrite").parquet(s"$p/base")
+      // the deletion vector: positions of the predicate's rows, read
+      // back through the SAME reader that will serve the anti join
+      s.read.parquet(s"$p/base")
+        .filter(col("o_orderkey") % 10 === 0)
+        .select(col("_metadata.file_path").as("file_path"),
+          col("_metadata.row_index").as("row_index"))
+        .write.mode("overwrite").parquet(s"$p/dv")
+      p
+    }
+
+  val sinkPositionDelete: Op = Op(
+    "sink_position_delete",
+    (s, dir) => {
+      val p = posDeleteDirs(s, dir)
+      val dv = s.read.parquet(s"$p/dv")
+      s.read.parquet(s"$p/base")
+        .select(col("_metadata.file_path").as("file_path"),
+          col("_metadata.row_index").as("row_index"),
+          col("o_orderstatus").as("status"), col("o_totalprice"),
+          col("o_orderkey"))
+        .join(dv, Seq("file_path", "row_index"), "left_anti")
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("o_totalprice"))).cast(DoubleType).as("total_price"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+        .orderBy("status")
+    },
+    Some("""
+      SELECT o_orderstatus AS status, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+        MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      FROM orders WHERE o_orderkey % 10 != 0
+      GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """.stripMargin.trim))
+
   /** DISTRIBUTION-DRIFT MONITOR (PSI) — the temporal companion to
     * profile_columns' static profile, and the check every production
     * pipeline schedules between table versions: the Population
@@ -4392,7 +4457,7 @@ object Relational {
     sinkTimeTravel, sinkCompactRewrite, sinkChangeFeed, sinkVacuum,
     sinkMvIncremental, streamReplayLogCatchup, sinkStatsIndex,
     sinkBloomIndex, sinkPartitionEvolution, sinkConcurrentCommit,
-    profileDrift,
+    profileDrift, sinkPositionDelete,
     scanTextRoundtrip, scanXmlRoundtrip, sinkCodecRoundtrip,
     sinkPartitionedPrune, sinkSchemaEvolution, joinBucketed,
     projectCompute, filterCompound, filterNull3vl,
