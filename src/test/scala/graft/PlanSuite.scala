@@ -246,6 +246,17 @@ class PlanSuite extends AnyFunSuite {
       s"expected exactly the final ORDER BY range exchange:\n$p")
   }
 
+  test("sink_position_delete applies the deletion vector as a broadcast anti join") {
+    val p = plan("sink_position_delete")
+    // the DV rides the DELETED set (tiny) — it must broadcast so the
+    // base scan never shuffles for the delete; a sort-merge anti here
+    // means the positional delete started paying a co-keyed exchange
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"deletion vector must apply as a broadcast anti join:\n$p")
+    assert("rangepartitioning\\(".r.findAllIn(p).length == 1,
+      s"expected exactly the final ORDER BY range exchange:\n$p")
+  }
+
   test("feature_scale_pack broadcasts the stats row and never reshuffles the table") {
     val p = plan("feature_scale_pack")
     assert(p.contains("BroadcastExchange"),
