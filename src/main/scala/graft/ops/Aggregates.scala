@@ -781,9 +781,12 @@ object Aggregates {
         // NULL silently while DuckDB errors — an asymmetric corruption
         // (round-13 ADVICE). Fail LOUDLY in-plan instead: a fixture
         // that outgrows the documented ≤500 bound turns into a hard
-        // error on both engines, never a hash mismatch.
+        // error on both engines, never a hash mismatch. NULLs pass
+        // THROUGH (round-14 ADVICE): a NULL when-condition is falsy and
+        // would otherwise hit raise_error, while the oracle's SUM
+        // silently skips NULLs — both engines must agree on skip.
         .withColumn("v",
-          when(abs(col("v")) < 10000, col("v"))
+          when(col("v").isNull || abs(col("v")) < 10000, col("v"))
             .otherwise(raise_error(concat(
               lit("agg_higher_moments: |value| exceeds decimal-ladder bound 1e4: "),
               col("v").cast(StringType)))))
