@@ -419,24 +419,34 @@ object Relational {
       p
     }
 
+  /** The maintained MV state AFTER the incremental apply: (status, n,
+    * tot DECIMAL(18,2)). ONE definition shared by sink_mv_incremental
+    * (which grades the fold itself) and sink_mv_rewrite (which serves
+    * rewritten queries from the maintained state) — a fold tweak cannot
+    * fork the maintenance semantics between the two ops that prove it.
+    */
+  private def mvMaintained(s: SparkSession, dir: String): DataFrame = {
+    val p = mvDirs(s, dir)
+    val mv0 = s.read.parquet(s"$p/mv0")
+      .select(col("status"), col("n").as("dn"),
+        col("total").cast(DecimalType(18, 2)).as("dtotal"))
+    val ch = s.read.parquet(s"$p/changes")
+    val oldSide = ch.filter(col("change").isin("delete", "update"))
+      .select(col("old_status").as("status"), lit(-1L).as("dn"),
+        (-dec2(col("old_price"))).cast(DecimalType(18, 2)).as("dtotal"))
+    val newSide = ch.filter(col("change").isin("insert", "update"))
+      .select(col("new_status").as("status"), lit(1L).as("dn"),
+        dec2(col("new_price")).cast(DecimalType(18, 2)).as("dtotal"))
+    mv0.unionByName(oldSide).unionByName(newSide)
+      .groupBy("status")
+      .agg(sum("dn").as("n"), sum("dtotal").as("tot"))
+      .filter(col("n") > 0)
+  }
+
   val sinkMvIncremental: Op = Op(
     "sink_mv_incremental",
     (s, dir) => {
-      val p = mvDirs(s, dir)
-      val mv0 = s.read.parquet(s"$p/mv0")
-        .select(col("status"), col("n").as("dn"),
-          col("total").cast(DecimalType(18, 2)).as("dtotal"))
-      val ch = s.read.parquet(s"$p/changes")
-      val oldSide = ch.filter(col("change").isin("delete", "update"))
-        .select(col("old_status").as("status"), lit(-1L).as("dn"),
-          (-dec2(col("old_price"))).cast(DecimalType(18, 2)).as("dtotal"))
-      val newSide = ch.filter(col("change").isin("insert", "update"))
-        .select(col("new_status").as("status"), lit(1L).as("dn"),
-          dec2(col("new_price")).cast(DecimalType(18, 2)).as("dtotal"))
-      mv0.unionByName(oldSide).unionByName(newSide)
-        .groupBy("status")
-        .agg(sum("dn").as("n"), sum("dtotal").as("tot"))
-        .filter(col("n") > 0)
+      mvMaintained(s, dir)
         .select(col("status"), col("n"),
           col("tot").cast(DoubleType).as("total_price"),
           round(col("tot").cast(DoubleType) / col("n"), 6).as("avg_price"))
@@ -449,6 +459,90 @@ object Relational {
         CAST(SUM(price) AS DOUBLE) AS total_price,
         ROUND(CAST(SUM(price) AS DOUBLE) / COUNT(*), 6) AS avg_price
       FROM final GROUP BY status ORDER BY status
+    """.stripMargin.trim))
+
+  /** The MAINTAINED MV materialized as a serving table, once per
+    * (session, fixture dir): the deployment artifact every rewritten
+    * query reads. |MV| = |status values| rows — a metadata-sized
+    * parquet next to the fact table it replaces.
+    */
+  private val mvServingWritten = new SessionArtifact[String]
+  private def mvServing(s: SparkSession, dir: String): String =
+    mvServingWritten(s, dir) {
+      val p = scratch("mv_serving_" + SessionArtifact.dirTag(dir))
+      mvMaintained(s, dir).write.mode("overwrite").parquet(p)
+      p
+    }
+
+  /** The engine-side MATCHER behind sink_mv_rewrite: an aggregate
+    * request (its GROUP BY dims) is served from the maintained MV iff
+    * the requested dims are a subset of the MV's dims — then every MV
+    * measure re-aggregates losslessly (counts and sums roll up; the
+    * general MV-rewrite containment rule restricted to the measures
+    * this MV carries). Returns None when the MV cannot answer — the
+    * caller falls back to the fact table (and sink_mv_rewrite REQUIRES
+    * a None on a non-contained request, so the matcher provably
+    * rejects, not just accepts).
+    */
+  private val mvDefDims = Set("status")
+  private[graft] def mvRewrite(
+      s: SparkSession, dir: String, reqDims: Seq[String]): Option[DataFrame] =
+    if (!reqDims.toSet.subsetOf(mvDefDims)) None
+    else {
+      val mv = s.read.parquet(mvServing(s, dir))
+      val g = if (reqDims.isEmpty) mv.groupBy() else mv.groupBy(reqDims.map(col): _*)
+      Some(g.agg(sum(col("n")).as("n"),
+        sum(col("tot")).cast(DoubleType).as("total_price")))
+    }
+
+  /** AUTOMATIC MV QUERY REWRITE — the engine-side half of the MV story
+    * a user actually feels: sink_mv_incremental MAINTAINS the per-status
+    * aggregate; this op ROUTES matching aggregate queries through it.
+    * Two requests are graded in one output: `by_status` (dims exactly
+    * the MV's — served row-for-row) and `global` (dims ∅ ⊂ MV dims —
+    * served by re-aggregating |MV| rows, the rollup-containment case),
+    * while a request on a dim the MV lacks (o_orderkey) must come back
+    * unmatched — the require proves the matcher rejects. Both served
+    * plans read ONLY the |status|-row serving table (PlanSuite: zero
+    * fixture scans, zero mv0/CDC scans). ORACLE: the same two aggregates
+    * computed from the v2 closed form on the FACT table, so the hash
+    * match proves MV-served ≡ fact-table-direct — the rewrite is
+    * invisible to the reader, which is the whole contract.
+    *
+    * Scale shape: this is why MVs exist at 100 TB — a matched query
+    * costs |MV| rows (here 3) instead of a fact scan; the maintenance
+    * cost rides the change feed (sink_mv_incremental) and is amortized
+    * over every served query. The matcher is pure metadata work.
+    */
+  val sinkMvRewrite: Op = Op(
+    "sink_mv_rewrite",
+    (s, dir) => {
+      require(mvRewrite(s, dir, Seq("o_orderkey")).isEmpty,
+        "matcher must reject a request on dims the MV does not carry")
+      val byStatus = mvRewrite(s, dir, Seq("status"))
+        .getOrElse(sys.error("by-status request must match the MV"))
+        .select(lit("by_status").as("request"), col("status"),
+          col("n"), col("total_price"))
+      val global = mvRewrite(s, dir, Nil)
+        .getOrElse(sys.error("global request must match the MV"))
+        .select(lit("global").as("request"), lit("ALL").as("status"),
+          col("n"), col("total_price"))
+      byStatus.unionByName(global).orderBy("request", "status")
+    },
+    Some(s"""
+      WITH final AS ($morFinalCteSql
+      ), by_status AS (
+        SELECT 'by_status' AS request, status, COUNT(*) AS n,
+          CAST(SUM(price) AS DOUBLE) AS total_price
+        FROM final GROUP BY status
+      ), gtot AS (
+        SELECT 'global' AS request, 'ALL' AS status, COUNT(*) AS n,
+          CAST(SUM(price) AS DOUBLE) AS total_price
+        FROM final
+      )
+      SELECT request, status, n, total_price
+      FROM (SELECT * FROM by_status UNION ALL SELECT * FROM gtot)
+      ORDER BY request, status
     """.stripMargin.trim))
 
   /** STREAMING LAKE-LOG CATCH-UP — the production BACKFILL pattern
@@ -4465,7 +4559,7 @@ object Relational {
     scanFull, scanPrune, scanPred, scanBinaryfile,
     sinkParquet, sinkCsvJson, sinkOrcRoundtrip, sinkMergeOnRead,
     sinkTimeTravel, sinkCompactRewrite, sinkChangeFeed, sinkVacuum,
-    sinkMvIncremental, streamReplayLogCatchup, sinkStatsIndex,
+    sinkMvIncremental, sinkMvRewrite, streamReplayLogCatchup, sinkStatsIndex,
     sinkBloomIndex, sinkPartitionEvolution, sinkConcurrentCommit,
     profileDrift, sinkPositionDelete,
     scanTextRoundtrip, scanXmlRoundtrip, sinkCodecRoundtrip,

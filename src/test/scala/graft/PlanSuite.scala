@@ -246,6 +246,20 @@ class PlanSuite extends AnyFunSuite {
       s"expected exactly the final ORDER BY range exchange:\n$p")
   }
 
+  test("sink_mv_rewrite serves BOTH requests from the MV only (no fact scan)") {
+    val p = plan("sink_mv_rewrite")
+    // a rewritten query must read the |status|-row serving table and
+    // nothing else: a fixture scan means the rewrite fell back to the
+    // fact table; an mv_incr scratch scan means it re-derived the MV
+    // from mv0+CDC instead of serving the materialized artifact
+    assert(!p.contains(sf),
+      s"served plan scans the fixture (rewrite fell back to fact table):\n$p")
+    assert(p.contains("mv_serving"),
+      s"served plan does not read the materialized serving MV:\n$p")
+    assert(!p.contains("mv_incr"),
+      s"served plan re-derives the MV from mv0/CDC scratch:\n$p")
+  }
+
   test("sink_position_delete applies the deletion vector as a broadcast anti join") {
     val p = plan("sink_position_delete")
     // the DV rides the DELETED set (tiny) — it must broadcast so the
