@@ -715,6 +715,148 @@ object Relational {
       FROM final GROUP BY segment ORDER BY segment
     """.stripMargin.trim))
 
+  /** SNAPSHOT EXPIRATION — the retention half of the lake lifecycle
+    * (sink_time_travel reads history; sink_vacuum removes superseded
+    * files after full compaction; this op expires HISTORY ITSELF — the
+    * Iceberg expire-snapshots / Delta retention pattern): a 3-version
+    * commit log (base v0, update+insert delta v1, delete delta v2)
+    * retains only versions ≥ 1. The oldest RETAINED version
+    * materializes as a checkpoint; every file only EXPIRED versions
+    * need (the v0 base, and the v1 delta now absorbed by the
+    * checkpoint) is physically deleted along with the v0 marker; both
+    * retained versions keep serving — v1 from the checkpoint alone,
+    * v2 from checkpoint + surviving delta fold. The graded output
+    * carries BOTH retained snapshots plus the protocol evidence
+    * in-plan (marker count after expiry, live fs probes that the
+    * expired dirs are gone — the sink_vacuum literal pattern).
+    * ORACLE: both snapshots' closed forms recomputed from the
+    * original table, so the hash match proves expiration lost nothing
+    * inside the retention window while the probes pin that it
+    * physically removed everything outside it. SinkCapabilitySuite
+    * adds what the aggregate can't see: the expired version's read
+    * fails loudly, and the latest read is byte-identical to the
+    * pre-expire witness persisted before any deletion.
+    *
+    * Scale shape: expiration is metadata work plus deletes — the one
+    * data-proportional cost is the checkpoint write, which rides the
+    * live row set at the retention floor and is amortized over every
+    * later read (no fold across expired deltas ever again). At 100 TB
+    * this is the op that keeps time travel from meaning "retain every
+    * byte forever". Scratch is process-unique (the OCC treatment):
+    * the rebuild is destructive, so two JVMs must not share it.
+    */
+  private val expireWritten = new SessionArtifact[String]
+  private[graft] def expiredLog(s: SparkSession, dir: String): String =
+    expireWritten(s, dir) {
+      val appTag = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+      val p = scratch("snap_expire_" + SessionArtifact.dirTag(dir) + "_" + appTag)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(p), true)
+      new java.io.File(s"$p/_commits").mkdirs()
+      val sup = Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey").as("nation"),
+          col("s_acctbal").as("bal"))
+      sup.write.mode("overwrite").parquet(s"$p/base")
+      sup.filter(col("s_suppkey") % 3 === 0)
+        .select(col("s_suppkey"), col("nation"),
+          (dec2(col("bal")) + 25).cast(DoubleType).as("bal"),
+          lit(1L).as("seq"), lit("U").as("op"))
+        .unionByName(sup.filter(col("s_suppkey") % 5 === 0)
+          .select((col("s_suppkey") + 30000000L).as("s_suppkey"),
+            col("nation"), col("bal"), lit(1L).as("seq"), lit("I").as("op")))
+        .write.mode("overwrite").parquet(s"$p/delta_v1")
+      sup.filter(col("s_suppkey") % 7 === 0)
+        .select(col("s_suppkey"), col("nation"), col("bal"),
+          lit(2L).as("seq"), lit("D").as("op"))
+        .write.mode("overwrite").parquet(s"$p/delta_v2")
+      Seq("v0", "v1", "v2").foreach(v => require(
+        new java.io.File(s"$p/_commits/$v").createNewFile(), s"$v marker races"))
+      def logOf(parts: String*): DataFrame = parts.map {
+        case "base" => s.read.parquet(s"$p/base")
+          .select(col("s_suppkey"), col("nation"), col("bal"),
+            lit(0L).as("seq"), lit("U").as("op"))
+        case d => s.read.parquet(s"$p/$d")
+      }.reduce(_ unionByName _)
+      // pre-expire latest read, persisted BEFORE any deletion — the
+      // suite's byte-identity witness
+      foldLatest(logOf("base", "delta_v1", "delta_v2"), "s_suppkey")
+        .select("s_suppkey", "nation", "bal")
+        .write.mode("overwrite").parquet(s"$p/pre_expire")
+      // checkpoint the oldest retained version (v1)
+      foldLatest(logOf("base", "delta_v1"), "s_suppkey")
+        .select("s_suppkey", "nation", "bal")
+        .write.mode("overwrite").parquet(s"$p/checkpoint_v1")
+      // expire: drop the v0 marker and every file no retained
+      // snapshot's serving path references
+      fs.delete(new org.apache.hadoop.fs.Path(s"$p/base"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$p/delta_v1"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$p/_commits/v0"), false)
+      p
+    }
+
+  /** The post-expire LATEST (v2) read: checkpoint + surviving delta
+    * fold. Shared by the graded op and SinkCapabilitySuite's
+    * byte-identity check against the pre-expire witness.
+    */
+  private[graft] def expireLatestRead(s: SparkSession, dir: String): DataFrame = {
+    val p = expiredLog(s, dir)
+    foldLatest(
+      s.read.parquet(s"$p/checkpoint_v1")
+        .select(col("s_suppkey"), col("nation"), col("bal"),
+          lit(1L).as("seq"), lit("U").as("op"))
+        .unionByName(s.read.parquet(s"$p/delta_v2")), "s_suppkey")
+      .select("s_suppkey", "nation", "bal")
+  }
+
+  val sinkSnapshotExpire: Op = Op(
+    "sink_snapshot_expire",
+    (s, dir) => {
+      val p = expiredLog(s, dir)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      val expiredRemaining = Seq("base", "delta_v1")
+        .count(d => fs.exists(new org.apache.hadoop.fs.Path(s"$p/$d")))
+      val markers = new java.io.File(s"$p/_commits").list().toSeq.sorted
+      require(markers == Seq("v1", "v2"), s"retained markers drifted: $markers")
+      val v1 = s.read.parquet(s"$p/checkpoint_v1").withColumn("version", lit(1L))
+      val v2 = expireLatestRead(s, dir).withColumn("version", lit(2L))
+      v1.unionByName(v2)
+        .groupBy(col("version"), (col("s_suppkey") % 4).as("shard"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("bal"))).cast(DoubleType).as("total_bal"),
+          min("s_suppkey").as("min_key"), max("s_suppkey").as("max_key"))
+        .withColumn("n_markers", lit(markers.size.toLong))
+        .withColumn("expired_dirs_remaining", lit(expiredRemaining.toLong))
+        .orderBy("version", "shard")
+    },
+    Some("""
+      WITH v1 AS (
+        SELECT s_suppkey,
+          CASE WHEN s_suppkey % 3 = 0
+            THEN CAST(CAST(s_acctbal AS DECIMAL(12,2)) + 25 AS DECIMAL(12,2))
+            ELSE CAST(s_acctbal AS DECIMAL(12,2)) END AS bal
+        FROM supplier
+        UNION ALL
+        SELECT s_suppkey + 30000000, CAST(s_acctbal AS DECIMAL(12,2))
+        FROM supplier WHERE s_suppkey % 5 = 0
+      ), v2 AS (
+        -- deletes were derived from the base table, so they target
+        -- ORIGINAL keys only; inserted keys live above the +30M shift
+        SELECT s_suppkey, bal FROM v1
+        WHERE s_suppkey % 7 != 0 OR s_suppkey >= 30000000
+      ), allv AS (
+        SELECT 1 AS version, s_suppkey, bal FROM v1
+        UNION ALL SELECT 2, s_suppkey, bal FROM v2
+      )
+      SELECT CAST(version AS BIGINT) AS version, s_suppkey % 4 AS shard,
+        COUNT(*) AS n, CAST(SUM(bal) AS DOUBLE) AS total_bal,
+        MIN(s_suppkey) AS min_key, MAX(s_suppkey) AS max_key,
+        CAST(2 AS BIGINT) AS n_markers,
+        CAST(0 AS BIGINT) AS expired_dirs_remaining
+      FROM allv GROUP BY version, shard ORDER BY version, shard
+    """.stripMargin.trim))
+
   /** Binary-file ingest — how multimodal payloads (images, audio, model
     * shards) actually ARRIVE in a lake: `binaryFile` reads each file as
     * one (path, length, content) row with bytes as an opaque binary
@@ -4559,6 +4701,7 @@ object Relational {
     scanFull, scanPrune, scanPred, scanBinaryfile,
     sinkParquet, sinkCsvJson, sinkOrcRoundtrip, sinkMergeOnRead,
     sinkTimeTravel, sinkCompactRewrite, sinkChangeFeed, sinkVacuum,
+    sinkSnapshotExpire,
     sinkMvIncremental, sinkMvRewrite, streamReplayLogCatchup, sinkStatsIndex,
     sinkBloomIndex, sinkPartitionEvolution, sinkConcurrentCommit,
     profileDrift, sinkPositionDelete,

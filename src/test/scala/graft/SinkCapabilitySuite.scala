@@ -155,9 +155,12 @@ class SinkCapabilitySuite extends AnyFunSuite {
     // the graded columns carry the protocol outcome: one real conflict
     assert(rows.forall(_.getLong(4) == 1L), "writer B's v1 CAS must have failed once")
     assert(rows.forall(_.getLong(3) == 3L), "expected exactly v0..v2 commits")
+    // the scratch dir is process-unique (round-14 advice): the path
+    // carries the Spark application id next to the fixture tag
+    val appTag = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
     val root = new java.io.File(
       s"${sys.props("java.io.tmpdir")}/graft_scratch/occ_commit_" +
-        graft.ops.SessionArtifact.dirTag(TestSpark.Sf0001))
+        graft.ops.SessionArtifact.dirTag(TestSpark.Sf0001) + "_" + appTag)
     assert(new java.io.File(root, "_commits").list().sorted.toSeq
         == Seq("v0", "v1", "v2"), "marker log must hold the serial history")
     assert(new java.io.File(root, "delta_v1").isDirectory
@@ -168,6 +171,30 @@ class SinkCapabilitySuite extends AnyFunSuite {
     // the CAS is final: any later claim on a committed version must fail
     assert(!new java.io.File(root, "_commits/v1").createNewFile(),
       "a second v1 claim must lose")
+  }
+
+  test("sink_snapshot_expire: expired version unreadable, latest byte-identical") {
+    SparkEntry.queries("sink_snapshot_expire")(s, TestSpark.Sf0001).collect()
+    val p = graft.ops.Relational.expiredLog(s, TestSpark.Sf0001)
+    // files only expired versions referenced are physically gone; the
+    // retained window's serving artifacts remain
+    assert(!new java.io.File(s"$p/base").exists, "expired base must be deleted")
+    assert(!new java.io.File(s"$p/delta_v1").exists,
+      "checkpoint-absorbed delta must be deleted")
+    assert(new java.io.File(s"$p/checkpoint_v1").isDirectory
+      && new java.io.File(s"$p/delta_v2").isDirectory)
+    assert(new java.io.File(s"$p/_commits").list().sorted.toSeq == Seq("v1", "v2"),
+      "only the retained markers may survive expiry")
+    // reading the expired version fails LOUDLY, never silently-empty
+    intercept[org.apache.spark.sql.AnalysisException] {
+      s.read.parquet(s"$p/base").collect()
+    }
+    // the latest read is byte-identical to the witness persisted
+    // before any deletion: expiry changed history, not the present
+    val pre = s.read.parquet(s"$p/pre_expire")
+    val post = graft.ops.Relational.expireLatestRead(s, TestSpark.Sf0001)
+    assert(post.exceptAll(pre).isEmpty && pre.exceptAll(post).isEmpty,
+      "post-expire latest read diverged from the pre-expire witness")
   }
 
   test("sink_partition_evolution: each generation prunes by its own spec") {
