@@ -105,6 +105,38 @@ class AnnRecallSuite extends AnyFunSuite {
     assert(recall >= 0.8, f"PQ recall $recall%.3f below 0.8 gate")
   }
 
+  test("llm_simsearch_ivfpq recall >= 0.8 vs brute-force euclidean top-5") {
+    val s = TestSpark.spark
+    val vecs: Map[Long, Array[Double]] =
+      Tables.embeddings(s, TestSpark.Sf0001)
+        .collect()
+        .map(r => r.getLong(0) ->
+          r.getSeq[Float](1).map(_.toDouble).toArray)
+        .toMap
+    val probes = vecs.keys.filter(_ % 50 == 0).toSeq.sorted
+    def dist(a: Array[Double], b: Array[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val bf5: Map[Long, Set[Long]] = probes.map { p =>
+      p -> vecs.collect { case (id, v) if id != p => (id, dist(vecs(p), v)) }
+        .toSeq.sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toSet
+    }.toMap
+
+    val got: Map[Long, Set[Long]] =
+      LlmOps.llmSimsearchIvfpq.build(s, TestSpark.Sf0001)
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (p, rows) => p -> rows.map(_.getLong(1)).toSet }
+
+    val recalls = probes.map { p =>
+      val hit = bf5(p).intersect(got.getOrElse(p, Set.empty)).size
+      hit.toDouble / bf5(p).size
+    }
+    val recall = recalls.sum / recalls.size
+    info(f"mean recall@5 = $recall%.3f over ${probes.size} probes " +
+      "(k=32, nprobe=18 routing; m=16/ks=32 ADC + exact re-rank)")
+    assert(recall >= 0.8, f"IVF-PQ recall $recall%.3f below 0.8 gate")
+  }
+
   test("llm_simsearch_lsh_det recall >= 0.8 vs brute-force cosine top-5") {
     // cosine baseline (not euclidean): the det op's own re-rank metric —
     // sign-hyperplane LSH approximates angular similarity

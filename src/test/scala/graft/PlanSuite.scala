@@ -543,6 +543,10 @@ class PlanSuite extends AnyFunSuite {
       // crossJoins (the in-plan-N pattern); the ADC join itself is a
       // co-keyed equi join on (subspace, code)
       "llm_simsearch_pq",
+      // inherits BOTH parents' broadcast dimensions: the 1-row centroid
+      // array (IVF routing) and the 16-row subspace/LUT crossJoins (PQ
+      // ADC); the routed ADC join is equi on (cell) then (p_id,j,code)
+      "llm_simsearch_ivfpq",
       "llm_embed_quantize", "llm_ngram_logprob", "events_funnel",
       "timeseries_gapfill",
       // broadcast 1-row max-revenue / avg-balance dimension (the
