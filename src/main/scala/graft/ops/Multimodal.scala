@@ -486,6 +486,156 @@ object Multimodal {
     },
     None) // binary decode pipeline: no SQL oracle; UnitSuite pins recall/separation
 
+  /** Deterministic mixed-hash WAV for the audio-dedup fixture:
+    * statistically independent 16-bit PCM per seed (the encodePngMixed
+    * analogue — the shared-affine encodeWav would make every stream a
+    * near-dup of every other), with the TWIN treatment applied at
+    * encode time: +6 dB gain (×2, clamped to the 16-bit range — the
+    * image op's +24 brightness analogue) followed by 8-bit
+    * requantization, the lossy-transcode noise a re-encoded copy
+    * carries. Real RIFF/WAVE container via the JDK writer, so the
+    * fingerprint path downstream cannot skip the decode.
+    */
+  private[graft] def encodeWavMixed(
+      nSamples: Int, seed: Long, transcode: Boolean): Array[Byte] = {
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val data = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val base = ((mix64(seed * 9176L * 1000003L + i.toLong * 8191L)
+        & 0xffffL) - 32768L).toInt
+      val v =
+        if (!transcode) base
+        else {
+          val g = math.max(-32768, math.min(2 * base, 32767))
+          Math.floorDiv(g, 256) * 256
+        }
+      data(2 * i) = (v & 0xff).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new ByteArrayInputStream(data), fmt, nSamples.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Audio perceptual fingerprint over the REAL decoded PCM — the
+    * dHash analogue for sound: 65 fixed windows of 16 samples, each
+    * reduced to a ROBUST per-window amplitude statistic (the
+    * 4th-smallest |sample|, a lower-quartile order statistic), one bit
+    * per adjacent-window gradient sign. Order statistics COMMUTE with
+    * any monotone amplitude map — and gain-then-clamp is monotone in
+    * |v| — so a louder copy keeps every gradient sign exactly; only
+    * genuine waveform noise (the twin's 8-bit requantization) moves
+    * bits. Prototyped in numpy before the Scala landed: twins sit
+    * 0–3 bits apart, independent mixed-hash streams ≥ 15 (binomial
+    * mean 32); UnitSuite pins the Scala values. A raw energy-SUM
+    * gradient fails here — the clamp compresses high-amplitude
+    * windows nonuniformly (measured twin distance up to 21, inside
+    * the independent range), which is exactly why the robust
+    * statistic is the right fingerprint primitive.
+    */
+  private[graft] def audioFp(payload: Array[Byte]): Long = {
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+    val bytes = ais.readAllBytes()
+    ais.close()
+    val n = bytes.length / 2
+    val nwin = 65
+    val wlen = 16
+    require(n >= nwin * wlen, s"audio too short for fingerprint: $n samples")
+    val q = new Array[Int](nwin)
+    val buf = new Array[Int](wlen)
+    var w = 0
+    while (w < nwin) {
+      var k = 0
+      while (k < wlen) {
+        val i = w * wlen + k
+        val v = (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)
+        buf(k) = math.abs(v)
+        k += 1
+      }
+      java.util.Arrays.sort(buf)
+      q(w) = buf(3)
+      w += 1
+    }
+    var h = 0L
+    var b = 0
+    while (b < 64) {
+      if (q(b + 1) > q(b)) h |= (1L << b)
+      b += 1
+    }
+    h
+  }
+
+  private val audioHashSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("afp", LongType)))
+
+  /** PERCEPTUAL audio dedup — the third modality of the dedup family
+    * (text has nine mechanisms, images llm_multimodal_dedup; this op
+    * dedups SOUND): every stream reduces to a 64-bit quartile-gradient
+    * fingerprint IN THE SCAN STAGE (real WAV decode → 65 windows →
+    * order-statistic gradient signs — only the 8-byte hash ever
+    * shuffles), candidates form by 4×16-bit LSH band equality (never
+    * all-pairs), survivors verify on full hamming ≤ 6 via codegen'd
+    * `bit_count(xor)`. The fixture PLANTS transcoded twins in-plan
+    * (every %30≡1 audio stream gains an id+1M copy at +6 dB clamped
+    * gain + 8-bit requantization): gain alone cannot move a bit — the
+    * order-statistic windows are gain-invariant by construction — so
+    * the 0–3 bits the twins DO move are pure requantization noise,
+    * and the ≤6 gate does real verification work against independents
+    * at ≥15. No SQL oracle (binary decode pipeline); UnitSuite pins
+    * recall 1.0 / zero extras / >10-bit separation, the image-dedup
+    * precedent.
+    *
+    * Scale shape: blob → 8-byte fingerprint before any wide op (THE
+    * multimodal rule), band join is bucket-local, verify rides the
+    * candidate set — the same 100 TB contract as the image op.
+    */
+  val llmMultimodalDedupAudio: Op = Op(
+    "llm_multimodal_dedup_audio",
+    (s, dir) => {
+      val enc = RowEncoder.encoderFor(audioHashSchema)
+      val base = Tables.documents(s, dir).filter(col("doc_id") % 3 === 1)
+        .select(col("doc_id").as("media_id"), lit(false).as("transcode"))
+      val planted = base.filter(col("media_id") % 30 === 1)
+        .select((col("media_id") + 1000000L).as("media_id"),
+          lit(true).as("transcode"))
+      val hashes = base.unionByName(planted)
+        // explicit-count spread BEFORE the codec work (the image op's
+        // scan-starvation treatment: one-file scans are one partition)
+        .repartition(16)
+        .mapPartitions { it =>
+          it.map { r =>
+            val id = r.getLong(0)
+            val transcode = r.getBoolean(1)
+            val seed = if (transcode) id - 1000000L else id
+            Row(id, audioFp(encodeWavMixed(1040, seed, transcode)))
+          }
+        }(enc)
+        .localCheckpoint(true) // 3 consumers: band explode + both verify sides
+      val bands = hashes.select(col("media_id"), col("afp"),
+          explode(expr("sequence(0, 3)")).as("band"))
+        .select(col("media_id"), col("band"),
+          expr("(afp >> (band * 16)) & 65535").as("key"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.media_id") < col("b.media_id"))
+        .select(col("a.media_id").as("a_id"), col("b.media_id").as("b_id"))
+        .distinct()
+      cand
+        .join(hashes.select(col("media_id").as("a_id"), col("afp").as("ha")), "a_id")
+        .join(hashes.select(col("media_id").as("b_id"), col("afp").as("hb")), "b_id")
+        .select(col("a_id"), col("b_id"),
+          expr("bit_count(ha ^ hb)").cast(LongType).as("hamming"))
+        .filter(col("hamming") <= 6)
+        .orderBy("a_id", "b_id")
+    },
+    None) // binary decode pipeline: no SQL oracle; UnitSuite pins recall/separation
+
   val ops: Seq[Op] = Seq(llmMultimodalFeatures, llmMultimodalResample,
-    llmMultimodalDedup)
+    llmMultimodalDedup, llmMultimodalDedupAudio)
 }

@@ -264,6 +264,64 @@ class UnitSuite extends AnyFunSuite {
       s"independent images too close (min hamming $minCross) — no margin")
   }
 
+  test("llm_multimodal_dedup_audio finds exactly the planted twins, well separated") {
+    // compensating test for the no-oracle op (binary decode pipeline):
+    // planted recall 1.0, zero extras, independents far above the gate
+    val sf = TestSpark.Sf0001
+    val planted = graft.tables.Tables.documents(s, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 30 === 1).select("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(0) + 1000000L)).toSet
+    assert(planted.nonEmpty, "fixture must contain planted twins")
+    val found = graft.ops.Multimodal.llmMultimodalDedupAudio.build(s, sf)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    assert(found.map(_._1).toSet == planted,
+      s"detector diverged: missing=${planted -- found.map(_._1)} " +
+        s"extras=${found.map(_._1).toSet -- planted}")
+    // gain alone is provably invisible to the order-statistic windows;
+    // the 0-3 bits a twin moves are pure requantization noise
+    assert(found.forall(_._2 <= 3), "twin perturbation moved too many bits")
+    val hs = graft.tables.Tables.documents(s, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 3 === 1)
+      .select("doc_id").collect().map(_.getLong(0)).map { id =>
+        id -> graft.ops.Multimodal.audioFp(
+          graft.ops.Multimodal.encodeWavMixed(1040, id, transcode = false))
+      }
+    val minCross = (for {
+      (a, ha) <- hs; (b, hb) <- hs if a < b
+    } yield java.lang.Long.bitCount(ha ^ hb)).min
+    assert(minCross > 10,
+      s"independent audio streams too close (min hamming $minCross) — no margin")
+  }
+
+  test("audioFp is exactly invariant under pure clamped gain (no requantization)") {
+    // the design theorem the op leans on: order statistics commute with
+    // monotone amplitude maps, so +6 dB clamp alone moves ZERO bits —
+    // build a gain-only twin by hand and assert bit equality
+    val seed = 7L
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val n = 1040
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val base = ((graft.ops.Multimodal.mix64(seed * 9176L * 1000003L +
+        i.toLong * 8191L) & 0xffffL) - 32768L).toInt
+      val v = math.max(-32768, math.min(2 * base, 32767)) // gain only
+      data(2 * i) = (v & 0xff).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val gainOnly = graft.ops.Multimodal.audioFp(bos.toByteArray)
+    val original = graft.ops.Multimodal.audioFp(
+      graft.ops.Multimodal.encodeWavMixed(n, seed, transcode = false))
+    assert(gainOnly == original,
+      "clamped gain moved fingerprint bits — the invariance theorem broke")
+  }
+
   test("llm_dedup_near is idempotent: surviving docs contain no pairs") {
     val words = (1 to 20).map(i => s"w$i").mkString(" ")
     val other = (1 to 20).map(i => s"z$i").mkString(" ")
