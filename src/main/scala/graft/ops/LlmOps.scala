@@ -4105,6 +4105,197 @@ object LlmOps {
     * per-anchor rank windows. At 100 TB anchors batch in fixed-size
     * waves and the mining loop is this same plan per wave.
     */
+  /** One Viterbi relaxation ladder for the unigram-LM oracle: 8
+    * unrolled Bellman-Ford steps over the word-position DAG (piece
+    * edges advance 1-4 chars; the corpus caps words at 8 chars, and
+    * the `w` CTE filters to that bound SYMMETRICALLY on both engines).
+    * MATERIALIZED is load-bearing: each step references its
+    * predecessor twice (carry + extend), so an inlined CTE would
+    * expand 2^8 copies of the scan.
+    */
+  private def unigramRelaxSql(rnd: Int): String =
+    (1 to 8).map { t =>
+      val prev = s"d${rnd}_${t - 1}"
+      s"""d${rnd}_$t AS MATERIALIZED (
+        SELECT w, j, cost, path FROM (
+          SELECT w, j, cost, path,
+            row_number() OVER (PARTITION BY w, j ORDER BY cost, path) AS rk
+          FROM (
+            SELECT w, j, cost, path FROM $prev
+            UNION ALL
+            SELECT d.w, e.j1 AS j,
+              CAST(d.cost + e.cost AS DECIMAL(18,6)) AS cost,
+              d.path || e.piece || ' ' AS path
+            FROM $prev d JOIN e$rnd e ON e.w = d.w AND e.j0 = d.j
+          )) WHERE rk = 1
+      )"""
+    }.mkString(", ")
+
+  /** UNIGRAM-LM TOKENIZER — the OTHER mainstream subword family
+    * (SentencePiece-style), completing the vocab trio next to the BPE
+    * trainer/encoder (llm_vocab_induce/merges/apply): seed a piece
+    * inventory from ONE corpus collapse (all single chars for
+    * coverage + the top-40 weighted substrings of length 2-4), score
+    * pieces by unigram negative log-likelihood (-ln(count/total),
+    * rounded at 6 dp and carried as EXACT DECIMAL so path costs fold
+    * associatively), then run hard-EM: VITERBI-segment the weighted
+    * vocabulary under the current model (min-cost path over the
+    * word-position DAG — 8 unrolled relaxation steps, ties broken on
+    * (cost, path) in both engines), RECOUNT pieces from the
+    * segmentation (the E-step; seeds the Viterbi never uses drop out
+    * — the prune), re-estimate costs (M-step), and segment again.
+    * The graded output is the round-2 segmentation of every distinct
+    * word plus the seed/kept vocabulary sizes riding as in-plan
+    * literals — the hash match pins the whole train-prune-resegment
+    * chain, including the EM fixpoint (round 2 provably reproduces
+    * round 1's segs on this corpus, which is what convergence means
+    * at this vocabulary scale). Fully ORACLE-GRADED: the DuckDB twin
+    * unrolls the same ladder (MATERIALIZED per step — see
+    * unigramRelaxSql).
+    *
+    * Scale shape: the ONLY corpus-scale pass is the word collapse;
+    * everything after rides the DISTINCT vocabulary weighted by
+    * counts (the BPE-trainer discipline). The DP is bounded by
+    * max-word-length × max-piece-length edges per word; at 100 TB the
+    * same plan trains on the collapsed vocab of a trillion-token
+    * corpus (vocab grows ~log-ish, not linearly), and the encoder is
+    * the Viterbi pass applied per occurrence with the model broadcast.
+    */
+  val llmVocabUnigram: Op = Op(
+    "llm_vocab_unigram",
+    (s, dir) => {
+      val w = Tables.documents(s, dir)
+        .select(explode(toks).as("w"))
+        .filter(length(col("w")).between(1, 8))
+        .groupBy("w").agg(count(lit(1)).as("wn"))
+        .localCheckpoint(true) // vocab-sized; consumed by pos + 2 seg joins
+      val pos = w.select(col("w"), col("wn"),
+          explode(expr("sequence(1, length(w))")).as("i"))
+        .select(col("w"), col("wn"), col("i"),
+          explode(expr("sequence(1, 4)")).as("L"))
+        .filter(col("i") + col("L") - 1 <= length(col("w")))
+        .select(col("w"), col("wn"), col("i"), col("L"),
+          expr("substring(w, i, L)").as("piece"))
+        .localCheckpoint(true) // consumed by seed count + both edge builds
+      val seedcnt = pos.groupBy("piece").agg(sum("wn").as("cnt"))
+      val seedsel = seedcnt.filter(length(col("piece")) === 1)
+        .unionByName(seedcnt.filter(length(col("piece")) >= 2)
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("cnt").desc, col("piece"))))
+          .filter(col("rk") <= 40).drop("rk"))
+        .localCheckpoint(true)
+      // -ln(count/total) at 6 dp as exact decimal: path costs then fold
+      // associatively (partition-invariant), and both engines divide
+      // and ln() the same doubles (the PSI precedent)
+      def costify(cnts: DataFrame): DataFrame =
+        cnts.crossJoin(broadcast(cnts.agg(sum("cnt").as("tot"))))
+          .select(col("piece"),
+            round(-log(col("cnt").cast(DoubleType) / col("tot")), 6)
+              .cast(DecimalType(18, 6)).as("cost"))
+      def viterbi(costTbl: DataFrame): DataFrame = {
+        val edges = pos.join(costTbl, "piece")
+          .select(col("w").as("ew"), (col("i") - 1).as("j0"),
+            (col("i") + col("L") - 1).as("j1"), col("piece"),
+            col("cost").as("ecost"))
+          .localCheckpoint(true) // re-joined by every relaxation step
+        var dist = w.select(col("w"), lit(0).as("j"),
+          lit(0).cast(DecimalType(18, 6)).as("cost"), lit("").as("path"))
+        for (_ <- 1 to 8) {
+          val ext = dist.join(edges,
+              dist("w") === edges("ew") && dist("j") === edges("j0"))
+            .select(col("w"), col("j1").as("j"),
+              (col("cost") + col("ecost")).cast(DecimalType(18, 6)).as("cost"),
+              concat(col("path"), col("piece"), lit(" ")).as("path"))
+          dist = dist.unionByName(ext)
+            .withColumn("rk", row_number().over(
+              Window.partitionBy("w", "j").orderBy(col("cost"), col("path"))))
+            .filter(col("rk") === 1).drop("rk")
+            .localCheckpoint(true) // without this, step r nests 1..r-1
+        }
+        dist.join(w.select(col("w"), length(col("w")).as("wl")), "w")
+          .filter(col("j") === col("wl"))
+          .select(col("w"), col("path"), col("cost"))
+      }
+      val seg1 = viterbi(costify(seedsel)).localCheckpoint(true)
+      val cnt2 = seg1.join(w, "w")
+        .select(explode(split(trim(col("path")), " ")).as("piece"), col("wn"))
+        .groupBy("piece").agg(sum("wn").as("cnt"))
+        .localCheckpoint(true) // cost2 + kept-count stats
+      val seg2 = viterbi(costify(cnt2))
+      val vstats = seedsel.agg(count(lit(1)).as("n_seed_pieces"))
+        .crossJoin(cnt2.agg(count(lit(1)).as("n_kept_pieces")))
+      seg2.join(w, "w")
+        .crossJoin(broadcast(vstats))
+        .select(col("w"), col("wn"), trim(col("path")).as("seg"),
+          size(split(trim(col("path")), " ")).cast(LongType).as("n_pieces"),
+          col("cost").cast(DoubleType).as("cost"),
+          col("n_seed_pieces"), col("n_kept_pieces"))
+        .orderBy("w")
+    },
+    Some((s"""
+      WITH w AS (
+        SELECT w, COUNT(*) AS wn FROM (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE length(w) BETWEEN 1 AND 8 GROUP BY w
+      ), pos AS MATERIALIZED (
+        SELECT w.w, w.wn, i, L, substring(w.w, i, L) AS piece
+        FROM w,
+          LATERAL (SELECT unnest(generate_series(1, length(w.w))) AS i),
+          LATERAL (SELECT unnest(generate_series(1, 4)) AS L)
+        WHERE i + L - 1 <= length(w.w)
+      ), seedcnt AS (
+        SELECT piece, SUM(wn) AS cnt FROM pos GROUP BY piece
+      ), seedsel AS MATERIALIZED (
+        SELECT piece, cnt FROM seedcnt WHERE length(piece) = 1
+        UNION ALL
+        SELECT piece, cnt FROM (
+          SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+          FROM seedcnt WHERE length(piece) >= 2) WHERE rk <= 40
+      ), cost1_tbl AS (
+        SELECT piece,
+          CAST(ROUND(-ln(CAST(cnt AS DOUBLE) / (SELECT SUM(cnt) FROM seedsel)), 6)
+            AS DECIMAL(18,6)) AS cost
+        FROM seedsel
+      ), e1 AS MATERIALIZED (
+        SELECT p.w, p.i - 1 AS j0, p.i + p.L - 1 AS j1, p.piece, c.cost
+        FROM pos p JOIN cost1_tbl c ON c.piece = p.piece
+      ), d1_0 AS (
+        SELECT w.w, 0 AS j, CAST(0 AS DECIMAL(18,6)) AS cost, '' AS path FROM w
+      ), """ + unigramRelaxSql(1) + s"""
+      , seg1 AS (
+        SELECT d.w, d.path, d.cost
+        FROM d1_8 d JOIN w ON w.w = d.w AND d.j = length(w.w)
+      ), cnt2 AS MATERIALIZED (
+        SELECT piece, SUM(wn) AS cnt FROM (
+          SELECT unnest(string_split(trim(s.path), ' ')) AS piece, w.wn
+          FROM seg1 s JOIN w ON w.w = s.w)
+        GROUP BY piece
+      ), cost2_tbl AS (
+        SELECT piece,
+          CAST(ROUND(-ln(CAST(cnt AS DOUBLE) / (SELECT SUM(cnt) FROM cnt2)), 6)
+            AS DECIMAL(18,6)) AS cost
+        FROM cnt2
+      ), e2 AS MATERIALIZED (
+        SELECT p.w, p.i - 1 AS j0, p.i + p.L - 1 AS j1, p.piece, c.cost
+        FROM pos p JOIN cost2_tbl c ON c.piece = p.piece
+      ), d2_0 AS (
+        SELECT w.w, 0 AS j, CAST(0 AS DECIMAL(18,6)) AS cost, '' AS path FROM w
+      ), """ + unigramRelaxSql(2) + s"""
+      , seg2 AS (
+        SELECT d.w, d.path, d.cost
+        FROM d2_8 d JOIN w ON w.w = d.w AND d.j = length(w.w)
+      ), vstats AS (
+        SELECT (SELECT COUNT(*) FROM seedsel) AS n_seed_pieces,
+               (SELECT COUNT(*) FROM cnt2) AS n_kept_pieces
+      )
+      SELECT s.w, w.wn, trim(s.path) AS seg,
+        CAST(len(string_split(trim(s.path), ' ')) AS BIGINT) AS n_pieces,
+        CAST(s.cost AS DOUBLE) AS cost,
+        v.n_seed_pieces, v.n_kept_pieces
+      FROM seg2 s JOIN w ON w.w = s.w CROSS JOIN vstats v
+      ORDER BY s.w
+    """).trim))
+
   val llmHardNegatives: Op = Op(
     "llm_hard_negatives",
     (s, dir) => {
@@ -4377,7 +4568,7 @@ object LlmOps {
 
   val ops: Seq[Op] = Seq(
     llmHardNegatives, llmDatasetCard, llmBm25Retrieval, llmEmbeddingDrift,
-    llmVocabMerges, llmVocabApply,
+    llmVocabMerges, llmVocabApply, llmVocabUnigram,
     llmPackSequences, llmRepetitionFilter, llmDocChunk, llmCrossDedup,
     llmVocabInduce, llmMixSources, llmMixSourcesScale, llmMixEntropy,
     llmMixTemperature, llmTokenBudget, llmSplitHoldout,

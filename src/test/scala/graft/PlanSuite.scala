@@ -547,6 +547,10 @@ class PlanSuite extends AnyFunSuite {
       // array (IVF routing) and the 16-row subspace/LUT crossJoins (PQ
       // ADC); the routed ADC join is equi on (cell) then (p_id,j,code)
       "llm_simsearch_ivfpq",
+      // 1-row broadcast piece-count totals (two costify calls) and the
+      // 1-row seed/kept vocab-stats crossJoins (in-plan-N); the Viterbi
+      // relaxation joins are equi on (word, position)
+      "llm_vocab_unigram",
       "llm_embed_quantize", "llm_ngram_logprob", "events_funnel",
       "timeseries_gapfill",
       // broadcast 1-row max-revenue / avg-balance dimension (the
