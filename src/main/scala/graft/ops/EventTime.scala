@@ -1937,6 +1937,67 @@ object EventTime {
       ORDER BY n DESC, path LIMIT 10
     """.stripMargin.trim))
 
+  /** SEQUENCE-PATTERN DETECTION — the MATCH_RECOGNIZE operator class
+    * (Flink CEP / Oracle/Trino MATCH_RECOGNIZE), the one event-sequence
+    * shape lag-windows can't express: arbitrary regular patterns over a
+    * user's ORDERED event stream, with unbounded gaps between stages.
+    * Each user's events collapse to a one-char-per-event sequence
+    * string via the house SORTED-FOLD (collect_list(struct(µs,
+    * event_id, ch)) → array_sort → concat — partition-invariant, ties
+    * pinned by event_id), then two patterns count non-overlapping
+    * leftmost matches: `v[^p]*p` (a view that eventually converts
+    * without an intermediate purchase — the funnel-episode pattern,
+    * equivalent to MATCH_RECOGNIZE `V X* P` with X ≠ P) and `ee+`
+    * (error bursts ≥ 2 — the alerting pattern). Both engines implement
+    * leftmost non-overlapping vectored scan identically (Java regex /
+    * RE2), so the counts — and the seq string itself, which the hash
+    * pins end-to-end — are portable. ORACLE: string_agg(ORDER BY
+    * epoch_us, event_id) + regexp_extract_all lengths.
+    *
+    * Scale shape: ONE co-keyed aggregate on user_id builds the
+    * sequences (map-side partials on the collect_list); the regex runs
+    * per user row over a bounded string (in production, per session —
+    * the sessionize op's output is the natural feed). No joins, no
+    * second shuffle beyond the final ORDER BY.
+    */
+  val eventsMatchRecognize: Op = Op(
+    "events_match_recognize",
+    (s, dir) => {
+      val ch = when(col("event_type") === "view", "v")
+        .when(col("event_type") === "click", "c")
+        .when(col("event_type") === "purchase", "p")
+        .when(col("event_type") === "signup", "s")
+        .otherwise("e")
+      Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), ch.as("ch"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          concat_ws("", transform(
+            array_sort(collect_list(struct(col("us"), col("event_id"), col("ch")))),
+            x => x.getField("ch"))).as("seq"))
+        .select(col("user_id"), col("n_events"), col("seq"),
+          regexp_count(col("seq"), lit("v[^p]*p")).cast(LongType).as("n_funnels"),
+          regexp_count(col("seq"), lit("ee+")).cast(LongType).as("n_err_bursts"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH m AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+          CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+            WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's' ELSE 'e' END AS ch
+        FROM events
+      ), q AS (
+        SELECT user_id, COUNT(*) AS n_events,
+          string_agg(ch, '' ORDER BY us, event_id) AS seq
+        FROM m GROUP BY user_id
+      )
+      SELECT user_id, n_events, seq,
+        CAST(len(regexp_extract_all(seq, 'v[^p]*p')) AS BIGINT) AS n_funnels,
+        CAST(len(regexp_extract_all(seq, 'ee+')) AS BIGINT) AS n_err_bursts
+      FROM q ORDER BY user_id
+    """.stripMargin.trim))
+
   /** Seasonal-naive forecast evaluation — the baseline every real
     * forecasting system is judged against ("predict the same hour
     * yesterday") and the observability query that decides whether a
@@ -3458,6 +3519,7 @@ WITH hourly AS (
     eventsAttributionUshape,
     eventsTransitions, eventsAnomalyZscore, eventsRollingDistinct,
     eventsTrendSlope, eventsAbTtest, eventsAbCuped, eventsPathTopk,
+    eventsMatchRecognize,
     eventsAnomalyMad, eventsAlertEpisodes, eventsGrowthAccounting,
     eventsConcurrencyPeak, eventsInterarrivalStats,
     eventsEwma, eventsTypeOverlap, eventsForecastNaive,
