@@ -197,6 +197,23 @@ class SinkCapabilitySuite extends AnyFunSuite {
       "post-expire latest read diverged from the pre-expire witness")
   }
 
+  test("sink_branch_merge: branch ref survives publish, markers final") {
+    SparkEntry.queries("sink_branch_merge")(s, TestSpark.Sf0001).collect()
+    val (p, overlap) = graft.ops.Relational.branchLog(s, TestSpark.Sf0001)
+    assert(overlap == 0L)
+    // publish COPIES the branch delta into main; the ref stays alive
+    // (Iceberg drops refs explicitly, never on publish)
+    assert(new java.io.File(s"$p/branches/dev/b1").isDirectory,
+      "branch ref must survive the publish")
+    assert(new java.io.File(s"$p/delta_v2").isDirectory,
+      "publish must have landed the branch delta as main v2")
+    assert(new java.io.File(s"$p/_commits").list().sorted.toSeq
+      == Seq("v0", "v1", "v2"))
+    // marker CAS finality: a second v2 claim must lose
+    assert(!new java.io.File(s"$p/_commits/v2").createNewFile(),
+      "a second v2 claim must lose")
+  }
+
   test("sink_partition_evolution: each generation prunes by its own spec") {
     // df.inputFiles reports the UNPRUNED listing, so the evidence is the
     // executed scans' numFiles metric: after partition pruning, each
