@@ -486,10 +486,16 @@ object Relational {
     */
   private val mvDefDims = Set("status")
   private[graft] def mvRewrite(
-      s: SparkSession, dir: String, reqDims: Seq[String]): Option[DataFrame] =
+      s: SparkSession, dir: String, reqDims: Seq[String],
+      statusFilter: Seq[String] = Nil): Option[DataFrame] =
     if (!reqDims.toSet.subsetOf(mvDefDims)) None
+    // predicate containment: a filter is serveable only when it rides a
+    // dim the MV groups by (then it selects whole MV rows losslessly)
+    else if (statusFilter.nonEmpty && !mvDefDims.contains("status")) None
     else {
-      val mv = s.read.parquet(mvServing(s, dir))
+      val mv0 = s.read.parquet(mvServing(s, dir))
+      val mv = if (statusFilter.isEmpty) mv0
+        else mv0.filter(col("status").isin(statusFilter: _*))
       val g = if (reqDims.isEmpty) mv.groupBy() else mv.groupBy(reqDims.map(col): _*)
       Some(g.agg(sum(col("n")).as("n"),
         sum(col("tot")).cast(DoubleType).as("total_price")))
@@ -527,7 +533,14 @@ object Relational {
         .getOrElse(sys.error("global request must match the MV"))
         .select(lit("global").as("request"), lit("ALL").as("status"),
           col("n"), col("total_price"))
-      byStatus.unionByName(global).orderBy("request", "status")
+      // predicate containment: WHERE status IN ('F','O') selects whole
+      // MV rows, so the filtered global also serves from |MV| rows
+      val filtered = mvRewrite(s, dir, Nil, Seq("F", "O"))
+        .getOrElse(sys.error("filtered request must match the MV"))
+        .select(lit("filtered_FO").as("request"), lit("F+O").as("status"),
+          col("n"), col("total_price"))
+      byStatus.unionByName(filtered).unionByName(global)
+        .orderBy("request", "status")
     },
     Some(s"""
       WITH final AS ($morFinalCteSql
@@ -535,13 +548,19 @@ object Relational {
         SELECT 'by_status' AS request, status, COUNT(*) AS n,
           CAST(SUM(price) AS DOUBLE) AS total_price
         FROM final GROUP BY status
+      ), filt AS (
+        SELECT 'filtered_FO' AS request, 'F+O' AS status, COUNT(*) AS n,
+          CAST(SUM(price) AS DOUBLE) AS total_price
+        FROM final WHERE status IN ('F', 'O')
       ), gtot AS (
         SELECT 'global' AS request, 'ALL' AS status, COUNT(*) AS n,
           CAST(SUM(price) AS DOUBLE) AS total_price
         FROM final
       )
       SELECT request, status, n, total_price
-      FROM (SELECT * FROM by_status UNION ALL SELECT * FROM gtot)
+      FROM (SELECT * FROM by_status
+            UNION ALL SELECT * FROM filt
+            UNION ALL SELECT * FROM gtot)
       ORDER BY request, status
     """.stripMargin.trim))
 

@@ -246,7 +246,7 @@ class PlanSuite extends AnyFunSuite {
       s"expected exactly the final ORDER BY range exchange:\n$p")
   }
 
-  test("sink_mv_rewrite serves BOTH requests from the MV only (no fact scan)") {
+  test("sink_mv_rewrite serves ALL three requests from the MV only (no fact scan)") {
     val p = plan("sink_mv_rewrite")
     // a rewritten query must read the |status|-row serving table and
     // nothing else: a fixture scan means the rewrite fell back to the
