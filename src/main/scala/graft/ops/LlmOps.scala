@@ -4161,9 +4161,18 @@ object LlmOps {
     * corpus (vocab grows ~log-ish, not linearly), and the encoder is
     * the Viterbi pass applied per occurrence with the model broadcast.
     */
-  val llmVocabUnigram: Op = Op(
-    "llm_vocab_unigram",
-    (s, dir) => {
+  private val unigramTrained = new SessionArtifact[DataFrame]
+
+  /** The TRAINED unigram model — per-word (w, wn, Viterbi path, cost)
+    * plus the seed/kept vocab stats — computed ONCE per (session,
+    * fixture dir): the tokenizer deployment lifecycle (train once, ship
+    * the model, encode many — the bpeTrained/ivfCents shape). Shared by
+    * llm_vocab_unigram (which grades the training chain) and
+    * llm_vocab_unigram_encode (which applies it to the corpus).
+    */
+  private[graft] def unigramModel(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    unigramTrained(s, dir) {
       val w = Tables.documents(s, dir)
         .select(explode(toks).as("w"))
         .filter(length(col("w")).between(1, 8))
@@ -4226,13 +4235,33 @@ object LlmOps {
         .crossJoin(cnt2.agg(count(lit(1)).as("n_kept_pieces")))
       seg2.join(w, "w")
         .crossJoin(broadcast(vstats))
-        .select(col("w"), col("wn"), trim(col("path")).as("seg"),
-          size(split(trim(col("path")), " ")).cast(LongType).as("n_pieces"),
-          col("cost").cast(DoubleType).as("cost"),
-          col("n_seed_pieces"), col("n_kept_pieces"))
-        .orderBy("w")
-    },
-    Some((s"""
+        .localCheckpoint(true)
+    }
+
+  val llmVocabUnigram: Op = Op(
+    "llm_vocab_unigram",
+    (s, dir) => unigramModel(s, dir)
+      .select(col("w"), col("wn"), trim(col("path")).as("seg"),
+        size(split(trim(col("path")), " ")).cast(LongType).as("n_pieces"),
+        col("cost").cast(DoubleType).as("cost"),
+        col("n_seed_pieces"), col("n_kept_pieces"))
+      .orderBy("w"),
+    Some((unigramChainSql + s"""
+      SELECT s.w, w.wn, trim(s.path) AS seg,
+        CAST(len(string_split(trim(s.path), ' ')) AS BIGINT) AS n_pieces,
+        CAST(s.cost AS DOUBLE) AS cost,
+        v.n_seed_pieces, v.n_kept_pieces
+      FROM seg2 s JOIN w ON w.w = s.w CROSS JOIN vstats v
+      ORDER BY s.w
+    """).trim))
+
+  /** The shared unigram-oracle CTE chain (corpus collapse → seeds →
+    * cost model → two Viterbi/EM rounds → seg2 + vstats) — embedded
+    * verbatim by llm_vocab_unigram and llm_vocab_unigram_encode, so the
+    * trained model's definition cannot fork between trainer and
+    * encoder (the pqChainSql discipline).
+    */
+  private def unigramChainSql: String = (s"""
       WITH w AS (
         SELECT w, COUNT(*) AS wn FROM (
           SELECT unnest(string_split(text, ' ')) AS w FROM documents)
@@ -4287,13 +4316,52 @@ object LlmOps {
       ), vstats AS (
         SELECT (SELECT COUNT(*) FROM seedsel) AS n_seed_pieces,
                (SELECT COUNT(*) FROM cnt2) AS n_kept_pieces
+      )""")
+
+  /** UNIGRAM ENCODER — the apply half of the unigram family (what
+    * llm_vocab_apply is to the BPE trainer): segment the CORPUS under
+    * the trained model and read out the token economics per (source,
+    * lang) stratum — the "how many pieces does this tokenizer spend on
+    * this slice" question a data-mix owner asks before fixing a token
+    * budget (llm_token_budget counts whitespace tokens; this op counts
+    * LEARNED subword pieces). Occurrences join the VOCABULARY-sized
+    * model (broadcast), so the corpus is touched exactly once; the
+    * oracle embeds the SAME chain string as the trainer, so the hash
+    * match proves train+encode end-to-end on corpus-scale data.
+    *
+    * Scale shape: one corpus scan ⋈ broadcast model → one (source,
+    * lang) aggregate; the model stays vocabulary-sized no matter the
+    * corpus (the tokenizer-deployment contract at 100 TB).
+    */
+  val llmVocabUnigramEncode: Op = Op(
+    "llm_vocab_unigram_encode",
+    (s, dir) => {
+      val model = unigramModel(s, dir)
+        .select(col("w").as("cw"),
+          size(split(trim(col("path")), " ")).as("np"))
+      Tables.documents(s, dir)
+        .select(col("source"), col("lang"), explode(toks).as("cw"))
+        .join(broadcast(model), "cw")
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_words"), sum("np").as("n_pieces"))
+        .select(col("source"), col("lang"), col("n_words"), col("n_pieces"),
+          round(col("n_pieces").cast(DoubleType) / col("n_words"), 6)
+            .as("pieces_per_word"))
+        .orderBy("source", "lang")
+    },
+    Some((unigramChainSql + s"""
+      , corpus AS (
+        SELECT source, lang, unnest(string_split(text, ' ')) AS cw
+        FROM documents
+      ), encw AS (
+        SELECT c.source, c.lang,
+          len(string_split(trim(s2.path), ' ')) AS np
+        FROM corpus c JOIN seg2 s2 ON s2.w = c.cw
       )
-      SELECT s.w, w.wn, trim(s.path) AS seg,
-        CAST(len(string_split(trim(s.path), ' ')) AS BIGINT) AS n_pieces,
-        CAST(s.cost AS DOUBLE) AS cost,
-        v.n_seed_pieces, v.n_kept_pieces
-      FROM seg2 s JOIN w ON w.w = s.w CROSS JOIN vstats v
-      ORDER BY s.w
+      SELECT source, lang, COUNT(*) AS n_words,
+        CAST(SUM(np) AS BIGINT) AS n_pieces,
+        ROUND(CAST(SUM(np) AS DOUBLE) / COUNT(*), 6) AS pieces_per_word
+      FROM encw GROUP BY source, lang ORDER BY source, lang
     """).trim))
 
   val llmHardNegatives: Op = Op(
@@ -4568,7 +4636,7 @@ object LlmOps {
 
   val ops: Seq[Op] = Seq(
     llmHardNegatives, llmDatasetCard, llmBm25Retrieval, llmEmbeddingDrift,
-    llmVocabMerges, llmVocabApply, llmVocabUnigram,
+    llmVocabMerges, llmVocabApply, llmVocabUnigram, llmVocabUnigramEncode,
     llmPackSequences, llmRepetitionFilter, llmDocChunk, llmCrossDedup,
     llmVocabInduce, llmMixSources, llmMixSourcesScale, llmMixEntropy,
     llmMixTemperature, llmTokenBudget, llmSplitHoldout,
