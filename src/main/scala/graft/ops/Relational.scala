@@ -814,6 +814,97 @@ object Relational {
       p
     }
 
+  /** ORPHAN-FILE CLEANUP — the third file-lifecycle op next to
+    * sink_vacuum (superseded REFERENCED files after compaction) and
+    * sink_snapshot_expire (files of expired versions): files that are
+    * in the table DIRECTORY but in NO manifest — a failed writer's
+    * leftovers, a killed compaction's temps — the Iceberg
+    * remove-orphan-files job. The hazard orphans create is precise: a
+    * MANIFEST reader (any real table format) is immune, but a naive
+    * DIRECTORY reader double-counts — so the graded read is the
+    * post-cleanup directory read, whose hash match against the closed
+    * form proves the orphans are PHYSICALLY gone and the survivors are
+    * exactly the registered table (SinkCapabilitySuite pins the
+    * pre-cleanup overcount and manifest-read immunity the aggregate
+    * can't see). Cleanup = one directory listing anti-joined against
+    * the manifest (both file-count-sized, the planner's job), deletes
+    * via the filesystem API, counts carried in-plan as literals.
+    *
+    * Scale shape: listing and manifest diff are metadata work
+    * proportional to file counts, never data; the deletes touch only
+    * orphans. At 100 TB this runs as a scheduled janitor whose cost
+    * rides the orphan count — the reason table formats can trust
+    * directory hygiene without ever scanning data.
+    */
+  private val orphanWritten = new SessionArtifact[(String, Int, Int, Int)]
+  private[graft] def orphanCleanup(
+      s: SparkSession, dir: String): (String, Int, Int, Int) =
+    orphanWritten(s, dir) {
+      val appTag = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+      val p = scratch("orphan_" + SessionArtifact.dirTag(dir) + "_" + appTag)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(p), true)
+      Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_returnflag"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(s"$p/data")
+      def dataFiles(): Seq[String] =
+        new java.io.File(s"$p/data").listFiles()
+          .filter(f => f.getName.endsWith(".parquet"))
+          .map(_.getName).toSeq.sorted
+      val registered = dataFiles()
+      // the commit manifest: the ONLY files the table consists of
+      s.createDataset(registered)(org.apache.spark.sql.Encoders.STRING)
+        .toDF("file_name").coalesce(1)
+        .write.mode("overwrite").parquet(s"$p/manifest")
+      // plant orphans: a failed writer's leftovers — copies of real
+      // data files under names no manifest registers
+      registered.take(2).zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$p/data/$f"),
+          java.nio.file.Paths.get(s"$p/data/orphan_$i.parquet"))
+      }
+      val before = dataFiles()
+      val manifest = s.read.parquet(s"$p/manifest")
+        .collect().map(_.getString(0)).toSet
+      val orphans = before.filterNot(manifest)
+      orphans.foreach(f =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$p/data/$f"), false))
+      (p, before.size, orphans.size, dataFiles().size)
+    }
+
+  val sinkOrphanCleanup: Op = Op(
+    "sink_orphan_cleanup",
+    (s, dir) => {
+      val (p, nBefore, nOrphans, nAfter) = orphanCleanup(s, dir)
+      require(nBefore == 6 && nOrphans == 2 && nAfter == 4,
+        s"orphan protocol drifted: $nBefore/$nOrphans/$nAfter")
+      // the graded read is the NAIVE directory read — correct only
+      // because the orphans are physically gone
+      s.read.parquet(s"$p/data")
+        .groupBy(col("l_returnflag").as("returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("l_extendedprice"))).cast(DoubleType).as("total_price"),
+          max("l_orderkey").as("max_key"))
+        .withColumn("n_files_before", lit(nBefore.toLong))
+        .withColumn("n_orphans_removed", lit(nOrphans.toLong))
+        .withColumn("n_files_after", lit(nAfter.toLong))
+        .orderBy("returnflag")
+    },
+    Some("""
+      SELECT l_returnflag AS returnflag, COUNT(*) AS n,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+        MAX(l_orderkey) AS max_key,
+        CAST(6 AS BIGINT) AS n_files_before,
+        CAST(2 AS BIGINT) AS n_orphans_removed,
+        CAST(4 AS BIGINT) AS n_files_after
+      FROM lineitem WHERE l_orderkey % 50 = 0
+      GROUP BY l_returnflag ORDER BY l_returnflag
+    """.stripMargin.trim))
+
   /** TABLE BRANCHING with fast-forward publish — the Git-for-data half
     * of the lake story (Iceberg branches / Nessie): a branch is a NAMED
     * REF onto the commit log, created at a snapshot, accumulating its
@@ -4844,7 +4935,7 @@ object Relational {
     scanFull, scanPrune, scanPred, scanBinaryfile,
     sinkParquet, sinkCsvJson, sinkOrcRoundtrip, sinkMergeOnRead,
     sinkTimeTravel, sinkCompactRewrite, sinkChangeFeed, sinkVacuum,
-    sinkSnapshotExpire, sinkBranchMerge,
+    sinkSnapshotExpire, sinkBranchMerge, sinkOrphanCleanup,
     sinkMvIncremental, sinkMvRewrite, streamReplayLogCatchup, sinkStatsIndex,
     sinkBloomIndex, sinkPartitionEvolution, sinkConcurrentCommit,
     profileDrift, sinkPositionDelete,

@@ -197,6 +197,32 @@ class SinkCapabilitySuite extends AnyFunSuite {
       "post-expire latest read diverged from the pre-expire witness")
   }
 
+  test("sink_orphan_cleanup: manifest readers immune, directory hygiene restored") {
+    SparkEntry.queries("sink_orphan_cleanup")(s, TestSpark.Sf0001).collect()
+    val (p, _, _, _) = graft.ops.Relational.orphanCleanup(s, TestSpark.Sf0001)
+    val names = new java.io.File(s"$p/data").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    val manifest = s.read.parquet(s"$p/manifest")
+      .collect().map(_.getString(0)).toSet
+    assert(names == manifest, "directory must hold exactly the registered files")
+    // re-plant an orphan: the naive dir reader overcounts while the
+    // manifest reader is immune — the hazard the cleanup removes
+    val src = manifest.head
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$p/data/$src"),
+      java.nio.file.Paths.get(s"$p/data/orphan_replant.parquet"))
+    try {
+      val dirRows = s.read.parquet(s"$p/data").count()
+      val manifestRows = s.read.parquet(
+        manifest.toSeq.sorted.map(f => s"$p/data/$f"): _*).count()
+      assert(dirRows > manifestRows,
+        "orphan must inflate the naive directory read")
+    } finally {
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(s"$p/data/orphan_replant.parquet"))
+    }
+  }
+
   test("sink_branch_merge: branch ref survives publish, markers final") {
     SparkEntry.queries("sink_branch_merge")(s, TestSpark.Sf0001).collect()
     val (p, overlap) = graft.ops.Relational.branchLog(s, TestSpark.Sf0001)
