@@ -833,6 +833,95 @@ object LlmOps {
       .select(col("a_id"), col("b_id"), round(jacc, 6).as("jacc"))
   }
 
+  /** URL-CANONICALIZATION DEDUP — the dedup mechanism every WEB corpus
+    * runs before any content hashing (CommonCrawl-style): the same
+    * resource arrives under scheme variants, host-case variants,
+    * tracking-parameter variants, and trailing-slash variants, and the
+    * canonicalizer must collapse them WITHOUT touching payload bytes.
+    * The fixture plants the variants in-plan from doc_id strides
+    * (http/https by %2, three host casings by %3, trailing slash by
+    * %7, three query shapes by %5 — utm-only, utm-after-real-param,
+    * real-param-only), and the canonical form is computed from the URL
+    * STRING by a 6-step normalizer: scheme upgrade, host lowercase
+    * (extract → lower → rebuild, never lowercasing the path), GLOBAL
+    * utm_* parameter strip, first-separator repair (`&` with no `?`
+    * before it becomes `?` — the case a leading utm strip exposes),
+    * dangling-`?` strip, slash-before-query/end strip. Groups with
+    * > 1 member dedup keep-min. ORACLE: the same normalizer in DuckDB
+    * regex dialect (backrefs `\1` vs `$1`, explicit 'g' flag vs
+    * Spark's replace-all default — two implementations of one spec),
+    * so the hash match proves the canonical algebra, not one engine's
+    * regex quirks.
+    *
+    * Scale shape: pure per-row string work in the scan stage + one
+    * canonical-key aggregate — the cheapest dedup in the family and
+    * the first one a 100 TB web pipeline applies (it removes URL-level
+    * duplicates before any content fingerprint is paid).
+    */
+  val llmDedupUrl: Op = Op(
+    "llm_dedup_url",
+    (s, dir) => {
+      val url = concat(
+        when(col("doc_id") % 2 === 0, "http").otherwise("https"),
+        lit("://"),
+        when(col("doc_id") % 3 === 0, "EXAMPLE.COM")
+          .when(col("doc_id") % 3 === 1, "example.com")
+          .otherwise("Example.Com"),
+        lit("/p/"), (col("doc_id") % 25).cast(StringType),
+        when(col("doc_id") % 7 === 0, "/").otherwise(""),
+        when(col("doc_id") % 5 === 0, "?utm_source=feed&utm_campaign=x")
+          .when(col("doc_id") % 5 === 1, "?ref=kept&utm_medium=z")
+          .when(col("doc_id") % 5 === 2, "?ref=kept")
+          .otherwise(""))
+      val c0 = regexp_replace(url, "^http://", "https://")
+      val c1 = concat(lit("https://"),
+        lower(regexp_extract(c0, "^https://([^/]+)", 1)),
+        regexp_replace(c0, "^https://[^/]+", ""))
+      val canon =
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(c1,
+          "[?&]utm_[a-z]+=[^&]*", ""),
+          "^([^?]*)&", "$1?"),
+          "\\?$", ""),
+          "/(\\?|$)", "$1")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), canon.as("canon"))
+        .groupBy("canon")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_id"),
+          max("doc_id").as("max_dropped"))
+        .filter(col("n_docs") > 1)
+        .orderBy("canon")
+    },
+    Some("""
+      WITH u AS (
+        SELECT doc_id,
+          (CASE doc_id % 2 WHEN 0 THEN 'http' ELSE 'https' END) || '://' ||
+          (CASE doc_id % 3 WHEN 0 THEN 'EXAMPLE.COM'
+             WHEN 1 THEN 'example.com' ELSE 'Example.Com' END) ||
+          '/p/' || CAST(doc_id % 25 AS VARCHAR) ||
+          (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END) ||
+          (CASE doc_id % 5 WHEN 0 THEN '?utm_source=feed&utm_campaign=x'
+             WHEN 1 THEN '?ref=kept&utm_medium=z'
+             WHEN 2 THEN '?ref=kept' ELSE '' END) AS url
+        FROM documents
+      ), c AS (
+        SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            'https://' ||
+              lower(regexp_extract(regexp_replace(url, '^http://', 'https://'),
+                '^https://([^/]+)', 1)) ||
+              regexp_replace(regexp_replace(url, '^http://', 'https://'),
+                '^https://[^/]+', ''),
+            '[?&]utm_[a-z]+=[^&]*', '', 'g'),
+            '^([^?]*)&', '\1?'),
+            '\?$', ''),
+            '/(\?|$)', '\1') AS canon
+        FROM u
+      )
+      SELECT canon, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id,
+        MAX(doc_id) AS max_dropped
+      FROM c GROUP BY canon HAVING COUNT(*) > 1 ORDER BY canon
+    """.stripMargin.trim))
+
   val llmDedupNear: Op = Op(
     "llm_dedup_near",
     (s, dir) => nearPairs(s, dir).orderBy("a_id", "b_id"),
@@ -4645,7 +4734,7 @@ object LlmOps {
     llmPrefPairs, llmTokenCount, llmLangId,
     llmNgramNovelty, llmCurriculumOrder, llmShardManifest,
     llmDocEntropy, llmCollocationPmi,
-    llmTextStats, llmTextTfidf, llmDedupExact,
+    llmTextStats, llmTextTfidf, llmDedupExact, llmDedupUrl,
     llmDedupNear, llmDedupContainment, llmDedupSpans, llmDedupCluster,
     llmDedupClusterScale, llmDedupReweight, llmDedupMinhash,
     llmDedupDetectorAgreement,
