@@ -3881,6 +3881,105 @@ object LlmOps {
     * row-local predicate — or two-phase: hash-threshold to ~1.1× the
     * quota, then rank only the survivors.
     */
+  /** DISTRIBUTION-MATCHED REJECTION SAMPLING — the data-mix op that
+    * reshapes one pool to LOOK like another: resample the non-English
+    * pool so its length distribution matches the English pool's (the
+    * quality-matching step run before mixing heterogeneous sources, so
+    * a length-skewed source can't smuggle its skew into the mix).
+    * Classic rejection sampling made fully deterministic: per
+    * 100-char band, ratio = target density / proposal density,
+    * normalized by the max ratio so the tightest band accepts at 1.0;
+    * each proposal doc accepts iff its md5-derived uniform (the
+    * sample_hash_pct idiom — content-seeded, never rand()) falls
+    * under its band's rate. Every number is a double computed from
+    * exact integer counts with IDENTICAL parenthesization on both
+    * engines, so acceptance is bit-deterministic and the whole op is
+    * oracle-graded: per band, target/proposal/accepted counts + the
+    * acceptance rate.
+    *
+    * Scale shape: two band aggregates (map-side partials), a tiny
+    * full-outer band join, two 1-row broadcast totals (in-plan-N),
+    * and ONE proposal-pool scan with a broadcast band-rate join — at
+    * 100 TB acceptance is a stateless per-row decision, which is why
+    * rejection beats quota sampling for distribution matching (no
+    * per-stratum ranking state).
+    */
+  val llmMatchDistribution: Op = Op(
+    "llm_match_distribution",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") / 100).cast(LongType).as("band"))
+      val t = d.filter(col("lang") === "en")
+        .groupBy("band").agg(count(lit(1)).as("nt"))
+      val pr = d.filter(col("lang") =!= "en")
+        .groupBy("band").agg(count(lit(1)).as("np"))
+      val tots = d.agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ntot"),
+        sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("ptot"))
+      val ratios = t.join(pr, Seq("band"), "full_outer")
+        .na.fill(0L, Seq("nt", "np"))
+        .crossJoin(broadcast(tots))
+        .withColumn("ratio",
+          when(col("np") > 0 && col("nt") > 0,
+            (col("nt").cast(DoubleType) * col("ptot").cast(DoubleType)) /
+              (col("np").cast(DoubleType) * col("ntot").cast(DoubleType)))
+            .otherwise(lit(0.0)))
+      val rates = ratios
+        .crossJoin(broadcast(ratios.agg(max("ratio").as("mx"))))
+        .withColumn("arate", col("ratio") / col("mx"))
+        .select(col("band"), col("nt"), col("np"), col("arate"))
+        .localCheckpoint(true) // consumed by the accept join AND output
+      val accepted = d.filter(col("lang") =!= "en")
+        .join(broadcast(rates.select(col("band"), col("arate"))), "band")
+        .filter(expr(
+          """cast(conv(substring(md5(concat('mds:', cast(doc_id as string))), 1, 7), 16, 10)
+             as bigint) / 268435456.0""") < col("arate"))
+        .groupBy("band").agg(count(lit(1)).as("nacc"))
+      rates.join(accepted, Seq("band"), "left")
+        .select(col("band"), col("nt").as("n_target"), col("np").as("n_proposal"),
+          coalesce(col("nacc"), lit(0L)).as("n_accepted"),
+          round(col("arate"), 6).as("accept_rate"))
+        .orderBy("band")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, lang, n_chars // 100 AS band FROM documents
+      ), t AS (
+        SELECT band, COUNT(*) AS nt FROM d WHERE lang = 'en' GROUP BY band
+      ), p AS (
+        SELECT band, COUNT(*) AS np FROM d WHERE lang != 'en' GROUP BY band
+      ), j AS (
+        SELECT COALESCE(t.band, p.band) AS band,
+          COALESCE(nt, 0) AS nt, COALESCE(np, 0) AS np
+        FROM t FULL OUTER JOIN p ON p.band = t.band
+      ), tots AS (
+        SELECT (SELECT COUNT(*) FROM d WHERE lang = 'en') AS ntot,
+               (SELECT COUNT(*) FROM d WHERE lang != 'en') AS ptot
+      ), r AS (
+        SELECT band, nt, np,
+          CASE WHEN np > 0 AND nt > 0 THEN
+            (CAST(nt AS DOUBLE) * CAST(ptot AS DOUBLE)) /
+              (CAST(np AS DOUBLE) * CAST(ntot AS DOUBLE))
+          ELSE 0.0 END AS ratio
+        FROM j CROSS JOIN tots
+      ), m AS (SELECT MAX(ratio) AS mx FROM r
+      ), a AS (
+        SELECT band, nt, np, ratio / mx AS arate FROM r CROSS JOIN m
+      ), acc AS (
+        SELECT d.band, COUNT(*) AS nacc
+        FROM d JOIN a ON a.band = d.band
+        WHERE d.lang != 'en'
+          AND CAST('0x' || substr(md5('mds:' || CAST(d.doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+              / 268435456.0 < a.arate
+        GROUP BY d.band
+      )
+      SELECT a.band, a.nt AS n_target, a.np AS n_proposal,
+        COALESCE(acc.nacc, 0) AS n_accepted, ROUND(a.arate, 6) AS accept_rate
+      FROM a LEFT JOIN acc ON acc.band = a.band
+      ORDER BY a.band
+    """.stripMargin.trim))
+
   val llmMixSources: Op = Op(
     "llm_mix_sources",
     (s, dir) => {
@@ -4731,7 +4830,7 @@ object LlmOps {
     llmHardNegatives, llmDatasetCard, llmBm25Retrieval, llmEmbeddingDrift,
     llmVocabMerges, llmVocabApply, llmVocabUnigram, llmVocabUnigramEncode,
     llmPackSequences, llmRepetitionFilter, llmDocChunk, llmCrossDedup,
-    llmVocabInduce, llmMixSources, llmMixSourcesScale, llmMixEntropy,
+    llmVocabInduce, llmMatchDistribution, llmMixSources, llmMixSourcesScale, llmMixEntropy,
     llmMixTemperature, llmTokenBudget, llmSplitHoldout,
     llmQualityFilter, llmQualityScore, llmFilterAblation, llmSourceGini,
     llmSourceTheil,

@@ -551,6 +551,9 @@ class PlanSuite extends AnyFunSuite {
       // 1-row seed/kept vocab-stats crossJoins (in-plan-N); the Viterbi
       // relaxation joins are equi on (word, position)
       "llm_vocab_unigram",
+      // 1-row broadcast pool-totals and max-ratio crossJoins
+      // (in-plan-N); the accept decision joins equi on band
+      "llm_match_distribution",
       "llm_embed_quantize", "llm_ngram_logprob", "events_funnel",
       "timeseries_gapfill",
       // broadcast 1-row max-revenue / avg-balance dimension (the
