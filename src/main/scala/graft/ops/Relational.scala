@@ -3846,6 +3846,88 @@ object Relational {
     * engines) + one pushdown-friendly filter — at 100 TB quarantine
     * routing costs one scan, no shuffle.
     */
+  /** K-ANONYMITY AUDIT — the governance walk a dataset publisher runs
+    * before releasing quasi-identified rows (the validate_ family's
+    * privacy member, next to constraints and quarantine): for each
+    * level of a GENERALIZATION LADDER over the quasi-identifier tuple
+    * (nation, market segment, balance band), count the equivalence
+    * classes and the rows in classes smaller than k=5 — the rows a
+    * k-anonymous release would have to suppress. The ladder widens
+    * exactly the way a real publisher's does: L0 (nation, segment,
+    * $1000 bands) → L1 (wider $2000 bands) → L2 (nation GENERALIZES
+    * to region via the nation dimension — hierarchy climb, not just
+    * banding) → L3 (drop the balance column). Monotone suppression
+    * decay down the ladder is the graded signal; balance bands use
+    * explicit floor() on BOTH engines (integer-division truncation
+    * would fork on negative balances). ORACLE: the four leveled
+    * closed forms.
+    *
+    * Scale shape: each level is one hash aggregate on the
+    * quasi-identifier plus a 25-row broadcast hierarchy join; levels
+    * union as independent branches (at 100 TB a publisher prunes the
+    * walk early, but each level stays a single co-keyed pass).
+    */
+  val validateKAnonymity: Op = Op(
+    "validate_k_anonymity",
+    (s, dir) => {
+      val c = Tables.customer(s, dir).select(
+        col("c_nationkey"), col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal") / 1000).as("b1000"),
+        floor(col("c_acctbal") / 2000).as("b2000"))
+      val n = Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_regionkey"))
+      val cr = c.join(broadcast(n), col("n_nationkey") === col("c_nationkey"))
+      def level(tag: Int, grouped: org.apache.spark.sql.RelationalGroupedDataset): DataFrame =
+        grouped.agg(count(lit(1)).as("cnt"))
+          .agg(count(lit(1)).as("n_groups"),
+            sum(when(col("cnt") < 5, col("cnt")).otherwise(0L)).as("n_at_risk"),
+            sum(col("cnt")).as("n_rows"))
+          .select(lit(tag.toLong).as("level"), col("n_groups"),
+            col("n_at_risk"),
+            round(col("n_at_risk").cast(DoubleType) / col("n_rows"), 6)
+              .as("suppressed_pct"),
+            lit(5L).as("k"))
+      level(0, c.groupBy("c_nationkey", "seg", "b1000"))
+        .unionByName(level(1, c.groupBy("c_nationkey", "seg", "b2000")))
+        .unionByName(level(2, cr.groupBy("n_regionkey", "seg", "b2000")))
+        .unionByName(level(3, cr.groupBy("n_regionkey", "seg")))
+        .orderBy("level")
+    },
+    Some("""
+      WITH c AS (
+        SELECT c_custkey, c_nationkey, c_mktsegment AS seg,
+          CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS b1000,
+          CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS b2000
+        FROM customer
+      ), cr AS (
+        SELECT c.*, n_regionkey FROM c JOIN nation ON n_nationkey = c_nationkey
+      ), g0 AS (SELECT COUNT(*) AS cnt FROM c GROUP BY c_nationkey, seg, b1000
+      ), g1 AS (SELECT COUNT(*) AS cnt FROM c GROUP BY c_nationkey, seg, b2000
+      ), g2 AS (SELECT COUNT(*) AS cnt FROM cr GROUP BY n_regionkey, seg, b2000
+      ), g3 AS (SELECT COUNT(*) AS cnt FROM cr GROUP BY n_regionkey, seg
+      ), lv AS (
+        SELECT 0 AS level, COUNT(*) AS n_groups,
+          CAST(SUM(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS BIGINT) AS n_at_risk,
+          CAST(SUM(cnt) AS BIGINT) AS n_rows FROM g0
+        UNION ALL
+        SELECT 1, COUNT(*),
+          CAST(SUM(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS BIGINT),
+          CAST(SUM(cnt) AS BIGINT) FROM g1
+        UNION ALL
+        SELECT 2, COUNT(*),
+          CAST(SUM(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS BIGINT),
+          CAST(SUM(cnt) AS BIGINT) FROM g2
+        UNION ALL
+        SELECT 3, COUNT(*),
+          CAST(SUM(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS BIGINT),
+          CAST(SUM(cnt) AS BIGINT) FROM g3
+      )
+      SELECT CAST(level AS BIGINT) AS level, n_groups, n_at_risk,
+        ROUND(CAST(n_at_risk AS DOUBLE) / n_rows, 6) AS suppressed_pct,
+        CAST(5 AS BIGINT) AS k
+      FROM lv ORDER BY level
+    """.stripMargin.trim))
+
   val validateQuarantine: Op = Op(
     "validate_quarantine",
     (s, dir) => {
@@ -4955,7 +5037,7 @@ object Relational {
     tableChecksum, profileColumns, mergeCdcApply,
     scanAggPushdown, joinDppPartitioned, validateConstraints,
     joinBloomRuntime, joinCboReorder, sinkClusteredPrune, pipelineIncremental,
-    scanNestedPrune, validateQuarantine,
+    scanNestedPrune, validateQuarantine, validateKAnonymity,
     q14PromoRevenue, sinkZorderPrune, q8MarketShare, sinkKvRoundtrip,
     sortMultiNulls, limitTopk,
     setUnionAll, setUnionDistinct, setIntersect, setExcept,
