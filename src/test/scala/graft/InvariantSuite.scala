@@ -176,4 +176,42 @@ class InvariantSuite extends AnyFunSuite {
           s"churn on ${w(1).get(0)} exceeds previous day's DAU")
     }
   }
+
+  test("validate_k_anonymity: suppression decays monotonically down the ladder") {
+    val rows = Relational.validateKAnonymity.build(s, sf)
+      .orderBy("level").collect()
+    assert(rows.length == 4)
+    // each ladder step only MERGES equivalence classes, so the at-risk
+    // row count (and group count) can never increase as levels climb
+    rows.sliding(2).foreach { w =>
+      assert(w(1).getAs[Long]("n_at_risk") <= w(0).getAs[Long]("n_at_risk"),
+        s"generalizing increased at-risk rows: ${w.toSeq}")
+      assert(w(1).getAs[Long]("n_groups") <= w(0).getAs[Long]("n_groups"),
+        s"generalizing increased group count: ${w.toSeq}")
+    }
+  }
+
+  test("llm_match_distribution: acceptance bounded and the tightest band accepts fully") {
+    val rows = LlmOps.llmMatchDistribution.build(s, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_accepted") <= r.getAs[Long]("n_proposal"),
+        "accepted cannot exceed the proposal pool")
+      val a = r.getAs[Double]("accept_rate")
+      assert(a >= 0.0 && a <= 1.0, s"acceptance rate out of [0,1]: $a")
+    }
+    // normalization by the max ratio makes the binding band accept at 1.0
+    assert(rows.exists(_.getAs[Double]("accept_rate") == 1.0),
+      "no band accepts at rate 1.0 — the normalizer drifted")
+  }
+
+  test("llm_vocab_unigram: every segmentation concatenates back to its word") {
+    val rows = LlmOps.llmVocabUnigram.build(s, sf).collect()
+    rows.foreach { r =>
+      val w = r.getAs[String]("w")
+      val seg = r.getAs[String]("seg")
+      assert(seg.replace(" ", "") == w,
+        s"segmentation is not a partition of the word: '$w' vs '$seg'")
+      assert(r.getAs[Long]("n_pieces") == seg.split(" ").length.toLong)
+    }
+  }
 }
