@@ -554,6 +554,10 @@ class PlanSuite extends AnyFunSuite {
       // 1-row broadcast pool-totals and max-ratio crossJoins
       // (in-plan-N); the accept decision joins equi on band
       "llm_match_distribution",
+      // 2-row broadcast version and probe-date dimensions joined on
+      // inequalities (seq <= version, interval containment) — the
+      // sink_time_travel / gapfill in-plan-N pattern
+      "merge_bitemporal",
       "llm_embed_quantize", "llm_ngram_logprob", "events_funnel",
       "timeseries_gapfill",
       // broadcast 1-row max-revenue / avg-balance dimension (the
