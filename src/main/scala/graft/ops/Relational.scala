@@ -814,6 +814,65 @@ object Relational {
       p
     }
 
+  /** TABLE HISTORY — the DESCRIBE HISTORY surface every lake exposes
+    * (Delta DESCRIBE HISTORY / Iceberg snapshots metadata table): one
+    * row per commit with its operation mix and the table's row count
+    * AFTER that commit. Derived from the SHARED morLog's actual delta
+    * files (the op-code mix is read from the log, not narrated), with
+    * the running row count folded by a cumulative window over the
+    * version ordering. ORACLE: closed-form stride counts per version,
+    * so the hash match proves the history view agrees with what the
+    * deltas actually did — and cross-proves sink_time_travel's
+    * snapshot sizes from the metadata side.
+    *
+    * Scale shape: pure metadata — one aggregate over the delta log
+    * (rides delta size), a 1-row broadcast base count, and a 3-row
+    * cumulative window. The production twin reads manifest stats and
+    * touches no data at all.
+    */
+  val sinkTableHistory: Op = Op(
+    "sink_table_history",
+    (s, dir) => {
+      val log = morLog(s, dir)
+      val deltas = s.read.parquet(s"$log/delta")
+        .groupBy(col("seq").as("version"))
+        .agg(sum(when(col("op") === "U", 1L).otherwise(0L)).as("n_updates"),
+          sum(when(col("op") === "I", 1L).otherwise(0L)).as("n_inserts"),
+          sum(when(col("op") === "D", 1L).otherwise(0L)).as("n_deletes"))
+      val v0 = s.range(1).select(lit(0L).as("version"), lit(0L).as("n_updates"),
+        lit(0L).as("n_inserts"), lit(0L).as("n_deletes"))
+      val baseN = s.read.parquet(s"$log/base").agg(count(lit(1)).as("base_rows"))
+      v0.unionByName(deltas)
+        .crossJoin(broadcast(baseN))
+        .withColumn("rows_after", col("base_rows") +
+          sum(col("n_inserts") - col("n_deletes")).over(
+            Window.orderBy("version")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("version"), col("n_updates"), col("n_inserts"),
+          col("n_deletes"), col("rows_after"))
+        .orderBy("version")
+    },
+    Some("""
+      WITH t AS (
+        SELECT COUNT(*) AS n,
+          COUNT(CASE WHEN o_orderkey % 7 = 0 THEN 1 END) AS n7,
+          COUNT(CASE WHEN o_orderkey % 11 = 0 THEN 1 END) AS n11,
+          COUNT(CASE WHEN o_orderkey % 13 = 0 THEN 1 END) AS n13
+        FROM orders
+      )
+      SELECT CAST(version AS BIGINT) AS version,
+        CAST(n_updates AS BIGINT) AS n_updates,
+        CAST(n_inserts AS BIGINT) AS n_inserts,
+        CAST(n_deletes AS BIGINT) AS n_deletes,
+        CAST(rows_after AS BIGINT) AS rows_after
+      FROM (
+        SELECT 0 AS version, 0 AS n_updates, 0 AS n_inserts, 0 AS n_deletes,
+          n AS rows_after FROM t
+        UNION ALL SELECT 1, n7, n11, 0, n + n11 FROM t
+        UNION ALL SELECT 2, 0, 0, n13, n + n11 - n13 FROM t)
+      ORDER BY version
+    """.stripMargin.trim))
+
   /** ORPHAN-FILE CLEANUP — the third file-lifecycle op next to
     * sink_vacuum (superseded REFERENCED files after compaction) and
     * sink_snapshot_expire (files of expired versions): files that are
@@ -903,6 +962,103 @@ object Relational {
         CAST(4 AS BIGINT) AS n_files_after
       FROM lineitem WHERE l_orderkey % 50 = 0
       GROUP BY l_returnflag ORDER BY l_returnflag
+    """.stripMargin.trim))
+
+  /** WRITE-AUDIT-PUBLISH — the canonical safe-ingest pattern (Iceberg
+    * WAP / Delta constraints-on-write): an incoming batch is STAGED
+    * outside the table, AUDITED against its contract (segment NOT
+    * NULL, balance ≥ 0 — with planted violations: every %20 staged
+    * row loses its segment, every %28 row gets a guaranteed-negative
+    * balance, plus whatever organic negatives ride in), and only the
+    * clean rows PUBLISH behind a commit marker while violations land
+    * in quarantine. The graded read is the post-publish main table —
+    * its hash match against the closed form proves main absorbed
+    * EXACTLY the clean rows and never a violating one — with the
+    * staged/violation/published counts as in-plan literals (the
+    * protocol's audit record). The three batch-sized counts in the
+    * artifact are the audit DECISION POINT (the OCC count precedent:
+    * bounded by the batch, never the table). SinkCapabilitySuite pins
+    * what the aggregate can't see: quarantine holds only violators,
+    * the published delta holds none, the marker exists.
+    *
+    * Scale shape: staging and audit ride the BATCH (one scan, one
+    * predicate split); the table is touched only by the final
+    * append. This is why WAP is the 100 TB ingest default: a bad
+    * batch costs its own size to reject, and readers never see a
+    * partial or dirty publish.
+    */
+  private val wapWritten = new SessionArtifact[(String, Long, Long, Long)]
+  private[graft] def wapLog(s: SparkSession, dir: String): (String, Long, Long, Long) =
+    wapWritten(s, dir) {
+      val appTag = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+      val p = scratch("wap_" + SessionArtifact.dirTag(dir) + "_" + appTag)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(p), true)
+      new java.io.File(s"$p/_commits").mkdirs()
+      Tables.customer(s, dir).filter(col("c_custkey") % 4 === 0)
+        .select((col("c_custkey") + 50000000L).as("c_custkey"),
+          when(col("c_custkey") % 28 === 0,
+            (-abs(dec2(col("c_acctbal"))) - 1).cast(DoubleType))
+            .otherwise(dec2(col("c_acctbal")).cast(DoubleType)).as("bal"),
+          when(col("c_custkey") % 20 === 0, lit(null).cast(StringType))
+            .otherwise(col("c_mktsegment")).as("segment"))
+        .write.mode("overwrite").parquet(s"$p/audit_staged")
+      val staged = s.read.parquet(s"$p/audit_staged")
+      staged.filter(col("segment").isNull || col("bal") < 0)
+        .write.mode("overwrite").parquet(s"$p/quarantine")
+      staged.filter(col("segment").isNotNull && col("bal") >= 0)
+        .write.mode("overwrite").parquet(s"$p/delta_v1")
+      require(new java.io.File(s"$p/_commits/v1").createNewFile(), "v1 races")
+      (p, staged.count(),
+        s.read.parquet(s"$p/quarantine").count(),
+        s.read.parquet(s"$p/delta_v1").count())
+    }
+
+  val sinkWriteAuditPublish: Op = Op(
+    "sink_write_audit_publish",
+    (s, dir) => {
+      val (p, nStaged, nBad, nClean) = wapLog(s, dir)
+      require(nStaged == nBad + nClean, "audit split must partition the batch")
+      val main = Tables.customer(s, dir)
+        .select(col("c_custkey"), dec2(col("c_acctbal")).cast(DoubleType).as("bal"),
+          col("c_mktsegment").as("segment"))
+        .unionByName(s.read.parquet(s"$p/delta_v1"))
+      main.groupBy("segment")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("bal"))).cast(DoubleType).as("total_bal"),
+          max("c_custkey").as("max_key"))
+        .withColumn("n_staged", lit(nStaged))
+        .withColumn("n_violations", lit(nBad))
+        .withColumn("n_published", lit(nClean))
+        .orderBy("segment")
+    },
+    Some("""
+      WITH staged AS (
+        SELECT c_custkey + 50000000 AS c_custkey,
+          CASE WHEN c_custkey % 28 = 0
+            THEN CAST(-ABS(CAST(c_acctbal AS DECIMAL(12,2))) - 1 AS DOUBLE)
+            ELSE CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) END AS bal,
+          CASE WHEN c_custkey % 20 = 0 THEN NULL
+            ELSE c_mktsegment END AS segment
+        FROM customer WHERE c_custkey % 4 = 0
+      ), clean AS (
+        SELECT * FROM staged WHERE segment IS NOT NULL AND bal >= 0
+      ), main AS (
+        SELECT c_custkey,
+          CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal,
+          c_mktsegment AS segment
+        FROM customer
+        UNION ALL SELECT * FROM clean
+      )
+      SELECT segment, COUNT(*) AS n,
+        CAST(SUM(CAST(bal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal,
+        MAX(c_custkey) AS max_key,
+        (SELECT COUNT(*) FROM staged) AS n_staged,
+        (SELECT COUNT(*) FROM staged
+          WHERE segment IS NULL OR bal < 0) AS n_violations,
+        (SELECT COUNT(*) FROM clean) AS n_published
+      FROM main GROUP BY segment ORDER BY segment
     """.stripMargin.trim))
 
   /** TABLE BRANCHING with fast-forward publish — the Git-for-data half
@@ -5094,7 +5250,7 @@ object Relational {
     scanFull, scanPrune, scanPred, scanBinaryfile,
     sinkParquet, sinkCsvJson, sinkOrcRoundtrip, sinkMergeOnRead,
     sinkTimeTravel, sinkCompactRewrite, sinkChangeFeed, sinkVacuum,
-    sinkSnapshotExpire, sinkBranchMerge, sinkOrphanCleanup,
+    sinkSnapshotExpire, sinkBranchMerge, sinkOrphanCleanup, sinkTableHistory, sinkWriteAuditPublish,
     sinkMvIncremental, sinkMvRewrite, streamReplayLogCatchup, sinkStatsIndex,
     sinkBloomIndex, sinkPartitionEvolution, sinkConcurrentCommit,
     profileDrift, sinkPositionDelete,

@@ -197,6 +197,23 @@ class SinkCapabilitySuite extends AnyFunSuite {
       "post-expire latest read diverged from the pre-expire witness")
   }
 
+  test("sink_write_audit_publish: quarantine holds only violators, delta none") {
+    SparkEntry.queries("sink_write_audit_publish")(s, TestSpark.Sf0001).collect()
+    val (p, nStaged, nBad, nClean) =
+      graft.ops.Relational.wapLog(s, TestSpark.Sf0001)
+    assert(nStaged == nBad + nClean && nBad > 0 && nClean > 0)
+    import org.apache.spark.sql.functions.col
+    val quarantined = s.read.parquet(s"$p/quarantine")
+    assert(quarantined.filter(col("segment").isNotNull && col("bal") >= 0).count() == 0,
+      "quarantine must hold only contract violators")
+    val published = s.read.parquet(s"$p/delta_v1")
+    assert(published.filter(col("segment").isNull || col("bal") < 0).count() == 0,
+      "published delta must hold zero violators")
+    assert(new java.io.File(s"$p/_commits/v1").exists, "publish marker missing")
+    // the audit split is a PARTITION of the staged batch
+    assert(quarantined.count() == nBad && published.count() == nClean)
+  }
+
   test("sink_orphan_cleanup: manifest readers immune, directory hygiene restored") {
     SparkEntry.queries("sink_orphan_cleanup")(s, TestSpark.Sf0001).collect()
     val (p, _, _, _) = graft.ops.Relational.orphanCleanup(s, TestSpark.Sf0001)
