@@ -1998,6 +1998,71 @@ object EventTime {
       FROM q ORDER BY user_id
     """.stripMargin.trim))
 
+  /** TRUE-STREAMING twin of events_match_recognize — CEP on the replay
+    * stream (the Flink-CEP deployment shape): per-user event structs
+    * ACCUMULATE in the state store across micro-batches (streaming
+    * collect_list in complete mode — order-independent because the
+    * sort happens at read-out, so the result is bit-identical no
+    * matter how the source splits into micro-batches), and the
+    * pattern automata run over each user's sorted sequence at the
+    * sink. Graded as the funnel-count histogram with error-burst
+    * totals, so the hash pins the per-user match counts without
+    * repeating the batch twin's per-user rows. ORACLE: the batch
+    * closed form — streaming CEP ≡ batch CEP, the replay family's
+    * equivalence property extended to regular patterns.
+    *
+    * Scale shape: state rides |users| × their event structs — the
+    * fixture's bounded users make complete-mode accumulation honest
+    * here; an unbounded deployment keys the SAME plan by session
+    * (events_sessionize) or applies a watermark so state rides the
+    * open-session horizon, which is the real CEP state contract.
+    */
+  val streamReplayPatternAlert: Op = Op(
+    "stream_replay_pattern_alert",
+    (s, dir) => {
+      val src = replaySrc(s, dir)
+      val ch = when(col("event_type") === "view", "v")
+        .when(col("event_type") === "click", "c")
+        .when(col("event_type") === "purchase", "p")
+        .when(col("event_type") === "signup", "s")
+        .otherwise("e")
+      val perUser = runReplay(s, "graft_stream_replay_pattern", "complete") { s2 =>
+        s2.readStream.schema(Tables.expectedSchemas("events")).parquet(src)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_id"), ch.as("ch"))
+          .groupBy("user_id")
+          .agg(collect_list(struct(col("us"), col("event_id"), col("ch"))).as("evs"))
+      }
+      perUser
+        .select(concat_ws("", transform(array_sort(col("evs")),
+          x => x.getField("ch"))).as("seq"))
+        .select(
+          regexp_count(col("seq"), lit("v[^p]*p")).cast(LongType).as("n_funnels"),
+          regexp_count(col("seq"), lit("ee+")).cast(LongType).as("n_bursts"))
+        .groupBy("n_funnels")
+        .agg(count(lit(1)).as("n_users"), sum(col("n_bursts")).as("total_err_bursts"))
+        .orderBy("n_funnels")
+    },
+    Some("""
+      WITH m AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+          CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+            WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's' ELSE 'e' END AS ch
+        FROM events
+      ), q AS (
+        SELECT user_id, string_agg(ch, '' ORDER BY us, event_id) AS seq
+        FROM m GROUP BY user_id
+      ), f AS (
+        SELECT user_id,
+          CAST(len(regexp_extract_all(seq, 'v[^p]*p')) AS BIGINT) AS n_funnels,
+          CAST(len(regexp_extract_all(seq, 'ee+')) AS BIGINT) AS n_bursts
+        FROM q
+      )
+      SELECT n_funnels, COUNT(*) AS n_users,
+        CAST(SUM(n_bursts) AS BIGINT) AS total_err_bursts
+      FROM f GROUP BY n_funnels ORDER BY n_funnels
+    """.stripMargin.trim))
+
   /** Seasonal-naive forecast evaluation — the baseline every real
     * forecasting system is judged against ("predict the same hour
     * yesterday") and the observability query that decides whether a
@@ -3519,7 +3584,7 @@ WITH hourly AS (
     eventsAttributionUshape,
     eventsTransitions, eventsAnomalyZscore, eventsRollingDistinct,
     eventsTrendSlope, eventsAbTtest, eventsAbCuped, eventsPathTopk,
-    eventsMatchRecognize,
+    eventsMatchRecognize, streamReplayPatternAlert,
     eventsAnomalyMad, eventsAlertEpisodes, eventsGrowthAccounting,
     eventsConcurrencyPeak, eventsInterarrivalStats,
     eventsEwma, eventsTypeOverlap, eventsForecastNaive,
