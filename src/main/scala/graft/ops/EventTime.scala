@@ -2017,17 +2017,37 @@ object EventTime {
     * (events_sessionize) or applies a watermark so state rides the
     * open-session horizon, which is the real CEP state contract.
     */
+  /** Op-private 4-file ts-range source for the CEP replay: the shared
+    * replaySrc is ONE file (one micro-batch), which would make the
+    * cross-batch accumulation claim vacuous — 4 range files at
+    * 2/trigger force ≥2 real micro-batches so a user's sequence
+    * genuinely SPANS state-store merges. No late file here (unlike
+    * wmReplaySrc): the accumulator keeps everything, so planted
+    * duplicates would double-count by design.
+    */
+  private val cepReplayWritten = new SessionArtifact[String]
+  private def cepReplaySrc(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    cepReplayWritten(s, dir) {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_scratch/stream_replay_cep_" +
+        SessionArtifact.dirTag(dir)
+      Tables.events(s, dir).repartitionByRange(4, col("ts"))
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+
   val streamReplayPatternAlert: Op = Op(
     "stream_replay_pattern_alert",
     (s, dir) => {
-      val src = replaySrc(s, dir)
+      val src = cepReplaySrc(s, dir)
       val ch = when(col("event_type") === "view", "v")
         .when(col("event_type") === "click", "c")
         .when(col("event_type") === "purchase", "p")
         .when(col("event_type") === "signup", "s")
         .otherwise("e")
       val perUser = runReplay(s, "graft_stream_replay_pattern", "complete") { s2 =>
-        s2.readStream.schema(Tables.expectedSchemas("events")).parquet(src)
+        s2.readStream.schema(Tables.expectedSchemas("events"))
+          .option("maxFilesPerTrigger", "2").parquet(src)
           .select(col("user_id"), unix_micros(col("ts")).as("us"),
             col("event_id"), ch.as("ch"))
           .groupBy("user_id")

@@ -214,4 +214,17 @@ class InvariantSuite extends AnyFunSuite {
       assert(r.getAs[Long]("n_pieces") == seg.split(" ").length.toLong)
     }
   }
+
+  test("stream_replay_pattern_alert equals the batch CEP histogram") {
+    // the replay family's equivalence property for regular patterns:
+    // the streaming accumulate + sink-side automata must reproduce the
+    // batch op's per-user counts exactly, re-aggregated the same way
+    val streamed = EventTime.streamReplayPatternAlert.build(s, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = EventTime.eventsMatchRecognize.build(s, sf)
+      .groupBy("n_funnels")
+      .agg(count(lit(1)).as("n_users"), sum("n_err_bursts").as("total_err_bursts"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch, s"streaming CEP diverged from batch: $streamed vs $batch")
+  }
 }
