@@ -806,7 +806,57 @@ WITH rfm AS (
     },
     winRfmSegment.oracle)
 
-  val ops: Seq[Op] = Seq(
+  /** IGNORE NULLS window semantics — LOCF (last observation carried
+    * forward), the gap-fill idiom SQL:2011 standardized via
+    * `last_value(x IGNORE NULLS)` and the one lag/lead surface the
+    * win family had not covered: planted NULL prices (every %5 order)
+    * fill from each customer's most recent non-null order in
+    * (date, key) order; a partition's LEADING nulls stay null (no
+    * prior observation — both engines' SUM then skips them alike).
+    * Graded per customer: order count, null count, and the SUM OVER
+    * THE FILLED SERIES in exact decimal — a hash mismatch catches a
+    * fill that grabbed the wrong row, crossed a partition, or filled
+    * leading nulls. ORACLE: DuckDB's IGNORE NULLS window verbatim.
+    *
+    * Scale shape: one co-keyed window pass (hash exchange on
+    * customer, per-group sort) feeding the final aggregate on the
+    * SAME key — the exchange is reused, no second shuffle before the
+    * ORDER BY.
+    */
+  val winLocfIgnoreNulls: Op = Op(
+    "win_locf_ignore_nulls",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          when(col("o_orderkey") % 5 === 0, lit(null).cast(DecimalType(12, 2)))
+            .otherwise(dec2(col("o_totalprice"))).as("p"))
+        .withColumn("filled", last(col("p"), ignoreNulls = true).over(w))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("p").isNull, 1L).otherwise(0L)).as("n_nulls"),
+          sum(col("filled")).cast(DoubleType).as("locf_sum"))
+        .orderBy("o_custkey")
+    },
+    Some("""
+      SELECT o_custkey, COUNT(*) AS n_orders,
+        CAST(SUM(CASE WHEN p IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        CAST(SUM(filled) AS DOUBLE) AS locf_sum
+      FROM (
+        SELECT o_custkey, p,
+          last_value(p IGNORE NULLS) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING) AS filled
+        FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+                CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                     ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS p
+              FROM orders))
+      GROUP BY o_custkey ORDER BY o_custkey
+    """.stripMargin.trim))
+
+  val ops: Seq[Op] = Seq(winLocfIgnoreNulls,
+
     winPareto, winParetoScale, winMovingMedian, winWeightedMedian,
     winWeightedMedianScale, winRfmSegment, winRfmSegmentScale,
     winRank, winLagLead, winFirstLastFrame, winRunningFrame, winRangeFrame, winNtilePct,
