@@ -5241,7 +5241,350 @@ object Relational {
       SELECT * FROM d WHERE change_type != 'unchanged' ORDER BY o_orderkey
     """.stripMargin.trim))
 
+  // ---- TPC-H partsupp gap closure (round-15) ------------------------------
+
+  /** Derived PARTSUPP dimension — the fixture lake ships no
+    * partsupp.parquet, which is why Q2/Q9/Q11/Q16/Q20 were recorded as
+    * not-fixture-expressible through round 13. The gap closes with a
+    * RECONSTRUCTED dimension: the distinct (l_partkey, l_suppkey) pairs
+    * observed in lineitem, each carrying a supply cost and availability
+    * derived deterministically from the two keys alone. Both engines
+    * rebuild the IDENTICAL table independently (the SQL twin below is
+    * embedded in every consumer's oracle), so the five queries grade
+    * rows+schema+hash like any other op — no synthetic input file is
+    * written anywhere.
+    *
+    * Derivation contract (documented, not tunable): cost cents =
+    * (pk·131 + sk·17) mod 90000 + 100 → DECIMAL(12,2) dollars in
+    * [1.00, 900.99]; availqty = (pk·31 + sk·13) mod 9999 + 1. The
+    * cents→dollars division goes through DOUBLE (exactly representable
+    * inputs, correctly-rounded IEEE division, then the shared
+    * double→DECIMAL HALF_UP cast both engines agree on — the dec2
+    * precedent). `ps_cents` stays in the schema so integer-exact
+    * consumers (Q11) never touch the decimal at all.
+    *
+    * Scale shape: at 100 TB partsupp is a stored dimension and this
+    * scan is a plain table read; the fixture derivation costs one
+    * distinct (co-keyed shuffle at |pairs| ≪ |lineitem|) and nothing
+    * downstream knows the difference.
+    */
+  private def partsuppDF(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("ps_partkey"),
+        col("l_suppkey").as("ps_suppkey"))
+      .distinct()
+      .withColumn("ps_cents",
+        (col("ps_partkey") * 131L + col("ps_suppkey") * 17L) % 90000L + 100L)
+      .withColumn("ps_supplycost",
+        (col("ps_cents").cast(DoubleType) / 100).cast(DecimalType(12, 2)))
+      .withColumn("ps_availqty",
+        (col("ps_partkey") * 31L + col("ps_suppkey") * 13L) % 9999L + 1L)
+
+  /** SQL twin of [[partsuppDF]] — ONE definition string shared by all
+    * five oracles so the derivation can never fork per query (the
+    * revenueSql discipline). */
+  private val partsuppSql: String =
+    """partsupp AS (
+      |      SELECT ps_partkey, ps_suppkey, ps_cents,
+      |        CAST(CAST(ps_cents AS DOUBLE) / 100 AS DECIMAL(12,2)) AS ps_supplycost,
+      |        (ps_partkey * 31 + ps_suppkey * 13) % 9999 + 1 AS ps_availqty
+      |      FROM (
+      |        SELECT ps_partkey, ps_suppkey,
+      |          (ps_partkey * 131 + ps_suppkey * 17) % 90000 + 100 AS ps_cents
+      |        FROM (SELECT DISTINCT l_partkey AS ps_partkey,
+      |                l_suppkey AS ps_suppkey FROM lineitem))
+      |    )""".stripMargin
+
+  /** Shared region-filtered supplier dimension for the Q2/Q11/Q20
+    * family: suppliers of one region with nation name attached. Always
+    * broadcast by callers — |suppliers| is dimension-sized at any SF. */
+  private def regionSuppliers(s: SparkSession, dir: String, region: String): DataFrame =
+    Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+
+  private def regionSuppliersSql(region: String): String =
+    s"""SELECT s_suppkey, s_name, s_acctbal, n_name
+       |      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       |                    JOIN region ON n_regionkey = r_regionkey
+       |      WHERE r_name = '$region'""".stripMargin
+
+  /** TPC-H Q2 shape — minimum-cost supplier: for each part in a size/
+    * type band, the EUROPE supplier(s) quoting the minimum supply cost.
+    * Fixture adaptations (documented): the spec's `%BRASS` type suffix
+    * becomes the categorical p_type = 'STANDARD' with p_size ≤ 10 (the
+    * fixture type domain is 6 flat categories, size 1–50), and the
+    * output carries (s_acctbal, n_name) but not the address/phone/
+    * comment columns the slim supplier schema doesn't have. The
+    * correlated-min subquery is the q15 machinery: per-part MIN over
+    * candidates, joined back on the EXACT DECIMAL cost so "equals the
+    * min" cannot miss by an ulp. Scale shape: both dimensions broadcast;
+    * the min-agg is partial+final co-keyed on partkey; candidates are
+    * |filtered parts × region suppliers| — never the full partsupp.
+    */
+  val q2MinCostSupplier: Op = Op(
+    "q2_min_cost_supplier",
+    (s, dir) => {
+      val parts = Tables.part(s, dir)
+        .filter(col("p_size") <= 10 && col("p_type") === "STANDARD")
+        .select("p_partkey")
+      val cand = partsuppDF(s, dir)
+        .join(broadcast(parts), col("ps_partkey") === col("p_partkey"))
+        .join(broadcast(regionSuppliers(s, dir, "EUROPE")),
+          col("ps_suppkey") === col("s_suppkey"))
+        .select(col("ps_partkey"), col("ps_suppkey"), col("s_name"),
+          col("s_acctbal"), col("n_name"), col("ps_supplycost"))
+        // reused by the min-agg AND the join-back: materialize the ~|band|
+        // candidate set once instead of re-deriving partsupp twice
+        .localCheckpoint(true)
+      val minCost = cand.groupBy(col("ps_partkey").as("mk"))
+        .agg(min(col("ps_supplycost")).as("min_cost"))
+      cand.join(minCost, col("ps_partkey") === col("mk") &&
+          col("ps_supplycost") === col("min_cost"))
+        .select(col("ps_partkey").as("p_partkey"),
+          col("ps_suppkey").as("s_suppkey"), col("s_name"), col("s_acctbal"),
+          col("n_name"), col("ps_supplycost").cast(DoubleType).as("supply_cost"))
+        .orderBy("p_partkey", "s_suppkey")
+    },
+    Some(s"""
+      WITH $partsuppSql,
+      euro AS (
+      ${regionSuppliersSql("EUROPE")}
+      ),
+      cand AS (
+        SELECT ps_partkey, ps_suppkey, s_name, s_acctbal, n_name, ps_supplycost
+        FROM partsupp
+        JOIN (SELECT p_partkey FROM part
+              WHERE p_size <= 10 AND p_type = 'STANDARD') p
+          ON ps_partkey = p_partkey
+        JOIN euro ON ps_suppkey = s_suppkey
+      )
+      SELECT c.ps_partkey AS p_partkey, c.ps_suppkey AS s_suppkey, c.s_name,
+        c.s_acctbal, c.n_name, CAST(c.ps_supplycost AS DOUBLE) AS supply_cost
+      FROM cand c
+      JOIN (SELECT ps_partkey AS mk, MIN(ps_supplycost) AS min_cost
+            FROM cand GROUP BY ps_partkey) m
+        ON c.ps_partkey = m.mk AND c.ps_supplycost = m.min_cost
+      ORDER BY p_partkey, s_suppkey
+    """.stripMargin.trim))
+
+  /** TPC-H Q9 shape — product-type profit: per supplier nation and
+    * order year, Σ revenue − supply cost over one product family
+    * (fixture adaptation: `p_name LIKE '% widget'` — the name domain is
+    * 'adjective noun'; the spec's `%green%` color predicate has no
+    * fixture twin). The money chain is exact end-to-end: the shared
+    * revenue DECIMAL(18,4) minus cost = DECIMAL(19,2)·DECIMAL(12,2) →
+    * (18,4) (one operand pre-cast to p=19 in the oracle — the DuckDB
+    * int64-multiply overflow rule), difference pinned at (19,4), summed
+    * exactly, surfaced DOUBLE. Scale shape: part filter and supplier-
+    * nation dim broadcast into the fact scan; the partsupp attach and
+    * the orders attach are the two co-keyed shuffle joins (partsupp is a
+    * stored dimension at scale; orders arrives via AQE-picked SMJ).
+    */
+  val q9ProductProfit: Op = Op(
+    "q9_product_profit",
+    (s, dir) => {
+      val widget = Tables.part(s, dir)
+        .filter(col("p_name").like("% widget")).select("p_partkey")
+      val suppNation = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      val cost = (col("ps_supplycost").cast(DecimalType(19, 2)) *
+        dec2(col("l_quantity"))).cast(DecimalType(18, 4))
+      Tables.lineitem(s, dir)
+        .join(broadcast(widget), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .join(partsuppDF(s, dir)
+            .select("ps_partkey", "ps_suppkey", "ps_supplycost"),
+          col("l_partkey") === col("ps_partkey") &&
+            col("l_suppkey") === col("ps_suppkey"))
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("n_name"), year(col("o_orderdate")).as("o_year"),
+          (revenue - cost).cast(DecimalType(19, 4)).as("amount"))
+        .groupBy("n_name", "o_year")
+        .agg(sum(col("amount")).cast(DoubleType).as("sum_profit"))
+        .orderBy("n_name", "o_year")
+    },
+    Some(s"""
+      WITH $partsuppSql
+      SELECT n_name, year(o_orderdate) AS o_year,
+        CAST(SUM(CAST($revenueSql -
+          CAST(CAST(ps_supplycost AS DECIMAL(19,2)) *
+               CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(18,4))
+          AS DECIMAL(19,4))) AS DOUBLE) AS sum_profit
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      WHERE p_name LIKE '% widget'
+      GROUP BY n_name, year(o_orderdate)
+      ORDER BY n_name, o_year
+    """.stripMargin.trim))
+
+  /** TPC-H Q11 shape — important stock identification: parts whose
+    * ASIA-held stock value exceeds a relative threshold of the total
+    * (fixture adaptations: region instead of the spec's single GERMANY
+    * nation — the fixture names are synthetic — and fraction 0.001,
+    * ~2× the mean per-part share at sf0.01, so the HAVING stays
+    * load-bearing at every SF; the spec's 0.0001/SF is degenerate on a
+    * 2 000-part fixture). Everything folds in INTEGER CENTS
+    * (ps_cents·ps_availqty ≤ 9.0e8/row, totals ≪ 2^63 even at 100×
+    * sf0.1), the threshold compare is value·1000 > total — exact
+    * integer on both engines, no decimal ladder anywhere; dollars
+    * appear once at the surface via the same IEEE /100 both engines
+    * compute identically. Scale shape: supplier dim broadcast, one
+    * partial+final agg on partkey, total back as a broadcast 1-row
+    * (the in-plan-N pattern).
+    */
+  val q11ImportantStock: Op = Op(
+    "q11_important_stock",
+    (s, dir) => {
+      val perPart = partsuppDF(s, dir)
+        .join(broadcast(regionSuppliers(s, dir, "ASIA").select("s_suppkey")),
+          col("ps_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy("ps_partkey")
+        .agg(sum(col("ps_cents") * col("ps_availqty")).as("part_cents"))
+      val total = perPart.agg(sum(col("part_cents")).as("total_cents"))
+      perPart.crossJoin(broadcast(total))
+        .filter(col("part_cents") * 1000L > col("total_cents"))
+        .select(col("ps_partkey").as("p_partkey"),
+          (col("part_cents").cast(DoubleType) / 100).as("stock_value"))
+        .orderBy("p_partkey")
+    },
+    Some(s"""
+      WITH $partsuppSql,
+      asia AS (
+      ${regionSuppliersSql("ASIA")}
+      ),
+      pp AS (
+        SELECT ps_partkey,
+          CAST(SUM(ps_cents * ps_availqty) AS BIGINT) AS part_cents
+        FROM partsupp
+        WHERE ps_suppkey IN (SELECT s_suppkey FROM asia)
+        GROUP BY ps_partkey
+      )
+      SELECT ps_partkey AS p_partkey,
+        CAST(part_cents AS DOUBLE) / 100 AS stock_value
+      FROM pp
+      WHERE part_cents * 1000 > (SELECT SUM(part_cents) FROM pp)
+      ORDER BY p_partkey
+    """.stripMargin.trim))
+
+  /** TPC-H Q16 shape — parts/supplier relationship: distinct supplier
+    * count per (brand, type, size) cell over an 8-size band, excluding
+    * one brand and the suppliers a buyer would skip (fixture
+    * adaptation: negative account balance stands in for the spec's
+    * `%Customer%Complaints%` comment scan — the slim schema has no
+    * s_comment; the exclusion is real at sf0.01, 6 suppliers, and
+    * degenerates to no-op at sf0.001 where every balance is positive).
+    * COUNT(DISTINCT) rides the partial+final hash agg; the output
+    * order is the spec's cnt-desc with the unique (brand, type, size)
+    * triple completing the total order. Scale shape: part and the
+    * exclusion list broadcast; one shuffle on the group key.
+    */
+  val q16PartsSupplier: Op = Op(
+    "q16_parts_supplier",
+    (s, dir) => {
+      val sizes = Seq(1, 4, 9, 14, 19, 23, 36, 45)
+      val parts = Tables.part(s, dir)
+        .filter(col("p_brand") =!= "Brand#5" &&
+          col("p_size").isin(sizes.map(Integer.valueOf): _*))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      val okSupp = Tables.supplier(s, dir)
+        .filter(col("s_acctbal") >= 0).select("s_suppkey")
+      partsuppDF(s, dir)
+        .join(broadcast(parts), col("ps_partkey") === col("p_partkey"))
+        .join(broadcast(okSupp), col("ps_suppkey") === col("s_suppkey"),
+          "left_semi")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    },
+    Some(s"""
+      WITH $partsuppSql
+      SELECT p_brand, p_type, p_size,
+        CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+      FROM partsupp JOIN part ON ps_partkey = p_partkey
+      WHERE p_brand != 'Brand#5'
+        AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        AND ps_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0)
+      GROUP BY p_brand, p_type, p_size
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """.stripMargin.trim))
+
+  /** TPC-H Q20 shape — potential part promotion: AMERICA suppliers
+    * holding more than half a year's shipped quantity of any 'red'
+    * part (fixture adaptations: color prefix from the real name
+    * domain, calendar-1997 ship window inside the fixture date range,
+    * region instead of the spec's CANADA). The spec's correlated
+    * `ps_availqty > 0.5·SUM(...)` subquery is the grouped-agg join:
+    * shipped quantity folds per (partkey, suppkey) in exact DECIMAL,
+    * the half-compare runs as availqty·2 > qty — integer-vs-decimal
+    * widening, exact in both engines, no 0.5 double anywhere. Scale
+    * shape: red-part filter broadcast INTO the date-pruned fact scan,
+    * supplier region filter broadcast-semi into partsupp BEFORE the
+    * co-keyed agg join, final name attach broadcast.
+    */
+  val q20PotentialPromotion: Op = Op(
+    "q20_potential_promotion",
+    (s, dir) => {
+      val red = Tables.part(s, dir)
+        .filter(col("p_name").like("red %")).select("p_partkey")
+      val amer = regionSuppliers(s, dir, "AMERICA")
+        .select("s_suppkey", "s_name")
+      val shipped = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1998-01-01"))
+        .join(broadcast(red), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(dec2(col("l_quantity"))).as("qty_1997"))
+      partsuppDF(s, dir)
+        .join(broadcast(amer.select("s_suppkey")),
+          col("ps_suppkey") === col("s_suppkey"), "left_semi")
+        .join(shipped, col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey"))
+        .filter(col("ps_availqty") * 2L > col("qty_1997"))
+        .select("ps_suppkey").distinct()
+        .join(broadcast(amer), col("ps_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy("s_suppkey")
+    },
+    Some(s"""
+      WITH $partsuppSql,
+      amer AS (
+      ${regionSuppliersSql("AMERICA")}
+      ),
+      shipped AS (
+        SELECT l_partkey, l_suppkey,
+          SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty_1997
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE 'red %'
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_partkey, l_suppkey
+      ),
+      cand AS (
+        SELECT DISTINCT ps_suppkey
+        FROM partsupp
+        JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+        WHERE ps_availqty * 2 > qty_1997
+          AND ps_suppkey IN (SELECT s_suppkey FROM amer)
+      )
+      SELECT s_suppkey, s_name FROM amer JOIN cand ON s_suppkey = ps_suppkey
+      ORDER BY s_suppkey
+    """.stripMargin.trim))
+
   val ops: Seq[Op] = Seq(
+    q2MinCostSupplier, q9ProductProfit, q11ImportantStock,
+    q16PartsSupplier, q20PotentialPromotion,
     q3ShippingPriority, q5LocalSupplierVolume, q6ForecastRevenue,
     q7VolumeShipping, q10ReturnedItems, q13CustomerDistribution,
     q15TopSupplier, q22GlobalSales, cdcSnapshotDiff,
