@@ -554,6 +554,9 @@ class PlanSuite extends AnyFunSuite {
       // 1-row broadcast pool-totals and max-ratio crossJoins
       // (in-plan-N); the accept decision joins equi on band
       "llm_match_distribution",
+      // 1-row broadcast total-value crossJoin (in-plan-N) for the
+      // fraction threshold; the partsupp/supplier/nation joins are equi
+      "q11_important_stock",
       // 2-row broadcast version and probe-date dimensions joined on
       // inequalities (seq <= version, interval containment) — the
       // sink_time_travel / gapfill in-plan-N pattern
