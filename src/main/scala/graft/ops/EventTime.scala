@@ -2028,8 +2028,12 @@ object EventTime {
   private val cepReplayWritten = new SessionArtifact[String]
   private def cepReplaySrc(s: org.apache.spark.sql.SparkSession, dir: String): String =
     cepReplayWritten(s, dir) {
+      // process-unique path (appTag, the occ_commit/wap/branch rule): a
+      // second JVM's mode-overwrite must not swap range files under this
+      // JVM's in-flight micro-batch replay
+      val appTag = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
       val p = s"${sys.props("java.io.tmpdir")}/graft_scratch/stream_replay_cep_" +
-        SessionArtifact.dirTag(dir)
+        SessionArtifact.dirTag(dir) + "_" + appTag
       Tables.events(s, dir).repartitionByRange(4, col("ts"))
         .sortWithinPartitions("ts")
         .write.mode("overwrite").parquet(p)

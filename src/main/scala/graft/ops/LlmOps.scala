@@ -4521,6 +4521,13 @@ object LlmOps {
     * oracle embeds the SAME chain string as the trainer, so the hash
     * match proves train+encode end-to-end on corpus-scale data.
     *
+    * Encode domain: the trained model covers words of length 1–8 (the
+    * trainer's collapsed-vocabulary bound), so longer words are OOV to
+    * this encoder. They are NOT silently dropped: the corpus joins the
+    * model LEFT-outer and each stratum carries `n_oov_words`, so the
+    * token-economics reading (`pieces_per_word` over the in-domain
+    * words) states its own coverage gap in the graded output.
+    *
     * Scale shape: one corpus scan ⋈ broadcast model → one (source,
     * lang) aggregate; the model stays vocabulary-sized no matter the
     * corpus (the tokenizer-deployment contract at 100 TB).
@@ -4533,10 +4540,13 @@ object LlmOps {
           size(split(trim(col("path")), " ")).as("np"))
       Tables.documents(s, dir)
         .select(col("source"), col("lang"), explode(toks).as("cw"))
-        .join(broadcast(model), "cw")
+        .join(broadcast(model), Seq("cw"), "left")
         .groupBy("source", "lang")
-        .agg(count(lit(1)).as("n_words"), sum("np").as("n_pieces"))
-        .select(col("source"), col("lang"), col("n_words"), col("n_pieces"),
+        .agg(count(col("np")).as("n_words"),
+          (count(lit(1)) - count(col("np"))).as("n_oov_words"),
+          sum("np").as("n_pieces"))
+        .select(col("source"), col("lang"), col("n_words"),
+          col("n_oov_words"), col("n_pieces"),
           round(col("n_pieces").cast(DoubleType) / col("n_words"), 6)
             .as("pieces_per_word"))
         .orderBy("source", "lang")
@@ -4548,11 +4558,12 @@ object LlmOps {
       ), encw AS (
         SELECT c.source, c.lang,
           len(string_split(trim(s2.path), ' ')) AS np
-        FROM corpus c JOIN seg2 s2 ON s2.w = c.cw
+        FROM corpus c LEFT JOIN seg2 s2 ON s2.w = c.cw
       )
-      SELECT source, lang, COUNT(*) AS n_words,
+      SELECT source, lang, COUNT(np) AS n_words,
+        COUNT(*) - COUNT(np) AS n_oov_words,
         CAST(SUM(np) AS BIGINT) AS n_pieces,
-        ROUND(CAST(SUM(np) AS DOUBLE) / COUNT(*), 6) AS pieces_per_word
+        ROUND(CAST(SUM(np) AS DOUBLE) / COUNT(np), 6) AS pieces_per_word
       FROM encw GROUP BY source, lang ORDER BY source, lang
     """).trim))
 

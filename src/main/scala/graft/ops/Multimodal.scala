@@ -507,7 +507,11 @@ object Multimodal {
       val v =
         if (!transcode) base
         else {
-          val g = math.max(-32768, math.min(2 * base, 32767))
+          // symmetric clamp: with the int16-native [-32768, 32767] a
+          // negative sample can clamp to |32768| while a larger-magnitude
+          // positive clamps to |32767|, breaking the |v|-monotonicity the
+          // gain-invariance theorem needs by 1 LSB at full scale
+          val g = math.max(-32767, math.min(2 * base, 32767))
           Math.floorDiv(g, 256) * 256
         }
       data(2 * i) = (v & 0xff).toByte
@@ -526,8 +530,11 @@ object Multimodal {
     * reduced to a ROBUST per-window amplitude statistic (the
     * 4th-smallest |sample|, a lower-quartile order statistic), one bit
     * per adjacent-window gradient sign. Order statistics COMMUTE with
-    * any monotone amplitude map — and gain-then-clamp is monotone in
-    * |v| — so a louder copy keeps every gradient sign exactly; only
+    * any monotone amplitude map — and gain-then-SYMMETRIC-clamp
+    * (encodeWavMixed clamps to [-32767, 32767], not the asymmetric
+    * int16 range, exactly so this holds unconditionally at full
+    * scale) is monotone in |v| — so a louder copy keeps every
+    * gradient sign exactly; only
     * genuine waveform noise (the twin's 8-bit requantization) moves
     * bits. Prototyped in numpy before the Scala landed: twins sit
     * 0–3 bits apart, independent mixed-hash streams ≥ 15 (binomial

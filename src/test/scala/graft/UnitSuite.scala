@@ -305,7 +305,7 @@ class UnitSuite extends AnyFunSuite {
     while (i < n) {
       val base = ((graft.ops.Multimodal.mix64(seed * 9176L * 1000003L +
         i.toLong * 8191L) & 0xffffL) - 32768L).toInt
-      val v = math.max(-32768, math.min(2 * base, 32767)) // gain only
+      val v = math.max(-32767, math.min(2 * base, 32767)) // gain only (symmetric clamp)
       data(2 * i) = (v & 0xff).toByte
       data(2 * i + 1) = ((v >> 8) & 0xff).toByte
       i += 1
