@@ -975,9 +975,11 @@ object Relational {
     * its hash match against the closed form proves main absorbed
     * EXACTLY the clean rows and never a violating one — with the
     * staged/violation/published counts as in-plan literals (the
-    * protocol's audit record). The three batch-sized counts in the
-    * artifact are the audit DECISION POINT (the OCC count precedent:
-    * bounded by the batch, never the table). SinkCapabilitySuite pins
+    * protocol's audit record). The audit record is ONE batch-bounded
+    * aggregate job (the sink_vacuum in-plan-literal discipline;
+    * published = the split's complement by construction — the OCC
+    * count precedent: bounded by the batch, never the table).
+    * SinkCapabilitySuite pins
     * what the aggregate can't see: quarantine holds only violators,
     * the published delta holds none, the marker exists.
     *
@@ -1010,9 +1012,19 @@ object Relational {
       staged.filter(col("segment").isNotNull && col("bal") >= 0)
         .write.mode("overwrite").parquet(s"$p/delta_v1")
       require(new java.io.File(s"$p/_commits/v1").createNewFile(), "v1 races")
-      (p, staged.count(),
-        s.read.parquet(s"$p/quarantine").count(),
-        s.read.parquet(s"$p/delta_v1").count())
+      // ONE aggregate pass for the audit record (the sink_vacuum
+      // in-plan-literal discipline): staged/violation counts from a
+      // single job; published = complement of the same predicate split
+      // that wrote quarantine/delta_v1, so the partition identity holds
+      // by construction
+      val audit = s.read.parquet(s"$p/audit_staged")
+        .agg(count(lit(1)),
+          sum(when(col("segment").isNull || col("bal") < 0, 1L)
+            .otherwise(0L)))
+        .head()
+      val nStaged = audit.getLong(0)
+      val nBad = audit.getLong(1)
+      (p, nStaged, nBad, nStaged - nBad)
     }
 
   val sinkWriteAuditPublish: Op = Op(
