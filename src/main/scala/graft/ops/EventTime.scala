@@ -2087,6 +2087,99 @@ object EventTime {
       FROM f GROUP BY n_funnels ORDER BY n_funnels
     """.stripMargin.trim))
 
+  /** BOUNDED-STATE CEP — the deployment form of the streaming pattern
+    * matcher (closing the r15 verdict's last unbounded-state caveat):
+    * where `stream_replay_pattern_alert` accumulates each user's FULL
+    * history in complete mode (honest only because fixture users are
+    * bounded), this twin keys the same pattern state by SESSION —
+    * append-mode `session_window(ts, 30 min)` aggregation under
+    * `withWatermark(ts, 30 min)` over the pinned-order watermarked
+    * replay source. The state store holds only OPEN sessions (~1 h per
+    * active user regardless of history length — the real CEP state
+    * contract), and three semantics ride the one hash: (1) LATE-DROP —
+    * the planted late file's first-hour copies arrive with the
+    * watermark final and must drop BEFORE touching session state (a
+    * leak would double characters in early seqs); (2) MERGE-THEN-EVICT
+    * — a session's event structs merge across micro-batches until the
+    * watermark passes its end, at which point it is emitted and its
+    * state evicted (StreamingSuite pins mid-stream emission + post-
+    * eviction drop behaviorally); (3) APPEND FINALIZATION — exactly
+    * the sessions with last_ts + gap ≤ max(ts) − 30 min appear. The
+    * pattern automata (leftmost non-overlapping `v[^p]*p` funnels,
+    * `ee+` error bursts) run per emitted session over the SORTED-FOLD
+    * readout, so per-session match counts are partition- and
+    * batch-split-invariant. ORACLE: batch gaps-and-islands sessions
+    * over the ORIGINAL events (late copies excluded ≡ dropped) with
+    * the same finalization bound, seq via string_agg ORDER BY
+    * (epoch_us, event_id).
+    *
+    * Scale shape: at 100 TB this exact query+conf runs unbounded —
+    * session keys spread the state store shuffle, the watermark bounds
+    * state to the open-session horizon, and each session's regex scan
+    * is bounded by the session length, never the user's history.
+    */
+  val streamReplayPatternAlertScale: Op = Op(
+    "stream_replay_pattern_alert_scale",
+    (s, dir) => {
+      val src = wmReplaySrc(s, dir)
+      val ch = when(col("event_type") === "view", "v")
+        .when(col("event_type") === "click", "c")
+        .when(col("event_type") === "purchase", "p")
+        .when(col("event_type") === "signup", "s")
+        .otherwise("e")
+      val sessions = runReplay(s, "graft_stream_replay_pattern_scale", "append") { s2 =>
+        s2.readStream.schema(Tables.expectedSchemas("events"))
+          .option("maxFilesPerTrigger", "4")
+          .parquet(src)
+          .select(col("ts"), col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_id"), ch.as("ch"))
+          .withWatermark("ts", "30 minutes")
+          .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            collect_list(struct(col("us"), col("event_id"), col("ch"))).as("evs"))
+          .select(col("user_id"), fmtSec(col("sw.start")).as("sess_start"),
+            col("n_events"), col("evs"))
+      }
+      sessions
+        .select(col("user_id"), col("sess_start"), col("n_events"),
+          concat_ws("", transform(array_sort(col("evs")),
+            x => x.getField("ch"))).as("seq"))
+        .select(col("user_id"), col("sess_start"), col("n_events"), col("seq"),
+          regexp_count(col("seq"), lit("v[^p]*p")).cast(LongType).as("n_funnels"),
+          regexp_count(col("seq"), lit("ee+")).cast(LongType).as("n_err_bursts"))
+        .orderBy("user_id", "sess_start")
+    },
+    Some("""
+      WITH mx AS (SELECT MAX(ts) AS m FROM events),
+      g AS (
+        SELECT user_id, ts, event_id,
+          CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+            WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's' ELSE 'e' END AS ch,
+          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+               OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+               THEN 1 ELSE 0 END AS new_sess
+        FROM events
+      ), sx AS (
+        SELECT user_id, ts, event_id, ch,
+          SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM g
+      ), sess AS (
+        SELECT user_id, MIN(ts) AS mn_ts, MAX(ts) AS mx_ts,
+          COUNT(*) AS n_events,
+          string_agg(ch, '' ORDER BY epoch_us(ts), event_id) AS seq
+        FROM sx GROUP BY user_id, sess_id
+      )
+      SELECT user_id,
+        strftime(date_trunc('second', mn_ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+        n_events, seq,
+        CAST(len(regexp_extract_all(seq, 'v[^p]*p')) AS BIGINT) AS n_funnels,
+        CAST(len(regexp_extract_all(seq, 'ee+')) AS BIGINT) AS n_err_bursts
+      FROM sess, mx
+      WHERE mx_ts + INTERVAL 30 MINUTE <= m - INTERVAL 30 MINUTE
+      ORDER BY user_id, sess_start
+    """.stripMargin.trim))
+
   /** Seasonal-naive forecast evaluation — the baseline every real
     * forecasting system is judged against ("predict the same hour
     * yesterday") and the observability query that decides whether a
@@ -3609,6 +3702,7 @@ WITH hourly AS (
     eventsTransitions, eventsAnomalyZscore, eventsRollingDistinct,
     eventsTrendSlope, eventsAbTtest, eventsAbCuped, eventsPathTopk,
     eventsMatchRecognize, streamReplayPatternAlert,
+    streamReplayPatternAlertScale,
     eventsAnomalyMad, eventsAlertEpisodes, eventsGrowthAccounting,
     eventsConcurrencyPeak, eventsInterarrivalStats,
     eventsEwma, eventsTypeOverlap, eventsForecastNaive,

@@ -278,6 +278,63 @@ class StreamingSuite extends AnyFunSuite {
       s"expected id 1 twice (pre- and post-expiry), got $ids")
   }
 
+  /** Bounded-state CEP (stream_replay_pattern_alert_scale's mechanism):
+    * session-keyed pattern state must be EMITTED MID-STREAM the moment
+    * the watermark passes a session's end (emission = eviction in
+    * append mode), and a late event landing inside an already-evicted
+    * session must be dropped, not resurrect or extend it.
+    */
+  test("session-keyed CEP state finalizes mid-stream and late rows cannot resurrect it") {
+    val srcDir = Files.createTempDirectory("graft_stream_cep_scale_").toString
+    // batch 1: user 1 session [01:00, 01:05], user 2 session [01:02]
+    stageFile(srcDir, "f1", Seq(
+      (1L, "2024-01-01 01:00:00", 1L, "view", 1.0, "{}"),
+      (2L, "2024-01-01 01:05:00", 1L, "purchase", 1.0, "{}"),
+      (3L, "2024-01-01 01:02:00", 2L, "error", 1.0, "{}")))
+
+    val ch = when(col("event_type") === "view", "v")
+      .when(col("event_type") === "purchase", "p").otherwise("e")
+    val stream = s.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .select(col("ts"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), ch.as("ch"))
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        collect_list(struct(col("us"), col("event_id"), col("ch"))).as("evs"))
+      .select(col("user_id"), col("n_events"),
+        concat_ws("", transform(array_sort(col("evs")),
+          x => x.getField("ch"))).as("seq"))
+
+    val q = stream.writeStream.format("memory").queryName("cep_scale_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(s.table("cep_scale_stream").count() == 0,
+        "no session may finalize before the watermark moves")
+      // batch 2: 03:00 advances the watermark to 02:30, past both
+      // sessions' ends (01:35 / 01:32) → both emit NOW, state evicted
+      stageFile(srcDir, "f2", Seq(
+        (4L, "2024-01-01 03:00:00", 2L, "view", 1.0, "{}")))
+      q.processAllAvailable()
+      val mid = s.table("cep_scale_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(mid == Set((1L, 2L, "vp"), (2L, 1L, "e")),
+        s"early sessions must emit mid-stream on watermark pass, got $mid")
+      // batch 3: a late event inside user 1's evicted session — must
+      // drop (watermark 02:30 > 01:10), never re-open or re-emit
+      stageFile(srcDir, "f3", Seq(
+        (5L, "2024-01-01 01:10:00", 1L, "view", 1.0, "{}")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val fin = s.table("cep_scale_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(fin == Set((1L, 2L, "vp"), (2L, 1L, "e")),
+      s"late row resurrected an evicted session (or the open 03:00 session leaked): $fin")
+  }
+
   /** transformWithState — arbitrary per-key state (SURVEY §2.9): a
     * ValueState[Long] running count per user, persisting across
     * micro-batches. Requires the RocksDB state store provider (the
