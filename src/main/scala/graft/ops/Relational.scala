@@ -3203,6 +3203,85 @@ object Relational {
       ORDER BY o_orderkey
     """.stripMargin.trim))
 
+  /** MERGE with SCHEMA EVOLUTION on write — the one lake-write
+    * combination the sink family didn't cover (r15 verdict Next #7):
+    * an upsert batch arrives CARRYING A COLUMN THE TABLE DOESN'T HAVE
+    * (`channel`), and the merge lands without a table rewrite — the
+    * delta file is appended with the wider schema (Delta
+    * `mergeSchema=true` on MERGE / Iceberg add-column semantics), the
+    * read unions footers via `mergeSchema`, and every pre-existing row
+    * the batch didn't touch reads the new column as NULL. Composes
+    * merge_upsert's keep-latest fold with sink_schema_evolution's
+    * footer-union read over ONE physical table directory: base files
+    * written WITHOUT `channel` (SinkCapabilitySuite pins the narrow
+    * footer), delta appended WITH it, fold by (key, max seq). ORACLE:
+    * the closed-form outer-join merge where `channel` comes only from
+    * the source side — the hash proves both the merge semantics and
+    * the NULL-fill.
+    *
+    * Scale shape: schema evolution is a METADATA operation plus the
+    * delta write — the 100 TB point is precisely that adding a column
+    * costs zero bytes of rewrite on the existing table; the fold is
+    * the same co-keyed shuffle as merge_upsert. Scratch is
+    * process-unique (appTag): the base+delta rebuild is destructive.
+    */
+  private val mergeEvolveWritten = new SessionArtifact[String]
+  private[graft] def mergeEvolveLog(s: SparkSession, dir: String): String =
+    mergeEvolveWritten(s, dir) {
+      val appTag = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+      val p = scratch("merge_evolve_" + SessionArtifact.dirTag(dir) + "_" + appTag)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(p), true)
+      val t = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+          col("o_totalprice").as("price"))
+      t.withColumn("seq", lit(0L))
+        .write.mode("overwrite").parquet(s"$p/table")
+      val updates = t.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), lit("U").as("status"),
+          (dec2(col("price")) + 1000).cast(DoubleType).as("price"))
+      val inserts = t.filter(col("o_orderkey") % 100 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          lit("N").as("status"), col("price"))
+      updates.unionByName(inserts)
+        .withColumn("channel",
+          when(col("o_orderkey") % 2 === 0, "web").otherwise("app"))
+        .withColumn("seq", lit(1L))
+        .write.mode("append").parquet(s"$p/table")
+      p
+    }
+
+  val mergeUpsertEvolve: Op = Op(
+    "merge_upsert_evolve",
+    (s, dir) => {
+      val p = mergeEvolveLog(s, dir)
+      s.read.option("mergeSchema", "true").parquet(s"$p/table")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("o_orderkey")).orderBy(col("seq").desc)))
+        .filter(col("rn") === 1)
+        .select(col("o_orderkey"), col("status"), col("price"), col("channel"))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      WITH src AS (
+        SELECT o_orderkey, 'U' AS status,
+          CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 1000 AS DOUBLE) AS price,
+          CASE WHEN o_orderkey % 2 = 0 THEN 'web' ELSE 'app' END AS channel
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, 'N', o_totalprice,
+          CASE WHEN (o_orderkey + 10000000) % 2 = 0 THEN 'web' ELSE 'app' END
+        FROM orders WHERE o_orderkey % 100 = 0
+      )
+      SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+             COALESCE(s.status, t.o_orderstatus) AS status,
+             COALESCE(s.price, t.o_totalprice) AS price,
+             s.channel AS channel
+      FROM orders t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
+      ORDER BY o_orderkey
+    """.stripMargin.trim))
+
   /** MERGE with HISTORY — slowly-changing-dimension type 2, the
     * versioned form of merge_upsert (round-5 verdict "missing #4"'s
     * achievable half: the SEMANTICS need no table format, only the
@@ -5618,7 +5697,8 @@ object Relational {
     joinInterval, joinAsof,
     joinAsofForward, joinAsofNearest, joinAsofTolerance, basketBrandPairs,
     sqlRecursiveHierarchy,
-    joinSkewSalted, mergeUpsert, mergeScd2, mergeBitemporal, subqueryCorrelated,
+    joinSkewSalted, mergeUpsert, mergeUpsertEvolve, mergeScd2, mergeBitemporal,
+    subqueryCorrelated,
     q17SmallQuantity, q18LargeOrders, q19Disjunctive, q21WaitingSupplier,
     subqueryNotInNull,
     sampleHashPct, sampleStratified,

@@ -214,6 +214,30 @@ class SinkCapabilitySuite extends AnyFunSuite {
     assert(quarantined.count() == nBad && published.count() == nClean)
   }
 
+  test("merge_upsert_evolve: base footer stays narrow, merged read NULL-fills old rows") {
+    SparkEntry.queries("merge_upsert_evolve")(s, TestSpark.Sf0001).collect()
+    val p = graft.ops.Relational.mergeEvolveLog(s, TestSpark.Sf0001)
+    // the evolution claim: the PRE-MERGE files were never rewritten —
+    // their parquet footers must not know the new column
+    val baseFiles = new java.io.File(s"$p/table").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .map(_.getPath)
+    val narrow = baseFiles.filter(f =>
+      !s.read.parquet(f).schema.fieldNames.contains("channel"))
+    val wide = baseFiles.filter(f =>
+      s.read.parquet(f).schema.fieldNames.contains("channel"))
+    assert(narrow.nonEmpty && wide.nonEmpty,
+      "expected both pre-evolution (narrow) and post-evolution (wide) files in one table dir")
+    val merged = s.read.option("mergeSchema", "true").parquet(s"$p/table")
+    assert(merged.schema.fieldNames.contains("channel"))
+    // every untouched pre-merge row reads the new column as NULL; every
+    // batch row carries it
+    assert(merged.filter(col("seq") === 0 && col("channel").isNotNull).count() == 0,
+      "pre-evolution rows must NULL-fill the new column")
+    assert(merged.filter(col("seq") === 1 && col("channel").isNull).count() == 0,
+      "merge-batch rows must all carry the new column")
+  }
+
   test("sink_orphan_cleanup: manifest readers immune, directory hygiene restored") {
     SparkEntry.queries("sink_orphan_cleanup")(s, TestSpark.Sf0001).collect()
     val (p, _, _, _) = graft.ops.Relational.orphanCleanup(s, TestSpark.Sf0001)
