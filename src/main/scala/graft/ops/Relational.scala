@@ -873,6 +873,125 @@ object Relational {
       ORDER BY version
     """.stripMargin.trim))
 
+  /** COLUMN-STATS HISTORY — the per-(version, column) metadata view
+    * next to sink_table_history's commit view (DESCRIBE EXTENDED /
+    * Delta column-stats reading of the same log): for every snapshot
+    * of the shared morLog, each column's null count, typed min/max,
+    * and exact NDV — the numbers a cost-based optimizer and a drift
+    * monitor both read (this cross-proves profile_drift's inputs from
+    * the metadata side). Numeric extremes stay NUMERIC (doubles, with
+    * the money snap) and string extremes stay strings — a stats view
+    * that stringifies doubles forks engine formatting and can never
+    * hash-match. ONE aggregate pass per version fold computes all
+    * nine measures (Spark plans the multi-distinct via expand), then
+    * an in-plan unpivot (explode over struct array) emits the
+    * (version, column) rows. ORACLE: per-version closed forms from
+    * the original table (the sink_time_travel derivation) aggregated
+    * per column.
+    *
+    * Scale shape: a real table format serves this from MANIFEST
+    * metadata (per-file stats folded at commit time — zero data
+    * scan); computing it from data here is the documented stand-in,
+    * and even that is one co-keyed agg per snapshot whose output is
+    * |versions| × |columns| rows — metadata-sized, like
+    * sink_table_history.
+    */
+  val sinkColumnStatsHistory: Op = Op(
+    "sink_column_stats_history",
+    (s, dir) => {
+      val tmp = morLog(s, dir)
+      val log = s.read.parquet(s"$tmp/base")
+        .select(col("o_orderkey"), col("status"), col("price"),
+          lit(0L).as("seq"), lit("U").as("op"))
+        .unionByName(s.read.parquet(s"$tmp/delta"))
+      val versions = s.range(0, 3).select(col("id").as("version"))
+      val asOf = foldLatest(
+        log.join(broadcast(versions), col("seq") <= col("version")),
+        "version", "o_orderkey")
+      asOf.groupBy("version").agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("k_nulls"),
+          min("o_orderkey").as("k_min"), max("o_orderkey").as("k_max"),
+          count_distinct(col("o_orderkey")).as("k_ndv"),
+          sum(when(col("status").isNull, 1L).otherwise(0L)).as("s_nulls"),
+          min("status").as("s_min"), max("status").as("s_max"),
+          count_distinct(col("status")).as("s_ndv"),
+          sum(when(col("price").isNull, 1L).otherwise(0L)).as("p_nulls"),
+          min(dec2(col("price"))).cast(DoubleType).as("p_min"),
+          max(dec2(col("price"))).cast(DoubleType).as("p_max"),
+          count_distinct(dec2(col("price"))).as("p_ndv"))
+        .select(col("version"), col("n_rows"), explode(array(
+          struct(lit("o_orderkey").as("col_name"),
+            col("k_nulls").as("n_nulls"),
+            col("k_min").cast(DoubleType).as("min_num"),
+            col("k_max").cast(DoubleType).as("max_num"),
+            lit(null).cast(StringType).as("min_str"),
+            lit(null).cast(StringType).as("max_str"),
+            col("k_ndv").as("ndv")),
+          struct(lit("price").as("col_name"),
+            col("p_nulls").as("n_nulls"),
+            col("p_min").as("min_num"), col("p_max").as("max_num"),
+            lit(null).cast(StringType).as("min_str"),
+            lit(null).cast(StringType).as("max_str"),
+            col("p_ndv").as("ndv")),
+          struct(lit("status").as("col_name"),
+            col("s_nulls").as("n_nulls"),
+            lit(null).cast(DoubleType).as("min_num"),
+            lit(null).cast(DoubleType).as("max_num"),
+            col("s_min").as("min_str"), col("s_max").as("max_str"),
+            col("s_ndv").as("ndv")))).as("c"))
+        .select(col("version"), col("c.col_name"), col("n_rows"),
+          col("c.n_nulls"), col("c.min_num"), col("c.max_num"),
+          col("c.min_str"), col("c.max_str"), col("c.ndv"))
+        .orderBy("version", "col_name")
+    },
+    Some("""
+      WITH v0 AS (
+        SELECT 0 AS version, o_orderkey, o_orderstatus AS status,
+          CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        FROM orders
+      ), v1 AS (
+        SELECT 1 AS version, o_orderkey, o_orderstatus AS status,
+          CASE WHEN o_orderkey % 7 = 0
+            THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 100
+                      AS DECIMAL(12,2))
+            ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS price
+        FROM orders
+        UNION ALL
+        SELECT 1, o_orderkey + 20000000, 'N', CAST(o_totalprice AS DECIMAL(12,2))
+        FROM orders WHERE o_orderkey % 11 = 0
+      ), v2 AS (
+        SELECT 2 AS version, o_orderkey, status, price FROM v1
+        WHERE o_orderkey % 13 != 0 OR o_orderkey >= 20000000
+      ), allv AS (
+        SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2
+      )
+      SELECT * FROM (
+        SELECT CAST(version AS BIGINT) AS version, 'o_orderkey' AS col_name,
+          COUNT(*) AS n_rows,
+          CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+          CAST(MIN(o_orderkey) AS DOUBLE) AS min_num,
+          CAST(MAX(o_orderkey) AS DOUBLE) AS max_num,
+          CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+          COUNT(DISTINCT o_orderkey) AS ndv
+        FROM allv GROUP BY version
+        UNION ALL
+        SELECT CAST(version AS BIGINT), 'price', COUNT(*),
+          CAST(SUM(CASE WHEN price IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(MIN(price) AS DOUBLE), CAST(MAX(price) AS DOUBLE),
+          CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+          COUNT(DISTINCT price)
+        FROM allv GROUP BY version
+        UNION ALL
+        SELECT CAST(version AS BIGINT), 'status', COUNT(*),
+          CAST(SUM(CASE WHEN status IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+          MIN(status), MAX(status),
+          COUNT(DISTINCT status)
+        FROM allv GROUP BY version)
+      ORDER BY version, col_name
+    """.stripMargin.trim))
+
   /** ORPHAN-FILE CLEANUP — the third file-lifecycle op next to
     * sink_vacuum (superseded REFERENCED files after compaction) and
     * sink_snapshot_expire (files of expired versions): files that are
@@ -5684,7 +5803,8 @@ object Relational {
     scanFull, scanPrune, scanPred, scanBinaryfile,
     sinkParquet, sinkCsvJson, sinkOrcRoundtrip, sinkMergeOnRead,
     sinkTimeTravel, sinkCompactRewrite, sinkChangeFeed, sinkVacuum,
-    sinkSnapshotExpire, sinkBranchMerge, sinkOrphanCleanup, sinkTableHistory, sinkWriteAuditPublish,
+    sinkSnapshotExpire, sinkBranchMerge, sinkOrphanCleanup, sinkTableHistory,
+    sinkColumnStatsHistory, sinkWriteAuditPublish,
     sinkMvIncremental, sinkMvRewrite, streamReplayLogCatchup, sinkStatsIndex,
     sinkBloomIndex, sinkPartitionEvolution, sinkConcurrentCommit,
     profileDrift, sinkPositionDelete,
