@@ -35,6 +35,32 @@ class RunningCountProcessor
   }
 }
 
+/** TTL sibling of RunningCountProcessor: same running count, but the
+  * ValueState carries a processing-time TTL — Spark 4's bounded
+  * arbitrary state WITHOUT a watermark (TTLConfig). A key silent past
+  * its TTL must restart from zero because the store expired its state.
+  */
+class TtlRunningCountProcessor(ttlMillis: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Long), (Long, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var count: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    count = getHandle.getValueState[Long]("count", Encoders.scalaLong,
+      TTLConfig(java.time.Duration.ofMillis(ttlMillis)))
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, Long)],
+      timerValues: TimerValues): Iterator[(Long, Long)] = {
+    val n = (if (count.exists()) count.get() else 0L) + rows.size
+    count.update(n)
+    Iterator.single(key -> n)
+  }
+}
+
 /** §2.9 Structured Streaming capability suite (no-oracle, SURVEY §5.2-B):
   * the micro-batch replay of the same parquet must converge to the batch
   * queries' ground truth ("batch-streaming equivalence"), a watermark
@@ -388,6 +414,92 @@ class StreamingSuite extends AnyFunSuite {
       prev match {
         case Some(v) => s.conf.set(providerKey, v)
         case None    => s.conf.unset(providerKey)
+      }
+    }
+  }
+
+  /** State TTL — the piece of the transformWithState surface the
+    * running-count test doesn't exercise (r15 verdict Next #9): a
+    * ValueState carrying a processing-time TTLConfig is BOUNDED
+    * arbitrary state WITHOUT a watermark. Within one run the count
+    * accumulates across micro-batches; after the key sits silent past
+    * the TTL, the store expires its state and the count restarts.
+    * Environment note (measured, not guessed): a ProcessingTime-mode
+    * TWS query keeps scheduling batches to advance its clock, and
+    * under the DEFAULT 0 ms trigger that busy-loop commits a full
+    * RocksDB snapshot per batch — hundreds of checkpoint renames/s,
+    * each of which Hadoop's RawLocalFileSystem turns into a
+    * `readlink` exec, which jams this container's process spawner
+    * (300+ stages/90 s, then total stall). The fix is the production
+    * shape anyway: a real (500 ms) trigger interval plus RocksDB
+    * CHANGELOG checkpointing, so an idle tick writes one tiny delta
+    * instead of zipping a snapshot. TTL 10 s is generous vs the
+    * sub-second in-TTL batches and the 12 s expiry sleep generous
+    * past it — a semantic pin, not a race.
+    */
+  test("transformWithState ValueState TTL expires silent keys and restarts their state") {
+    import s.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val clKey = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prev = s.conf.getOption(providerKey)
+    val prevCl = s.conf.getOption(clKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set(clKey, "true")
+    try {
+      val srcDir = Files.createTempDirectory("graft_stream_ttl_").toString
+      stageFile(srcDir, "f1", Seq(
+        (1L, "2024-01-01 01:00:00", 1L, "view", 1.0, "{}"),
+        (2L, "2024-01-01 01:01:00", 1L, "view", 1.0, "{}")))
+
+      val counts = s.readStream.schema(eventSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+        .select(col("user_id").as[Long], col("event_id").as[Long])
+        .groupByKey(_._1)
+        .transformWithState(
+          new TtlRunningCountProcessor(10000L),
+          org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+
+      val q = counts.toDF("user_id", "n_events").writeStream
+        .format("memory").queryName("ttl_stream")
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+        .start()
+      // processAllAvailable never settles on a ProcessingTime-mode TWS
+      // query (every tick counts as pending TTL work), so pin on the
+      // SINK: poll until the expected update rows land, bounded deadline
+      def awaitKey1(expect: Seq[Long], timeoutMs: Long): Seq[Long] = {
+        val deadline = System.currentTimeMillis + timeoutMs
+        var cur: Seq[Long] = Nil
+        while (System.currentTimeMillis < deadline && cur != expect) {
+          Thread.sleep(250L)
+          cur = s.table("ttl_stream").collect()
+            .filter(_.getLong(0) == 1L).map(_.getLong(1)).toSeq.sorted
+        }
+        cur
+      }
+      try {
+        val inTtl = awaitKey1(Seq(2L), 60000L)
+        assert(inTtl == Seq(2L),
+          s"state must accumulate inside the TTL, got $inTtl")
+        // the key now sits silent past the TTL → the store must expire it
+        Thread.sleep(12000L)
+        stageFile(srcDir, "f3", Seq(
+          (3L, "2024-01-01 01:02:00", 1L, "view", 1.0, "{}")))
+        val counts1 = awaitKey1(Seq(1L, 2L), 60000L)
+        assert(counts1 == Seq(1L, 2L),
+          s"expected the post-expiry batch to restart the count at 1, got $counts1")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(providerKey, v)
+        case None    => s.conf.unset(providerKey)
+      }
+      prevCl match {
+        case Some(v) => s.conf.set(clKey, v)
+        case None    => s.conf.unset(clKey)
       }
     }
   }
