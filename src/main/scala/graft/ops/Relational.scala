@@ -992,6 +992,66 @@ object Relational {
       ORDER BY version, col_name
     """.stripMargin.trim))
 
+  /** ROW LINEAGE — the Iceberg-v3 row-tracking surface over the shared
+    * morLog: every surviving row carries a STABLE `row_id` minted at
+    * its first commit (derived deterministically from first_seq + key
+    * — the stand-in for the format's monotonic allocator), a
+    * `first_seq` (creation version) and `last_seq` (last modifying
+    * version). The three semantics on one hash: an UPDATE keeps the
+    * row's identity (the %7 keys show first_seq=0, last_seq=1 with the
+    * v0-minted row_id), an INSERT mints a new identity at its own
+    * version (the +20M keys show first_seq=last_seq=1), and a DELETE
+    * retires the identity entirely (the %13 originals are absent —
+    * including ones that were updated first). ORACLE: the closed-form
+    * lineage from the original table under the morLog stride rules.
+    *
+    * Scale shape: lineage is ONE co-keyed aggregate over the log
+    * (min/max seq) joined to the keep-latest fold on the same key —
+    * the same single-shuffle lineage as the CDC feed; a real format
+    * materializes these columns at write time and the read is free.
+    */
+  val sinkRowLineage: Op = Op(
+    "sink_row_lineage",
+    (s, dir) => {
+      val tmp = morLog(s, dir)
+      val log = s.read.parquet(s"$tmp/base")
+        .select(col("o_orderkey"), col("status"), col("price"),
+          lit(0L).as("seq"), lit("U").as("op"))
+        .unionByName(s.read.parquet(s"$tmp/delta"))
+      val lineage = log.filter(col("op") =!= "D")
+        .groupBy("o_orderkey")
+        .agg(min("seq").as("first_seq"), max("seq").as("last_seq"))
+      foldLatest(log, "o_orderkey")
+        .join(lineage, "o_orderkey")
+        .select(col("o_orderkey"),
+          (col("first_seq") * 1000000000L + col("o_orderkey")).as("row_id"),
+          col("first_seq"), col("last_seq"), col("status"),
+          dec2(col("price")).cast(DoubleType).as("price"))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      WITH fin AS (
+        SELECT o_orderkey, o_orderstatus AS status,
+          CASE WHEN o_orderkey % 7 = 0
+            THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 100
+                      AS DECIMAL(12,2))
+            ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS price,
+          0 AS first_seq,
+          CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END AS last_seq
+        FROM orders WHERE o_orderkey % 13 != 0
+        UNION ALL
+        SELECT o_orderkey + 20000000, 'N',
+          CAST(o_totalprice AS DECIMAL(12,2)), 1, 1
+        FROM orders WHERE o_orderkey % 11 = 0
+      )
+      SELECT o_orderkey,
+        CAST(first_seq * 1000000000 + o_orderkey AS BIGINT) AS row_id,
+        CAST(first_seq AS BIGINT) AS first_seq,
+        CAST(last_seq AS BIGINT) AS last_seq,
+        status, CAST(price AS DOUBLE) AS price
+      FROM fin ORDER BY o_orderkey
+    """.stripMargin.trim))
+
   /** ORPHAN-FILE CLEANUP — the third file-lifecycle op next to
     * sink_vacuum (superseded REFERENCED files after compaction) and
     * sink_snapshot_expire (files of expired versions): files that are
@@ -5804,7 +5864,7 @@ object Relational {
     sinkParquet, sinkCsvJson, sinkOrcRoundtrip, sinkMergeOnRead,
     sinkTimeTravel, sinkCompactRewrite, sinkChangeFeed, sinkVacuum,
     sinkSnapshotExpire, sinkBranchMerge, sinkOrphanCleanup, sinkTableHistory,
-    sinkColumnStatsHistory, sinkWriteAuditPublish,
+    sinkColumnStatsHistory, sinkRowLineage, sinkWriteAuditPublish,
     sinkMvIncremental, sinkMvRewrite, streamReplayLogCatchup, sinkStatsIndex,
     sinkBloomIndex, sinkPartitionEvolution, sinkConcurrentCommit,
     profileDrift, sinkPositionDelete,
