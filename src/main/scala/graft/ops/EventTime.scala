@@ -1902,6 +1902,85 @@ object EventTime {
       FROM a CROSS JOIN th ORDER BY a.arm
     """.stripMargin.trim))
 
+  /** DIFFERENCE-IN-DIFFERENCES — the observational causal estimator
+    * next to the randomized pair (events_ab_ttest / events_ab_cuped):
+    * when assignment is an existing attribute rather than a coin flip,
+    * the naive post-period group gap confounds treatment with baseline
+    * differences; DiD subtracts each group's own pre-period mean so
+    * the estimate is the TREATED group's excess change under the
+    * parallel-trends assumption. Panel form: per-user purchase totals
+    * per period (balanced — every user appears in both periods, zero
+    * when silent; robust to per-user event-count skew), treated =
+    * user_id % 3 = 0, intervention at the fixed mid-span cutoff the
+    * CUPED op also uses. Output is the one-row 2×2 cell summary +
+    * estimate — all four means derive from EXACT decimal sums cast
+    * to double once, so every reported number is bit-deterministic.
+    *
+    * Scale shape: one co-keyed user aggregate (partial+final) then a
+    * single global conditional aggregate — no join, no crossJoin, a
+    * 1-row result; the same two-shuffle lineage at any corpus size.
+    */
+  val eventsDid: Op = Op(
+    "events_did",
+    (s, dir) => {
+      val split = expr("timestamp'2024-01-16 00:00:00'")
+      val u = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(
+          coalesce(sum(when(col("ts") < split && col("event_type") === "purchase",
+            dec2(col("value")))), lit(0)).cast(DecimalType(18, 2)).as("pre"),
+          coalesce(sum(when(col("ts") >= split && col("event_type") === "purchase",
+            dec2(col("value")))), lit(0)).cast(DecimalType(18, 2)).as("post"))
+        .withColumn("treated", col("user_id") % 3 === 0)
+      val mtPre = col("stp").cast(DoubleType) / col("n_treated")
+      val mtPost = col("stq").cast(DoubleType) / col("n_treated")
+      val mcPre = col("scp").cast(DoubleType) / col("n_control")
+      val mcPost = col("scq").cast(DoubleType) / col("n_control")
+      u.agg(
+          sum(when(col("treated"), 1L).otherwise(0L)).as("n_treated"),
+          sum(when(!col("treated"), 1L).otherwise(0L)).as("n_control"),
+          sum(when(col("treated"), col("pre"))).as("stp"),
+          sum(when(col("treated"), col("post"))).as("stq"),
+          sum(when(!col("treated"), col("pre"))).as("scp"),
+          sum(when(!col("treated"), col("post"))).as("scq"))
+        .select(col("n_treated"), col("n_control"),
+          round(mtPre, 6).as("mean_treated_pre"),
+          round(mtPost, 6).as("mean_treated_post"),
+          round(mcPre, 6).as("mean_control_pre"),
+          round(mcPost, 6).as("mean_control_post"),
+          round((mtPost - mtPre) - (mcPost - mcPre), 6).as("did_estimate"))
+    },
+    Some("""
+      WITH u AS (
+        SELECT user_id, user_id % 3 = 0 AS treated,
+          CAST(COALESCE(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+            AND event_type = 'purchase'
+            THEN CAST(value AS DECIMAL(12,2)) END), 0) AS DECIMAL(18,2)) AS pre,
+          CAST(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+            AND event_type = 'purchase'
+            THEN CAST(value AS DECIMAL(12,2)) END), 0) AS DECIMAL(18,2)) AS post
+        FROM events GROUP BY 1, 2
+      ), c AS (
+        SELECT
+          CAST(SUM(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT) AS n_treated,
+          CAST(SUM(CASE WHEN NOT treated THEN 1 ELSE 0 END) AS BIGINT) AS n_control,
+          SUM(CASE WHEN treated THEN pre END) AS stp,
+          SUM(CASE WHEN treated THEN post END) AS stq,
+          SUM(CASE WHEN NOT treated THEN pre END) AS scp,
+          SUM(CASE WHEN NOT treated THEN post END) AS scq
+        FROM u
+      )
+      SELECT n_treated, n_control,
+        ROUND(CAST(stp AS DOUBLE) / n_treated, 6) AS mean_treated_pre,
+        ROUND(CAST(stq AS DOUBLE) / n_treated, 6) AS mean_treated_post,
+        ROUND(CAST(scp AS DOUBLE) / n_control, 6) AS mean_control_pre,
+        ROUND(CAST(scq AS DOUBLE) / n_control, 6) AS mean_control_post,
+        ROUND((CAST(stq AS DOUBLE) / n_treated - CAST(stp AS DOUBLE) / n_treated)
+            - (CAST(scq AS DOUBLE) / n_control - CAST(scp AS DOUBLE) / n_control),
+          6) AS did_estimate
+      FROM c
+    """.stripMargin.trim))
+
   /** Top-10 3-step event paths — the sequence-mining query behind
     * "what do users do right before purchasing": two lags share ONE
     * user_id window exchange, paths close in a ≤|types|³-cell hash
@@ -3700,7 +3779,7 @@ WITH hourly AS (
     eventsSessionize, eventsFunnel, timeseriesGapfill, eventsAttribution,
     eventsAttributionUshape,
     eventsTransitions, eventsAnomalyZscore, eventsRollingDistinct,
-    eventsTrendSlope, eventsAbTtest, eventsAbCuped, eventsPathTopk,
+    eventsTrendSlope, eventsAbTtest, eventsAbCuped, eventsDid, eventsPathTopk,
     eventsMatchRecognize, streamReplayPatternAlert,
     streamReplayPatternAlertScale,
     eventsAnomalyMad, eventsAlertEpisodes, eventsGrowthAccounting,
