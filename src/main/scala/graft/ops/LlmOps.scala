@@ -1238,6 +1238,98 @@ object LlmOps {
       ORDER BY pmi DESC, a, b LIMIT 100
     """.stripMargin.trim))
 
+  /** RAKE keyword extraction — PHRASE-level salience next to the
+    * word-level TF-IDF/PMI pair: candidate phrases are the maximal
+    * stopword-free runs (gaps-and-islands over token position — the
+    * sessionize machinery applied to text, with the fixture's two
+    * function words as delimiters), capped at 3 words per the standard
+    * RAKE variant; each word scores deg/freq (deg = Σ phrase length
+    * over its occurrences — co-occurrence credit, freq = occurrence
+    * count), and a phrase scores the sum of its member-occurrence
+    * word scores. Word scores snap to DECIMAL(18,10) before the
+    * per-phrase sum so the ≤3-term fold is EXACT (the chisq rounding
+    * treatment — no float-order hazard), and the top-20 is a total
+    * order (score DESC, phrase ASC).
+    *
+    * Scale shape: the islands window co-keys on doc_id (one shuffle),
+    * the word-score dimension is VOCABULARY-sized and broadcasts into
+    * the scoring join, and the final ranking is a TakeOrdered over
+    * distinct phrases — no all-pairs stage anywhere.
+    */
+  val llmKeywordRake: Op = Op(
+    "llm_keyword_rake",
+    (s, dir) => {
+      val stops = Seq("a", "the")
+      val w = spreadDocs(s, dir)
+        .select(col("doc_id"), posexplode(toks).as(Seq("pos", "word")))
+        .withColumn("stop", col("word").isInCollection(stops))
+        .withColumn("grp", sum(when(col("stop"), 1L).otherwise(0L)).over(
+          Window.partitionBy("doc_id").orderBy("pos")))
+      val phrases = w.filter(!col("stop"))
+        .groupBy("doc_id", "grp")
+        .agg(count(lit(1)).as("plen"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("pos"), col("word")))),
+            x => x.getField("word"))).as("phrase"))
+        .filter(col("plen") <= 3)
+        // reused by the word-score build AND the scoring join: one
+        // islands pass total (the ab_cuped frontier pattern)
+        .localCheckpoint(true)
+      val wordScores = phrases
+        .select(col("plen"), explode(split(col("phrase"), " ")).as("word"))
+        .groupBy("word")
+        .agg(round(sum(col("plen")).cast(DoubleType) / count(lit(1)), 10)
+          .cast(DecimalType(18, 10)).as("wscore"))
+      phrases
+        .select(col("doc_id"), col("grp"), col("phrase"), col("plen"),
+          explode(split(col("phrase"), " ")).as("word"))
+        .join(broadcast(wordScores), "word")
+        .groupBy("doc_id", "grp", "phrase", "plen")
+        .agg(sum(col("wscore")).as("score"))
+        .groupBy("phrase")
+        .agg(count(lit(1)).as("n_occ"), max(col("plen")).as("n_words"),
+          round(max(col("score")).cast(DoubleType), 6).as("score"))
+        .orderBy(col("score").desc, col("phrase"))
+        .limit(20)
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      ), w AS (
+        SELECT doc_id, toks[i] AS word, i AS pos
+        FROM d, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)
+      ), marked AS (
+        SELECT doc_id, word, pos,
+          word IN ('a','the') AS stop,
+          SUM(CASE WHEN word IN ('a','the') THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM w
+      ), phr AS (
+        SELECT doc_id, grp, COUNT(*) AS plen,
+          string_agg(word, ' ' ORDER BY pos) AS phrase
+        FROM marked WHERE NOT stop GROUP BY doc_id, grp
+      ), okphr AS (
+        SELECT * FROM phr WHERE plen <= 3
+      ), wsc AS (
+        SELECT t.word,
+          CAST(ROUND(CAST(SUM(p.plen) AS DOUBLE) / COUNT(*), 10)
+            AS DECIMAL(18,10)) AS wscore
+        FROM okphr p,
+          LATERAL (SELECT unnest(string_split(p.phrase, ' ')) AS word) t
+        GROUP BY t.word
+      ), scored AS (
+        SELECT p.doc_id, p.grp, p.phrase, p.plen, SUM(s.wscore) AS score
+        FROM okphr p,
+          LATERAL (SELECT unnest(string_split(p.phrase, ' ')) AS word) t
+          JOIN wsc s ON s.word = t.word
+        GROUP BY 1, 2, 3, 4
+      )
+      SELECT phrase, COUNT(*) AS n_occ, CAST(MAX(plen) AS BIGINT) AS n_words,
+        ROUND(CAST(MAX(score) AS DOUBLE), 6) AS score
+      FROM scored GROUP BY phrase
+      ORDER BY score DESC, phrase LIMIT 20
+    """.stripMargin.trim))
+
   /** Cluster resolution: verified near-dup PAIRS → connected components
     * → a keep-one verdict per clustered doc (the step SURVEY §2.10's
     * "connected keep-one" promises; a real dedup pipeline drops every
@@ -4847,7 +4939,7 @@ object LlmOps {
     llmSourceTheil,
     llmPrefPairs, llmTokenCount, llmLangId,
     llmNgramNovelty, llmCurriculumOrder, llmShardManifest,
-    llmDocEntropy, llmCollocationPmi,
+    llmDocEntropy, llmCollocationPmi, llmKeywordRake,
     llmTextStats, llmTextTfidf, llmDedupExact, llmDedupUrl,
     llmDedupNear, llmDedupContainment, llmDedupSpans, llmDedupCluster,
     llmDedupClusterScale, llmDedupReweight, llmDedupMinhash,
