@@ -3636,44 +3636,13 @@ object LlmOps {
       ORDER BY b.doc_id
     """.stripMargin.trim))
 
-  /** The tokenizer ENCODE pass — the consumer of `llm_vocab_merges`'
-    * merge table, completing train→apply the way `llm_ivf_fit` →
-    * `llm_simsearch_ivf` completes fit→search: every document is
-    * tokenized with the 5 learned merges and scored per doc (word
-    * count, BPE token count, chars per token — the compression metric
-    * tokenizer training optimizes). Encoding is a JOIN against the
-    * trained vocabulary (word → merged symbol string) from
-    * `bpeTrained`, built once per session; the first of
-    * trainer/encoder to run pays the training.
-    *
-    * Scale shape: the encoded vocabulary is a broadcast-able dimension
-    * (distinct words ≪ word occurrences) so the corpus-scale side
-    * never shuffles for the join; the per-doc rollup's partial
-    * aggregate collapses each document inside its generating partition
-    * (words of one doc never leave it), so the one exchange moves
-    * doc-level rows. In-vocabulary coverage is total here because the
-    * vocab was trained on the same corpus; an open-vocabulary deployment
-    * adds a char-fallback branch for OOV words (coalesce over the
-    * left join) — semantics this fixture cannot exercise honestly.
+  /** BPE train chain (v -> w5), ONE definition shared verbatim by the
+    * apply oracle and the tokenizer-compare oracle (the revenueSql
+    * discipline: the merge-table derivation can never fork per
+    * consumer). Spliced after "WITH " or a comma; defines CTEs
+    * v, w0..w5, p1..p5, t1..t5 and nothing else.
     */
-  val llmVocabApply: Op = Op(
-    "llm_vocab_apply",
-    (s, dir) => {
-      val enc = bpeTrained(s, dir)._2
-        .select(col("w"), size(split(trim(col("seq")), " ")).as("n_tok"))
-      val docw = Tables.documents(s, dir)
-        .select(col("doc_id"), col("n_chars"), explode(toks).as("w"))
-        .filter(length(col("w")) >= 1)
-      docw.join(enc, "w")
-        .groupBy("doc_id", "n_chars")
-        .agg(count(lit(1)).as("n_words"), sum("n_tok").as("n_tokens"))
-        .select(col("doc_id"), col("n_words"), col("n_tokens"),
-          round(col("n_chars").cast(DoubleType) / col("n_tokens"), 6)
-            .as("chars_per_token"))
-        .orderBy("doc_id")
-    },
-    Some("""
-      WITH v AS (
+  private val bpeChainCtes: String = """v AS (
         SELECT w, COUNT(*) AS wn
         FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         WHERE length(w) >= 1 GROUP BY w
@@ -3733,7 +3702,46 @@ object LlmOps {
         SELECT w, replace(replace(replace(seq, ' ', '  '),
             ' ' || replace(pair, ' ', '  ') || ' ', ' ' || replace(pair, ' ', '') || ' '),
             '  ', ' ') AS seq, wn
-        FROM w4, t5)
+        FROM w4, t5)"""
+
+  /** The tokenizer ENCODE pass — the consumer of `llm_vocab_merges`'
+    * merge table, completing train→apply the way `llm_ivf_fit` →
+    * `llm_simsearch_ivf` completes fit→search: every document is
+    * tokenized with the 5 learned merges and scored per doc (word
+    * count, BPE token count, chars per token — the compression metric
+    * tokenizer training optimizes). Encoding is a JOIN against the
+    * trained vocabulary (word → merged symbol string) from
+    * `bpeTrained`, built once per session; the first of
+    * trainer/encoder to run pays the training.
+    *
+    * Scale shape: the encoded vocabulary is a broadcast-able dimension
+    * (distinct words ≪ word occurrences) so the corpus-scale side
+    * never shuffles for the join; the per-doc rollup's partial
+    * aggregate collapses each document inside its generating partition
+    * (words of one doc never leave it), so the one exchange moves
+    * doc-level rows. In-vocabulary coverage is total here because the
+    * vocab was trained on the same corpus; an open-vocabulary deployment
+    * adds a char-fallback branch for OOV words (coalesce over the
+    * left join) — semantics this fixture cannot exercise honestly.
+    */
+  val llmVocabApply: Op = Op(
+    "llm_vocab_apply",
+    (s, dir) => {
+      val enc = bpeTrained(s, dir)._2
+        .select(col("w"), size(split(trim(col("seq")), " ")).as("n_tok"))
+      val docw = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"), explode(toks).as("w"))
+        .filter(length(col("w")) >= 1)
+      docw.join(enc, "w")
+        .groupBy("doc_id", "n_chars")
+        .agg(count(lit(1)).as("n_words"), sum("n_tok").as("n_tokens"))
+        .select(col("doc_id"), col("n_words"), col("n_tokens"),
+          round(col("n_chars").cast(DoubleType) / col("n_tokens"), 6)
+            .as("chars_per_token"))
+        .orderBy("doc_id")
+    },
+    Some(("""
+      WITH """ + bpeChainCtes + """
       , enc AS (
         SELECT w, len(string_split(trim(seq), ' ')) AS n_tok FROM w5
       ), docw AS (
@@ -3747,7 +3755,7 @@ object LlmOps {
       WHERE length(w) >= 1
       GROUP BY doc_id, n_chars
       ORDER BY doc_id
-    """.stripMargin.trim))
+    """).stripMargin.trim))
 
   /** Deterministic train/val/test holdout assignment — the split step
     * between mixing and packing: every doc lands in exactly one split
@@ -4659,6 +4667,68 @@ object LlmOps {
       FROM encw GROUP BY source, lang ORDER BY source, lang
     """).trim))
 
+  /** TOKENIZER COMPARISON — the "which tokenizer spends fewer pieces
+    * on my data" question a data-mix owner answers before committing a
+    * vocabulary, run over BOTH trained session artifacts at once (the
+    * detector-agreement reading applied to tokenizers): per (source,
+    * lang) stratum, BPE pieces/word vs unigram-LM pieces/word and the
+    * signed gap, on the COMMON encode domain (words both models cover
+    * — the unigram model's 1–8-char bound, documented at the encoder).
+    * Both corpora joins ride the SHARED bpeTrained / unigramModel
+    * session artifacts (train once, read many); the ORACLE splices
+    * BOTH trainers' chain SQL verbatim — the hash proves two full
+    * train+encode pipelines end-to-end in one query, the ivfpq
+    * splice precedent.
+    *
+    * Scale shape: one corpus scan ⋈ two VOCABULARY-sized broadcast
+    * models → one (source, lang) aggregate — the tokenizer-deployment
+    * join shape at any corpus size.
+    */
+  val llmTokenizerCompare: Op = Op(
+    "llm_tokenizer_compare",
+    (s, dir) => {
+      val bpe = bpeTrained(s, dir)._2
+        .select(col("w").as("cw"),
+          size(split(trim(col("seq")), " ")).as("bpe_tok"))
+      val uni = unigramModel(s, dir)
+        .select(col("w").as("cw"),
+          size(split(trim(col("path")), " ")).as("uni_tok"))
+      val bppw = col("sb").cast(DoubleType) / col("n_words")
+      val uppw = col("su").cast(DoubleType) / col("n_words")
+      Tables.documents(s, dir)
+        .select(col("source"), col("lang"), explode(toks).as("cw"))
+        .join(broadcast(bpe), "cw")
+        .join(broadcast(uni), "cw")
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_words"),
+          sum("bpe_tok").as("sb"), sum("uni_tok").as("su"))
+        .select(col("source"), col("lang"), col("n_words"),
+          round(bppw, 6).as("bpe_pieces_per_word"),
+          round(uppw, 6).as("uni_pieces_per_word"),
+          round(bppw - uppw, 6).as("bpe_minus_uni"))
+        .orderBy("source", "lang")
+    },
+    Some((unigramChainSql + ", " + bpeChainCtes + s"""
+      , enc AS (
+        SELECT w, len(string_split(trim(seq), ' ')) AS n_tok FROM w5
+      ), corpus2 AS (
+        SELECT source, lang, unnest(string_split(text, ' ')) AS cw
+        FROM documents
+      ), j AS (
+        SELECT c.source, c.lang, e.n_tok AS bpe_tok,
+          len(string_split(trim(s2.path), ' ')) AS uni_tok
+        FROM corpus2 c
+          JOIN enc e ON e.w = c.cw
+          JOIN seg2 s2 ON s2.w = c.cw
+      )
+      SELECT source, lang, COUNT(*) AS n_words,
+        ROUND(CAST(SUM(bpe_tok) AS DOUBLE) / COUNT(*), 6) AS bpe_pieces_per_word,
+        ROUND(CAST(SUM(uni_tok) AS DOUBLE) / COUNT(*), 6) AS uni_pieces_per_word,
+        ROUND(CAST(SUM(bpe_tok) AS DOUBLE) / COUNT(*)
+            - CAST(SUM(uni_tok) AS DOUBLE) / COUNT(*), 6) AS bpe_minus_uni
+      FROM j GROUP BY source, lang ORDER BY source, lang
+    """).trim))
+
   val llmHardNegatives: Op = Op(
     "llm_hard_negatives",
     (s, dir) => {
@@ -4932,6 +5002,7 @@ object LlmOps {
   val ops: Seq[Op] = Seq(
     llmHardNegatives, llmDatasetCard, llmBm25Retrieval, llmEmbeddingDrift,
     llmVocabMerges, llmVocabApply, llmVocabUnigram, llmVocabUnigramEncode,
+    llmTokenizerCompare,
     llmPackSequences, llmRepetitionFilter, llmDocChunk, llmCrossDedup,
     llmVocabInduce, llmMatchDistribution, llmMixSources, llmMixSourcesScale, llmMixEntropy,
     llmMixTemperature, llmTokenBudget, llmSplitHoldout,
