@@ -2930,6 +2930,95 @@ WITH hourly AS (
       FROM pref2 ORDER BY event_type, day
     """.stripMargin.trim))
 
+  /** CHANGEPOINT by binary segmentation — WHERE the series shifted,
+    * next to CUSUM's WHETHER it is drifting: per event type, the
+    * single split of the daily count series minimizing total
+    * within-segment SSE (the first step of the binary-segmentation /
+    * PELT family every monitoring stack runs after an alarm). The
+    * per-split SSE evaluates in CLOSED FORM from prefix sums —
+    * SSE = Σx² − (Σx)²/n per side, so each of the n−1 candidates is
+    * O(1) over two running integer windows (no quadratic rescan),
+    * every double derives from exact integer sums (bit-deterministic,
+    * the cusum discipline), and the argmin is a total order
+    * (sse ASC, day ASC). Output: the split day, segment means, and
+    * the variance explained (SSE reduction vs the unsplit series).
+    *
+    * Scale shape: one daily hash agg over raw events, then two
+    * windows and a rank on |types| × |days| rows — calendar-bounded,
+    * identical at any event volume.
+    */
+  val eventsChangepoint: Op = Op(
+    "events_changepoint",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("x"))
+      val run = Window.partitionBy("event_type").orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val whole = Window.partitionBy("event_type")
+      val pre = daily
+        .withColumn("ck", sum(col("x")).over(run))
+        .withColumn("c2k", sum(col("x") * col("x")).over(run))
+        .withColumn("k", row_number().over(
+          Window.partitionBy("event_type").orderBy("d")))
+        .withColumn("ctot", sum(col("x")).over(whole))
+        .withColumn("c2tot", sum(col("x") * col("x")).over(whole))
+        .withColumn("n", count(lit(1)).over(whole))
+      val ckD = col("ck").cast(DoubleType)
+      val crD = (col("ctot") - col("ck")).cast(DoubleType)
+      val sse = (col("c2k").cast(DoubleType) - ckD * ckD / col("k")) +
+        ((col("c2tot") - col("c2k")).cast(DoubleType) - crD * crD / (col("n") - col("k")))
+      val sse0 = col("c2tot").cast(DoubleType) -
+        col("ctot").cast(DoubleType) * col("ctot") / col("n")
+      pre.filter(col("k") < col("n"))
+        .withColumn("sse", sse)
+        .withColumn("sse0", sse0)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("event_type").orderBy(col("sse"), col("d"))))
+        .filter(col("rk") === 1)
+        .select(col("event_type"),
+          date_format(col("d"), "yyyy-MM-dd").as("change_day"),
+          col("n").cast(LongType).as("n_days"),
+          round(ckD / col("k"), 6).as("mean_before"),
+          round(crD / (col("n") - col("k")), 6).as("mean_after"),
+          round(col("sse"), 6).as("sse_split"),
+          round(col("sse0") - col("sse"), 6).as("sse_reduction"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS d, COUNT(*) AS x
+        FROM events GROUP BY 1, 2
+      ), pre AS (
+        SELECT event_type, d, x,
+          SUM(x) OVER w AS ck, SUM(x*x) OVER w AS c2k,
+          ROW_NUMBER() OVER w AS k,
+          SUM(x) OVER (PARTITION BY event_type) AS ctot,
+          SUM(x*x) OVER (PARTITION BY event_type) AS c2tot,
+          COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY d ROWS UNBOUNDED PRECEDING)
+      ), cand AS (
+        SELECT event_type, d, k, n, ck, ctot,
+          (CAST(c2k AS DOUBLE) - CAST(ck AS DOUBLE)*ck/k)
+            + (CAST(c2tot - c2k AS DOUBLE)
+               - CAST(ctot - ck AS DOUBLE)*(ctot - ck)/(n - k)) AS sse,
+          CAST(c2tot AS DOUBLE) - CAST(ctot AS DOUBLE)*ctot/n AS sse0
+        FROM pre WHERE k < n
+      ), best AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+          ORDER BY sse, d) AS rk
+        FROM cand
+      )
+      SELECT event_type, strftime(d, '%Y-%m-%d') AS change_day,
+        CAST(n AS BIGINT) AS n_days,
+        ROUND(CAST(ck AS DOUBLE)/k, 6) AS mean_before,
+        ROUND(CAST(ctot - ck AS DOUBLE)/(n - k), 6) AS mean_after,
+        ROUND(sse, 6) AS sse_split,
+        ROUND(sse0 - sse, 6) AS sse_reduction
+      FROM best WHERE rk = 1 ORDER BY event_type
+    """.stripMargin.trim))
+
   /** Mann–Whitney U (rank-sum) test of each event type's value
     * distribution against the 'purchase' arm — the NONPARAMETRIC
     * sibling of events_ab_ttest for the heavy-tailed metrics a t-test
@@ -3785,7 +3874,7 @@ WITH hourly AS (
     eventsAnomalyMad, eventsAlertEpisodes, eventsGrowthAccounting,
     eventsConcurrencyPeak, eventsInterarrivalStats,
     eventsEwma, eventsTypeOverlap, eventsForecastNaive,
-    eventsChisqIndependence, eventsCusum, eventsMannWhitney,
+    eventsChisqIndependence, eventsCusum, eventsChangepoint, eventsMannWhitney,
     eventsPowerAnalysis, eventsUserStreaks, eventsOutlierIqr,
     eventsMarkovStationary, eventsBotScore, eventsBotScoreScale,
     eventsFunnelLatency, eventsAutocorrelation, eventsCohortRevenue,
