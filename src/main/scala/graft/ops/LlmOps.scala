@@ -3362,6 +3362,87 @@ object LlmOps {
       FROM q ORDER BY vec_id
     """.stripMargin.trim))
 
+  /** T5-STYLE SPAN CORRUPTION — the denoising-objective builder that
+    * turns a clean corpus into (input, target) training pairs: fixed
+    * 3-token spans are masked on a position-deterministic grid (span
+    * starts at pos ≡ 5 mod 15 → masked positions are pos % 15 ∈
+    * {5,6,7} — ~20% corruption, the T5 ballpark, truncated at doc
+    * end), each span collapses to ONE `<extra_id_k>` sentinel in the
+    * input while the target spells sentinel + the masked tokens in
+    * order. Position-deterministic masking is the replayable form —
+    * the same doc always yields the same pair, which is what makes a
+    * cached packed dataset reproducible (the sample_hash_pct
+    * determinism argument applied to objectives). The graded row
+    * carries the full target string, so the hash pins the actual
+    * masked CONTENT end-to-end, not just the arithmetic.
+    *
+    * Scale shape: masking is row-local (posexplode → filter →
+    * per-doc sorted fold co-keyed on doc_id — one exchange); no
+    * dimension, no join beyond the doc-level left join of docs to
+    * their target rows. The grid constants are the only state.
+    */
+  val llmSpanCorruption: Op = Op(
+    "llm_span_corruption",
+    (s, dir) => {
+      val docs = spreadDocs(s, dir)
+        .select(col("doc_id"), size(toks).as("n_tokens"), toks.as("tk"))
+      val tgt = docs
+        .select(col("doc_id"), posexplode(col("tk")).as(Seq("p0", "word")))
+        .withColumn("i", col("p0") + 1)
+        .filter(col("i") % 15 >= 5 && col("i") % 15 <= 7)
+        .withColumn("k", expr("(i - 5) div 15"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_masked"),
+          count_distinct(col("k")).as("n_spans"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("i"), col("k"), col("word")))),
+            x => when(x.getField("i") % 15 === 5,
+              concat(lit("<extra_id_"), x.getField("k").cast(StringType),
+                lit("> "), x.getField("word")))
+              .otherwise(x.getField("word")))).as("target"))
+      docs.drop("tk")
+        .join(tgt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+          (col("n_tokens") - coalesce(col("n_masked"), lit(0L)) +
+            coalesce(col("n_spans"), lit(0L))).as("input_len"),
+          round(coalesce(col("n_masked"), lit(0L)).cast(DoubleType) /
+            col("n_tokens"), 6).as("corruption_rate"),
+          coalesce(col("target"), lit("")).as("target"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      ), w AS (
+        SELECT doc_id, toks[i] AS word, i
+        FROM d, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)
+      ), m AS (
+        SELECT doc_id, word, i, (i - 5) // 15 AS k
+        FROM w WHERE i % 15 IN (5, 6, 7)
+      ), tgt AS (
+        SELECT doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_masked,
+          CAST(COUNT(DISTINCT k) AS BIGINT) AS n_spans,
+          string_agg(CASE WHEN i % 15 = 5
+            THEN '<extra_id_' || CAST(k AS VARCHAR) || '> ' || word
+            ELSE word END, ' ' ORDER BY i) AS target
+        FROM m GROUP BY doc_id
+      )
+      SELECT d.doc_id,
+        CAST(len(d.toks) AS INT) AS n_tokens,
+        COALESCE(t.n_spans, 0) AS n_spans,
+        COALESCE(t.n_masked, 0) AS n_masked,
+        CAST(len(d.toks) - COALESCE(t.n_masked, 0)
+          + COALESCE(t.n_spans, 0) AS BIGINT) AS input_len,
+        ROUND(CAST(COALESCE(t.n_masked, 0) AS DOUBLE) / len(d.toks), 6)
+          AS corruption_rate,
+        COALESCE(t.target, '') AS target
+      FROM d LEFT JOIN tgt t ON t.doc_id = d.doc_id
+      ORDER BY d.doc_id
+    """.stripMargin.trim))
+
   /** Sequence packing — the pre-training batching step that concatenates
     * documents in deterministic order and splits the stream into
     * fixed-size context windows (2048 tokens here): each doc lands in
@@ -5003,7 +5084,8 @@ object LlmOps {
     llmHardNegatives, llmDatasetCard, llmBm25Retrieval, llmEmbeddingDrift,
     llmVocabMerges, llmVocabApply, llmVocabUnigram, llmVocabUnigramEncode,
     llmTokenizerCompare,
-    llmPackSequences, llmRepetitionFilter, llmDocChunk, llmCrossDedup,
+    llmSpanCorruption, llmPackSequences, llmRepetitionFilter, llmDocChunk,
+    llmCrossDedup,
     llmVocabInduce, llmMatchDistribution, llmMixSources, llmMixSourcesScale, llmMixEntropy,
     llmMixTemperature, llmTokenBudget, llmSplitHoldout,
     llmQualityFilter, llmQualityScore, llmFilterAblation, llmSourceGini,
