@@ -398,6 +398,80 @@ object Scalars {
       FROM lineitem ORDER BY l_orderkey, l_linenumber
     """.stripMargin.trim))
 
+  /** GEOSPATIAL scalar pack — great-circle math without a GIS library
+    * (the logistics/geo-join primitives every routing query needs):
+    * per customer, two key-derived coordinates (deterministic mod
+    * arithmetic, poles avoided at ±85°), then the haversine distance
+    * (R = 6371.0088 km), the initial bearing normalized to [0, 360)
+    * via fmod-on-positive (Spark pmod ≡ DuckDB fmod there), and the
+    * spherical midpoint — each a fixed chain of radians/sin/cos/
+    * asin/atan2/sqrt mirrored token-for-token in the oracle (the
+    * fn_trig_pack precedent: identical IEEE chains round-6 equal).
+    *
+    * Scale shape: pure row-local projection, codegen'd, no shuffle —
+    * the distance column this op builds is what a geo range join
+    * (join_theta_range's shape) or a geohash bucketing would consume.
+    */
+  val fnGeoPack: Op = Op(
+    "fn_geo_pack",
+    (s, dir) => {
+      val lat1 = (col("c_custkey") * 7919L % 17000L) / 100.0 - 85.0
+      val lon1 = (col("c_custkey") * 104729L % 36000L) / 100.0 - 180.0
+      val lat2 = (col("c_custkey") * 15485863L % 17000L) / 100.0 - 85.0
+      val lon2 = (col("c_custkey") * 32452843L % 36000L) / 100.0 - 180.0
+      val p1 = radians(lat1); val p2 = radians(lat2)
+      val dphi = radians(lat2 - lat1); val dlmb = radians(lon2 - lon1)
+      val a = sin(dphi / 2) * sin(dphi / 2) +
+        cos(p1) * cos(p2) * sin(dlmb / 2) * sin(dlmb / 2)
+      val dist = asin(sqrt(a)) * (2 * 6371.0088)
+      val brg = atan2(sin(dlmb) * cos(p2),
+        cos(p1) * sin(p2) - sin(p1) * cos(p2) * cos(dlmb))
+      val bx = cos(p2) * cos(dlmb)
+      val by = cos(p2) * sin(dlmb)
+      val midLat = degrees(atan2(sin(p1) + sin(p2),
+        sqrt((cos(p1) + bx) * (cos(p1) + bx) + by * by)))
+      val midLon = degrees(radians(lon1) + atan2(by, cos(p1) + bx))
+      Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          round(lat1, 6).as("lat1"), round(lon1, 6).as("lon1"),
+          round(lat2, 6).as("lat2"), round(lon2, 6).as("lon2"),
+          round(dist, 6).as("dist_km"),
+          round(pmod(degrees(brg) + 360.0, lit(360.0)), 6).as("bearing_deg"),
+          round(midLat, 6).as("mid_lat"), round(midLon, 6).as("mid_lon"))
+        .orderBy("c_custkey")
+    },
+    Some("""
+      WITH pts AS (
+        SELECT c_custkey,
+          (c_custkey * 7919 % 17000) / 100.0 - 85.0 AS lat1,
+          (c_custkey * 104729 % 36000) / 100.0 - 180.0 AS lon1,
+          (c_custkey * 15485863 % 17000) / 100.0 - 85.0 AS lat2,
+          (c_custkey * 32452843 % 36000) / 100.0 - 180.0 AS lon2
+        FROM customer
+      ), tr AS (
+        SELECT *, radians(lat1) AS p1, radians(lat2) AS p2,
+          radians(lat2 - lat1) AS dphi, radians(lon2 - lon1) AS dlmb
+        FROM pts
+      ), geo AS (
+        SELECT *,
+          sin(dphi / 2) * sin(dphi / 2)
+            + cos(p1) * cos(p2) * sin(dlmb / 2) * sin(dlmb / 2) AS a,
+          cos(p2) * cos(dlmb) AS bx, cos(p2) * sin(dlmb) AS by
+        FROM tr
+      )
+      SELECT c_custkey,
+        ROUND(lat1, 6) AS lat1, ROUND(lon1, 6) AS lon1,
+        ROUND(lat2, 6) AS lat2, ROUND(lon2, 6) AS lon2,
+        ROUND(asin(sqrt(a)) * (2 * 6371.0088), 6) AS dist_km,
+        ROUND(fmod(degrees(atan2(sin(dlmb) * cos(p2),
+          cos(p1) * sin(p2) - sin(p1) * cos(p2) * cos(dlmb))) + 360.0,
+          360.0), 6) AS bearing_deg,
+        ROUND(degrees(atan2(sin(p1) + sin(p2),
+          sqrt((cos(p1) + bx) * (cos(p1) + bx) + by * by))), 6) AS mid_lat,
+        ROUND(degrees(radians(lon1) + atan2(by, cos(p1) + bx)), 6) AS mid_lon
+      FROM geo ORDER BY c_custkey
+    """.stripMargin.trim))
+
   /** Struct surface: build named structs (flat and nested), extract
     * fields at both depths, and compare structs memberwise — the typed
     * record semantics a Dataset[T] user relies on, exercised through
@@ -851,6 +925,6 @@ object Scalars {
   val ops: Seq[Op] = Seq(
     fnStringPack, fnDatePack, fnMathCase, fnArrayPack, fnHigherOrder,
     fnMapPack, fnJsonExtract, fnCastCoalesce, fnBitwisePack, fnRegexpPack,
-    fnTrigPack, fnStructPack, fnGeneratorOuter, fnHashPack, fnNestedAgg,
+    fnTrigPack, fnGeoPack, fnStructPack, fnGeneratorOuter, fnHashPack, fnNestedAgg,
     fnTryPack, fnCryptoRoundtrip, fnVariantPack, fnUrlPack, fnCollationPack)
 }
