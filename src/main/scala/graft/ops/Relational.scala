@@ -2462,6 +2462,78 @@ object Relational {
               ON p_retailprice >= lo AND p_retailprice < hi
             ORDER BY p_partkey, band"""))
 
+  /** GEO GRID JOIN — the 2-D spatial analog of `join_range_bucketed`:
+    * "all point pairs within 60 km" is a θ-join on a transcendental
+    * predicate (haversine), which no engine can hash — so the plane is
+    * CELLED at 1° (≥ the 60 km threshold at these latitudes: 111 km
+    * lat, ≥110 km lon under cos 6°), one side replicates to its 3×3
+    * neighbor cells, the join becomes EQUI on (cell_lat, cell_lon),
+    * and the exact haversine runs only on co-celled candidates. Cell
+    * coverage is provable here (threshold ≤ cell edge on both axes and
+    * the derived longitudes never wrap), so the grid result EQUALS the
+    * brute-force all-pairs join — and the ORACLE IS the brute-force
+    * SQL (the join_skew_salted treatment): the hash match is the
+    * completeness proof, not just a mechanism check. Each unordered
+    * pair survives exactly once (the plain side's cell is unique; the
+    * a<b filter picks one orientation). Coordinates are the
+    * fn_geo_pack key-derivation on a dense [0,6)×[0,10) patch.
+    *
+    * Scale shape: candidates = |points| × 9 replicas equi-joined and
+    * hash-partitioned by cell — the shuffle rides cell occupancy,
+    * never |points|²; this is exactly how a 100 TB geospatial join
+    * (ST_DWithin at warehouse scale) is planned. PlanSuite-audited:
+    * no BNLJ/Cartesian survives.
+    */
+  val joinGeoGrid: Op = Op(
+    "join_geo_grid",
+    (s, dir) => {
+      val pts = Tables.customer(s, dir)
+        .select(col("c_custkey").as("id"),
+          ((col("c_custkey") * 7919L % 600L) / 100.0).as("lat"),
+          ((col("c_custkey") * 104729L % 1000L) / 100.0).as("lon"))
+        .withColumn("clat", floor(col("lat")).cast(IntegerType))
+        .withColumn("clon", floor(col("lon")).cast(IntegerType))
+      val probes = pts.select(col("id").as("a_id"), col("lat").as("a_lat"),
+          col("lon").as("a_lon"), col("clat"), col("clon"))
+        .withColumn("d", explode(lit((-1 to 1).toArray)))
+        .withColumn("e", explode(lit((-1 to 1).toArray)))
+        .select(col("a_id"), col("a_lat"), col("a_lon"),
+          (col("clat") + col("d")).as("clat"), (col("clon") + col("e")).as("clon"))
+      val dist = asin(sqrt(
+        sin(radians(col("lat") - col("a_lat")) / 2) *
+          sin(radians(col("lat") - col("a_lat")) / 2) +
+          cos(radians(col("a_lat"))) * cos(radians(col("lat"))) *
+            sin(radians(col("lon") - col("a_lon")) / 2) *
+            sin(radians(col("lon") - col("a_lon")) / 2))) * (2 * 6371.0088)
+      probes.join(pts, Seq("clat", "clon"))
+        .filter(col("a_id") < col("id"))
+        .withColumn("dist_km", round(dist, 6))
+        .filter(col("dist_km") <= 60.0)
+        .select(col("a_id"), col("id").as("b_id"), col("dist_km"))
+        .orderBy("a_id", "b_id")
+    },
+    Some("""
+      WITH p AS (
+        SELECT c_custkey AS id,
+          (c_custkey * 7919 % 600) / 100.0 AS lat,
+          (c_custkey * 104729 % 1000) / 100.0 AS lon
+        FROM customer
+      )
+      SELECT a.id AS a_id, b.id AS b_id,
+        ROUND(asin(sqrt(
+          sin(radians(b.lat - a.lat) / 2) * sin(radians(b.lat - a.lat) / 2)
+          + cos(radians(a.lat)) * cos(radians(b.lat))
+            * sin(radians(b.lon - a.lon) / 2) * sin(radians(b.lon - a.lon) / 2)))
+          * (2 * 6371.0088), 6) AS dist_km
+      FROM p a JOIN p b ON a.id < b.id
+      WHERE ROUND(asin(sqrt(
+          sin(radians(b.lat - a.lat) / 2) * sin(radians(b.lat - a.lat) / 2)
+          + cos(radians(a.lat)) * cos(radians(b.lat))
+            * sin(radians(b.lon - a.lon) / 2) * sin(radians(b.lon - a.lon) / 2)))
+          * (2 * 6371.0088), 6) <= 60.0
+      ORDER BY a_id, b_id
+    """.stripMargin.trim))
+
   /** Equi + range composite: views within 10 minutes before each purchase
     * of the same user. The equi key keeps the shuffle bounded per user.
     */
@@ -5874,7 +5946,7 @@ object Relational {
     joinInnerEqui, joinBroadcast, joinSortMerge, joinLeftOuter, joinRightOuter,
     joinFullOuter,
     joinSemi, joinAnti, joinCross, joinThetaRange, joinRangeBucketed,
-    joinInterval, joinAsof,
+    joinGeoGrid, joinInterval, joinAsof,
     joinAsofForward, joinAsofNearest, joinAsofTolerance, basketBrandPairs,
     sqlRecursiveHierarchy,
     joinSkewSalted, mergeUpsert, mergeUpsertEvolve, mergeScd2, mergeBitemporal,
