@@ -4810,6 +4810,84 @@ object LlmOps {
       FROM j GROUP BY source, lang ORDER BY source, lang
     """).trim))
 
+  /** RETRIEVAL QUALITY EVALUATION — the metric row every embedding
+    * deployment reports before swapping an index in (and the missing
+    * third of the retrieval story next to the searchers and the
+    * mined-pairs op): per anchor, rank the corpus by exact cosine
+    * (round-6 sims, ties pinned by vec_id — a total order, so rank is
+    * portable), relevance = label agreement, then MRR's reciprocal
+    * rank of the first relevant hit, precision@10 and recall@10. The
+    * brute-force exact ranking is the REFERENCE the ANN recall gates
+    * (AnnRecallSuite) measure against — this op puts that reference's
+    * metrics on the graded scoreboard.
+    *
+    * Scale shape: anchors are a fixed |corpus|/50 probe panel
+    * broadcast against one corpus scan (the hard-negatives plan); the
+    * rank window keys per anchor. At 100 TB the same evaluation runs
+    * over an ANN shortlist instead of the full scan — the metrics
+    * pipeline is unchanged.
+    */
+  val llmRetrievalMrr: Op = Op(
+    "llm_retrieval_mrr",
+    (s, dir) => {
+      graft.functions.CosineSim.register(s)
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"), col("embedding").as("v"))
+      val anchors = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("a_id"), col("label").as("a_label"),
+          col("v").as("av"))
+      e.crossJoin(broadcast(anchors))
+        .filter(col("vec_id") =!= col("a_id"))
+        .select(col("a_id"), col("a_label"), col("vec_id").as("n_id"),
+          round(expr("graft_cosine(av, v)"), 6).as("sim"),
+          (col("label") === col("a_label")).cast(LongType).as("rel"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("a_id").orderBy(col("sim").desc, col("n_id"))))
+        .groupBy("a_id", "a_label")
+        .agg(sum("rel").as("n_relevant"),
+          min(when(col("rel") === 1, col("rnk"))).as("first_rel_rank"),
+          sum(when(col("rnk") <= 10, col("rel")).otherwise(0L)).as("rel10"))
+        .select(col("a_id"), col("a_label"), col("n_relevant"),
+          col("first_rel_rank").cast(LongType).as("first_rel_rank"),
+          round(lit(1.0) / col("first_rel_rank"), 6).as("rr"),
+          round(col("rel10").cast(DoubleType) / 10, 6).as("p_at_10"),
+          round(col("rel10").cast(DoubleType) / col("n_relevant"), 6)
+            .as("r_at_10"))
+        .orderBy("a_id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, label,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+      ), a AS (
+        SELECT vec_id AS a_id, label AS a_label, v AS av
+        FROM e WHERE vec_id % 50 = 0
+      ), sims AS (
+        SELECT a_id, a_label, vec_id AS n_id,
+          ROUND(list_sum(list_transform(list_zip(av, v), z -> z[1] * z[2]))
+            / (sqrt(list_sum(list_transform(av, x -> x * x)))
+               * sqrt(list_sum(list_transform(v, x -> x * x)))), 6) AS sim,
+          CASE WHEN label = a_label THEN 1 ELSE 0 END AS rel
+        FROM a, e WHERE vec_id != a_id
+      ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY a_id
+          ORDER BY sim DESC, n_id) AS rnk
+        FROM sims
+      ), agg AS (
+        SELECT a_id, a_label,
+          CAST(SUM(rel) AS BIGINT) AS n_relevant,
+          CAST(MIN(CASE WHEN rel = 1 THEN rnk END) AS BIGINT) AS first_rel_rank,
+          CAST(SUM(CASE WHEN rnk <= 10 THEN rel ELSE 0 END) AS BIGINT) AS rel10
+        FROM ranked GROUP BY a_id, a_label
+      )
+      SELECT a_id, a_label, n_relevant, first_rel_rank,
+        ROUND(1.0 / first_rel_rank, 6) AS rr,
+        ROUND(CAST(rel10 AS DOUBLE) / 10, 6) AS p_at_10,
+        ROUND(CAST(rel10 AS DOUBLE) / n_relevant, 6) AS r_at_10
+      FROM agg ORDER BY a_id
+    """.stripMargin.trim))
+
   val llmHardNegatives: Op = Op(
     "llm_hard_negatives",
     (s, dir) => {
@@ -5081,7 +5159,8 @@ object LlmOps {
     """.stripMargin.trim))
 
   val ops: Seq[Op] = Seq(
-    llmHardNegatives, llmDatasetCard, llmBm25Retrieval, llmEmbeddingDrift,
+    llmHardNegatives, llmRetrievalMrr, llmDatasetCard, llmBm25Retrieval,
+    llmEmbeddingDrift,
     llmVocabMerges, llmVocabApply, llmVocabUnigram, llmVocabUnigramEncode,
     llmTokenizerCompare,
     llmSpanCorruption, llmPackSequences, llmRepetitionFilter, llmDocChunk,

@@ -532,6 +532,9 @@ class PlanSuite extends AnyFunSuite {
       // baseline shape: big side scans once, never shuffles) and the
       // 1-row broadcast corpus-total crossJoin (in-plan-N pattern)
       "llm_hard_negatives", "llm_dataset_card",
+      // same fixed-anchor-panel broadcast crossJoin as llm_hard_negatives
+      // (|corpus|/50 probes; the corpus side never replicates)
+      "llm_retrieval_mrr",
       "llm_text_tfidf", "llm_simsearch_ivf", "llm_ivf_fit", "llm_dedup_embed",
       // same 1-row broadcast centroid-array crossJoin as the IVF pair
       // above; the pair join itself keys on cell (bucket-local)
