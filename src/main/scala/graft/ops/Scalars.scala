@@ -412,6 +412,72 @@ object Scalars {
     * the distance column this op builds is what a geo range join
     * (join_theta_range's shape) or a geohash bucketing would consume.
     */
+  /** NETWORK-ADDRESS scalar pack — the IP parsing/classification
+    * primitives every access-log pipeline runs (dotted-quad render,
+    * /24 network + broadcast, RFC-1918 private classification, CIDR
+    * membership), implemented as PURE integer div/mod arithmetic so
+    * no inet extension is needed on either engine and every output is
+    * exactly portable (no float anywhere). Addresses derive from the
+    * key via a Knuth-hash mod 2³² — deterministic, full-range.
+    *
+    * Scale shape: row-local codegen'd projection, zero shuffle; the
+    * /24 string this op builds is the natural bucketing key for a
+    * log sessionization or a scan-abuse group-by at 100 TB.
+    */
+  val fnIpPack: Op = Op(
+    "fn_ip_pack",
+    (s, dir) => {
+      // `div` (not `/`): Spark's Divide on longs yields DOUBLE; the
+      // octet math must stay in exact integer arithmetic end-to-end
+      val b1 = expr("ip_int div 16777216 % 256")
+      val b2 = expr("ip_int div 65536 % 256")
+      val b3 = expr("ip_int div 256 % 256")
+      val b4 = expr("ip_int % 256")
+      def dotted(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+          c: org.apache.spark.sql.Column,
+          d: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        concat_ws(".", a.cast(StringType), b.cast(StringType),
+          c.cast(StringType), d.cast(StringType))
+      Tables.customer(s, dir)
+        .withColumn("ip_int", expr("c_custkey * 2654435761 % 4294967296"))
+        .select(col("c_custkey"), col("ip_int"),
+          dotted(b1, b2, b3, b4).as("ip"),
+          dotted(b1, b2, b3, lit(0)).as("net24"),
+          dotted(b1, b2, b3, lit(255)).as("bcast24"),
+          concat(b1.cast(StringType), lit("."), b2.cast(StringType),
+            lit(".0.0/16")).as("cidr16"),
+          when(b1 === 10 ||
+            (b1 === 172 && b2 >= 16 && b2 <= 31) ||
+            (b1 === 192 && b2 === 168), 1).otherwise(0).as("is_private"),
+          when(expr("ip_int div 65536") === 192L * 256 + 168, 1)
+            .otherwise(0).as("in_192_168_16"))
+        .orderBy("c_custkey")
+    },
+    Some("""
+      WITH ips AS (
+        SELECT c_custkey,
+          c_custkey * 2654435761 % 4294967296 AS ip_int
+        FROM customer
+      ), oct AS (
+        SELECT c_custkey, ip_int,
+          ip_int // 16777216 % 256 AS b1,
+          ip_int // 65536 % 256 AS b2,
+          ip_int // 256 % 256 AS b3,
+          ip_int % 256 AS b4
+        FROM ips
+      )
+      SELECT c_custkey, ip_int,
+        b1 || '.' || b2 || '.' || b3 || '.' || b4 AS ip,
+        b1 || '.' || b2 || '.' || b3 || '.0' AS net24,
+        b1 || '.' || b2 || '.' || b3 || '.255' AS bcast24,
+        b1 || '.' || b2 || '.0.0/16' AS cidr16,
+        CASE WHEN b1 = 10 OR (b1 = 172 AND b2 BETWEEN 16 AND 31)
+             OR (b1 = 192 AND b2 = 168) THEN 1 ELSE 0 END AS is_private,
+        CASE WHEN ip_int // 65536 = 192 * 256 + 168 THEN 1 ELSE 0 END
+          AS in_192_168_16
+      FROM oct ORDER BY c_custkey
+    """.stripMargin.trim))
+
   val fnGeoPack: Op = Op(
     "fn_geo_pack",
     (s, dir) => {
@@ -925,6 +991,6 @@ object Scalars {
   val ops: Seq[Op] = Seq(
     fnStringPack, fnDatePack, fnMathCase, fnArrayPack, fnHigherOrder,
     fnMapPack, fnJsonExtract, fnCastCoalesce, fnBitwisePack, fnRegexpPack,
-    fnTrigPack, fnGeoPack, fnStructPack, fnGeneratorOuter, fnHashPack, fnNestedAgg,
+    fnTrigPack, fnGeoPack, fnIpPack, fnStructPack, fnGeneratorOuter, fnHashPack, fnNestedAgg,
     fnTryPack, fnCryptoRoundtrip, fnVariantPack, fnUrlPack, fnCollationPack)
 }
