@@ -1285,6 +1285,86 @@ object EventTime {
       FROM f ORDER BY event_type, hour
     """.stripMargin.trim))
 
+  /** LINEAR INTERPOLATION gap fill — the numeric sibling of
+    * `timeseries_gapfill`'s LOCF: a sparse daily revenue series
+    * (high-value purchases, value > 200 — 21 of 30 days observed at
+    * the gate SF) is densified over its calendar spine and every
+    * missing day gets the straight-line value between its bracketing
+    * observations — the fill a metrics store (M3/Prometheus-style
+    * `interpolate()`, pandas `interpolate`) applies before comparing
+    * series. Brackets come from the two-directional IGNORE NULLS
+    * window pair (the win_locf machinery run both ways); the fraction
+    * (day − prev_day)/(next_day − prev_day) is exact integer-day
+    * arithmetic, the observed values exact decimal sums cast to
+    * double once — deterministic on both engines. Spine endpoints are
+    * observed by construction (min/max of the filtered set), so no
+    * edge extrapolation case exists.
+    *
+    * Scale shape: one filtered hash agg, a broadcast 1-row bounds
+    * spine, two windows over calendar-bounded rows — the gapfill
+    * family's shape exactly.
+    */
+  val timeseriesInterpolate: Op = Op(
+    "timeseries_interpolate",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase" && col("value") > 200)
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(sum(dec2(col("value"))).cast(DoubleType).as("v"))
+      val bounds = daily.agg(min("d").as("dmin"), max("d").as("dmax"))
+      val spine = bounds.select(
+        explode(sequence(col("dmin"), col("dmax"), expr("interval 1 day"))).as("d"))
+      val w = Window.orderBy("d")
+      val prevW = w.rowsBetween(Window.unboundedPreceding, -1)
+      val nextW = w.rowsBetween(1, Window.unboundedFollowing)
+      val j = spine.join(daily, Seq("d"), "left")
+        .withColumn("prev_v", last(col("v"), ignoreNulls = true).over(prevW))
+        .withColumn("prev_d",
+          last(when(col("v").isNotNull, col("d")), ignoreNulls = true).over(prevW))
+        .withColumn("next_v", first(col("v"), ignoreNulls = true).over(nextW))
+        .withColumn("next_d",
+          first(when(col("v").isNotNull, col("d")), ignoreNulls = true).over(nextW))
+      val frac = datediff(col("d"), col("prev_d")).cast(DoubleType) /
+        datediff(col("next_d"), col("prev_d"))
+      j.select(
+          date_format(col("d"), "yyyy-MM-dd").as("day"),
+          col("v").isNotNull.cast(IntegerType).as("observed"),
+          round(coalesce(col("v"),
+            col("prev_v") + (col("next_v") - col("prev_v")) * frac), 6)
+            .as("value"))
+        .orderBy("day")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT date_trunc('day', ts) AS d,
+          CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+        FROM events WHERE event_type = 'purchase' AND value > 200
+        GROUP BY 1
+      ), b AS (
+        SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM daily
+      ), spine AS (
+        SELECT unnest(generate_series(dmin, dmax, INTERVAL 1 DAY)) AS d FROM b
+      ), j AS (
+        SELECT s.d, daily.v,
+          LAST_VALUE(daily.v IGNORE NULLS) OVER
+            (ORDER BY s.d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_v,
+          LAST_VALUE(CASE WHEN daily.v IS NOT NULL THEN s.d END IGNORE NULLS) OVER
+            (ORDER BY s.d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_d,
+          FIRST_VALUE(daily.v IGNORE NULLS) OVER
+            (ORDER BY s.d ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_v,
+          FIRST_VALUE(CASE WHEN daily.v IS NOT NULL THEN s.d END IGNORE NULLS) OVER
+            (ORDER BY s.d ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_d
+        FROM spine s LEFT JOIN daily ON daily.d = s.d
+      )
+      SELECT strftime(d, '%Y-%m-%d') AS day,
+        CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS observed,
+        ROUND(COALESCE(v, prev_v + (next_v - prev_v) *
+          (CAST(date_diff('day', CAST(prev_d AS DATE), CAST(d AS DATE)) AS DOUBLE)
+           / date_diff('day', CAST(prev_d AS DATE), CAST(next_d AS DATE)))), 6)
+          AS value
+      FROM j ORDER BY day
+    """.stripMargin.trim))
+
   /** Last-touch attribution — the marketing-analytics query every event
     * warehouse runs: each purchase is attributed to the user's most
     * recent PRECEDING non-purchase touch within a 7-day lookback, and
@@ -3865,7 +3945,8 @@ WITH hourly AS (
     streamReplayCdcUpsert, streamReplaySinkCommit, streamReplayTransformState,
     eventsPointintimeFeatures,
     eventsCohortRetention, eventsHistogram, eventsSeasonality,
-    eventsSessionize, eventsFunnel, timeseriesGapfill, eventsAttribution,
+    eventsSessionize, eventsFunnel, timeseriesGapfill, timeseriesInterpolate,
+    eventsAttribution,
     eventsAttributionUshape,
     eventsTransitions, eventsAnomalyZscore, eventsRollingDistinct,
     eventsTrendSlope, eventsAbTtest, eventsAbCuped, eventsDid, eventsPathTopk,
