@@ -1982,6 +1982,92 @@ object EventTime {
       FROM a CROSS JOIN th ORDER BY a.arm
     """.stripMargin.trim))
 
+  /** RATIO-METRIC CONFIDENCE INTERVAL by the delta method — the
+    * statistic every experimentation platform actually reports for
+    * "revenue per purchase"-class metrics: a ratio of totals R =
+    * Σy/Σn is NOT a mean of per-user ratios, so its standard error
+    * needs the delta expansion se² = (S_yy − 2R·S_yn + R²·S_nn) /
+    * (U·n̄²) over user-level (y, n) pairs — the numerator and
+    * denominator are correlated and the covariance term is the whole
+    * point. Arms via the shared md5 split (the ab_ttest machinery);
+    * balanced units (zero-purchase users carry (0,0)); every moment
+    * from EXACT sums (decimal y, integer n) cast to double once, so
+    * the interval is bit-deterministic.
+    *
+    * Scale shape: one co-keyed user aggregate then a 2-row arm
+    * aggregate — the ab_ttest lineage, no join anywhere.
+    */
+  val eventsRatioCi: Op = Op(
+    "events_ratio_ci",
+    (s, dir) => {
+      val u = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(
+          coalesce(sum(when(col("event_type") === "purchase",
+            dec2(col("value")))), lit(0)).cast(DecimalType(18, 2)).as("y"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n"))
+        .withColumn("arm", when(expr(
+          """cast(conv(substring(md5(concat('ab:', cast(user_id as string))), 1, 15), 16, 10)
+             as bigint) % 2 = 0"""), lit("A")).otherwise(lit("B")))
+      val uD = col("n_users").cast(DoubleType)
+      val syD = col("sy").cast(DoubleType)
+      val snD = col("sn").cast(DoubleType)
+      val r = syD / snD
+      val mnn = snD / uD
+      val syy = (col("syy").cast(DoubleType) - syD * syD / uD) / (uD - 1)
+      val snn = (col("snn").cast(DoubleType) - snD * snD / uD) / (uD - 1)
+      val syn = (col("syn").cast(DoubleType) - syD * snD / uD) / (uD - 1)
+      val se = sqrt((syy - r * syn * 2 + r * r * snn) / uD) / mnn
+      u.groupBy("arm")
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("y")).as("sy"), sum(col("n")).as("sn"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("n") * col("n")).as("snn"),
+          sum(col("y") * col("n")).as("syn"))
+        .select(col("arm"), col("n_users"),
+          round(r, 6).as("ratio"),
+          round(se, 6).as("se"),
+          round(r - se * 1.96, 6).as("ci_lo"),
+          round(r + se * 1.96, 6).as("ci_hi"))
+        .orderBy("arm")
+    },
+    Some("""
+      WITH u AS (
+        SELECT user_id,
+          CASE WHEN CAST('0x' || substr(md5('ab:' || user_id), 1, 15) AS BIGINT) % 2 = 0
+            THEN 'A' ELSE 'B' END AS arm,
+          CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+            THEN CAST(value AS DECIMAL(12,2)) END), 0) AS DECIMAL(18,2)) AS y,
+          CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+            THEN 1 END), 0) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+      ), a AS (
+        SELECT arm, COUNT(*) AS n_users,
+          SUM(y) AS sy, SUM(n) AS sn,
+          SUM(y*y) AS syy, SUM(n*n) AS snn, SUM(y*n) AS syn
+        FROM u GROUP BY arm
+      ), m AS (
+        SELECT arm, n_users,
+          CAST(sy AS DOUBLE) / CAST(sn AS DOUBLE) AS r,
+          CAST(sn AS DOUBLE) / n_users AS mnn,
+          (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)/n_users)
+            / (n_users - 1) AS vyy,
+          (CAST(snn AS DOUBLE) - CAST(sn AS DOUBLE)*CAST(sn AS DOUBLE)/n_users)
+            / (n_users - 1) AS vnn,
+          (CAST(syn AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sn AS DOUBLE)/n_users)
+            / (n_users - 1) AS vyn
+        FROM a
+      )
+      SELECT arm, n_users,
+        ROUND(r, 6) AS ratio,
+        ROUND(sqrt((vyy - r * vyn * 2 + r * r * vnn) / n_users) / mnn, 6) AS se,
+        ROUND(r - sqrt((vyy - r * vyn * 2 + r * r * vnn) / n_users) / mnn * 1.96, 6)
+          AS ci_lo,
+        ROUND(r + sqrt((vyy - r * vyn * 2 + r * r * vnn) / n_users) / mnn * 1.96, 6)
+          AS ci_hi
+      FROM m ORDER BY arm
+    """.stripMargin.trim))
+
   /** DIFFERENCE-IN-DIFFERENCES — the observational causal estimator
     * next to the randomized pair (events_ab_ttest / events_ab_cuped):
     * when assignment is an existing attribute rather than a coin flip,
@@ -3949,7 +4035,8 @@ WITH hourly AS (
     eventsAttribution,
     eventsAttributionUshape,
     eventsTransitions, eventsAnomalyZscore, eventsRollingDistinct,
-    eventsTrendSlope, eventsAbTtest, eventsAbCuped, eventsDid, eventsPathTopk,
+    eventsTrendSlope, eventsAbTtest, eventsAbCuped, eventsRatioCi, eventsDid,
+    eventsPathTopk,
     eventsMatchRecognize, streamReplayPatternAlert,
     streamReplayPatternAlertScale,
     eventsAnomalyMad, eventsAlertEpisodes, eventsGrowthAccounting,
