@@ -2495,6 +2495,107 @@ WITH hourly AS (
       GROUP BY event_type ORDER BY event_type
     """.stripMargin.trim))
 
+  /** HOLT LINEAR-TREND forecast (double exponential smoothing) — the
+    * next rung above `events_forecast_naive` on the forecasting
+    * ladder: per event type, the coupled recursions l_t = α·x_t +
+    * (1−α)(l_{t−1}+b_{t−1}), b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}
+    * (α=0.5, β=0.3, l₁=x₁, b₁=0) over the DENSE daily grid, reporting
+    * the fitted level/trend, the h=1..3 forecasts, and the one-step
+    * MAE that says whether the trend term earned its keep vs naive.
+    * The recursion is inherently sequential and non-associative, so
+    * it runs as the house SORTED-FOLD: day-sorted list → one
+    * `aggregate()` lambda whose expression tree is mirrored
+    * token-for-token in DuckDB's `list_reduce` (seeded by the first
+    * element ≡ Spark's CASE n=0 init — the fold sequences are
+    * IDENTICAL, so every double is bit-equal; the markov/entropy
+    * precedent).
+    *
+    * Scale shape: the fold is per-GROUP over a calendar-bounded list
+    * (30 doubles), not per-corpus — one daily hash agg feeds |types|
+    * independent folds; at any event volume the sequential part stays
+    * |days| long.
+    */
+  val eventsForecastHolt: Op = Op(
+    "events_forecast_holt",
+    (s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+      val bounds = hourly.agg(min("d").as("dmin"), max("d").as("dmax"))
+      val days = bounds.select(
+        explode(sequence(col("dmin"), col("dmax"), expr("interval 1 day"))).as("d"))
+      val types = hourly.select(col("event_type")).distinct()
+      val dense = days.crossJoin(broadcast(types))
+        .join(hourly, Seq("d", "event_type"), "left")
+        .withColumn("x", coalesce(col("n"), lit(0L)).cast(DoubleType))
+      dense.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          collect_list(struct(col("d"), col("x"))).as("pts"))
+        .withColumn("f", expr(
+          """aggregate(
+               transform(array_sort(pts), p -> p.x),
+               named_struct('l', cast(0.0 as double), 'b', cast(0.0 as double),
+                 'n', cast(0.0 as double), 'sae', cast(0.0 as double)),
+               (acc, x) -> CASE WHEN acc.n = 0.0D
+                 THEN named_struct('l', x, 'b', cast(0.0 as double),
+                   'n', cast(1.0 as double), 'sae', cast(0.0 as double))
+                 ELSE named_struct(
+                   'l', 0.5D*x + 0.5D*(acc.l + acc.b),
+                   'b', 0.3D*((0.5D*x + 0.5D*(acc.l + acc.b)) - acc.l) + 0.7D*acc.b,
+                   'n', acc.n + 1.0D,
+                   'sae', acc.sae + abs(x - (acc.l + acc.b))) END)"""))
+        .select(col("event_type"), col("n_days"),
+          round(col("f.l"), 6).as("level"),
+          round(col("f.b"), 6).as("trend"),
+          round(col("f.l") + col("f.b"), 6).as("forecast_1"),
+          round(col("f.l") + col("f.b") * 3, 6).as("forecast_3"),
+          round(col("f.sae") / (col("f.n") - 1), 6).as("one_step_mae"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH RECURSIVE hourly AS (
+        SELECT event_type, date_trunc('day', ts) AS d, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+      ), b AS (SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM hourly
+      ), days AS (
+        SELECT unnest(generate_series(dmin, dmax, INTERVAL 1 DAY)) AS d FROM b
+      ), spine AS (
+        SELECT d, event_type
+        FROM days CROSS JOIN (SELECT DISTINCT event_type FROM hourly)
+      ), dense AS (
+        SELECT s.d, s.event_type, CAST(COALESCE(hourly.n, 0) AS DOUBLE) AS x
+        FROM spine s LEFT JOIN hourly
+          ON hourly.d = s.d AND hourly.event_type = s.event_type
+      ), dense_rn AS (
+        SELECT event_type, x,
+          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+          COUNT(*) OVER (PARTITION BY event_type) AS n_days
+        FROM dense
+      ), fold AS (
+        -- sequential Holt recursion as a recursive CTE, one row per
+        -- (type, step): the same op sequence as Spark's aggregate()
+        -- lambda, so every double is bit-equal. (list_reduce was
+        -- rejected: DuckDB 1.0 mutates multi-field struct accumulators
+        -- field-by-field and inconsistently across steps.)
+        SELECT event_type, rn, n_days, x AS l,
+          CAST(0 AS DOUBLE) AS b, CAST(0 AS DOUBLE) AS sae
+        FROM dense_rn WHERE rn = 1
+        UNION ALL
+        SELECT d.event_type, d.rn, d.n_days,
+          0.5*d.x + 0.5*(f.l + f.b),
+          0.3*((0.5*d.x + 0.5*(f.l + f.b)) - f.l) + 0.7*f.b,
+          f.sae + abs(d.x - (f.l + f.b))
+        FROM fold f JOIN dense_rn d
+          ON d.event_type = f.event_type AND d.rn = f.rn + 1
+      )
+      SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+        ROUND(l, 6) AS level, ROUND(b, 6) AS trend,
+        ROUND(l + b, 6) AS forecast_1,
+        ROUND(l + b * 3, 6) AS forecast_3,
+        ROUND(sae / (rn - 1), 6) AS one_step_mae
+      FROM fold WHERE rn = n_days ORDER BY event_type
+    """.stripMargin.trim))
+
   /** Rolling distinct users — DAU / trailing-7-day WAU / stickiness
     * (dau÷wau), the engagement query every product-analytics stack
     * runs daily. Trailing-window COUNT DISTINCT has no window-function
@@ -4041,7 +4142,7 @@ WITH hourly AS (
     streamReplayPatternAlertScale,
     eventsAnomalyMad, eventsAlertEpisodes, eventsGrowthAccounting,
     eventsConcurrencyPeak, eventsInterarrivalStats,
-    eventsEwma, eventsTypeOverlap, eventsForecastNaive,
+    eventsEwma, eventsTypeOverlap, eventsForecastNaive, eventsForecastHolt,
     eventsChisqIndependence, eventsCusum, eventsChangepoint, eventsMannWhitney,
     eventsPowerAnalysis, eventsUserStreaks, eventsOutlierIqr,
     eventsMarkovStationary, eventsBotScore, eventsBotScoreScale,
