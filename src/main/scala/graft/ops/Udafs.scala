@@ -130,5 +130,49 @@ object Udafs {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """.stripMargin.trim))
 
-  val ops: Seq[Op] = Seq(udafWeightedAvg)
+  /** The UDTF surface, GRADED — the custom `ChunkSplit` Generator
+    * (functions/ChunkSplit.scala) invoked through SQL exactly as a user
+    * would call a table function (`graft_chunk_split(tk, 32, 32)` in a
+    * generator position; the analyzer wraps it in a `Generate` node
+    * like explode, so generator column pruning applies). Previously the
+    * generator was proven only in UnitSuite/ExtensionsSuite row-equality
+    * tests; this puts the Generate path itself on the driver's
+    * scoreboard with a closed-form chunking oracle. Non-overlapping
+    * 32/32 geometry (vs llm_doc_chunk's composed 64/48 pipeline) so the
+    * two graded outputs are distinct.
+    *
+    * Scale shape: a generator is a row-local flatMap — no shuffle, no
+    * dimension; chunk rows share the one per-row token array readout
+    * (O(n) copies vs the composed form's O(n·size/stride)).
+    */
+  val udtfChunkLateral: Op = Op(
+    "udtf_chunk_lateral",
+    (s, dir) => {
+      graft.functions.ChunkSplit.register(s)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= 1)
+        .selectExpr("doc_id", "graft_chunk_split(tk, 32, 32) AS (chunk_id, chunk)")
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("chunk")).cast(org.apache.spark.sql.types.LongType)
+            .as("n_chunk_toks"),
+          md5(concat_ws(" ", col("chunk"))).as("chunk_fp"))
+        .orderBy("doc_id", "chunk_id")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        WHERE len(string_split(text, ' ')) >= 1
+      ), starts AS (
+        SELECT doc_id, tk, unnest(generate_series(1, len(tk), 32)) AS st
+        FROM d
+      )
+      SELECT doc_id,
+        CAST((st - 1) // 32 AS BIGINT) AS chunk_id,
+        CAST(len(tk[st:st+31]) AS BIGINT) AS n_chunk_toks,
+        md5(array_to_string(tk[st:st+31], ' ')) AS chunk_fp
+      FROM starts ORDER BY doc_id, chunk_id
+    """.stripMargin.trim))
+
+  val ops: Seq[Op] = Seq(udafWeightedAvg, udtfChunkLateral)
 }
