@@ -104,6 +104,57 @@ object SimHashAgg extends Aggregator[Long, SimHashBuf, Long] {
   override def outputEncoder: Encoder[Long] = Encoders.scalaLong
 }
 
+/** Welford/Chan streaming-moments buffer: (count, running mean, M2). */
+final case class WelfordBuf(n: Long, mean: Double, m2: Double)
+
+/** Numerically-stable streaming variance — Welford's update per row and
+  * CHAN'S PARALLEL MERGE across partition buffers: the canonical
+  * distributed-statistics algorithm (what every production metrics
+  * aggregator ships instead of the catastrophically-cancelling
+  * Σx²−(Σx)²/n on raw floats). The merge
+  *   δ = μ_B − μ_A;  μ = μ_A + δ·n_B/n;  M2 = M2_A + M2_B + δ²·n_A·n_B/n
+  * is what makes the one-pass form SHUFFLABLE — the op's point is that
+  * this buffer merges associatively enough for a 1000-way combine.
+  * Float drift across merge orders is ~1e-12 relative; outputs are
+  * rounded (mean 6 dp, var/std 4 dp) so partition order can never
+  * surface — the decayed-ltv rounding treatment, and why the oracle may
+  * use DuckDB's exact-decimal closed form: both paths agree to far
+  * below the emitted precision.
+  */
+object WelfordAgg extends Aggregator[Double, WelfordBuf, (Long, Double, Double, Double)] {
+  override def zero: WelfordBuf = WelfordBuf(0L, 0.0, 0.0)
+
+  override def reduce(b: WelfordBuf, x: Double): WelfordBuf = {
+    val n = b.n + 1
+    val d = x - b.mean
+    val mean = b.mean + d / n
+    WelfordBuf(n, mean, b.m2 + d * (x - mean))
+  }
+
+  override def merge(a: WelfordBuf, b: WelfordBuf): WelfordBuf = {
+    if (a.n == 0) b
+    else if (b.n == 0) a
+    else {
+      val n = a.n + b.n
+      val d = b.mean - a.mean
+      WelfordBuf(n, a.mean + d * b.n / n,
+        a.m2 + b.m2 + d * d * a.n * b.n / n)
+    }
+  }
+
+  override def finish(b: WelfordBuf): (Long, Double, Double, Double) =
+    if (b.n < 2) (b.n, b.mean, 0.0, 0.0)
+    else {
+      val v = b.m2 / (b.n - 1)
+      (b.n, b.mean, v, math.sqrt(v))
+    }
+
+  override def bufferEncoder: Encoder[WelfordBuf] = Encoders.product[WelfordBuf]
+  override def outputEncoder: Encoder[(Long, Double, Double, Double)] =
+    Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble,
+      Encoders.scalaDouble, Encoders.scalaDouble)
+}
+
 object Udafs {
 
   /** Quantity-weighted average extended price per return flag — the UDAF
@@ -174,5 +225,45 @@ object Udafs {
       FROM starts ORDER BY doc_id, chunk_id
     """.stripMargin.trim))
 
-  val ops: Seq[Op] = Seq(udafWeightedAvg, udtfChunkLateral)
+  /** Per-returnflag price moments through the Welford UDAF — runs as a
+    * standard two-phase hash aggregate whose SHUFFLE carries the
+    * (n, mean, M2) buffer and whose combine is Chan's merge. ORACLE:
+    * DuckDB's exact-decimal closed form — the hash match (at the
+    * rounded precisions) is the numerical-equivalence statement the
+    * algorithm is famous for.
+    */
+  val udafWelfordStats: Op = Op(
+    "udaf_welford_stats",
+    (s, dir) => {
+      val wf = udaf(WelfordAgg)
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(wf(col("l_extendedprice")).as("w"))
+        .select(col("l_returnflag"),
+          col("w._1").as("n"),
+          round(col("w._2"), 6).as("mean_price"),
+          round(col("w._3"), 4).as("var_price"),
+          round(col("w._4"), 4).as("std_price"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag, COUNT(*) AS n,
+        ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+          / COUNT(*), 6) AS mean_price,
+        ROUND((CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+            - CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+              * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+              / COUNT(*))
+          / (COUNT(*) - 1), 4) AS var_price,
+        ROUND(sqrt((CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+            - CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+              * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+              / COUNT(*))
+          / (COUNT(*) - 1)), 4) AS std_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """.stripMargin.trim))
+
+  val ops: Seq[Op] = Seq(udafWeightedAvg, udtfChunkLateral, udafWelfordStats)
 }
