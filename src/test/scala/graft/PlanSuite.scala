@@ -571,6 +571,9 @@ class PlanSuite extends AnyFunSuite {
       "q15_top_supplier", "q22_global_sales",
       // calendar-spine × 5-type broadcast, the same gapfill pattern
       "events_forecast_naive",
+      // calendar-spine × 5-type broadcast (the forecast_naive dense
+      // grid feeding the Holt fold)
+      "events_forecast_holt",
       // broadcast 1-row corpus-max-date (the tfidf in-plan-N pattern);
       // the scale twin inherits the same 1-row crossJoin, but its three
       // ntile sorts are distributed (WindowScaleSuite pins bit-equality)
