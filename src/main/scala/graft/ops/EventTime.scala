@@ -2349,7 +2349,11 @@ object EventTime {
     * watermark passes its end, at which point it is emitted and its
     * state evicted (StreamingSuite pins mid-stream emission + post-
     * eviction drop behaviorally); (3) APPEND FINALIZATION — exactly
-    * the sessions with last_ts + gap ≤ max(ts) − 30 min appear. The
+    * the sessions with last_ts + gap ≤ max(ts) − 30 min appear; the
+    * INCLUSIVE bound at exact equality (session end == final
+    * watermark → emitted) is pinned empirically by StreamingSuite's
+    * "EQUALS the final watermark" test, so a microsecond coincidence
+    * at any SF cannot fork the hash. The
     * pattern automata (leftmost non-overlapping `v[^p]*p` funnels,
     * `ee+` error bursts) run per emitted session over the SORTED-FOLD
     * readout, so per-session match counts are partition- and

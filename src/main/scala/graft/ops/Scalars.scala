@@ -496,7 +496,13 @@ object Scalars {
       val by = cos(p2) * sin(dlmb)
       val midLat = degrees(atan2(sin(p1) + sin(p2),
         sqrt((cos(p1) + bx) * (cos(p1) + bx) + by * by)))
-      val midLon = degrees(radians(lon1) + atan2(by, cos(p1) + bx))
+      // Raw midpoint longitude is lon1 + atan2(...) with range
+      // (-360, 360); normalize into [-180, 180) like the bearing so
+      // downstream geo-grid/bucketing consumers never see a wrapped
+      // coordinate. pmod keeps the intermediate in [0, 360).
+      val midLon =
+        pmod(degrees(radians(lon1) + atan2(by, cos(p1) + bx)) + 180.0,
+          lit(360.0)) - 180.0
       Tables.customer(s, dir)
         .select(col("c_custkey"),
           round(lat1, 6).as("lat1"), round(lon1, 6).as("lon1"),
@@ -524,6 +530,13 @@ object Scalars {
             + cos(p1) * cos(p2) * sin(dlmb / 2) * sin(dlmb / 2) AS a,
           cos(p2) * cos(dlmb) AS bx, cos(p2) * sin(dlmb) AS by
         FROM tr
+      ), mid AS (
+        -- fmod + conditional +360 mirrors Spark's pmod branch-for-
+        -- branch (pmod only adds n on the negative branch), so the
+        -- normalized doubles agree bit-for-bit before ROUND.
+        SELECT *, fmod(degrees(radians(lon1) + atan2(by, cos(p1) + bx))
+          + 180.0, 360.0) AS mlon_f
+        FROM geo
       )
       SELECT c_custkey,
         ROUND(lat1, 6) AS lat1, ROUND(lon1, 6) AS lon1,
@@ -534,8 +547,9 @@ object Scalars {
           360.0), 6) AS bearing_deg,
         ROUND(degrees(atan2(sin(p1) + sin(p2),
           sqrt((cos(p1) + bx) * (cos(p1) + bx) + by * by))), 6) AS mid_lat,
-        ROUND(degrees(radians(lon1) + atan2(by, cos(p1) + bx)), 6) AS mid_lon
-      FROM geo ORDER BY c_custkey
+        ROUND((CASE WHEN mlon_f < 0 THEN mlon_f + 360.0 ELSE mlon_f END)
+          - 180.0, 6) AS mid_lon
+      FROM mid ORDER BY c_custkey
     """.stripMargin.trim))
 
   /** Struct surface: build named structs (flat and nested), extract

@@ -230,7 +230,14 @@ object Udafs {
     * (n, mean, M2) buffer and whose combine is Chan's merge. ORACLE:
     * DuckDB's exact-decimal closed form — the hash match (at the
     * rounded precisions) is the numerical-equivalence statement the
-    * algorithm is famous for.
+    * algorithm is famous for. Variance is emitted SCALED to millions
+    * (`var_price_m = var / 1e6`) so the rounding margin scales with
+    * the statistic's magnitude: l_extendedprice variance is ~5e8, so
+    * `round(var, 4)` would demand ~1e-13 RELATIVE agreement between
+    * the float Welford fold and DuckDB's decimal closed form —
+    * tighter than the fold's own ~1e-12 drift bound. At
+    * `round(var/1e6, 4)` the requirement is ~1e-7 relative (1e5×
+    * headroom), invariant under group growth or merge-order shifts.
     */
   val udafWelfordStats: Op = Op(
     "udaf_welford_stats",
@@ -242,8 +249,8 @@ object Udafs {
         .select(col("l_returnflag"),
           col("w._1").as("n"),
           round(col("w._2"), 6).as("mean_price"),
-          round(col("w._3"), 4).as("var_price"),
-          round(col("w._4"), 4).as("std_price"))
+          round(col("w._3") / 1e6, 4).as("var_price_m"),
+          round(col("w._4"), 2).as("std_price"))
         .orderBy("l_returnflag")
     },
     Some("""
@@ -255,13 +262,13 @@ object Udafs {
             - CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
               * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
               / COUNT(*))
-          / (COUNT(*) - 1), 4) AS var_price,
+          / (COUNT(*) - 1) / 1e6, 4) AS var_price_m,
         ROUND(sqrt((CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
                 * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
             - CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
               * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
               / COUNT(*))
-          / (COUNT(*) - 1)), 4) AS std_price
+          / (COUNT(*) - 1)), 2) AS std_price
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """.stripMargin.trim))
 

@@ -361,6 +361,41 @@ class StreamingSuite extends AnyFunSuite {
       s"late row resurrected an evicted session (or the open 03:00 session leaked): $fin")
   }
 
+  /** Pins the APPEND-FINALIZATION boundary at EXACT equality
+    * (watermark == session end) that the `stream_replay_pattern_alert_
+    * scale` / `stream_replay_session_watermarked` oracles encode as
+    * `mx_ts + gap <= max(ts) - delay` (INCLUSIVE): a single-event
+    * session ending at exactly the watermark the advancing event
+    * produces must EMIT in the same processAllAvailable. If Spark's
+    * eviction predicate were strict (`end < wm`) this test fails and
+    * the oracles' `<=` would be wrong — the r16 ADVICE flagged that
+    * only the 30-min gap-merge boundary was pinned, not this one.
+    */
+  test("append mode emits a session whose end EQUALS the final watermark (inclusive eviction)") {
+    val srcDir = Files.createTempDirectory("graft_stream_wm_eq_").toString
+    // user 1: lone event at 01:00:00 → session [01:00:00, 01:30:00).
+    // user 2: advancer at 02:00:00 → watermark = 02:00:00 - 30 min
+    //         = 01:30:00 == user 1's session end, exactly.
+    stageFile(srcDir, "f1", Seq(
+      (1L, "2024-01-01 01:00:00", 1L, "view", 1.0, "{}")))
+    stageFile(srcDir, "f2", Seq(
+      (2L, "2024-01-01 02:00:00", 2L, "view", 1.0, "{}")))
+    val stream = s.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"))
+    val q = stream.writeStream.format("memory").queryName("wm_eq_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = s.table("wm_eq_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 1L)),
+      s"session ending exactly at the watermark must finalize (inclusive <=), got $out")
+  }
+
   /** transformWithState — arbitrary per-key state (SURVEY §2.9): a
     * ValueState[Long] running count per user, persisting across
     * micro-batches. Requires the RocksDB state store provider (the
