@@ -3503,8 +3503,8 @@ WITH hourly AS (
       Tables.events(s, dir).select(col("event_type"), col("value"))
         .join(broadcast(f), col("event_type") === col("et"))
         .groupBy("event_type", "n", "q1", "q3")
-        .agg(sum(when(col("value") < col("lo")
-          || col("value") > col("hi"), 1).otherwise(0)).as("n_out"))
+        .agg(sum(when(col("value") < col("lo") ||
+          col("value") > col("hi"), 1).otherwise(0)).as("n_out"))
         .select(col("event_type"), col("n"), col("q1"), col("q3"),
           col("n_out"),
           round(col("n_out").cast(DoubleType) / col("n"), 6).as("out_pct"))
@@ -4126,7 +4126,67 @@ WITH hourly AS (
     """.stripMargin.trim
     })
 
+  /** OHLC bar resampling — the canonical financial-downsampling shape
+    * (candlestick bars) applied to the event stream: per (hour,
+    * event_type) bar, OPEN/CLOSE are the values of the chronologically
+    * first/last event, HIGH/LOW the extremes, plus volume / turnover /
+    * VWAP. Open/close are `min_by`/`max_by` over a FIXED-WIDTH digit
+    * string key (zero-padded epoch-µs ‖ event_id) — lexicographic
+    * order ≡ numeric (µs, id) order in both engines, and event_id
+    * uniqueness makes the pick total (this DuckDB's arg_min/arg_max
+    * accept no composite key, so the padded string IS the portable
+    * composite). Turnover folds through exact DECIMAL(12,2); VWAP is
+    * one rounded double division at the end.
+    *
+    * Scale shape: min_by/max_by/count/sum are all partial-aggregable,
+    * so the map side collapses each input partition to one row per
+    * (hour, type) before the single shuffle — at 100 TB the exchange
+    * carries bars, not events, and the (hour, type) key space spreads
+    * evenly by construction.
+    */
+  val timeseriesResampleOhlc: Op = Op(
+    "timeseries_resample_ohlc",
+    (s, dir) => {
+      val k = concat(
+        lpad(unix_micros(col("ts")).cast(StringType), 20, "0"),
+        lpad(col("event_id").cast(StringType), 12, "0"))
+      Tables.events(s, dir)
+        .select(date_trunc("hour", col("ts")).as("hh"), col("event_type"),
+          col("value"), k.as("k"), dec2(col("value")).as("v2"))
+        .groupBy(col("hh"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          min_by(col("value"), col("k")).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), col("k")).as("close"),
+          sum(col("v2")).cast(DoubleType).as("turnover"),
+          round(sum(col("v2")).cast(DoubleType) / count(lit(1)), 6).as("vwap"))
+        .select(fmtSec(col("hh")).as("h"), col("event_type"),
+          col("n_events"), col("open"), col("high"), col("low"),
+          col("close"), col("turnover"), col("vwap"))
+        .orderBy("h", "event_type")
+    },
+    Some("""
+      WITH e AS (
+        SELECT date_trunc('hour', ts) AS hh, event_type, value,
+          lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+            lpad(CAST(event_id AS VARCHAR), 12, '0') AS k,
+          CAST(value AS DECIMAL(12,2)) AS v2
+        FROM events
+      )
+      SELECT strftime(hh, '%Y-%m-%d %H:%M:%S') AS h, event_type,
+        COUNT(*) AS n_events,
+        arg_min(value, k) AS open,
+        MAX(value) AS high,
+        MIN(value) AS low,
+        arg_max(value, k) AS close,
+        CAST(SUM(v2) AS DOUBLE) AS turnover,
+        ROUND(CAST(SUM(v2) AS DOUBLE) / COUNT(*), 6) AS vwap
+      FROM e GROUP BY hh, event_type ORDER BY h, event_type
+    """.stripMargin.trim))
+
   val ops: Seq[Op] = Seq(
+    timeseriesResampleOhlc,
     eventsSurvivalCurve,
     streamTumbling, streamSliding, streamSession, streamDedupKeys,
     streamReplayTumbling, streamReplayDedup, streamReplaySession,

@@ -5158,7 +5158,176 @@ object LlmOps {
       FROM cnt JOIN j ON cnt.label = j.label ORDER BY cnt.label
     """.stripMargin.trim))
 
+  /** Readability scoring — Flesch Reading Ease and Flesch-Kincaid grade
+    * per document, the classic curation signal between raw length stats
+    * (`llm_text_stats`) and the weighted quality composites
+    * (`llm_quality_score`): both formulas need a SYLLABLE estimate,
+    * which neither neighbor computes. Syllables ≈ vowel-group runs per
+    * word (`[aeiouy]+`, floor 1 — the standard heuristic), summed by an
+    * integer in-row fold (order-free, exact). FIXTURE ADAPTATION
+    * (documented): the synthetic corpus has no sentence punctuation, so
+    * sentences are fixed 15-token pseudo-sentences (⌈words/15⌉) — the
+    * formula's shape is exercised end-to-end; on punctuated text the
+    * sentence term swaps in a `[.!?]+` count. The two scores are pure
+    * double arithmetic on integer ratios with literal weights —
+    * engine-identical without any decimal snap.
+    *
+    * Scale shape: scan → per-row project (the fold is in-row, no
+    * explode), zero shuffles before the presentational sort.
+    */
+  val llmReadability: Op = Op(
+    "llm_readability",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), col("lang"),
+          size(col("tk")).cast(LongType).as("n_words"),
+          expr("aggregate(transform(tk, w -> greatest(CAST(regexp_count(w," +
+            " '[aeiouy]+') AS BIGINT), 1L)), 0L, (a, x) -> a + x)")
+            .as("n_syllables"))
+        .withColumn("n_sentences",
+          ceil(col("n_words").cast(DoubleType) / 15.0).cast(LongType))
+        .withColumn("wps",
+          col("n_words").cast(DoubleType) / col("n_sentences"))
+        .withColumn("spw",
+          col("n_syllables").cast(DoubleType) / col("n_words"))
+        .select(col("doc_id"), col("lang"), col("n_words"),
+          col("n_syllables"), col("n_sentences"),
+          round(lit(206.835) - lit(1.015) * col("wps")
+            - lit(84.6) * col("spw"), 6).as("fre"),
+          round(lit(0.39) * col("wps") + lit(11.8) * col("spw")
+            - lit(15.59), 6).as("fk_grade"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents
+      ), c AS (
+        SELECT doc_id, lang,
+          CAST(len(tk) AS BIGINT) AS n_words,
+          CAST(list_aggregate(list_transform(tk,
+            w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1)),
+            'sum') AS BIGINT) AS n_syllables,
+          CAST(ceil(CAST(len(tk) AS DOUBLE) / 15.0) AS BIGINT) AS n_sentences
+        FROM d
+      )
+      SELECT doc_id, lang, n_words, n_syllables, n_sentences,
+        ROUND(206.835
+          - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+          - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6) AS fre,
+        ROUND(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+          + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+          - 15.59, 6) AS fk_grade
+      FROM c ORDER BY doc_id
+    """.stripMargin.trim))
+
+  /** Gopher quality rules — the PUBLISHED rule set (Rae et al. 2021,
+    * "Scaling Language Models", table A1) as per-document boolean gates,
+    * next to the house generic gate (`llm_quality_filter`, ad-hoc
+    * thresholds) and composite (`llm_quality_score`): word-count bounds
+    * [50, 100 000], mean word length [3, 10], symbol-to-word ratio
+    * ≤ 0.1 (#/ellipsis), ≥ 80 % of words alphabetic, and the stopword
+    * containment rule. FIXTURE ADAPTATIONS (documented): the corpus'
+    * only function words are {the, a}, so the published stop list
+    * {the, be, to, of, and, that, have, with} is swapped for {the, a}
+    * (≥ 2 distinct hits ⇒ both); symbol and alpha ratios run the real
+    * regexes and are honestly ~0 / ~1 on this clean fixture (the
+    * quality_score punctuation precedent). All features are integer
+    * counts; ratios are single double divisions rounded at emission.
+    *
+    * Scale shape: scan → per-row project with in-row folds; the only
+    * shuffle is the presentational sort. At 100 TB this is the
+    * map-only pre-filter it is in the published pipeline.
+    */
+  val llmQualityGopher: Op = Op(
+    "llm_quality_gopher",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"),
+          col("text"))
+        .select(col("doc_id"),
+          size(col("tk")).cast(LongType).as("n_words"),
+          expr("aggregate(transform(tk, w -> CAST(length(w) AS BIGINT))," +
+            " 0L, (a, x) -> a + x)").as("n_chars"),
+          expr("aggregate(transform(tk, w -> IF(w rlike '[a-z]', 1L, 0L))," +
+            " 0L, (a, x) -> a + x)").as("n_alpha_words"),
+          (regexp_count(col("text"), lit("#")) +
+            regexp_count(col("text"), lit("\\.\\.\\.")))
+            .cast(LongType).as("n_symbols"),
+          (when(col("text").rlike("(^| )the( |$)"), 1L).otherwise(0L) +
+            when(col("text").rlike("(^| )a( |$)"), 1L).otherwise(0L))
+            .as("n_stop_hits"))
+        .withColumn("mean_word_len",
+          round(col("n_chars").cast(DoubleType) / col("n_words"), 6))
+        .withColumn("symbol_ratio",
+          round(col("n_symbols").cast(DoubleType) / col("n_words"), 6))
+        .withColumn("alpha_ratio",
+          round(col("n_alpha_words").cast(DoubleType) / col("n_words"), 6))
+        .withColumn("g_word_count",
+          (col("n_words") >= 50 && col("n_words") <= 100000L)
+            .cast(LongType))
+        .withColumn("g_word_len",
+          (col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+            .cast(LongType))
+        .withColumn("g_symbol", (col("symbol_ratio") <= 0.1).cast(LongType))
+        .withColumn("g_alpha", (col("alpha_ratio") >= 0.8).cast(LongType))
+        .withColumn("g_stop", (col("n_stop_hits") >= 2).cast(LongType))
+        .withColumn("gopher_pass",
+          (col("g_word_count") + col("g_word_len") + col("g_symbol") +
+            col("g_alpha") + col("g_stop") === 5L).cast(LongType))
+        .select("doc_id", "n_words", "mean_word_len", "symbol_ratio",
+          "alpha_ratio", "n_stop_hits", "g_word_count", "g_word_len",
+          "g_symbol", "g_alpha", "g_stop", "gopher_pass")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents
+      ), f AS (
+        SELECT doc_id,
+          CAST(len(tk) AS BIGINT) AS n_words,
+          CAST(list_aggregate(list_transform(tk, w -> len(w)), 'sum')
+            AS BIGINT) AS n_chars,
+          CAST(list_aggregate(list_transform(tk,
+            w -> CASE WHEN regexp_matches(w, '[a-z]') THEN 1 ELSE 0 END),
+            'sum') AS BIGINT) AS n_alpha_words,
+          CAST(len(regexp_extract_all(text, '#'))
+            + len(regexp_extract_all(text, '\.\.\.')) AS BIGINT)
+            AS n_symbols,
+          CAST(CASE WHEN regexp_matches(text, '(^| )the( |$)')
+                    THEN 1 ELSE 0 END
+            + CASE WHEN regexp_matches(text, '(^| )a( |$)')
+                   THEN 1 ELSE 0 END AS BIGINT) AS n_stop_hits
+        FROM d
+      ), g AS (
+        SELECT *,
+          ROUND(CAST(n_chars AS DOUBLE) / n_words, 6) AS mean_word_len,
+          ROUND(CAST(n_symbols AS DOUBLE) / n_words, 6) AS symbol_ratio,
+          ROUND(CAST(n_alpha_words AS DOUBLE) / n_words, 6) AS alpha_ratio
+        FROM f
+      ), h AS (
+        SELECT *,
+          CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+               THEN 1 ELSE 0 END AS BIGINT) AS g_word_count,
+          CAST(CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0
+               THEN 1 ELSE 0 END AS BIGINT) AS g_word_len,
+          CAST(CASE WHEN symbol_ratio <= 0.1 THEN 1 ELSE 0 END AS BIGINT)
+            AS g_symbol,
+          CAST(CASE WHEN alpha_ratio >= 0.8 THEN 1 ELSE 0 END AS BIGINT)
+            AS g_alpha,
+          CAST(CASE WHEN n_stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT)
+            AS g_stop
+        FROM g
+      )
+      SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_ratio,
+        n_stop_hits, g_word_count, g_word_len, g_symbol, g_alpha, g_stop,
+        CAST(CASE WHEN g_word_count + g_word_len + g_symbol + g_alpha
+             + g_stop = 5 THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass
+      FROM h ORDER BY doc_id
+    """.stripMargin.trim))
+
   val ops: Seq[Op] = Seq(
+    llmReadability, llmQualityGopher,
     llmHardNegatives, llmRetrievalMrr, llmDatasetCard, llmBm25Retrieval,
     llmEmbeddingDrift,
     llmVocabMerges, llmVocabApply, llmVocabUnigram, llmVocabUnigramEncode,

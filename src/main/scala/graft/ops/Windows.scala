@@ -855,7 +855,94 @@ WITH rfm AS (
       GROUP BY o_custkey ORDER BY o_custkey
     """.stripMargin.trim))
 
-  val ops: Seq[Op] = Seq(winLocfIgnoreNulls,
+  /** Maximum drawdown — the canonical running-peak window statistic
+    * (finance: worst peak-to-trough drop of a P&L curve), computed here
+    * over a per-user synthetic balance where purchases/views/clicks/
+    * signups credit `value` and errors debit it. Three stacked frames on
+    * ONE partition-order pass: exact DECIMAL running balance (rows
+    * unbounded preceding), running peak (max over the same frame), and
+    * drawdown = peak − balance; the per-user reduce then takes the max
+    * drawdown and, via a fixed-width digit-string `max_by` key
+    * (drawdown-cents ‖ reversed-µs ‖ reversed-event_id), the FIRST
+    * moment that maximum was reached — the padded-string composite is
+    * the house portable argmax (this DuckDB's arg_max takes no struct
+    * key), with the reversed µs/id fields turning lexicographic max
+    * into "largest dd, then earliest occurrence". Every fold is decimal
+    * or integer — no float accumulates anywhere.
+    *
+    * Scale shape: one hash exchange on user_id, per-user sort feeding
+    * all three frames in a single WindowExec, then a partial-aggregable
+    * reduce — the same single-shuffle profile as the RFM/pareto family,
+    * with user_id spreading the sort at any corpus size.
+    */
+  val winDrawdown: Op = Op(
+    "win_drawdown",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val signed = when(col("event_type") === "error",
+        lit(0) - dec2(col("value"))).otherwise(dec2(col("value")))
+      val ddKey = concat(
+        lpad((col("dd") * 100).cast(LongType).cast(StringType), 12, "0"),
+        lpad((lit(10000000000000000L) - col("us")).cast(StringType), 17, "0"),
+        lpad((lit(1000000000000L) - col("event_id")).cast(StringType), 13, "0"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          unix_micros(col("ts")).as("us"), signed.as("delta"))
+        .withColumn("bal", sum(col("delta")).over(w))
+        .withColumn("peak", max(col("bal")).over(w))
+        .withColumn("dd", col("peak") - col("bal"))
+        .withColumn("at", fmtSec(col("ts")))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          max(col("bal")).cast(DoubleType).as("peak_balance"),
+          max_by(col("bal"), concat(
+            lpad(col("us").cast(StringType), 20, "0"),
+            lpad(col("event_id").cast(StringType), 12, "0")))
+            .cast(DoubleType).as("final_balance"),
+          max(col("dd")).cast(DoubleType).as("max_drawdown"),
+          max_by(col("at"), ddKey).as("dd_at"),
+          max_by(col("event_id"), ddKey).as("dd_event"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+          CASE WHEN event_type = 'error'
+               THEN 0 - CAST(value AS DECIMAL(12,2))
+               ELSE CAST(value AS DECIMAL(12,2)) END AS delta
+        FROM events
+      ), b AS (
+        SELECT *, SUM(delta) OVER w AS bal
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS UNBOUNDED PRECEDING)
+      ), r AS (
+        SELECT *, MAX(bal) OVER w AS peak
+        FROM b
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS UNBOUNDED PRECEDING)
+      ), d AS (
+        SELECT user_id, event_id, us, bal, peak, peak - bal AS dd,
+          strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS at,
+          lpad(CAST(CAST((peak - bal) * 100 AS BIGINT) AS VARCHAR), 12, '0') ||
+            lpad(CAST(10000000000000000 - us AS VARCHAR), 17, '0') ||
+            lpad(CAST(1000000000000 - event_id AS VARCHAR), 13, '0') AS ddk
+        FROM r
+      )
+      SELECT user_id, COUNT(*) AS n_events,
+        CAST(MAX(bal) AS DOUBLE) AS peak_balance,
+        CAST(arg_max(bal, lpad(CAST(us AS VARCHAR), 20, '0') ||
+          lpad(CAST(event_id AS VARCHAR), 12, '0')) AS DOUBLE)
+          AS final_balance,
+        CAST(MAX(dd) AS DOUBLE) AS max_drawdown,
+        arg_max(at, ddk) AS dd_at,
+        arg_max(event_id, ddk) AS dd_event
+      FROM d GROUP BY user_id ORDER BY user_id
+    """.stripMargin.trim))
+
+  val ops: Seq[Op] = Seq(winLocfIgnoreNulls, winDrawdown,
 
     winPareto, winParetoScale, winMovingMedian, winWeightedMedian,
     winWeightedMedianScale, winRfmSegment, winRfmSegmentScale,
