@@ -5326,8 +5326,76 @@ object LlmOps {
       FROM h ORDER BY doc_id
     """.stripMargin.trim))
 
+  /** Boilerplate stripping — the C4 line-dedup stage (Raffel et al.
+    * 2020): any text segment occurring more than once across the corpus
+    * keeps exactly its FIRST occurrence (smallest (doc_id, position))
+    * and is stripped everywhere else, and each document is REASSEMBLED
+    * from its surviving segments. The sibling `llm_dedup_spans` FLAGS
+    * chunk duplication for scoring; this op performs the destructive
+    * keep-first rewrite the published pipeline actually ships training
+    * text through. Segments are fixed 8-token windows standing in for
+    * lines (the fixture has no newlines); first-occurrence election is
+    * `row_number() = 1` per segment fingerprint under the total
+    * (doc_id, idx) order, so the rewrite is deterministic and
+    * partition-invariant. Reassembly is the sorted in-row fold over
+    * kept (idx, segment) structs; a fully-stripped doc survives as the
+    * empty string (both engines md5('') identically).
+    *
+    * Scale shape: explode to segments (spreadDocs pre-spreads the
+    * single-file scan), ONE exchange on the segment fingerprint for
+    * the election window, ONE on doc_id for reassembly — the same
+    * two-shuffle profile as the published dedup jobs; the fingerprint
+    * key is max-cardinality so neither exchange skews.
+    */
+  val llmBoilerplateStrip: Op = Op(
+    "llm_boilerplate_strip",
+    (s, dir) => {
+      val segs = spreadDocs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, cast(ceil(size(tk) / 8.0) as int) - 1)," +
+            " i -> concat_ws(' ', slice(tk, i*8+1, 8)))")))
+        .select(col("doc_id"), col("pos").as("idx"), col("col").as("seg"))
+      val elected = segs
+        .withColumn("keep",
+          (row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(md5(col("seg")))
+            .orderBy("doc_id", "idx")) === 1).cast(LongType))
+      elected.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_segments"),
+          (count(lit(1)) - sum(col("keep"))).as("n_removed"),
+          sum(when(col("keep") === 1,
+            size(split(col("seg"), " ")).cast(LongType)).otherwise(0L))
+            .as("n_tokens_kept"),
+          md5(concat_ws(" ", transform(array_sort(collect_list(
+            when(col("keep") === 1, struct(col("idx"), col("seg"))))),
+            x => x.getField("seg")))).as("cleaned_fp"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      ), seg AS (
+        SELECT doc_id, CAST((st - 1) // 8 AS INT) AS idx,
+          array_to_string(tk[st:st+7], ' ') AS seg
+        FROM d, LATERAL (SELECT unnest(generate_series(1, len(tk), 8)) AS st)
+      ), el AS (
+        SELECT doc_id, idx, seg,
+          CAST(CASE WHEN row_number() OVER (PARTITION BY md5(seg)
+            ORDER BY doc_id, idx) = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM seg
+      )
+      SELECT doc_id, COUNT(*) AS n_segments,
+        COUNT(*) - CAST(SUM(keep) AS BIGINT) AS n_removed,
+        CAST(SUM(CASE WHEN keep = 1 THEN len(string_split(seg, ' '))
+                 ELSE 0 END) AS BIGINT) AS n_tokens_kept,
+        md5(coalesce(string_agg(CASE WHEN keep = 1 THEN seg END, ' '
+          ORDER BY idx), '')) AS cleaned_fp
+      FROM el GROUP BY doc_id ORDER BY doc_id
+    """.stripMargin.trim))
+
   val ops: Seq[Op] = Seq(
-    llmReadability, llmQualityGopher,
+    llmReadability, llmQualityGopher, llmBoilerplateStrip,
     llmHardNegatives, llmRetrievalMrr, llmDatasetCard, llmBm25Retrieval,
     llmEmbeddingDrift,
     llmVocabMerges, llmVocabApply, llmVocabUnigram, llmVocabUnigramEncode,

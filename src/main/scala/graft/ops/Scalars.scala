@@ -1002,7 +1002,73 @@ object Scalars {
       FROM j CROSS JOIN s ORDER BY j.type_lc
     """.stripMargin.trim))
 
+  /** Phonetic keys — fuzzy name matching's classic blocking functions:
+    * Spark's native `soundex()` (codegen'd Catalyst expression) plus two
+    * portable companions (reversed word for rhyme blocking, vowel
+    * signature) over the part-name head word, with a per-code group
+    * count joined back so each row carries its block size. The ORACLE
+    * re-derives soundex from first principles in SQL — Spark's mapping
+    * table "01230120022455012623010202" treats H/W/Y like vowels (code
+    * 0 = separator that RESETS the run), so the algorithm is exactly:
+    * translate letters→codes, collapse adjacent equal codes, drop the
+    * first (the head letter's own group), drop separators, pad to 3.
+    * DuckDB's RE2 has no backreferences, so the collapse is seven
+    * chained single-digit replaces ('00+'→'0' … '66+'→'6') rather than
+    * '(.)\1+'.
+    *
+    * Scale shape: per-row projection + one tiny (≤ code-space) agg
+    * broadcast back — the blocking-key profile: at 100 TB the keys
+    * partition a fuzzy-join's candidate space, which is the point.
+    */
+  val fnPhoneticPack: Op = Op(
+    "fn_phonetic_pack",
+    (s, dir) => {
+      val base = Tables.part(s, dir)
+        .select(col("p_partkey"),
+          split(col("p_name"), " ").getItem(0).as("w"))
+        .select(col("p_partkey"), col("w"),
+          soundex(upper(col("w"))).as("sdx"),
+          reverse(col("w")).as("rhyme_key"),
+          regexp_replace(col("w"), "[^aeiou]", "").as("vowel_sig"))
+      val blocks = base.groupBy("sdx")
+        .agg(count(lit(1)).as("block_n"))
+      base.join(broadcast(blocks), Seq("sdx"))
+        .select(col("p_partkey"), col("w"), col("sdx"),
+          col("rhyme_key"), col("vowel_sig"), col("block_n"))
+        .orderBy("p_partkey")
+    },
+    Some("""
+      WITH w0 AS (
+        SELECT p_partkey, string_split(p_name, ' ')[1] AS w FROM part
+      ), cd AS (
+        SELECT *, translate(upper(w),
+          'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+          '01230120022455012623010202') AS codes
+        FROM w0
+      ), cl AS (
+        SELECT *,
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(regexp_replace(codes,
+            '00+', '0', 'g'), '11+', '1', 'g'), '22+', '2', 'g'),
+            '33+', '3', 'g'), '44+', '4', 'g'), '55+', '5', 'g'),
+            '66+', '6', 'g') AS coll
+        FROM cd
+      ), sx AS (
+        SELECT p_partkey, w,
+          upper(substr(w, 1, 1)) ||
+            rpad(substr(replace(substr(coll, 2), '0', ''), 1, 3), 3, '0')
+            AS sdx,
+          reverse(w) AS rhyme_key,
+          regexp_replace(w, '[^aeiou]', '', 'g') AS vowel_sig
+        FROM cl
+      )
+      SELECT p_partkey, w, sdx, rhyme_key, vowel_sig,
+        COUNT(*) OVER (PARTITION BY sdx) AS block_n
+      FROM sx ORDER BY p_partkey
+    """.stripMargin.trim))
+
   val ops: Seq[Op] = Seq(
+    fnPhoneticPack,
     fnStringPack, fnDatePack, fnMathCase, fnArrayPack, fnHigherOrder,
     fnMapPack, fnJsonExtract, fnCastCoalesce, fnBitwisePack, fnRegexpPack,
     fnTrigPack, fnGeoPack, fnIpPack, fnStructPack, fnGeneratorOuter, fnHashPack, fnNestedAgg,
