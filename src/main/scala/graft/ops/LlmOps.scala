@@ -5394,8 +5394,202 @@ object LlmOps {
       FROM el GROUP BY doc_id ORDER BY doc_id
     """.stripMargin.trim))
 
+  /** Zipf's-law fit — the corpus-health diagnostic every tokenizer/mix
+    * decision leans on: per language, OLS slope of ln(frequency) on
+    * ln(rank) over the top-200 terms (a healthy natural-language corpus
+    * slopes ≈ −1; a template farm or dedup failure bends it). Ranks are
+    * fully tie-broken (count desc, term asc), so the regression inputs
+    * are identical sets in both engines. Float discipline is the house
+    * log treatment: every transcendental TERM (ln, ln·ln products) is
+    * rounded to 10 dp and summed as exact DECIMAL, and slope/intercept
+    * are single closed-form double expressions over those exact sums,
+    * rounded at emission — no order-dependent float fold anywhere.
+    *
+    * Scale shape: explode → partial+final count agg on (lang, term),
+    * per-lang top-200 window over the already-aggregated (tiny) term
+    * table, then a 5-row regression reduce. The only corpus-scale
+    * stage is the first aggregate.
+    */
+  val llmZipfFit: Op = Op(
+    "llm_zipf_fit",
+    (s, dir) => {
+      val terms = spreadDocs(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("lang", "term").agg(count(lit(1)).as("cnt"))
+      val ranked = terms
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("lang")
+            .orderBy(col("cnt").desc, col("term"))))
+        .filter(col("rnk") <= 200)
+        .select(col("lang"),
+          expr("CAST(round(ln(rnk), 10) AS DECIMAL(18,10))").as("x"),
+          expr("CAST(round(ln(cnt), 10) AS DECIMAL(18,10))").as("y"),
+          expr("CAST(round(ln(rnk) * ln(cnt), 10) AS DECIMAL(18,10))").as("xy"),
+          expr("CAST(round(ln(rnk) * ln(rnk), 10) AS DECIMAL(18,10))").as("xx"))
+      ranked.groupBy("lang")
+        .agg(count(lit(1)).as("n_terms"),
+          // exact decimal sums surfaced as doubles BEFORE the closed
+          // form: decimal×decimal would hit the engines' different
+          // precision-overflow rules; double products of exact-valued
+          // inputs are engine-identical
+          sum("x").cast(DoubleType).as("sx"),
+          sum("y").cast(DoubleType).as("sy"),
+          sum("xy").cast(DoubleType).as("sxy"),
+          sum("xx").cast(DoubleType).as("sxx"))
+        .select(col("lang"), col("n_terms"),
+          round((col("n_terms") * col("sxy") - col("sx") * col("sy")) /
+            (col("n_terms") * col("sxx") - col("sx") * col("sx")), 6)
+            .as("zipf_slope"),
+          round((col("sy") * col("sxx") - col("sx") * col("sxy")) /
+            (col("n_terms") * col("sxx") - col("sx") * col("sx")), 6)
+            .as("intercept"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH t AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents
+      ), c AS (
+        SELECT lang, term, COUNT(*) AS cnt FROM t GROUP BY 1, 2
+      ), r AS (
+        SELECT lang, cnt,
+          row_number() OVER (PARTITION BY lang
+                             ORDER BY cnt DESC, term) AS rnk
+        FROM c QUALIFY rnk <= 200
+      ), z AS (
+        SELECT lang,
+          CAST(round(ln(rnk), 10) AS DECIMAL(18,10)) AS x,
+          CAST(round(ln(cnt), 10) AS DECIMAL(18,10)) AS y,
+          CAST(round(ln(rnk) * ln(cnt), 10) AS DECIMAL(18,10)) AS xy,
+          CAST(round(ln(rnk) * ln(rnk), 10) AS DECIMAL(18,10)) AS xx
+        FROM r
+      ), sums AS (
+        SELECT lang, COUNT(*) AS n_terms,
+          CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+          CAST(SUM(xy) AS DOUBLE) AS sxy, CAST(SUM(xx) AS DOUBLE) AS sxx
+        FROM z GROUP BY lang
+      )
+      SELECT lang, n_terms,
+        ROUND((n_terms * sxy - sx * sy)
+          / (n_terms * sxx - sx * sx), 6) AS zipf_slope,
+        ROUND((sy * sxx - sx * sxy)
+          / (n_terms * sxx - sx * sx), 6) AS intercept
+      FROM sums ORDER BY lang
+    """.stripMargin.trim))
+
+  /** TextRank keyword extraction — the GRAPH member of the salience
+    * family (RAKE = phrase statistics, TF-IDF = frequency contrast,
+    * PMI = pair association): PageRank (d = 0.85, 10 fixed iterations)
+    * over the per-language word co-occurrence graph (adjacent-token
+    * pairs, self-loops dropped, symmetrized), Mihalcea & Tarau 2004.
+    * Numerically every iteration is EXACT AND ROUND-FREE: each edge
+    * contribution r·w/wdeg is one double expression snapped by
+    * `floor(x·1e10)` to an INTEGER tenth-of-nano unit (floor of an
+    * identical double is identical — unlike `round(double, n)`, whose
+    * half-way handling the two engines implement differently, which a
+    * first cut of this op tripped at iteration depth), summed as exact
+    * BIGINT, and the damped update 0.15 + 0.85·(S/1e10) is the same
+    * IEEE expression on both sides — so the 10-step fixed point is
+    * bit-identical in both engines and under any partitioning, and the
+    * final ranks are emitted RAW (no emission rounding to disagree
+    * on). The oracle unrolls the iteration as ten generated CTEs (the
+    * markov_stationary precedent — DuckDB's recursive member cannot
+    * aggregate).
+    *
+    * Scale shape: the corpus-scale work is ONE pair-generate (in-row
+    * transform, no self-join) + partial+final count into the edge
+    * list; iterations then run on the VOCABULARY-sized graph — each a
+    * broadcast-hash join of edges against the tiny rank vector plus a
+    * partial-aggregable sum, the classic iterative-graph profile where
+    * per-step cost is edge-table-sized, never corpus-sized. Edges are
+    * localCheckpoint'd once so 10 iterations don't replay the corpus
+    * scan (the markov discipline).
+    */
+  val llmKeywordTextrank: Op = Op(
+    "llm_keyword_textrank",
+    (s, dir) => {
+      val undirected = spreadDocs(s, dir)
+        .select(col("lang"), split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("lang"), explode(expr(
+          "filter(transform(sequence(0, size(tk) - 2)," +
+            " i -> struct(least(tk[i], tk[i+1]) AS u," +
+            " greatest(tk[i], tk[i+1]) AS v)), p -> p.u <> p.v)")).as("e"))
+        .groupBy(col("lang"), col("e.u").as("u"), col("e.v").as("v"))
+        .agg(count(lit(1)).as("w"))
+      val directed = undirected
+        .unionByName(undirected.select(col("lang"), col("v").as("u"),
+          col("u").as("v"), col("w")))
+      val wdeg = directed.groupBy("lang", "u")
+        .agg(sum("w").as("wdeg"))
+      // vocabulary-sized edge table, re-read by every iteration:
+      // materialize once instead of replaying the corpus explode 10×
+      val edges = directed.join(wdeg, Seq("lang", "u"))
+        .localCheckpoint(true)
+      // rank vector keyed (lg, word): aliased groupBy keys mint fresh
+      // attribute ids each iteration, so the edges⋈ranks self-join
+      // never sees the same expr-id on both sides
+      var ranks = wdeg.select(col("lang").as("lg"), col("u").as("word"),
+        lit(1.0).as("r"))
+      for (_ <- 1 to 10) {
+        ranks = edges.join(broadcast(ranks),
+            col("lang") === col("lg") && col("u") === col("word"))
+          .select(col("lang"), col("v"),
+            expr("CAST(floor(r * w / wdeg * 1e10) AS BIGINT)").as("term"))
+          .groupBy(col("lang").as("lg"), col("v").as("word"))
+          .agg((lit(0.15) + lit(0.85) *
+            (sum(col("term")).cast(DoubleType) / lit(1e10))).as("r"))
+      }
+      ranks
+        .withColumn("pos", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("lg")
+            .orderBy(col("r").desc, col("word"))))
+        .filter(col("pos") <= 10)
+        .select(col("lg").as("lang"), col("pos").cast(LongType).as("pos"),
+          col("word"), col("r").as("textrank"))
+        .orderBy("lang", "pos")
+    },
+    Some {
+      val iters = (1 to 10).map { k =>
+        s"""it$k AS (
+        SELECT e2.lang, e2.v AS word,
+          0.15 + 0.85 * (CAST(SUM(CAST(floor(p.r * e2.w / e2.wdeg * 1e10)
+            AS BIGINT)) AS DOUBLE) / 1e10) AS r
+        FROM e2 JOIN it${k - 1} p ON e2.lang = p.lang AND e2.u = p.word
+        GROUP BY e2.lang, e2.v
+      )"""
+      }.mkString(", ")
+      s"""
+      WITH d AS (
+        SELECT lang, string_split(text, ' ') AS tk FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+      ), pr AS (
+        SELECT lang, least(tk[i], tk[i+1]) AS u, greatest(tk[i], tk[i+1]) AS v
+        FROM d, LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i)
+        WHERE tk[i] <> tk[i+1]
+      ), eu AS (
+        SELECT lang, u, v, COUNT(*) AS w FROM pr GROUP BY 1, 2, 3
+      ), ed AS (
+        SELECT lang, u, v, w FROM eu
+        UNION ALL
+        SELECT lang, v AS u, u AS v, w FROM eu
+      ), wd AS (
+        SELECT lang, u, SUM(w) AS wdeg FROM ed GROUP BY 1, 2
+      ), e2 AS (
+        SELECT ed.lang, ed.u, ed.v, ed.w, wd.wdeg
+        FROM ed JOIN wd ON ed.lang = wd.lang AND ed.u = wd.u
+      ), it0 AS (
+        SELECT lang, u AS word, CAST(1.0 AS DOUBLE) AS r FROM wd
+      ), $iters
+      SELECT lang, CAST(pos AS BIGINT) AS pos, word, r AS textrank
+      FROM (SELECT *, row_number() OVER (PARTITION BY lang
+              ORDER BY r DESC, word) AS pos FROM it10)
+      WHERE pos <= 10 ORDER BY lang, pos
+    """.stripMargin.trim
+    })
+
   val ops: Seq[Op] = Seq(
     llmReadability, llmQualityGopher, llmBoilerplateStrip,
+    llmZipfFit, llmKeywordTextrank,
     llmHardNegatives, llmRetrievalMrr, llmDatasetCard, llmBm25Retrieval,
     llmEmbeddingDrift,
     llmVocabMerges, llmVocabApply, llmVocabUnigram, llmVocabUnigramEncode,
