@@ -4126,6 +4126,110 @@ WITH hourly AS (
     """.stripMargin.trim
     })
 
+  /** Viterbi decoding — the sequence-DP member of the behavioral family
+    * (markov_stationary = global chain statistics, match_recognize =
+    * regex CEP; this is per-user LATENT-state inference): a fixed
+    * 2-state HMM (casual=0 / intent=1) with literal 4-dp log-probs is
+    * decoded over each user's chronological event sequence, emitting
+    * the Viterbi log-score and the best final state. The DP fold
+    * v'_s = em_s(x) + max(v_0 + t_0s, v_1 + t_1s) runs ENTIRELY in
+    * DECIMAL(18,4) — adds and max of exact decimals, no float ever —
+    * via the house sorted-fold (collect → array_sort → aggregate), so
+    * the result is partition- and merge-order-invariant by
+    * construction. (Full argmax-path recovery needs the O(n·s)
+    * backpointer table — the documented contract is score + final
+    * state, the monitoring quantities.) ORACLE: a recursive CTE steps
+    * the same DP per (user, seq-index) — the forecast_holt sequential-
+    * fold precedent — with the same decimal literals.
+    *
+    * Scale shape: one user_id exchange into the fold; state per user
+    * is TWO decimals regardless of history length (the whole point of
+    * Viterbi), and the fold is linear in the user's events — the same
+    * profile as the session/streak folds. At 100 TB the emission/
+    * transition tables would arrive as a broadcast dimension instead
+    * of literals; the plan does not change.
+    */
+  val eventsHmmViterbi: Op = Op(
+    "events_hmm_viterbi",
+    (s, dir) => {
+      def em(st: Int) = {
+        val m = if (st == 0)
+          Seq("view" -> "-0.5", "click" -> "-1.5", "signup" -> "-3.0",
+            "purchase" -> "-4.0", "error" -> "-2.0")
+        else
+          Seq("view" -> "-1.5", "click" -> "-1.0", "signup" -> "-2.0",
+            "purchase" -> "-1.2", "error" -> "-3.5")
+        m.map { case (t, p) => s"WHEN '$t' THEN CAST($p AS DECIMAL(18,4))" }
+          .mkString("CASE %s ", " ", " END")
+      }
+      def emOf(v: String, st: Int) = em(st).format(v)
+      Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), col("event_type"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          expr("array_sort(collect_list(struct(us, event_id, event_type)))")
+            .as("seq"))
+        .select(col("user_id"), col("n_events"),
+          expr(
+            "aggregate(" +
+              "  slice(seq, 2, greatest(size(seq) - 1, 0))," +
+              "  named_struct(" +
+              s"    'v0', CAST(CAST(-0.3 AS DECIMAL(18,4)) + ${emOf("element_at(seq, 1).event_type", 0)} AS DECIMAL(18,4))," +
+              s"    'v1', CAST(CAST(-1.4 AS DECIMAL(18,4)) + ${emOf("element_at(seq, 1).event_type", 1)} AS DECIMAL(18,4)))," +
+              "  (acc, x) -> named_struct(" +
+              s"    'v0', CAST(${emOf("x.event_type", 0)} + greatest(acc.v0 + CAST(-0.2 AS DECIMAL(18,4)), acc.v1 + CAST(-1.2 AS DECIMAL(18,4))) AS DECIMAL(18,4))," +
+              s"    'v1', CAST(${emOf("x.event_type", 1)} + greatest(acc.v0 + CAST(-1.7 AS DECIMAL(18,4)), acc.v1 + CAST(-0.35 AS DECIMAL(18,4))) AS DECIMAL(18,4))))"
+          ).as("vit"))
+        .select(col("user_id"), col("n_events"),
+          when(col("vit.v1") > col("vit.v0"), 1L).otherwise(0L)
+            .as("best_state"),
+          greatest(col("vit.v0"), col("vit.v1")).cast(DoubleType)
+            .as("viterbi_logp"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH RECURSIVE ev AS (
+        SELECT user_id, event_type,
+          row_number() OVER (PARTITION BY user_id
+                             ORDER BY epoch_us(ts), event_id) AS i,
+          CASE event_type
+            WHEN 'view' THEN CAST(-0.5 AS DECIMAL(18,4))
+            WHEN 'click' THEN CAST(-1.5 AS DECIMAL(18,4))
+            WHEN 'signup' THEN CAST(-3.0 AS DECIMAL(18,4))
+            WHEN 'purchase' THEN CAST(-4.0 AS DECIMAL(18,4))
+            WHEN 'error' THEN CAST(-2.0 AS DECIMAL(18,4)) END AS em0,
+          CASE event_type
+            WHEN 'view' THEN CAST(-1.5 AS DECIMAL(18,4))
+            WHEN 'click' THEN CAST(-1.0 AS DECIMAL(18,4))
+            WHEN 'signup' THEN CAST(-2.0 AS DECIMAL(18,4))
+            WHEN 'purchase' THEN CAST(-1.2 AS DECIMAL(18,4))
+            WHEN 'error' THEN CAST(-3.5 AS DECIMAL(18,4)) END AS em1
+        FROM events
+      ), nn AS (
+        SELECT user_id, MAX(i) AS n_events FROM ev GROUP BY user_id
+      ), dp AS (
+        SELECT user_id, i,
+          CAST(CAST(-0.3 AS DECIMAL(18,4)) + em0 AS DECIMAL(18,4)) AS v0,
+          CAST(CAST(-1.4 AS DECIMAL(18,4)) + em1 AS DECIMAL(18,4)) AS v1
+        FROM ev WHERE i = 1
+        UNION ALL
+        SELECT e.user_id, e.i,
+          CAST(e.em0 + greatest(dp.v0 + CAST(-0.2 AS DECIMAL(18,4)),
+            dp.v1 + CAST(-1.2 AS DECIMAL(18,4))) AS DECIMAL(18,4)),
+          CAST(e.em1 + greatest(dp.v0 + CAST(-1.7 AS DECIMAL(18,4)),
+            dp.v1 + CAST(-0.35 AS DECIMAL(18,4))) AS DECIMAL(18,4))
+        FROM dp JOIN ev e ON e.user_id = dp.user_id AND e.i = dp.i + 1
+      )
+      SELECT dp.user_id, nn.n_events,
+        CAST(CASE WHEN dp.v1 > dp.v0 THEN 1 ELSE 0 END AS BIGINT)
+          AS best_state,
+        CAST(greatest(dp.v0, dp.v1) AS DOUBLE) AS viterbi_logp
+      FROM dp JOIN nn
+        ON dp.user_id = nn.user_id AND dp.i = nn.n_events
+      ORDER BY dp.user_id
+    """.stripMargin.trim))
+
   /** OHLC bar resampling — the canonical financial-downsampling shape
     * (candlestick bars) applied to the event stream: per (hour,
     * event_type) bar, OPEN/CLOSE are the values of the chronologically
@@ -4186,7 +4290,7 @@ WITH hourly AS (
     """.stripMargin.trim))
 
   val ops: Seq[Op] = Seq(
-    timeseriesResampleOhlc,
+    timeseriesResampleOhlc, eventsHmmViterbi,
     eventsSurvivalCurve,
     streamTumbling, streamSliding, streamSession, streamDedupKeys,
     streamReplayTumbling, streamReplayDedup, streamReplaySession,

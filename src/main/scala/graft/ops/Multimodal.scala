@@ -643,6 +643,112 @@ object Multimodal {
     },
     None) // binary decode pipeline: no SQL oracle; UnitSuite pins recall/separation
 
+  /** Frame sampling + shot-boundary keyframe selection over the
+    * video-kind payloads — the TEMPORAL leg of the multimodal family
+    * (features = per-blob stats, dedup = cross-blob identity; this is
+    * WITHIN-blob structure): the payload is cut into fixed 32-byte
+    * frames (the stub codec's frame raster), each frame reduced to an
+    * integer signature (unsigned byte sum — the stub stand-in for a
+    * per-frame perceptual hash), and a frame is a KEYFRAME iff it opens
+    * the clip or its signature jumps more than 200 from the previous
+    * frame (the classic intensity-delta shot-boundary rule). Emits
+    * per clip: frame/keyframe counts, the first five keyframe indices,
+    * and the floor-snapped mean |Δsignature| (floor(x·1e4)/1e4 — floor
+    * of identical doubles is identical; `round(double, n)` half-way
+    * handling is NOT engine-portable, the textrank lesson). UNIQUELY in
+    * this family the op is FULLY ORACLE-GRADED: video payloads are the
+    * document's UTF-8 bytes, and the fixture corpus is pure ASCII, so
+    * DuckDB reproduces every byte as `unicode(substr(text, i, 1))` —
+    * the one modality whose stub decode a SQL engine can mirror
+    * exactly.
+    *
+    * Scale shape: the multimodal rule verbatim — blobs reduce to
+    * integer frame signatures inside the scan-stage mapPartitions
+    * (payloads never shuffle), and only the 6-column typed rows flow
+    * to the presentational sort.
+    */
+  private[graft] def videoKeyframes(
+      payload: Array[Byte], stride: Int, thresh: Int)
+      : (Int, Int, String, Long) = {
+    val sigs = payload.grouped(stride)
+      .map(fr => fr.map(_ & 0xff).sum.toLong).toArray
+    var sumAbs = 0L
+    val kf = scala.collection.mutable.ArrayBuffer(0)
+    var i = 1
+    while (i < sigs.length) {
+      val d = math.abs(sigs(i) - sigs(i - 1))
+      sumAbs += d
+      if (d > thresh) kf += i
+      i += 1
+    }
+    (sigs.length, kf.length, kf.take(5).mkString(","), sumAbs)
+  }
+
+  private val keyframeSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("n_frames", IntegerType),
+    StructField("n_keyframes", IntegerType),
+    StructField("kf_head", StringType),
+    StructField("sum_abs_delta", LongType)))
+
+  val llmMultimodalKeyframes: Op = Op(
+    "llm_multimodal_keyframes",
+    (s, dir) => {
+      val enc = RowEncoder.encoderFor(keyframeSchema)
+      media(s, dir)
+        .filter(col("kind") === "video")
+        .mapPartitions { batch =>
+          batch.map { r =>
+            val (nf, nk, head, sa) =
+              videoKeyframes(r.getAs[Array[Byte]](4), 32, 200)
+            Row(r.getLong(0), nf, nk, head, sa)
+          }
+        }(enc)
+        .select(col("media_id"), col("n_frames").cast(LongType),
+          col("n_keyframes").cast(LongType), col("kf_head"),
+          col("sum_abs_delta"),
+          when(col("n_frames") > 1,
+            floor(col("sum_abs_delta") * lit(10000) /
+              (col("n_frames") - 1)).cast(DoubleType) / 10000.0)
+            .otherwise(0.0).as("mean_abs_delta"))
+        .orderBy("media_id")
+    },
+    Some("""
+      WITH v AS (
+        SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 2
+      ), fr AS (
+        SELECT media_id, CAST((st - 1) // 32 AS INT) AS idx,
+          substr(text, st, 32) AS f
+        FROM v, LATERAL (SELECT unnest(generate_series(1, len(text), 32)) AS st)
+      ), sg AS (
+        SELECT media_id, idx,
+          CAST(list_aggregate(list_transform(generate_series(1, len(f)),
+            j -> unicode(substr(f, j, 1))), 'sum') AS BIGINT) AS sig
+        FROM fr
+      ), dl AS (
+        SELECT media_id, idx,
+          abs(sig - lag(sig) OVER (PARTITION BY media_id ORDER BY idx))
+            AS ad
+        FROM sg
+      ), fl AS (
+        SELECT media_id, idx, ad,
+          CASE WHEN idx = 0 OR ad > 200 THEN 1 ELSE 0 END AS kf
+        FROM dl
+      )
+      SELECT media_id,
+        COUNT(*) AS n_frames,
+        CAST(SUM(kf) AS BIGINT) AS n_keyframes,
+        array_to_string(list_slice(
+          list(idx ORDER BY idx) FILTER (WHERE kf = 1), 1, 5), ',')
+          AS kf_head,
+        CAST(coalesce(SUM(ad), 0) AS BIGINT) AS sum_abs_delta,
+        CASE WHEN COUNT(*) > 1 THEN
+          CAST(floor(CAST(coalesce(SUM(ad), 0) AS BIGINT) * 10000
+            / (COUNT(*) - 1)) AS DOUBLE) / 10000.0
+        ELSE 0.0 END AS mean_abs_delta
+      FROM fl GROUP BY media_id ORDER BY media_id
+    """.stripMargin.trim))
+
   val ops: Seq[Op] = Seq(llmMultimodalFeatures, llmMultimodalResample,
-    llmMultimodalDedup, llmMultimodalDedupAudio)
+    llmMultimodalDedup, llmMultimodalDedupAudio, llmMultimodalKeyframes)
 }
