@@ -851,7 +851,50 @@ object Aggregates {
       FROM m ORDER BY event_type
     """.stripMargin.trim))
 
+  /** Log₂-bucketed histogram — the HdrHistogram/observability-latency
+    * shape, complementing `events_histogram`'s equal-width panel: bucket
+    * = ⌊log₂(value)⌋, so edges are DATA-INDEPENDENT and the whole
+    * histogram is ONE partial+final aggregate pass (equal-width needs a
+    * bounds pass first — that op's documented price). Portability:
+    * log₂ runs on bit-identical doubles in both engines, and the only
+    * floor-boundary inputs a 2-dp fixture can produce are exact powers
+    * of two, where log₂ is exact in any IEEE libm; per-bucket money
+    * folds through exact DECIMAL, the mean is one rounded division.
+    *
+    * Scale shape: map-side combine collapses each partition to ≤
+    * (types × ~60 buckets) rows before the single exchange — the
+    * latency-histogram shape that ships per-minute from every agent at
+    * 100 TB precisely because it needs no second pass.
+    */
+  val aggLog2Histogram: Op = Op(
+    "agg_log2_histogram",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          floor(log2(col("value"))).as("bucket"),
+          col("value"), dec2(col("value")).as("v2"))
+        .groupBy("event_type", "bucket")
+        .agg(count(lit(1)).as("n"),
+          min("value").as("v_min"),
+          max("value").as("v_max"),
+          sum("v2").cast(DoubleType).as("v_sum"),
+          round(sum("v2").cast(DoubleType) / count(lit(1)), 6)
+            .as("v_mean"))
+        .orderBy("event_type", "bucket"),
+    Some("""
+      SELECT event_type,
+        CAST(floor(log2(value)) AS BIGINT) AS bucket,
+        COUNT(*) AS n,
+        MIN(value) AS v_min,
+        MAX(value) AS v_max,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v_sum,
+        ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+          / COUNT(*), 6) AS v_mean
+      FROM events GROUP BY 1, 2 ORDER BY event_type, bucket
+    """.stripMargin.trim))
+
   val ops: Seq[Op] = Seq(
+    aggLog2Histogram,
     aggGeoHarmonicMean, aggHigherMoments,
     aggDecayedLtv,
     aggBitmapDistinct,

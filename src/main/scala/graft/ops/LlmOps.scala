@@ -5587,9 +5587,123 @@ object LlmOps {
     """.stripMargin.trim
     })
 
+  /** PCA leading component — power iteration on the embedding scatter
+    * matrix, the eigen-analysis every embedding-space diagnostic
+    * (whitening, anisotropy checks, drift monitors) starts from, and
+    * the second iterative-numerics op alongside TextRank: center the
+    * 64-dim vectors, form the scatter matrix S = Σ (x−μ)(x−μ)ᵀ, run 8
+    * power iterations v ← S·v / ‖S·v‖ from the uniform start, emit the
+    * leading eigenvector with the final ‖S·v‖ as the eigenvalue
+    * estimate. EVERY order-sensitive fold is floor-snapped (the
+    * textrank discipline): per-element means, scatter entries,
+    * matvec components, and the squared norm each sum
+    * `floor(term·1e9)` BIGINTs exactly, and everything between snaps
+    * is single double expressions — so 8 iterations of float linear
+    * algebra land bit-identical in both engines and under any
+    * partitioning. The eigenvector's sign is whatever the uniform
+    * start converges to — deterministic, since both engines run the
+    * identical arithmetic. The oracle unrolls 8 (matvec, norm) CTE
+    * pairs, generated like textrank's.
+    *
+    * Scale shape: the corpus-scale stages are the mean (one 64-row
+    * agg) and the scatter (explode to (row, j, k) terms → partial+
+    * final agg into 64×64 = 4 096 cells); iterations then run on the
+    * MATRIX-sized table (localCheckpoint'd once) — broadcast the
+    * 64-row vector, join, re-aggregate — cost independent of corpus
+    * size, the batch form of every distributed-PCA recipe. The
+    * per-iteration norm rides back as a 1-row broadcast crossJoin
+    * (the in-plan-N pattern, PlanSuite-whitelisted).
+    */
+  val llmEmbedPca: Op = Op(
+    "llm_embed_pca",
+    (s, dir) => {
+      val x = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").as("j"),
+          col("col").cast(DoubleType).as("x"))
+      val nDf = Tables.embeddings(s, dir).agg(count(lit(1)).as("n"))
+      val mu = x.groupBy("j")
+        .agg(sum(floor(col("x") * lit(1e9))).cast(DoubleType).as("sx"))
+        .crossJoin(broadcast(nDf))
+        .select(col("j"), (col("sx") / col("n") / lit(1e9)).as("mu"))
+      val c = x.join(broadcast(mu), Seq("j"))
+        .select(col("vec_id"), col("j"), (col("x") - col("mu")).as("c"))
+      val scatter = c.join(c.select(col("vec_id"),
+          col("j").as("k"), col("c").as("ck")), Seq("vec_id"))
+        .groupBy("j", "k")
+        .agg((sum(floor(col("c") * col("ck") * lit(1e9)))
+          .cast(DoubleType) / lit(1e9)).as("s"))
+        .localCheckpoint(true)
+      var v = scatter.select(col("j")).distinct()
+        .select(col("j").as("jv"), lit(0.125).as("v"))
+      var lambda: org.apache.spark.sql.DataFrame = null
+      for (_ <- 1 to 8) {
+        val w = scatter.join(broadcast(v), col("k") === col("jv"))
+          .groupBy(col("j").as("jw"))
+          .agg((sum(floor(col("s") * col("v") * lit(1e9)))
+            .cast(DoubleType) / lit(1e9)).as("w"))
+        lambda = w.agg(sqrt(sum(floor(col("w") * col("w") * lit(1e9)))
+          .cast(DoubleType) / lit(1e9)).as("lam"))
+        v = w.crossJoin(broadcast(lambda))
+          .select(col("jw").as("jv"), (col("w") / col("lam")).as("v"))
+      }
+      v.crossJoin(broadcast(lambda))
+        .select(col("jv").cast(LongType).as("dim"),
+          col("v").as("loading"), col("lam").as("eigenvalue"))
+        .orderBy("dim")
+    },
+    Some {
+      // AS MATERIALIZED on every iteration CTE: wK is referenced twice
+      // (matvec + norm), so without it DuckDB's inlining doubles the
+      // expression tree per iteration — 2^8 scatter recomputes turned
+      // a 0.1 s oracle into minutes (markov's linear it-chain never
+      // hit this: each CTE there is referenced exactly once)
+      val iters = (1 to 8).map { k =>
+        s"""w$k AS MATERIALIZED (
+        SELECT sc.j,
+          CAST(SUM(CAST(floor(sc.s * v.v * 1e9) AS BIGINT)) AS DOUBLE)
+            / 1e9 AS w
+        FROM sc JOIN v${k - 1} v ON sc.k = v.j
+        GROUP BY sc.j
+      ), nrm$k AS MATERIALIZED (
+        SELECT sqrt(CAST(SUM(CAST(floor(w * w * 1e9) AS BIGINT))
+          AS DOUBLE) / 1e9) AS lam FROM w$k
+      ), v$k AS MATERIALIZED (
+        SELECT w$k.j, w$k.w / nrm$k.lam AS v FROM w$k, nrm$k
+      )"""
+      }.mkString(", ")
+      s"""
+      WITH x AS (
+        SELECT vec_id, i - 1 AS j, CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings,
+          LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+      ), nn AS (
+        SELECT COUNT(*) AS n FROM embeddings
+      ), mu AS (
+        SELECT j, CAST(SUM(CAST(floor(x * 1e9) AS BIGINT)) AS DOUBLE)
+          / (SELECT n FROM nn) / 1e9 AS mu
+        FROM x GROUP BY j
+      ), c AS (
+        SELECT x.vec_id, x.j, x.x - mu.mu AS c
+        FROM x JOIN mu ON x.j = mu.j
+      ), sc AS MATERIALIZED (
+        SELECT a.j, b.j AS k,
+          CAST(SUM(CAST(floor(a.c * b.c * 1e9) AS BIGINT)) AS DOUBLE)
+            / 1e9 AS s
+        FROM c a JOIN c b ON a.vec_id = b.vec_id
+        GROUP BY a.j, b.j
+      ), v0 AS (
+        SELECT DISTINCT j, CAST(0.125 AS DOUBLE) AS v FROM sc
+      ), $iters
+      SELECT CAST(v8.j AS BIGINT) AS dim, v8.v AS loading,
+        nrm8.lam AS eigenvalue
+      FROM v8, nrm8 ORDER BY dim
+    """.stripMargin.trim
+    })
+
   val ops: Seq[Op] = Seq(
     llmReadability, llmQualityGopher, llmBoilerplateStrip,
-    llmZipfFit, llmKeywordTextrank,
+    llmZipfFit, llmKeywordTextrank, llmEmbedPca,
     llmHardNegatives, llmRetrievalMrr, llmDatasetCard, llmBm25Retrieval,
     llmEmbeddingDrift,
     llmVocabMerges, llmVocabApply, llmVocabUnigram, llmVocabUnigramEncode,

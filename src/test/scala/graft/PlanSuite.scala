@@ -528,6 +528,10 @@ class PlanSuite extends AnyFunSuite {
 
   test("no CartesianProduct/BroadcastNestedLoopJoin outside the whitelist") {
     val allowed = Set("join_cross", "join_theta_range", "llm_simsearch_topk",
+      // three 1-row broadcast crossJoins (in-plan-N): the corpus count
+      // for the mean, and the per-iteration norm scalar (x8); the
+      // scatter/matvec joins are equi on j/k/vec_id
+      "llm_embed_pca",
       // broadcast probe-set crossJoin (the simsearch_topk exact-search
       // baseline shape: big side scans once, never shuffles) and the
       // 1-row broadcast corpus-total crossJoin (in-plan-N pattern)
