@@ -5538,6 +5538,10 @@ object LlmOps {
           .groupBy(col("lang").as("lg"), col("v").as("word"))
           .agg((lit(0.15) + lit(0.85) *
             (sum(col("term")).cast(DoubleType) / lit(1e10))).as("r"))
+          // vocab-sized: truncate lineage each step, or iteration K's
+          // broadcast re-evaluates all K-1 predecessors (job count —
+          // and wall-clock — quadratic in iterations)
+          .localCheckpoint(true)
       }
       ranks
         .withColumn("pos", row_number().over(
@@ -5605,14 +5609,21 @@ object LlmOps {
     * identical arithmetic. The oracle unrolls 8 (matvec, norm) CTE
     * pairs, generated like textrank's.
     *
-    * Scale shape: the corpus-scale stages are the mean (one 64-row
+    * Scale shape: MLlib's own architecture for d ≪ n —
+    * `RowMatrix.computePrincipalComponents` ships the d×d Gramian to
+    * the driver and eigensolves locally (documented for d ≤ 65535).
+    * Here likewise: the corpus-scale stages are the mean (one 64-row
     * agg) and the scatter (explode to (row, j, k) terms → partial+
-    * final agg into 64×64 = 4 096 cells); iterations then run on the
-    * MATRIX-sized table (localCheckpoint'd once) — broadcast the
-    * 64-row vector, join, re-aggregate — cost independent of corpus
-    * size, the batch form of every distributed-PCA recipe. The
-    * per-iteration norm rides back as a 1-row broadcast crossJoin
-    * (the in-plan-N pattern, PlanSuite-whitelisted).
+    * final agg into 64×64 = 4 096 cells), both distributed; the 8
+    * power iterations then run on the COLLECTED matrix-sized Gramian
+    * in driver-local Scala (the adjudicated metadata-sized collect
+    * class — 4 096 cells regardless of corpus size), with the SAME
+    * floor-snap formulas, whose integer sums are order-free, so the
+    * driver loop and the oracle's CTE chain are bit-identical. A
+    * first cut iterated as 8 chained broadcast-join DataFrames:
+    * correct, but each iteration's broadcast re-evaluated the growing
+    * lineage (22 s for a 64-dim problem) — the driver eigensolve is
+    * the architecture Spark itself ships for this shape.
     */
   val llmEmbedPca: Op = Op(
     "llm_embed_pca",
@@ -5633,23 +5644,30 @@ object LlmOps {
         .groupBy("j", "k")
         .agg((sum(floor(col("c") * col("ck") * lit(1e9)))
           .cast(DoubleType) / lit(1e9)).as("s"))
-        .localCheckpoint(true)
-      var v = scatter.select(col("j")).distinct()
-        .select(col("j").as("jv"), lit(0.125).as("v"))
-      var lambda: org.apache.spark.sql.DataFrame = null
+      // driver-local eigensolve on the collected 64×64 Gramian (the
+      // MLlib computePrincipalComponents shape); formulas mirror the
+      // oracle CTEs exactly — integer floor-snap sums are order-free
+      val cells = scatter.collect()
+      val d = cells.map(_.getInt(0)).max + 1
+      val m = Array.ofDim[Double](d, d)
+      cells.foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      var v = Array.fill(d)(0.125)
+      var lam = 0.0
       for (_ <- 1 to 8) {
-        val w = scatter.join(broadcast(v), col("k") === col("jv"))
-          .groupBy(col("j").as("jw"))
-          .agg((sum(floor(col("s") * col("v") * lit(1e9)))
-            .cast(DoubleType) / lit(1e9)).as("w"))
-        lambda = w.agg(sqrt(sum(floor(col("w") * col("w") * lit(1e9)))
-          .cast(DoubleType) / lit(1e9)).as("lam"))
-        v = w.crossJoin(broadcast(lambda))
-          .select(col("jw").as("jv"), (col("w") / col("lam")).as("v"))
+        val w = Array.tabulate(d) { j =>
+          var acc = 0L
+          var k = 0
+          while (k < d) { acc += math.floor(m(j)(k) * v(k) * 1e9).toLong; k += 1 }
+          acc.toDouble / 1e9
+        }
+        lam = math.sqrt(
+          w.map(x => math.floor(x * x * 1e9).toLong).sum.toDouble / 1e9)
+        v = w.map(_ / lam)
       }
-      v.crossJoin(broadcast(lambda))
-        .select(col("jv").cast(LongType).as("dim"),
-          col("v").as("loading"), col("lam").as("eigenvalue"))
+      import s.implicits._
+      v.zipWithIndex
+        .map { case (l, j) => (j.toLong, l, lam) }.toSeq
+        .toDF("dim", "loading", "eigenvalue")
         .orderBy("dim")
     },
     Some {
