@@ -5719,9 +5719,141 @@ object LlmOps {
     """.stripMargin.trim
     })
 
+  /** Watermark detection — Kirchenbauer et al. 2023's greenlist test as
+    * a corpus screen (the provenance question every training-data
+    * pipeline now has to ask: is this text machine-generated by a
+    * watermarking model?): token i is GREEN iff a hash of (prevtoken,
+    * token) lands in the γ = 0.5 greenlist (here: md5 last hex digit
+    * even — both engines produce identical md5 hex), and the detection
+    * statistic is the one-proportion z-score z = (2g − n)/√n, > 4.0 ⇒
+    * flagged. The z is a single double expression over two INTEGERS
+    * (green count, scored count) — engine-identical without snapping;
+    * the greenlist membership itself is exact string equality. First
+    * token is unscored (no context); single-token docs emit z = 0.
+    *
+    * Scale shape: scan → per-row in-row fold (the hash chain never
+    * leaves the row), zero pre-sort shuffles — the map-only screen
+    * shape, same as the published detector.
+    */
+  val llmWatermarkDetect: Op = Op(
+    "llm_watermark_detect",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"),
+          (size(col("tk")) - 1).cast(LongType).as("n_scored"),
+          expr("aggregate(transform(sequence(1, size(tk) - 1)," +
+            " i -> IF(substr(md5(concat(tk[i-1], ' ', tk[i])), 32, 1)" +
+            " IN ('0','2','4','6','8','a','c','e'), 1L, 0L))," +
+            " 0L, (a, x) -> a + x)").as("n_green"))
+        .select(col("doc_id"), col("n_scored"), col("n_green"),
+          when(col("n_scored") > 0,
+            (lit(2) * col("n_green") - col("n_scored")).cast(DoubleType) /
+              sqrt(col("n_scored").cast(DoubleType)))
+            .otherwise(0.0).as("z_score"))
+        .withColumn("watermarked", (col("z_score") > 4.0).cast(LongType))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      ), g AS (
+        SELECT doc_id,
+          CAST(len(tk) - 1 AS BIGINT) AS n_scored,
+          CAST(coalesce(list_aggregate(list_transform(
+            generate_series(2, len(tk)),
+            i -> CASE WHEN substr(md5(tk[i-1] || ' ' || tk[i]), 32, 1)
+                 IN ('0','2','4','6','8','a','c','e') THEN 1 ELSE 0 END),
+            'sum'), 0) AS BIGINT) AS n_green
+        FROM d
+      ), z AS (
+        SELECT doc_id, n_scored, n_green,
+          CASE WHEN n_scored > 0 THEN
+            CAST(2 * n_green - n_scored AS DOUBLE)
+              / sqrt(CAST(n_scored AS DOUBLE))
+          ELSE 0.0 END AS z_score
+        FROM g
+      )
+      SELECT doc_id, n_scored, n_green, z_score,
+        CAST(CASE WHEN z_score > 4.0 THEN 1 ELSE 0 END AS BIGINT)
+          AS watermarked
+      FROM z ORDER BY doc_id
+    """.stripMargin.trim))
+
+  /** Nucleus (top-p) cutoff — Holtzman et al. 2020's decoding statistic
+    * turned corpus diagnostic: per bigram context, how many successors
+    * carry the top 90 % of continuation mass? (The fat-head/long-tail
+    * shape of this distribution is what temperature/top-p tuning reads;
+    * a near-1 nucleus everywhere means a degenerate corpus.) The
+    * cutoff is computed ENTIRELY in integers — successor ranks are
+    * fully tie-broken (count desc, successor asc), and the first rank
+    * where 10·cumulative ≥ 9·total is the nucleus size, so no float
+    * exists anywhere in the op. Emits per context: successor count,
+    * total continuations, nucleus size, and the modal successor.
+    *
+    * Scale shape: one corpus-scale bigram count (partial+final), then
+    * windows over the per-context successor lists — keyed by context,
+    * the vocabulary spreads the sort; the canonical distribution-
+    * diagnostic profile.
+    */
+  val llmNucleusCutoff: Op = Op(
+    "llm_nucleus_cutoff",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("ctx")
+      val wo = w.orderBy(col("cnt").desc, col("succ"))
+      spreadDocs(s, dir)
+        .select(split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(tk) - 2)," +
+            " i -> struct(tk[i] AS ctx, tk[i+1] AS succ))")).as("bg"))
+        .groupBy(col("bg.ctx").as("ctx"), col("bg.succ").as("succ"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("ctx"), col("succ"), col("cnt"),
+          row_number().over(wo).as("rn"),
+          sum("cnt").over(wo.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+            .as("cum"),
+          sum("cnt").over(w).as("total"))
+        .groupBy("ctx")
+        .agg(count(lit(1)).as("n_succ"),
+          max("total").as("total"),
+          min(when(col("cum") * 10 >= col("total") * 9, col("rn")))
+            .cast(LongType).as("nucleus_k"),
+          min_by(col("succ"), col("rn")).as("top_succ"),
+          max("cnt").as("top_cnt"))
+        .orderBy("ctx")
+    },
+    Some("""
+      WITH d AS (
+        SELECT string_split(text, ' ') AS tk FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+      ), bg AS (
+        SELECT tk[i] AS ctx, tk[i+1] AS succ
+        FROM d, LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i)
+      ), c AS (
+        SELECT ctx, succ, COUNT(*) AS cnt FROM bg GROUP BY 1, 2
+      ), r AS (
+        SELECT ctx, succ, cnt,
+          row_number() OVER wo AS rn,
+          SUM(cnt) OVER (wo ROWS UNBOUNDED PRECEDING) AS cum,
+          SUM(cnt) OVER (PARTITION BY ctx) AS total
+        FROM c
+        WINDOW wo AS (PARTITION BY ctx ORDER BY cnt DESC, succ)
+      )
+      SELECT ctx, COUNT(*) AS n_succ,
+        CAST(MAX(total) AS BIGINT) AS total,
+        CAST(MIN(CASE WHEN cum * 10 >= total * 9 THEN rn END) AS BIGINT)
+          AS nucleus_k,
+        arg_min(succ, rn) AS top_succ,
+        CAST(MAX(cnt) AS BIGINT) AS top_cnt
+      FROM r GROUP BY ctx ORDER BY ctx
+    """.stripMargin.trim))
+
   val ops: Seq[Op] = Seq(
     llmReadability, llmQualityGopher, llmBoilerplateStrip,
     llmZipfFit, llmKeywordTextrank, llmEmbedPca,
+    llmWatermarkDetect, llmNucleusCutoff,
     llmHardNegatives, llmRetrievalMrr, llmDatasetCard, llmBm25Retrieval,
     llmEmbeddingDrift,
     llmVocabMerges, llmVocabApply, llmVocabUnigram, llmVocabUnigramEncode,
