@@ -5931,7 +5931,157 @@ object Relational {
       ORDER BY s_suppkey
     """.stripMargin.trim))
 
+  /** GRID-BOUNDED kNN JOIN — the top-k sibling of `join_geo_grid`'s
+    * radius join: for every customer point, the 3 nearest supplier
+    * points WITHIN its 3×3 1°-cell neighborhood (rank by haversine,
+    * ties by supplier key). Where the radius join's grid is a provable
+    * completeness device (threshold ≤ cell edge ⇒ oracle is brute
+    * force), kNN has no radius to bound candidates with, so the
+    * neighborhood IS the documented contract — the production form
+    * probes expanding rings until k are found; the one-ring form is
+    * the bounded candidate set both engines mirror exactly, and the
+    * oracle encodes the same bound (mechanism parity, deliberately
+    * unlike geo_grid's completeness proof). Coordinates are the house
+    * key-derivation on the same dense wrap-free patch; ranking runs on
+    * raw doubles (identical inputs ⇒ identical order), the emitted
+    * distance is rounded per the geo house style.
+    *
+    * Scale shape: probes replicate ×9 and equi-join suppliers on the
+    * cell key — candidate volume rides cell occupancy, never
+    * |probes|×|targets|; the supplier side is dimension-sized and
+    * broadcasts. The per-probe top-3 is a window over ≤ dozens of
+    * candidates keyed by probe — the standard distributed kNN-join
+    * recipe (grid/Voronoi candidate generation + local top-k).
+    */
+  val joinKnnGrid: Op = Op(
+    "join_knn_grid",
+    (s, dir) => {
+      val sup = Tables.supplier(s, dir)
+        .select(col("s_suppkey").as("sid"),
+          ((col("s_suppkey") * 7919L % 600L) / 100.0).as("s_lat"),
+          ((col("s_suppkey") * 104729L % 1000L) / 100.0).as("s_lon"))
+        .withColumn("clat", floor(col("s_lat")).cast(IntegerType))
+        .withColumn("clon", floor(col("s_lon")).cast(IntegerType))
+      val probes = Tables.customer(s, dir)
+        .select(col("c_custkey").as("cid"),
+          ((col("c_custkey") * 7919L % 600L) / 100.0).as("c_lat"),
+          ((col("c_custkey") * 104729L % 1000L) / 100.0).as("c_lon"))
+        .withColumn("d", explode(lit((-1 to 1).toArray)))
+        .withColumn("e", explode(lit((-1 to 1).toArray)))
+        .select(col("cid"), col("c_lat"), col("c_lon"),
+          (floor(col("c_lat")).cast(IntegerType) + col("d")).as("clat"),
+          (floor(col("c_lon")).cast(IntegerType) + col("e")).as("clon"))
+      val dist = asin(sqrt(
+        sin(radians(col("s_lat") - col("c_lat")) / 2) *
+          sin(radians(col("s_lat") - col("c_lat")) / 2) +
+          cos(radians(col("c_lat"))) * cos(radians(col("s_lat"))) *
+            sin(radians(col("s_lon") - col("c_lon")) / 2) *
+            sin(radians(col("s_lon") - col("c_lon")) / 2))) * (2 * 6371.0088)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("cid")
+        .orderBy(col("dist"), col("sid"))
+      probes.join(broadcast(sup), Seq("clat", "clon"))
+        .withColumn("dist", dist)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("cid"), col("rnk").cast(LongType).as("rnk"),
+          col("sid"), round(col("dist"), 6).as("dist_km"))
+        .orderBy("cid", "rnk")
+    },
+    Some("""
+      WITH sup AS (
+        SELECT s_suppkey AS sid,
+          (s_suppkey * 7919 % 600) / 100.0 AS s_lat,
+          (s_suppkey * 104729 % 1000) / 100.0 AS s_lon,
+          CAST(floor((s_suppkey * 7919 % 600) / 100.0) AS INT) AS clat,
+          CAST(floor((s_suppkey * 104729 % 1000) / 100.0) AS INT) AS clon
+        FROM supplier
+      ), pr AS (
+        SELECT c_custkey AS cid,
+          (c_custkey * 7919 % 600) / 100.0 AS c_lat,
+          (c_custkey * 104729 % 1000) / 100.0 AS c_lon,
+          CAST(floor((c_custkey * 7919 % 600) / 100.0) AS INT) + d AS clat,
+          CAST(floor((c_custkey * 104729 % 1000) / 100.0) AS INT) + e AS clon
+        FROM customer,
+          LATERAL (SELECT unnest(generate_series(-1, 1)) AS d),
+          LATERAL (SELECT unnest(generate_series(-1, 1)) AS e)
+      ), cand AS (
+        SELECT pr.cid, sup.sid,
+          asin(sqrt(
+            sin(radians(sup.s_lat - pr.c_lat) / 2)
+              * sin(radians(sup.s_lat - pr.c_lat) / 2)
+            + cos(radians(pr.c_lat)) * cos(radians(sup.s_lat))
+              * sin(radians(sup.s_lon - pr.c_lon) / 2)
+              * sin(radians(sup.s_lon - pr.c_lon) / 2))) * (2 * 6371.0088)
+            AS dist
+        FROM pr JOIN sup ON pr.clat = sup.clat AND pr.clon = sup.clon
+      ), rk AS (
+        SELECT cid, sid, dist,
+          row_number() OVER (PARTITION BY cid ORDER BY dist, sid) AS rnk
+        FROM cand
+      )
+      SELECT cid, CAST(rnk AS BIGINT) AS rnk, sid,
+        ROUND(dist, 6) AS dist_km
+      FROM rk WHERE rnk <= 3 ORDER BY cid, rnk
+    """.stripMargin.trim))
+
+  /** Zigzag + varint encoding pack — the wire-format primitives every
+    * columnar/protobuf encoder rests on, as portable SQL: signed
+    * deltas (customer key re-centered) map through the arithmetic
+    * zigzag (2d / −2d−1 — DuckDB refuses `<<` on negatives, so the
+    * branch form IS the portable definition), varint width comes from
+    * the integer threshold ladder, and the DECODE round-trips in the
+    * same query with a verified match flag — the encode/decode pair is
+    * self-certifying, then aggregated per width. Pure integer
+    * arithmetic end to end.
+    *
+    * Scale shape: per-row projection + one tiny (≤5-row) aggregate —
+    * the encoding-stats profile of a file writer's footer pass.
+    */
+  val fnZigzagVarint: Op = Op(
+    "fn_zigzag_varint",
+    (s, dir) =>
+      Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          (col("c_custkey") * 37L % 3001L - 1500L).as("d"))
+        .withColumn("z",
+          when(col("d") >= 0, col("d") * 2).otherwise(col("d") * -2 - 1))
+        .withColumn("n_bytes",
+          when(col("z") < 128L, 1L).when(col("z") < 16384L, 2L)
+            .when(col("z") < 2097152L, 3L).when(col("z") < 268435456L, 4L)
+            .otherwise(5L))
+        .withColumn("d_back",
+          when(col("z") % 2 === 0, expr("z div 2"))
+            .otherwise(expr("-((z + 1) div 2)")))
+        .groupBy("n_bytes")
+        .agg(count(lit(1)).as("n"),
+          min("d").as("d_min"), max("d").as("d_max"),
+          max("z").as("z_max"),
+          sum(when(col("d_back") === col("d"), 1L).otherwise(0L))
+            .as("n_roundtrip_ok"))
+        .orderBy("n_bytes"),
+    Some("""
+      WITH e AS (
+        SELECT c_custkey, c_custkey * 37 % 3001 - 1500 AS d FROM customer
+      ), z AS (
+        SELECT *, CASE WHEN d >= 0 THEN d * 2 ELSE d * -2 - 1 END AS z
+        FROM e
+      ), v AS (
+        SELECT *,
+          CASE WHEN z < 128 THEN 1 WHEN z < 16384 THEN 2
+               WHEN z < 2097152 THEN 3 WHEN z < 268435456 THEN 4
+               ELSE 5 END AS n_bytes,
+          CASE WHEN z % 2 = 0 THEN z // 2 ELSE -((z + 1) // 2) END AS d_back
+        FROM z
+      )
+      SELECT CAST(n_bytes AS BIGINT) AS n_bytes, COUNT(*) AS n,
+        MIN(d) AS d_min, MAX(d) AS d_max, MAX(z) AS z_max,
+        CAST(SUM(CASE WHEN d_back = d THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_roundtrip_ok
+      FROM v GROUP BY n_bytes ORDER BY n_bytes
+    """.stripMargin.trim))
+
   val ops: Seq[Op] = Seq(
+    joinKnnGrid, fnZigzagVarint,
     q2MinCostSupplier, q9ProductProfit, q11ImportantStock,
     q16PartsSupplier, q20PotentialPromotion,
     q3ShippingPriority, q5LocalSupplierVolume, q6ForecastRevenue,
