@@ -4289,8 +4289,85 @@ WITH hourly AS (
       FROM e GROUP BY hh, event_type ORDER BY h, event_type
     """.stripMargin.trim))
 
+  /** SLO burn-rate alerting — the Google SRE-workbook multiwindow rule
+    * as a batch observability query (the shape every reliability
+    * pipeline replays over history to tune alerts): per hour on the
+    * DENSE spine (gapfill discipline — a missing hour is a 0/0 hour,
+    * not an absent row, or the rolling window silently shortens),
+    * error burn rate = error_share / budget with budget 0.25 (FIXTURE
+    * ADAPTATION, documented: the synthetic stream runs ~20 % errors;
+    * production uses 0.001), the 6-hour long-window burn over exact
+    * integer rolling sums, and the PAGE rule: short AND long both over
+    * 1.2× — multiwindow so a blip (short only) or old burn (long
+    * only) cannot page. Burns are single double divisions of integer
+    * sums — raw emission, engine-identical.
+    *
+    * Scale shape: one partial+final hourly aggregate over the corpus,
+    * then spine + two window frames over the calendar-bounded grid —
+    * the gapfill/forecast family's profile.
+    */
+  val eventsSloBurn: Op = Op(
+    "events_slo_burn",
+    (s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("total"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("errors"))
+      val spine = hourly.agg(min("h").as("h0"), max("h").as("h1"))
+        .select(explode(sequence(col("h0"), col("h1"),
+          expr("interval 1 hour"))).as("h"))
+      val w6 = Window.orderBy("h").rowsBetween(-5, 0)
+      spine.join(hourly, Seq("h"), "left")
+        .select(col("h"), coalesce(col("total"), lit(0L)).as("total"),
+          coalesce(col("errors"), lit(0L)).as("errors"))
+        .withColumn("total6", sum("total").over(w6))
+        .withColumn("errors6", sum("errors").over(w6))
+        .select(fmtSec(col("h")).as("h"), col("total"), col("errors"),
+          when(col("total") > 0, col("errors").cast(DoubleType) /
+            col("total") / 0.25).otherwise(0.0).as("burn_1h"),
+          when(col("total6") > 0, col("errors6").cast(DoubleType) /
+            col("total6") / 0.25).otherwise(0.0).as("burn_6h"))
+        .withColumn("page",
+          (col("burn_1h") > 1.2 && col("burn_6h") > 1.2).cast(LongType))
+        .orderBy("h")
+    },
+    Some("""
+      WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, COUNT(*) AS total,
+          CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            AS BIGINT) AS errors
+        FROM events GROUP BY 1
+      ), spine AS (
+        SELECT unnest(generate_series((SELECT MIN(h) FROM hourly),
+          (SELECT MAX(h) FROM hourly), INTERVAL 1 HOUR)) AS h
+      ), g AS (
+        SELECT spine.h, coalesce(hourly.total, 0) AS total,
+          coalesce(hourly.errors, 0) AS errors
+        FROM spine LEFT JOIN hourly ON spine.h = hourly.h
+      ), r AS (
+        SELECT *, SUM(total) OVER w6 AS total6, SUM(errors) OVER w6 AS errors6
+        FROM g
+        WINDOW w6 AS (ORDER BY h ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+      ), b AS (
+        SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS h, total, errors,
+          CASE WHEN total > 0
+            THEN CAST(errors AS DOUBLE) / total / 0.25 ELSE 0.0 END
+            AS burn_1h,
+          CASE WHEN total6 > 0
+            THEN CAST(errors6 AS DOUBLE) / total6 / 0.25 ELSE 0.0 END
+            AS burn_6h
+        FROM r
+      )
+      SELECT h, CAST(total AS BIGINT) AS total,
+        CAST(errors AS BIGINT) AS errors, burn_1h, burn_6h,
+        CAST(CASE WHEN burn_1h > 1.2 AND burn_6h > 1.2
+             THEN 1 ELSE 0 END AS BIGINT) AS page
+      FROM b ORDER BY h
+    """.stripMargin.trim))
+
   val ops: Seq[Op] = Seq(
-    timeseriesResampleOhlc, eventsHmmViterbi,
+    timeseriesResampleOhlc, eventsHmmViterbi, eventsSloBurn,
     eventsSurvivalCurve,
     streamTumbling, streamSliding, streamSession, streamDedupKeys,
     streamReplayTumbling, streamReplayDedup, streamReplaySession,

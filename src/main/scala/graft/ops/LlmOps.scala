@@ -2,7 +2,8 @@ package graft.ops
 
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -5850,10 +5851,98 @@ object LlmOps {
       FROM r GROUP BY ctx ORDER BY ctx
     """.stripMargin.trim))
 
+  /** ROUGE-L — LCS-based summary/para similarity (Lin 2004), the
+    * SUBSEQUENCE member of the text-similarity family (levenshtein =
+    * edit ops, shingles = set overlap; LCS credits order-preserving
+    * skips): per deterministic (even, even+1) doc pair, the longest
+    * common token subsequence and F1 = 2·LCS/(n+m). The DP is a
+    * compiled int-array two-row fold inside scan-stage mapPartitions —
+    * an O(n·m) recurrence has no codegen-able SQL form, and a nested
+    * higher-order-function encoding interprets ~m× slower (the
+    * multimodal decode precedent: imperative per-row kernels belong in
+    * mapPartitions). F1 is one double division of two integers — raw
+    * emission, engine-identical. ORACLE: the row recurrence
+    * reformulated for SQL — dp_new[j] = prefix-max of
+    * greatest(prev[j+1], prev[j] + eq_j), valid because LCS rows are
+    * monotone (prev[j-1]+0 ≤ prev[j]), stepped per token by a
+    * recursive CTE carrying the row as a LIST.
+    *
+    * Scale shape: pair generation is an equi self-join on adjacent
+    * ids (any real pairing — candidate blocks, retrieval pairs —
+    * substitutes the same shape); the DP is row-local compute that
+    * scales with pair count, embarrassing-parallel by construction.
+    */
+  val llmRougeL: Op = Op(
+    "llm_rouge_l",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      val pairs = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("a_id"), col("tk").as("ta"))
+        .join(docs.select((col("doc_id") - 1).as("a_id"),
+          col("doc_id").as("b_id"), col("tk").as("tb")), Seq("a_id"))
+      val outSchema = StructType(Seq(
+        StructField("a_id", LongType), StructField("b_id", LongType),
+        StructField("n", LongType), StructField("m", LongType),
+        StructField("lcs", LongType)))
+      val enc = RowEncoder.encoderFor(outSchema)
+      pairs.mapPartitions { batch =>
+        batch.map { r =>
+          val ta = r.getSeq[String](1).toArray
+          val tb = r.getSeq[String](3).toArray
+          var prev = new Array[Int](tb.length + 1)
+          var cur = new Array[Int](tb.length + 1)
+          var i = 0
+          while (i < ta.length) {
+            var j = 0
+            while (j < tb.length) {
+              cur(j + 1) =
+                if (ta(i) == tb(j)) prev(j) + 1
+                else math.max(cur(j), prev(j + 1))
+              j += 1
+            }
+            val t = prev; prev = cur; cur = t
+            i += 1
+          }
+          Row(r.getLong(0), r.getLong(2), ta.length.toLong,
+            tb.length.toLong, prev(tb.length).toLong)
+        }
+      }(enc)
+        .select(col("a_id"), col("b_id"), col("n"), col("m"), col("lcs"),
+          ((col("lcs") * 2).cast(DoubleType) / (col("n") + col("m")))
+            .as("rouge_l_f1"))
+        .orderBy("a_id")
+    },
+    Some("""
+      WITH RECURSIVE pr AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          string_split(a.text, ' ') AS ta, string_split(b.text, ' ') AS tb,
+          len(string_split(a.text, ' ')) AS n,
+          len(string_split(b.text, ' ')) AS m
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        WHERE a.doc_id % 2 = 0
+      ), dp AS (
+        SELECT a_id, b_id, ta, tb, n, m, 0 AS i,
+          list_transform(generate_series(0, m), x -> 0) AS row
+        FROM pr
+        UNION ALL
+        SELECT a_id, b_id, ta, tb, n, m, i + 1,
+          list_prepend(0, list_transform(generate_series(1, m), j ->
+            list_max(list_transform(generate_series(1, j), k ->
+              greatest(row[k+1], row[k] +
+                CASE WHEN ta[i+1] = tb[k] THEN 1 ELSE 0 END)))))
+        FROM dp WHERE i < n
+      )
+      SELECT a_id, b_id, CAST(n AS BIGINT) AS n, CAST(m AS BIGINT) AS m,
+        CAST(row[m+1] AS BIGINT) AS lcs,
+        CAST(2 * row[m+1] AS DOUBLE) / (n + m) AS rouge_l_f1
+      FROM dp WHERE i = n ORDER BY a_id
+    """.stripMargin.trim))
+
   val ops: Seq[Op] = Seq(
     llmReadability, llmQualityGopher, llmBoilerplateStrip,
     llmZipfFit, llmKeywordTextrank, llmEmbedPca,
-    llmWatermarkDetect, llmNucleusCutoff,
+    llmWatermarkDetect, llmNucleusCutoff, llmRougeL,
     llmHardNegatives, llmRetrievalMrr, llmDatasetCard, llmBm25Retrieval,
     llmEmbeddingDrift,
     llmVocabMerges, llmVocabApply, llmVocabUnigram, llmVocabUnigramEncode,
