@@ -5872,6 +5872,27 @@ object LlmOps {
     * substitutes the same shape); the DP is row-local compute that
     * scales with pair count, embarrassing-parallel by construction.
     */
+  /** Two-row LCS DP — the ROUGE-L kernel, factored for the UnitSuite
+    * pin against the classic textbook instance.
+    */
+  private[graft] def lcsLen(ta: Array[String], tb: Array[String]): Int = {
+    var prev = new Array[Int](tb.length + 1)
+    var cur = new Array[Int](tb.length + 1)
+    var i = 0
+    while (i < ta.length) {
+      var j = 0
+      while (j < tb.length) {
+        cur(j + 1) =
+          if (ta(i) == tb(j)) prev(j) + 1
+          else math.max(cur(j), prev(j + 1))
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(tb.length)
+  }
+
   val llmRougeL: Op = Op(
     "llm_rouge_l",
     (s, dir) => {
@@ -5890,22 +5911,8 @@ object LlmOps {
         batch.map { r =>
           val ta = r.getSeq[String](1).toArray
           val tb = r.getSeq[String](3).toArray
-          var prev = new Array[Int](tb.length + 1)
-          var cur = new Array[Int](tb.length + 1)
-          var i = 0
-          while (i < ta.length) {
-            var j = 0
-            while (j < tb.length) {
-              cur(j + 1) =
-                if (ta(i) == tb(j)) prev(j) + 1
-                else math.max(cur(j), prev(j + 1))
-              j += 1
-            }
-            val t = prev; prev = cur; cur = t
-            i += 1
-          }
           Row(r.getLong(0), r.getLong(2), ta.length.toLong,
-            tb.length.toLong, prev(tb.length).toLong)
+            tb.length.toLong, lcsLen(ta, tb).toLong)
         }
       }(enc)
         .select(col("a_id"), col("b_id"), col("n"), col("m"), col("lcs"),

@@ -1007,14 +1007,18 @@ object Scalars {
     * portable companions (reversed word for rhyme blocking, vowel
     * signature) over the part-name head word, with a per-code group
     * count joined back so each row carries its block size. The ORACLE
-    * re-derives soundex from first principles in SQL — Spark's mapping
-    * table "01230120022455012623010202" treats H/W/Y like vowels (code
-    * 0 = separator that RESETS the run), so the algorithm is exactly:
-    * translate letters→codes, collapse adjacent equal codes, drop the
-    * first (the head letter's own group), drop separators, pad to 3.
-    * DuckDB's RE2 has no backreferences, so the collapse is seven
-    * chained single-digit replaces ('00+'→'0' … '66+'→'6') rather than
-    * '(.)\1+'.
+    * re-derives soundex from first principles in SQL: vowels/Y are
+    * code-0 separators that RESET the run, but H and W are
+    * TRANSPARENT — a consonant separated from a same-coded consonant
+    * only by H/W still collapses (ashcraft → A261, not A226; the
+    * UnitSuite pin caught a first-cut oracle that wrongly treated H/W
+    * as separators — the fixture's 8 head words never exercise the
+    * rule, the textbook latent-oracle case). So: DELETE H/W from the
+    * body, prepend the head letter's full-map code, translate
+    * letters→codes, collapse adjacent equal codes, drop the first
+    * group, drop separators, pad to 3. DuckDB's RE2 has no
+    * backreferences, so the collapse is seven chained single-digit
+    * replaces ('00+'→'0' … '66+'→'6') rather than '(.)\1+'.
     *
     * Scale shape: per-row projection + one tiny (≤ code-space) agg
     * broadcast back — the blocking-key profile: at 100 TB the keys
@@ -1041,9 +1045,15 @@ object Scalars {
       WITH w0 AS (
         SELECT p_partkey, string_split(p_name, ' ')[1] AS w FROM part
       ), cd AS (
-        SELECT *, translate(upper(w),
-          'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
-          '01230120022455012623010202') AS codes
+        -- head letter's code from the FULL map, body with H/W deleted
+        -- (transparent) then mapped through the 24-letter map
+        SELECT *,
+          translate(upper(substr(w, 1, 1)),
+            'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+            '01230120022455012623010202') ||
+          translate(regexp_replace(upper(substr(w, 2)), '[HW]', '', 'g'),
+            'ABCDEFGIJKLMNOPQRSTUVXYZ',
+            '012301202245501262301202') AS codes
         FROM w0
       ), cl AS (
         SELECT *,

@@ -6,7 +6,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, Row}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{LlmOps, Relational, EventTime, WeightedAvgAgg}
+import graft.ops.{LlmOps, Multimodal, Relational, EventTime, WeightedAvgAgg}
 
 /** Tier A (SURVEY §5.2): hand-computed expected outputs on tiny synthetic
   * fixtures for the nontrivial formulations — the as-of join, session
@@ -403,5 +403,56 @@ class UnitSuite extends AnyFunSuite {
       .withColumn("got", LlmOps.bpeApplyMerge(col("seq"), col("pair")))
     val bad = df.filter(col("got") =!= col("want")).collect()
     assert(bad.isEmpty, bad.take(5).mkString(";"))
+  }
+
+  /** Pins the soundex DERIVATION the fn_phonetic_pack oracle re-builds
+    * in SQL: Spark's mapping table treats H/W/Y as code-0 separators
+    * (reset, not skip), so classic "ignore h/w" references differ on
+    * ashcraft (A226 here, A261 classic) — the adversarial set below
+    * covers vowel starts, H/W transparency (ashcraft, bhb, schwarz —
+    * the rule the first-cut oracle got wrong), repeats, and the
+    * 'small' case that exposed RE2's missing backreferences.
+    */
+  test("Spark soundex matches the derived algorithm on adversarial words") {
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, soundex, upper}
+    val cases = Seq(
+      ("robert", "R163"), ("rupert", "R163"), ("ashcraft", "A261"),
+      ("tymczak", "T522"), ("pfister", "P236"), ("bob", "B100"),
+      ("bb", "B000"), ("aeiou", "A000"), ("small", "S540"),
+      ("honeyman", "H555"), ("schwarz", "S620"), ("bhb", "B000"),
+      ("whisk", "W200"))
+    val bad = cases.toDF("w", "want")
+      .withColumn("got", soundex(upper(col("w"))))
+      .filter(col("got") =!= col("want")).collect()
+    assert(bad.isEmpty, bad.mkString(";"))
+  }
+
+  /** Pins the video keyframe kernel on a hand-built payload: two
+    * identical 32-byte frames then a high-intensity one — exactly one
+    * shot boundary, and the mean |delta| is the single 800 jump over
+    * two deltas.
+    */
+  test("videoKeyframes finds the planted shot boundary and nothing else") {
+    val payload = (Array.fill(64)('a'.toByte) ++ Array.fill(32)('z'.toByte))
+    val (nf, nk, head, sumAbs) = Multimodal.videoKeyframes(payload, 32, 200)
+    assert(nf == 3 && nk == 2 && head == "0,2" && sumAbs == 800L,
+      s"got ($nf, $nk, $head, $sumAbs)")
+    // partial trailing frame: 40 bytes -> frames of 32 and 8
+    val (nf2, nk2, head2, _) = Multimodal.videoKeyframes(
+      Array.fill(40)('a'.toByte), 32, 200)
+    assert(nf2 == 2 && nk2 == 2 && head2 == "0,1",
+      "the short trailing frame's signature drop is a boundary")
+  }
+
+  /** Pins the ROUGE-L kernel on the textbook LCS instance plus edges
+    * (empty side, identical, disjoint).
+    */
+  test("lcsLen matches the classic DP on textbook instances") {
+    def arr(s0: String) = s0.split("").filter(_.nonEmpty)
+    assert(LlmOps.lcsLen(arr("abcbdab"), arr("bdcaba")) == 4)
+    assert(LlmOps.lcsLen(arr("abc"), arr("abc")) == 3)
+    assert(LlmOps.lcsLen(arr("abc"), arr("xyz")) == 0)
+    assert(LlmOps.lcsLen(Array.empty[String], arr("abc")) == 0)
   }
 }
