@@ -4366,8 +4366,120 @@ WITH hourly AS (
       FROM b ORDER BY h
     """.stripMargin.trim))
 
+  /** Haar wavelet decomposition — the multi-resolution analysis member
+    * of the timeseries family (gapfill = regularize, seasonality =
+    * one fixed period; wavelets localize WHICH timescale carries the
+    * energy): the dense hourly count series per event type, zero-padded
+    * to 1024 (documented — dyadic length is the transform's
+    * requirement), decomposed by the UNNORMALIZED Haar recurrence
+    * s' = a+b, d' = a−b for 10 levels. Unnormalized keeps EVERY
+    * coefficient an exact INTEGER (the √2 normalization is a constant
+    * per level, irrelevant to argmax/compare — the standard
+    * integer-wavelet trick), so all 10 levels are engine-exact with no
+    * float anywhere. Emits per (type, level): coefficient count and
+    * the dominant detail coefficient (max |d|, FIRST index on ties via
+    * the padded-string argmax key). Level 1 detail = hour-to-hour
+    * noise; level 5 ≈ daily structure — the spectrum every anomaly
+    * triage reads. ORACLE: ten unrolled CTE levels (the markov/pca
+    * device), one stats row each.
+    *
+    * Scale shape: one corpus-scale hourly aggregate; the transform
+    * then runs on the calendar-sized grid (1024 × types rows), each
+    * level one partial-aggregable pair-reduce — at 100 TB the levels
+    * stay metadata-sized while the single fact pass does all the
+    * heavy lifting.
+    */
+  val eventsWaveletHaar: Op = Op(
+    "events_wavelet_haar",
+    (s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      val bounds = hourly.agg(min("h").as("h0"))
+      val grid = hourly.crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          expr("CAST((unix_micros(h) - unix_micros(h0))" +
+            " div 3600000000 AS INT)").as("idx"),
+          col("n"))
+      val types = hourly.select("event_type").distinct()
+      val spine = types
+        .select(col("event_type"), explode(expr(
+          "sequence(0, 1023)")).as("idx"))
+      var level = spine.join(grid, Seq("event_type", "idx"), "left")
+        .select(col("event_type"), col("idx"),
+          coalesce(col("n"), lit(0L)).as("v"))
+      val stats = (1 to 10).map { lv =>
+        val next = level.groupBy(col("event_type"),
+            expr("idx div 2").as("idx"))
+          .agg(sum(col("v")).as("v"),
+            sum(when(col("idx") % 2 === 0, col("v"))
+              .otherwise(lit(0L) - col("v"))).as("d"))
+        val key = concat(
+          lpad(abs(col("d")).cast(StringType), 14, "0"),
+          lpad((lit(100000) - col("idx")).cast(StringType), 7, "0"))
+        val st = next.groupBy("event_type")
+          .agg(count(lit(1)).cast(LongType).as("n_coeffs"),
+            max(abs(col("d"))).as("max_abs_d"),
+            max_by(col("idx"), key).cast(LongType).as("argmax_idx"),
+            max_by(col("d"), key).as("d_at_max"))
+          .select(col("event_type"), lit(lv.toLong).as("level"),
+            col("n_coeffs"), col("max_abs_d"), col("argmax_idx"),
+            col("d_at_max"))
+        level = next.select("event_type", "idx", "v")
+        st
+      }
+      stats.reduce(_ unionByName _).orderBy("event_type", "level")
+    },
+    Some {
+      val levels = (1 to 10).map { k =>
+        s"""l$k AS (
+        SELECT event_type, idx // 2 AS idx, SUM(v) AS v,
+          CAST(SUM(CASE WHEN idx % 2 = 0 THEN v ELSE -v END) AS BIGINT)
+            AS d
+        FROM l${k - 1} GROUP BY 1, 2
+      )"""
+      }.mkString(", ")
+      val stats = (1 to 10).map { k =>
+        s"""
+        SELECT event_type, CAST($k AS BIGINT) AS level,
+          COUNT(*) AS n_coeffs,
+          CAST(MAX(abs(d)) AS BIGINT) AS max_abs_d,
+          CAST(arg_max(idx, lpad(CAST(abs(d) AS VARCHAR), 14, '0') ||
+            lpad(CAST(100000 - idx AS VARCHAR), 7, '0')) AS BIGINT)
+            AS argmax_idx,
+          CAST(arg_max(d, lpad(CAST(abs(d) AS VARCHAR), 14, '0') ||
+            lpad(CAST(100000 - idx AS VARCHAR), 7, '0')) AS BIGINT)
+            AS d_at_max
+        FROM l$k GROUP BY event_type"""
+      }.mkString(" UNION ALL ")
+      s"""
+      WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+      ), grid AS (
+        SELECT event_type,
+          CAST((epoch_us(h) - (SELECT MIN(epoch_us(h)) FROM hourly))
+            // 3600000000 AS INT) AS idx,
+          n
+        FROM hourly
+      ), spine AS (
+        SELECT t.event_type, i.idx
+        FROM (SELECT DISTINCT event_type FROM hourly) t,
+          LATERAL (SELECT unnest(generate_series(0, 1023)) AS idx) i
+      ), l0 AS (
+        SELECT spine.event_type, spine.idx,
+          CAST(coalesce(grid.n, 0) AS BIGINT) AS v
+        FROM spine LEFT JOIN grid
+          ON spine.event_type = grid.event_type AND spine.idx = grid.idx
+      ), $levels
+      SELECT * FROM ($stats) ORDER BY event_type, level
+    """.stripMargin.trim
+    })
+
   val ops: Seq[Op] = Seq(
     timeseriesResampleOhlc, eventsHmmViterbi, eventsSloBurn,
+    eventsWaveletHaar,
     eventsSurvivalCurve,
     streamTumbling, streamSliding, streamSession, streamDedupKeys,
     streamReplayTumbling, streamReplayDedup, streamReplaySession,

@@ -532,6 +532,9 @@ class PlanSuite extends AnyFunSuite {
       // for the mean, and the per-iteration norm scalar (x8); the
       // scatter/matvec joins are equi on j/k/vec_id
       "llm_embed_pca",
+      // 1-row broadcast min-hour bound (in-plan-N) anchoring the
+      // dyadic grid; the spine/pair joins are equi on (type, idx)
+      "events_wavelet_haar",
       // broadcast probe-set crossJoin (the simsearch_topk exact-search
       // baseline shape: big side scans once, never shuffles) and the
       // 1-row broadcast corpus-total crossJoin (in-plan-N pattern)
