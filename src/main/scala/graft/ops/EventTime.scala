@@ -4477,9 +4477,143 @@ WITH hourly AS (
     """.stripMargin.trim
     })
 
+  /** Benford first-digit audit — the classic fraud/integrity screen:
+    * leading digits of naturally-occurring magnitudes follow
+    * log₁₀(1+1/d); fabricated or truncated data doesn't. Per event
+    * type and digit: observed count, Benford-expected count, and the
+    * χ² contribution; the per-type χ² rides every row via a window SUM
+    * over contributions ROUNDED to 8 dp then summed as exact DECIMAL
+    * (the chisq treatment — the one float appears only inside a
+    * per-row closed term). The digit is derived arithmetically
+    * (floor(v/10^⌊log₁₀v⌋) — never by string formatting, which the
+    * engines print differently); the only floor boundaries a 2-dp
+    * fixture can hit are exact powers of ten, where log₁₀ is exact.
+    *
+    * Scale shape: one partial+final aggregate on (type, digit) — ≤45
+    * cells regardless of corpus size — plus a 45-row window.
+    */
+  val eventsBenfordDigit: Op = Op(
+    "events_benford_digit",
+    (s, dir) => {
+      val d = floor(col("value") /
+        pow(lit(10.0), floor(log10(col("value"))))).cast(LongType)
+      val wT = Window.partitionBy("event_type")
+      Tables.events(s, dir)
+        .filter(col("value") > 0)
+        .select(col("event_type"), d.as("digit"))
+        .groupBy("event_type", "digit")
+        .agg(count(lit(1)).as("obs"))
+        .withColumn("n_total", sum("obs").over(wT))
+        .withColumn("exp_n",
+          round(col("n_total") * log10(lit(1.0) + lit(1.0) / col("digit")),
+            6))
+        .withColumn("contrib",
+          expr("CAST(round((obs - (n_total * log10(1.0 + 1.0 / digit)))" +
+            " * (obs - (n_total * log10(1.0 + 1.0 / digit)))" +
+            " / (n_total * log10(1.0 + 1.0 / digit)), 8)" +
+            " AS DECIMAL(18,8))"))
+        .withColumn("chisq",
+          sum(col("contrib")).over(wT).cast(DoubleType))
+        .select(col("event_type"), col("digit"), col("obs"),
+          col("n_total"), col("exp_n"),
+          col("contrib").cast(DoubleType).as("contrib"), col("chisq"))
+        .orderBy("event_type", "digit")
+    },
+    Some("""
+      WITH d AS (
+        SELECT event_type,
+          CAST(floor(value / pow(10.0, floor(log10(value)))) AS BIGINT)
+            AS digit
+        FROM events WHERE value > 0
+      ), c AS (
+        SELECT event_type, digit, COUNT(*) AS obs FROM d GROUP BY 1, 2
+      ), t AS (
+        SELECT *, SUM(obs) OVER (PARTITION BY event_type) AS n_total
+        FROM c
+      ), x AS (
+        SELECT event_type, digit, obs, CAST(n_total AS BIGINT) AS n_total,
+          ROUND(n_total * log10(1.0 + 1.0 / digit), 6) AS exp_n,
+          CAST(ROUND((obs - (n_total * log10(1.0 + 1.0 / digit)))
+            * (obs - (n_total * log10(1.0 + 1.0 / digit)))
+            / (n_total * log10(1.0 + 1.0 / digit)), 8)
+            AS DECIMAL(18,8)) AS contrib
+        FROM t
+      )
+      SELECT event_type, digit, obs, n_total, exp_n,
+        CAST(contrib AS DOUBLE) AS contrib,
+        CAST(SUM(contrib) OVER (PARTITION BY event_type) AS DOUBLE)
+          AS chisq
+      FROM x ORDER BY event_type, digit
+    """.stripMargin.trim))
+
+  /** Theil–Sen slope — the ROBUST trend estimator next to
+    * `events_trend_slope`'s OLS (median of pairwise slopes shrugs off
+    * the outliers that swing least-squares): per event type over the
+    * hourly count series, the LOWER MEDIAN of all (j>i) pairwise
+    * slopes under a total order (slope, i, j) — an order statistic on
+    * raw doubles, so no fold and no rounding anywhere; identical
+    * inputs give identical medians. The OLS slope from the same rows
+    * rides along for contrast.
+    *
+    * Scale shape: the pair join is equi on event_type (hash, never
+    * BNLJ) and quadratic ONLY within a group's calendar-bounded
+    * series (~720 hours ⇒ ~259k pairs/type) — the documented contract;
+    * at unbounded n the production variant samples pairs or uses the
+    * repeated-median formulation, same plan shape.
+    */
+  val eventsTheilSen: Op = Op(
+    "events_theil_sen",
+    (s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"),
+          (unix_micros(col("h")) / lit(3600000000L)).cast(LongType)
+            .as("x"), col("n").cast(DoubleType).as("y"))
+      val a = hourly.select(col("event_type"), col("x").as("xi"),
+        col("y").as("yi"))
+      val b = hourly.select(col("event_type"), col("x").as("xj"),
+        col("y").as("yj"))
+      val pairs = a.join(b, Seq("event_type")).filter(col("xj") > col("xi"))
+        .select(col("event_type"), col("xi"), col("xj"),
+          ((col("yj") - col("yi")) / (col("xj") - col("xi"))).as("slope"))
+      val w = Window.partitionBy("event_type")
+      pairs
+        .withColumn("rn", row_number().over(
+          w.orderBy(col("slope"), col("xi"), col("xj"))))
+        .withColumn("n_pairs", count(lit(1)).over(w))
+        .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+        .select(col("event_type"), col("n_pairs"),
+          col("slope").as("theil_sen_slope"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH hourly AS (
+        SELECT event_type,
+          CAST(epoch_us(date_trunc('hour', ts)) // 3600000000 AS BIGINT)
+            AS x,
+          CAST(COUNT(*) AS DOUBLE) AS y
+        FROM events GROUP BY 1, 2
+      ), pairs AS (
+        SELECT a.event_type, a.x AS xi, b.x AS xj,
+          (b.y - a.y) / (b.x - a.x) AS slope
+        FROM hourly a JOIN hourly b ON a.event_type = b.event_type
+        WHERE b.x > a.x
+      ), r AS (
+        SELECT event_type, slope,
+          row_number() OVER (PARTITION BY event_type
+                             ORDER BY slope, xi, xj) AS rn,
+          COUNT(*) OVER (PARTITION BY event_type) AS n_pairs
+        FROM pairs
+      )
+      SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+        slope AS theil_sen_slope
+      FROM r WHERE rn = (n_pairs + 1) // 2 ORDER BY event_type
+    """.stripMargin.trim))
+
   val ops: Seq[Op] = Seq(
     timeseriesResampleOhlc, eventsHmmViterbi, eventsSloBurn,
-    eventsWaveletHaar,
+    eventsWaveletHaar, eventsBenfordDigit, eventsTheilSen,
     eventsSurvivalCurve,
     streamTumbling, streamSliding, streamSession, streamDedupKeys,
     streamReplayTumbling, streamReplayDedup, streamReplaySession,

@@ -1077,8 +1077,77 @@ object Scalars {
       FROM sx ORDER BY p_partkey
     """.stripMargin.trim))
 
+  /** Rounding-mode pack — the cross-engine rounding SEMANTICS pinned as
+    * a graded query (this round alone hit two portability forks in
+    * `round(double, n)` half-way handling, so the house treats rounding
+    * modes as first-class semantics, not incidental formatting): over
+    * exact DECIMAL prices (2-dp inputs put an exact .X5 on ~1/10 of
+    * rows — real half-way cases, not contrived), per return flag:
+    * HALF_UP (`round` ↔ DuckDB `round`, away-from-zero on decimals),
+    * HALF_EVEN (`bround` — banker's, the IEEE/SQL default for money),
+    * ceil/floor envelopes, and the count of rows where the two modes
+    * actually disagree. All arithmetic is exact decimal; sums surface
+    * as doubles. FINDING, verified while building this op: DuckDB's
+    * `round_even(DECIMAL, n)` detours through DOUBLE and misrounds
+    * 411/60k fixture halves (e.g. 79864.65 → 79864.7; the nearest
+    * double sits above the exact half) while Spark's `bround` and
+    * DuckDB's `round` are exact on decimals — so the oracle's
+    * HALF_EVEN leg is derived from exact integer cents
+    * (t + (t MOD 2) at rem = 5) rather than `round_even`. The op IS
+    * the regression test for that class of defect.
+    *
+    * Scale shape: per-row projection + one partial+final aggregate on
+    * a 3-value key.
+    */
+  val fnRoundingPack: Op = Op(
+    "fn_rounding_pack",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), dec2(col("l_extendedprice")).as("v"))
+        .select(col("l_returnflag"),
+          round(col("v"), 1).as("r_half_up"),
+          bround(col("v"), 1).as("r_half_even"),
+          ceil(col("v")).as("r_ceil"),
+          floor(col("v")).as("r_floor"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("r_half_up") =!= col("r_half_even"), 1L)
+            .otherwise(0L)).as("n_mode_divergent"),
+          sum(col("r_half_up")).cast(DoubleType).as("sum_half_up"),
+          sum(col("r_half_even")).cast(DoubleType).as("sum_half_even"),
+          sum(col("r_ceil")).cast(DoubleType).as("sum_ceil"),
+          sum(col("r_floor")).cast(DoubleType).as("sum_floor"))
+        .orderBy("l_returnflag"),
+    Some("""
+      WITH v AS (
+        SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(12,2)) AS v,
+          CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+            AS cents
+        FROM lineitem
+      ), r AS (
+        SELECT l_returnflag,
+          round(v, 1) AS r_half_up,
+          -- exact half-even from integer cents: round_even(DECIMAL, n)
+          -- detours through DOUBLE and misrounds large .X5 halves
+          CASE WHEN cents % 10 < 5 THEN cents // 10
+               WHEN cents % 10 > 5 THEN cents // 10 + 1
+               ELSE cents // 10 + (cents // 10) % 2 END AS he_tenths,
+          ceil(v) AS r_ceil,
+          floor(v) AS r_floor
+        FROM v
+      )
+      SELECT l_returnflag, COUNT(*) AS n,
+        CAST(SUM(CASE WHEN CAST(r_half_up * 10 AS BIGINT) <> he_tenths
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_mode_divergent,
+        CAST(SUM(r_half_up) AS DOUBLE) AS sum_half_up,
+        CAST(SUM(he_tenths) AS DOUBLE) / 10 AS sum_half_even,
+        CAST(SUM(r_ceil) AS DOUBLE) AS sum_ceil,
+        CAST(SUM(r_floor) AS DOUBLE) AS sum_floor
+      FROM r GROUP BY l_returnflag ORDER BY l_returnflag
+    """.stripMargin.trim))
+
   val ops: Seq[Op] = Seq(
-    fnPhoneticPack,
+    fnPhoneticPack, fnRoundingPack,
     fnStringPack, fnDatePack, fnMathCase, fnArrayPack, fnHigherOrder,
     fnMapPack, fnJsonExtract, fnCastCoalesce, fnBitwisePack, fnRegexpPack,
     fnTrigPack, fnGeoPack, fnIpPack, fnStructPack, fnGeneratorOuter, fnHashPack, fnNestedAgg,
