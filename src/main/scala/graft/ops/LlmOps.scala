@@ -5946,10 +5946,70 @@ object LlmOps {
       FROM dp WHERE i = n ORDER BY a_id
     """.stripMargin.trim))
 
+  /** pass@k — the unbiased estimator from the Codex paper (Chen et al.
+    * 2021): with n attempts and c successes, pass@k = 1 − C(n−c,k)/
+    * C(n,k), computed as the telescoped product Π (n−c−i)/(n−i) — here
+    * over the behavioral fixture (a user's events are attempts,
+    * purchases are successes), which is exactly how the estimator is
+    * deployed over any (group, trials, successes) table. PORTABLE
+    * arithmetic: the product is a LEFT-ASSOCIATED chain of per-factor
+    * double ratios (a single integer numerator/denominator pair would
+    * overflow int64 at k = 10 — n^10 ~ 1e30, and DuckDB errors on
+    * int64 overflow where Spark would silently wrap); identical
+    * expression trees over identical integers give identical doubles
+    * in both engines, and greatest(., 0) zeroes the product when
+    * c > n-k, giving the correct pass@k = 1.
+    * n < k emits NULL (the estimator is undefined), mirrored in SQL.
+    *
+    * Scale shape: one partial+final per-user count aggregate, then
+    * row-local integer math — the eval-aggregation profile.
+    */
+  val llmEvalPassAtK: Op = Op(
+    "llm_eval_pass_at_k",
+    (s, dir) => {
+      def prod(k: Int): org.apache.spark.sql.Column = {
+        val f = (0 until k).map(i =>
+          s"(CAST(greatest(n - c - $i, 0) AS DOUBLE) / (n - $i))")
+          .mkString(" * ")
+        expr(s"CASE WHEN n >= $k THEN 1.0 - ($f) ELSE NULL END")
+      }
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("c"))
+        .select(col("user_id"), col("n"), col("c"),
+          prod(1).as("pass_at_1"),
+          prod(5).as("pass_at_5"),
+          prod(10).as("pass_at_10"))
+        .orderBy("user_id")
+    },
+    Some {
+      def prod(k: Int): String = {
+        val f = (0 until k).map(i =>
+          s"(CAST(greatest(n - c - $i, 0) AS DOUBLE) / (n - $i))")
+          .mkString(" * ")
+        s"CASE WHEN n >= $k THEN 1.0 - ($f) ELSE NULL END"
+      }
+      s"""
+      WITH u AS (
+        SELECT user_id, COUNT(*) AS n,
+          CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS c
+        FROM events GROUP BY user_id
+      )
+      SELECT user_id, n, c,
+        ${prod(1)} AS pass_at_1,
+        ${prod(5)} AS pass_at_5,
+        ${prod(10)} AS pass_at_10
+      FROM u ORDER BY user_id
+    """.stripMargin.trim
+    })
+
   val ops: Seq[Op] = Seq(
     llmReadability, llmQualityGopher, llmBoilerplateStrip,
     llmZipfFit, llmKeywordTextrank, llmEmbedPca,
-    llmWatermarkDetect, llmNucleusCutoff, llmRougeL,
+    llmWatermarkDetect, llmNucleusCutoff, llmRougeL, llmEvalPassAtK,
     llmHardNegatives, llmRetrievalMrr, llmDatasetCard, llmBm25Retrieval,
     llmEmbeddingDrift,
     llmVocabMerges, llmVocabApply, llmVocabUnigram, llmVocabUnigramEncode,
