@@ -893,8 +893,88 @@ object Aggregates {
       FROM events GROUP BY 1, 2 ORDER BY event_type, bucket
     """.stripMargin.trim))
 
+  /** One-pass Poisson bootstrap CI — the ONLY bootstrap that works at
+    * 100 TB (Chamandy et al.: resampling-with-replacement is a shuffle
+    * per replicate; Poisson(1) weights approximate it in ONE pass with
+    * R weight columns per row): per return flag, a 90 % CI on the mean
+    * price from R = 20 replicates. Determinism end to end: the weight
+    * is the Poisson(1) inverse CDF on an md5-derived INTEGER residue
+    * (pure integer threshold ladder — no float until the final mean),
+    * replicate 0 carries weight 1 everywhere (the identity replicate =
+    * the full-sample mean, so no second scan), weighted sums fold
+    * through exact DECIMAL, and the CI bounds are ORDER STATISTICS
+    * (2nd / 19th sorted replicate means — raw doubles, no
+    * interpolation to disagree on). The md5 residue is the house
+    * content-hash idiom (sample_hash_pct), so the weights are
+    * partition-invariant and engine-identical.
+    *
+    * Scale shape: fact × (R+1) explode is map-local; the only shuffle
+    * carries (flag, replicate) partial sums — 63 cells. One pass,
+    * R-bounded memory: the published production shape verbatim.
+    */
+  val aggPoissonBootstrapCi: Op = Op(
+    "agg_poisson_bootstrap_ci",
+    (s, dir) => {
+      // Poisson(1) CDF × 1e6, floored: integer thresholds
+      val ladder = "CASE WHEN h < 367879 THEN 0L WHEN h < 735758 THEN 1L" +
+        " WHEN h < 919698 THEN 2L WHEN h < 981011 THEN 3L" +
+        " WHEN h < 996340 THEN 4L ELSE 5L END"
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("flag"),
+          dec2(col("l_extendedprice")).as("v2"),
+          col("l_orderkey"), col("l_linenumber"))
+        .select(col("flag"), col("v2"), col("l_orderkey"),
+          col("l_linenumber"), explode(expr("sequence(0, 20)")).as("r"))
+        .withColumn("h", expr(
+          "cast(conv(substring(md5(concat_ws('|', l_orderkey," +
+            " l_linenumber, r)), 1, 7), 16, 10) as bigint) % 1000000"))
+        .withColumn("w", expr(s"IF(r = 0, 1L, $ladder)"))
+        .groupBy("flag", "r")
+        .agg(sum(col("w") * col("v2")).as("swv"), sum("w").as("sw"))
+        .select(col("flag"), col("r"),
+          (col("swv").cast(DoubleType) / col("sw").cast(DoubleType))
+            .as("mean"), col("sw"))
+        .groupBy("flag")
+        .agg(max(when(col("r") === 0, col("sw"))).as("n_rows"),
+          max(when(col("r") === 0, col("mean"))).as("mean_price"),
+          expr("element_at(array_sort(collect_list(" +
+            "CASE WHEN r > 0 THEN mean END)), 2)").as("ci_lo"),
+          expr("element_at(array_sort(collect_list(" +
+            "CASE WHEN r > 0 THEN mean END)), 19)").as("ci_hi"))
+        .orderBy("flag")
+    },
+    Some("""
+      WITH e AS (
+        SELECT l_returnflag AS flag,
+          CAST(l_extendedprice AS DECIMAL(12,2)) AS v2,
+          l_orderkey, l_linenumber, rr.r
+        FROM lineitem,
+          LATERAL (SELECT unnest(generate_series(0, 20)) AS r) rr
+      ), wts AS (
+        SELECT flag, v2, r,
+          CASE WHEN r = 0 THEN 1 ELSE (
+            CASE WHEN h < 367879 THEN 0 WHEN h < 735758 THEN 1
+                 WHEN h < 919698 THEN 2 WHEN h < 981011 THEN 3
+                 WHEN h < 996340 THEN 4 ELSE 5 END) END AS w
+        FROM (SELECT *,
+          CAST('0x' || substr(md5(l_orderkey || '|' || l_linenumber ||
+            '|' || r), 1, 7) AS BIGINT) % 1000000 AS h FROM e)
+      ), m AS (
+        SELECT flag, r,
+          CAST(SUM(w * v2) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS mean,
+          SUM(w) AS sw
+        FROM wts GROUP BY flag, r
+      )
+      SELECT flag,
+        CAST(MAX(CASE WHEN r = 0 THEN sw END) AS BIGINT) AS n_rows,
+        MAX(CASE WHEN r = 0 THEN mean END) AS mean_price,
+        (list(mean ORDER BY mean) FILTER (WHERE r > 0))[2] AS ci_lo,
+        (list(mean ORDER BY mean) FILTER (WHERE r > 0))[19] AS ci_hi
+      FROM m GROUP BY flag ORDER BY flag
+    """.stripMargin.trim))
+
   val ops: Seq[Op] = Seq(
-    aggLog2Histogram,
+    aggLog2Histogram, aggPoissonBootstrapCi,
     aggGeoHarmonicMean, aggHigherMoments,
     aggDecayedLtv,
     aggBitmapDistinct,
