@@ -4611,9 +4611,148 @@ WITH hourly AS (
       FROM r WHERE rn = (n_pairs + 1) // 2 ORDER BY event_type
     """.stripMargin.trim))
 
+  /** Holt-Winters triple exponential smoothing — the SEASONAL finisher
+    * of the forecast family (naive = the baseline, Holt = level+trend;
+    * HW adds the 24-hour seasonal state every hourly operational series
+    * actually has): additive form, α=0.3 β=0.1 γ=0.2, period 24, over
+    * the dense hourly total-count series. The whole recursion is
+    * floor-SNAPPED at every assignment (level, trend, each seasonal
+    * update: floor(x·1e6)/1e6 — the textrank discipline; floor of
+    * identical doubles is identical where round's half-way handling is
+    * not), the one-step-ahead absolute errors accumulate as exact
+    * floor(err·1e6) BIGINT micro-units, and initialization is the
+    * standard first-two-seasons closed form under the same snap — so
+    * the 696-step fold lands bit-identical in both engines. Emits the
+    * 24 final seasonal components with final level/trend/MAE riding
+    * along. ORACLE: the recursive CTE steps the same recursion, the
+    * seasonal vector updated by slice-concat (DuckDB's lambda has no
+    * index parameter).
+    *
+    * Scale shape: one corpus-scale hourly aggregate, then a per-SERIES
+    * sorted fold over the calendar-bounded grid (720 points) — state
+    * is (level, trend, 24 seasonals) regardless of history; at 100 TB
+    * the fold keys by series id exactly like the sessionize family.
+    */
+  val eventsHoltWinters: Op = Op(
+    "events_holt_winters",
+    (s, dir) => {
+      // DENSE spine (gapfill discipline): a missing hour is y = 0, not
+      // an absent row — sparse SFs have hour gaps that would desync the
+      // season index and break the oracle's step recursion
+      val hourly = Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).cast(DoubleType).as("y"))
+      val spine = hourly.agg(min("h").as("h0"), max("h").as("h1"))
+        .select(col("h0"), explode(sequence(col("h0"), col("h1"),
+          expr("interval 1 hour"))).as("h"))
+      val series = spine.join(hourly, Seq("h"), "left")
+        .select(expr("CAST((unix_micros(h) - unix_micros(h0))" +
+          " div 3600000000 AS INT)").as("idx"),
+          coalesce(col("y"), lit(0.0)).as("y"))
+      val snap = (e: String) => s"floor(($e) * 1e6) / 1e6"
+      val fold =
+        "aggregate(" +
+          "  filter(seq, e -> e.idx >= 24)," +
+          "  named_struct(" +
+          "    'l', l0, 'tr', t0," +
+          "    's', transform(slice(seq, 1, 24), e -> " +
+          snap("e.y - l0") + ")," +
+          "    'sae', 0L, 'cnt', 0L)," +
+          "  (acc, x) -> named_struct(" +
+          "    'l', " + snap("0.3 * (x.y - element_at(acc.s, int(x.idx % 24) + 1))" +
+            " + 0.7 * (acc.l + acc.tr)") + "," +
+          "    'tr', " + snap("0.1 * ((" + snap("0.3 * (x.y - element_at(acc.s, int(x.idx % 24) + 1))" +
+            " + 0.7 * (acc.l + acc.tr)") + ") - acc.l)" +
+            " + 0.9 * acc.tr") + "," +
+          "    's', concat(" +
+          "      slice(acc.s, 1, int(x.idx % 24))," +
+          "      array(" + snap("0.2 * (x.y - (" + snap("0.3 * (x.y - element_at(acc.s, int(x.idx % 24) + 1))" +
+            " + 0.7 * (acc.l + acc.tr)") + "))" +
+            " + 0.8 * element_at(acc.s, int(x.idx % 24) + 1)") + ")," +
+          "      slice(acc.s, int(x.idx % 24) + 2, 24 - int(x.idx % 24) - 1))," +
+          "    'sae', acc.sae + CAST(floor(abs(x.y - (acc.l + acc.tr" +
+          "      + element_at(acc.s, int(x.idx % 24) + 1))) * 1e6) AS BIGINT)," +
+          "    'cnt', acc.cnt + 1L))"
+      series.agg(
+          expr("array_sort(collect_list(struct(idx, y)))").as("seq"))
+        .select(col("seq"),
+          expr(snap("aggregate(slice(seq, 1, 24), 0D, (a, e) -> a + e.y) / 24"))
+            .as("l0"))
+        .select(col("seq"), col("l0"),
+          expr(snap("(aggregate(slice(seq, 25, 24), 0D, (a, e) -> a + e.y) / 24" +
+            " - aggregate(slice(seq, 1, 24), 0D, (a, e) -> a + e.y) / 24) / 24"))
+            .as("t0"))
+        .select(expr(fold).as("hw"))
+        .select(posexplode(col("hw.s")).as(Seq("h", "seasonal")),
+          col("hw.l").as("level"), col("hw.tr").as("trend"),
+          (col("hw.sae").cast(DoubleType) / lit(1e6) / col("hw.cnt"))
+            .as("mae"))
+        .select(col("h").cast(LongType).as("h"), col("seasonal"),
+          col("level"), col("trend"), col("mae"))
+        .orderBy("h")
+    },
+    Some("""
+      WITH RECURSIVE hourly AS (
+        SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS DOUBLE) AS y
+        FROM events GROUP BY 1
+      ), spine AS (
+        SELECT unnest(generate_series((SELECT MIN(h) FROM hourly),
+          (SELECT MAX(h) FROM hourly), INTERVAL 1 HOUR)) AS h
+      ), series AS (
+        SELECT CAST((epoch_us(spine.h)
+          - (SELECT MIN(epoch_us(h)) FROM hourly))
+          // 3600000000 AS INT) AS idx,
+          coalesce(hourly.y, 0.0) AS y
+        FROM spine LEFT JOIN hourly ON spine.h = hourly.h
+      ), initL AS (
+        SELECT
+          floor(((SELECT SUM(y) FROM series WHERE idx < 24) / 24) * 1e6)
+            / 1e6 AS l0,
+          floor((((SELECT SUM(y) FROM series WHERE idx >= 24 AND idx < 48)
+            / 24
+            - (SELECT SUM(y) FROM series WHERE idx < 24) / 24) / 24)
+            * 1e6) / 1e6 AS t0
+      ), init AS (
+        -- seasonal init built by aggregate, not lambda (DuckDB lambdas
+        -- cannot contain subqueries or capture them)
+        SELECT i.l0, i.t0,
+          list(floor((e.y - i.l0) * 1e6) / 1e6 ORDER BY e.idx) AS s0
+        FROM series e, initL i WHERE e.idx < 24
+        GROUP BY i.l0, i.t0
+      ), dp AS (
+        SELECT 23 AS t, l0 AS l, t0 AS tr, s0 AS s,
+          CAST(0 AS BIGINT) AS sae, 0 AS cnt
+        FROM init
+        UNION ALL
+        SELECT e.idx, u.l2, u.tr2,
+          dp.s[1:(e.idx % 24)] || [u.s2] || dp.s[(e.idx % 24) + 2:24],
+          dp.sae + CAST(floor(abs(e.y - (dp.l + dp.tr
+            + dp.s[(e.idx % 24) + 1])) * 1e6) AS BIGINT),
+          dp.cnt + 1
+        FROM dp
+        JOIN series e ON e.idx = dp.t + 1
+        , LATERAL (
+          SELECT l2, floor((0.1 * (l2 - dp.l) + 0.9 * dp.tr) * 1e6) / 1e6
+              AS tr2,
+            floor((0.2 * (e.y - l2)
+              + 0.8 * dp.s[(e.idx % 24) + 1]) * 1e6) / 1e6 AS s2
+          FROM (SELECT floor((0.3 * (e.y - dp.s[(e.idx % 24) + 1])
+            + 0.7 * (dp.l + dp.tr)) * 1e6) / 1e6 AS l2)
+        ) u
+      ), fin AS (
+        SELECT * FROM dp WHERE t = (SELECT MAX(idx) FROM series)
+      )
+      SELECT CAST(g.h AS BIGINT) AS h, fin.s[g.h + 1] AS seasonal,
+        fin.l AS level, fin.tr AS trend,
+        CAST(fin.sae AS DOUBLE) / 1e6 / fin.cnt AS mae
+      FROM fin, LATERAL (SELECT unnest(generate_series(0, 23)) AS h) g
+      ORDER BY h
+    """.stripMargin.trim))
+
   val ops: Seq[Op] = Seq(
     timeseriesResampleOhlc, eventsHmmViterbi, eventsSloBurn,
     eventsWaveletHaar, eventsBenfordDigit, eventsTheilSen,
+    eventsHoltWinters,
     eventsSurvivalCurve,
     streamTumbling, streamSliding, streamSession, streamDedupKeys,
     streamReplayTumbling, streamReplayDedup, streamReplaySession,

@@ -535,6 +535,9 @@ class PlanSuite extends AnyFunSuite {
       // 1-row broadcast min-hour bound (in-plan-N) anchoring the
       // dyadic grid; the spine/pair joins are equi on (type, idx)
       "events_wavelet_haar",
+      // same 1-row broadcast min-hour bound (in-plan-N) anchoring the
+      // dense hourly index; the fold is a single sorted-fold group
+      "events_holt_winters",
       // broadcast probe-set crossJoin (the simsearch_topk exact-search
       // baseline shape: big side scans once, never shuffles) and the
       // 1-row broadcast corpus-total crossJoin (in-plan-N pattern)
