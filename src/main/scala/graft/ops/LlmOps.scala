@@ -6006,10 +6006,103 @@ object LlmOps {
     """.stripMargin.trim
     })
 
+  /** distinct-n diversity — the generation-diversity metric of Li et
+    * al. 2016 as a per-document corpus screen (low distinct-2/3 is the
+    * signature of degenerate/templated text that repetition_filter's
+    * run-length rules miss): unique n-gram count over total n-gram
+    * count for n = 1, 2, 3, all in-row (n-gram arrays by indexed
+    * transform, uniqueness by array_distinct ↔ list_distinct), plus
+    * the document's modal bigram as the interpretability handle (max
+    * count, ties to the lexicographically first — derived by sorting
+    * the bigram array and scanning runs, exact integers). Ratios are
+    * single double divisions of integers — raw emission.
+    *
+    * Scale shape: scan → per-row project, zero pre-sort shuffles —
+    * the map-only screen shape.
+    */
+  val llmNgramDiversity: Op = Op(
+    "llm_ngram_diversity",
+    (s, dir) => {
+      def grams(n: Int) =
+        if (n == 1) "tk"
+        else s"transform(sequence(0, size(tk) - $n)," +
+          s" i -> concat_ws(' ', slice(tk, i + 1, $n)))"
+      Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= 3)
+        .select(col("doc_id"),
+          size(col("tk")).cast(LongType).as("n_tokens"),
+          expr(s"CAST(size(array_distinct(${grams(1)})) AS BIGINT)")
+            .as("u1"),
+          expr(s"CAST(size(array_distinct(${grams(2)})) AS BIGINT)")
+            .as("u2"),
+          expr(s"CAST(size(array_distinct(${grams(3)})) AS BIGINT)")
+            .as("u3"),
+          expr(
+            // modal bigram: sort, then fold runs carrying (best, bestN,
+            // cur, curN) — exact integers, lexicographic tie to first
+            s"""aggregate(array_sort(${grams(2)}),
+               named_struct('best', '', 'bn', 0L, 'cur', '', 'cn', 0L),
+               (a, g) -> named_struct(
+                 'best', IF(IF(g = a.cur, a.cn + 1L, 1L) > a.bn,
+                            g, a.best),
+                 'bn', greatest(IF(g = a.cur, a.cn + 1L, 1L), a.bn),
+                 'cur', g,
+                 'cn', IF(g = a.cur, a.cn + 1L, 1L)),
+               a -> a.best)""").as("modal_bigram"))
+        .select(col("doc_id"), col("n_tokens"), col("u1"), col("u2"),
+          col("u3"),
+          (col("u1").cast(DoubleType) / col("n_tokens")).as("distinct_1"),
+          (col("u2").cast(DoubleType) / (col("n_tokens") - 1))
+            .as("distinct_2"),
+          (col("u3").cast(DoubleType) / (col("n_tokens") - 2))
+            .as("distinct_3"),
+          col("modal_bigram"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+      ), g AS (
+        SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+          CAST(len(list_distinct(tk)) AS BIGINT) AS u1,
+          list_sort(list_transform(generate_series(1, len(tk) - 1),
+            i -> tk[i] || ' ' || tk[i+1])) AS bg,
+          CAST(len(list_distinct(list_transform(
+            generate_series(1, len(tk) - 1),
+            i -> tk[i] || ' ' || tk[i+1]))) AS BIGINT) AS u2,
+          CAST(len(list_distinct(list_transform(
+            generate_series(1, len(tk) - 2),
+            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])))
+            AS BIGINT) AS u3
+        FROM d
+      ), bgr AS (
+        SELECT doc_id, unnest(bg) AS b FROM g
+      ), md AS (
+        SELECT doc_id, b AS modal_bigram FROM (
+          SELECT doc_id, b,
+            row_number() OVER (PARTITION BY doc_id
+                               ORDER BY COUNT(*) DESC, b) AS rn
+          FROM bgr GROUP BY doc_id, b)
+        WHERE rn = 1
+      ), m AS (
+        SELECT g.doc_id, n_tokens, u1, u2, u3, md.modal_bigram
+        FROM g JOIN md ON g.doc_id = md.doc_id
+      )
+      SELECT doc_id, n_tokens, u1, u2, u3,
+        CAST(u1 AS DOUBLE) / n_tokens AS distinct_1,
+        CAST(u2 AS DOUBLE) / (n_tokens - 1) AS distinct_2,
+        CAST(u3 AS DOUBLE) / (n_tokens - 2) AS distinct_3,
+        modal_bigram
+      FROM m ORDER BY doc_id
+    """.stripMargin.trim))
+
   val ops: Seq[Op] = Seq(
     llmReadability, llmQualityGopher, llmBoilerplateStrip,
     llmZipfFit, llmKeywordTextrank, llmEmbedPca,
     llmWatermarkDetect, llmNucleusCutoff, llmRougeL, llmEvalPassAtK,
+    llmNgramDiversity,
     llmHardNegatives, llmRetrievalMrr, llmDatasetCard, llmBm25Retrieval,
     llmEmbeddingDrift,
     llmVocabMerges, llmVocabApply, llmVocabUnigram, llmVocabUnigramEncode,
