@@ -865,11 +865,18 @@ object Aggregates {
     * (types × ~60 buckets) rows before the single exchange — the
     * latency-histogram shape that ships per-minute from every agent at
     * 100 TB precisely because it needs no second pass.
+    *
+    * Domain: value > 0 is filtered explicitly on BOTH sides (log₂ is
+    * only defined there — Spark would emit a NULL bucket for a
+    * zero/negative value while DuckDB's log2 returns -inf/NaN whose
+    * BIGINT cast errors; the guard makes the domain assumption a plan
+    * fact instead of a fixture accident, mirroring events_benford_digit).
     */
   val aggLog2Histogram: Op = Op(
     "agg_log2_histogram",
     (s, dir) =>
       Tables.events(s, dir)
+        .filter(col("value") > 0)
         .select(col("event_type"),
           floor(log2(col("value"))).as("bucket"),
           col("value"), dec2(col("value")).as("v2"))
@@ -890,14 +897,20 @@ object Aggregates {
         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v_sum,
         ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
           / COUNT(*), 6) AS v_mean
-      FROM events GROUP BY 1, 2 ORDER BY event_type, bucket
+      FROM events WHERE value > 0
+      GROUP BY 1, 2 ORDER BY event_type, bucket
     """.stripMargin.trim))
 
   /** One-pass Poisson bootstrap CI — the ONLY bootstrap that works at
     * 100 TB (Chamandy et al.: resampling-with-replacement is a shuffle
     * per replicate; Poisson(1) weights approximate it in ONE pass with
-    * R weight columns per row): per return flag, a 90 % CI on the mean
-    * price from R = 20 replicates. Determinism end to end: the weight
+    * R weight columns per row): per return flag, a central percentile
+    * interval on the mean price from R = 20 replicates — the (2nd,
+    * 19th) order statistics, i.e. plotting positions ≈ (9.5 %, 90.5 %),
+    * nominal coverage ≈ 81–85 % (NOT a conventional 90 % CI, which from
+    * 20 replicates would need the 1st/20th or interpolation at
+    * 0.05/0.95; the integral-rank form is kept because order statistics
+    * on raw doubles are engine-identical while interpolation is not). Determinism end to end: the weight
     * is the Poisson(1) inverse CDF on an md5-derived INTEGER residue
     * (pure integer threshold ladder — no float until the final mean),
     * replicate 0 carries weight 1 everywhere (the identity replicate =

@@ -4552,8 +4552,8 @@ WITH hourly AS (
     * hourly count series, the LOWER MEDIAN of all (j>i) pairwise
     * slopes under a total order (slope, i, j) — an order statistic on
     * raw doubles, so no fold and no rounding anywhere; identical
-    * inputs give identical medians. The OLS slope from the same rows
-    * rides along for contrast.
+    * inputs give identical medians. (For the least-squares slope on
+    * the same series see the sibling op events_trend_slope.)
     *
     * Scale shape: the pair join is equi on event_type (hash, never
     * BNLJ) and quadratic ONLY within a group's calendar-bounded

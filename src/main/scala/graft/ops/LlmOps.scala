@@ -5730,7 +5730,12 @@ object LlmOps {
     * flagged. The z is a single double expression over two INTEGERS
     * (green count, scored count) — engine-identical without snapping;
     * the greenlist membership itself is exact string equality. First
-    * token is unscored (no context); single-token docs emit z = 0.
+    * token is unscored (no context); single-token docs emit z = 0 via
+    * an explicit size(tk) >= 2 guard — Spark's sequence(1, 0) is the
+    * DESCENDING [1, 0] (it would index tk[-1]/tk[size] and only reach 0
+    * by null tolerance, erroring under ANSI array semantics), while
+    * DuckDB's generate_series(2, 1) is empty; the IF makes both sides
+    * compute the same empty fold by construction.
     *
     * Scale shape: scan → per-row in-row fold (the hash chain never
     * leaves the row), zero pre-sort shuffles — the map-only screen
@@ -5743,10 +5748,11 @@ object LlmOps {
         .select(col("doc_id"), split(col("text"), " ").as("tk"))
         .select(col("doc_id"),
           (size(col("tk")) - 1).cast(LongType).as("n_scored"),
-          expr("aggregate(transform(sequence(1, size(tk) - 1)," +
+          expr("IF(size(tk) < 2, 0L," +
+            " aggregate(transform(sequence(1, size(tk) - 1)," +
             " i -> IF(substr(md5(concat(tk[i-1], ' ', tk[i])), 32, 1)" +
             " IN ('0','2','4','6','8','a','c','e'), 1L, 0L))," +
-            " 0L, (a, x) -> a + x)").as("n_green"))
+            " 0L, (a, x) -> a + x))").as("n_green"))
         .select(col("doc_id"), col("n_scored"), col("n_green"),
           when(col("n_scored") > 0,
             (lit(2) * col("n_green") - col("n_scored")).cast(DoubleType) /

@@ -406,12 +406,13 @@ class UnitSuite extends AnyFunSuite {
   }
 
   /** Pins the soundex DERIVATION the fn_phonetic_pack oracle re-builds
-    * in SQL: Spark's mapping table treats H/W/Y as code-0 separators
-    * (reset, not skip), so classic "ignore h/w" references differ on
-    * ashcraft (A226 here, A261 classic) — the adversarial set below
-    * covers vowel starts, H/W transparency (ashcraft, bhb, schwarz —
-    * the rule the first-cut oracle got wrong), repeats, and the
-    * 'small' case that exposed RE2's missing backreferences.
+    * in SQL: H and W are TRANSPARENT (skipped, lastCode unchanged — so
+    * same-code letters across an H/W still collapse: ashcraft → A261,
+    * bhb → B000), while only vowels and Y are code-0 separators that
+    * RESET the run — the adversarial set below covers vowel starts,
+    * H/W transparency (ashcraft, bhb, schwarz — the rule the first-cut
+    * oracle got wrong), repeats, and the 'small' case that exposed
+    * RE2's missing backreferences.
     */
   test("Spark soundex matches the derived algorithm on adversarial words") {
     import s.implicits._
