@@ -4749,6 +4749,17 @@ WITH hourly AS (
       ORDER BY h
     """.stripMargin.trim))
 
+  /** Force the once-per-(session, fixture) replay-source writes (the
+    * µs-truncated event copies every stream_replay_* op reads). Bench
+    * calls this UNCOUNTED so replay queries measure the streaming
+    * micro-batch work, not the one-time source write (r17's
+    * stream_replay_cdc_upsert "regression" was this attribution).
+    */
+  private[graft] def prewarmArtifacts(
+      s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    replaySrc(s, dir); wmReplaySrc(s, dir); cepReplaySrc(s, dir): Unit
+  }
+
   val ops: Seq[Op] = Seq(
     timeseriesResampleOhlc, eventsHmmViterbi, eventsSloBurn,
     eventsWaveletHaar, eventsBenfordDigit, eventsTheilSen,
