@@ -560,6 +560,9 @@ class PlanSuite extends AnyFunSuite {
       // array (IVF routing) and the 16-row subspace/LUT crossJoins (PQ
       // ADC); the routed ADC join is equi on (cell) then (p_id,j,code)
       "llm_simsearch_ivfpq",
+      // the ivfpq plan verbatim, sourcing centroids/codebook/codes from
+      // the persisted parquet model store — same broadcast dimensions
+      "sink_model_artifact_search",
       // 1-row broadcast piece-count totals (two costify calls) and the
       // 1-row seed/kept vocab-stats crossJoins (in-plan-N); the Viterbi
       // relaxation joins are equi on (word, position)
