@@ -307,6 +307,27 @@ class PropertySuite extends AnyFunSuite {
     }
   }
 
+  test("profile_columns_approx: NDV within 5% of exact; nulls/min/max equal the exact profile") {
+    import org.apache.spark.sql.functions._
+    val approx = Relational.profileColumnsApprox.build(s, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))).toMap
+    val exact = Relational.profileColumns.build(s, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((k, (eNulls, eNdv, eMin, eMax)) <- exact) {
+      val (aNulls, aNdv, aMin, aMax) = approx(k)
+      assert(aNulls == eNulls, s"$k nulls: $aNulls vs $eNulls")
+      assert(aMin == eMin && aMax == eMax, s"$k min/max drift")
+      // HLL++ at rsd 0.02; 5% absolute bound (the agg_approx_distinct
+      // convention), with the small-NDV exact-register regime giving
+      // equality on the low-cardinality columns
+      assert(math.abs(aNdv - eNdv) <= math.max(1.0, 0.05 * eNdv),
+        s"$k ndv: approx $aNdv vs exact $eNdv")
+    }
+  }
+
   test("agg_approx_percentile estimates sit at their exact rank within sketch tolerance") {
     import org.apache.spark.sql.functions._
     val est = Aggregates.aggApproxPercentile.build(s, sf).collect()
