@@ -832,6 +832,112 @@ object EventTime {
       ) WHERE rn = 1 ORDER BY user_id
     """.stripMargin.trim))
 
+  /** Spread replay source for the exactly-once op: the events table
+    * written as a FIXED 12 parquet files, so maxFilesPerTrigger=4 gives
+    * three micro-batches at EVERY fixture size (a single-file source
+    * would collapse to one batch at sf0.001 and the planted crash
+    * below would never fire). Written once per (session, fixture dir).
+    */
+  private val eoSrcWritten = new SessionArtifact[String]
+  private def eoSrc(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    eoSrcWritten(s, dir) {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_scratch/stream_eo_src_" +
+        SessionArtifact.dirTag(dir)
+      Tables.events(s, dir).repartition(12).write.mode("overwrite").parquet(p)
+      p
+    }
+
+  /** EXACTLY-ONCE ACROSS A QUERY RESTART — the checkpoint-recovery
+    * guarantee itself, graded: stream_replay_sink_commit proves
+    * intra-run redelivery idempotence; THIS op proves the full story a
+    * production pipeline actually relies on — offset WAL + idempotent
+    * sink + RESTART. The first streaming run plants a writer crash at
+    * micro-batch 2 (batches 0–1 commit, the query dies with batch 2's
+    * offsets already WAL'd); a SECOND run starts from the SAME
+    * checkpointLocation, replays batch 2 under the SAME epoch id
+    * (Structured Streaming's foreachBatch contract), the manifest
+    * commit no-ops anything already landed, and the stream completes.
+    *
+    * The graded fold is deliberately NON-idempotent — per-user event
+    * COUNT and exact-decimal value SUM (unlike the sink-commit op's
+    * max() fold, which would absorb a duplicated batch invisibly): if
+    * the restart re-delivered any committed batch, or dropped the
+    * crashed one, counts and sums diverge from the batch oracle — the
+    * oracle match IS the exactly-once proof.
+    *
+    * Scale shape: per-batch reduce bounds each commit to ≤|users|
+    * rows; the final read folds per-batch partials with associative
+    * count/decimal sums (split-invariant); checkpoint recovery is
+    * O(offset log), not O(data). A deployment swaps the local manifest
+    * for its table format's transactional commit (the WAP/OCC ops'
+    * job) — the protocol is identical.
+    */
+  val streamReplayExactlyOnce: Op = Op(
+    "stream_replay_exactly_once",
+    (s, dir) => {
+      val src = eoSrc(s, dir)
+      val s2 = replaySession(s)
+      val runDir = s"${sys.props("java.io.tmpdir")}/graft_scratch/stream_eo_run_" +
+        SessionArtifact.dirTag(dir)
+      // wipe the previous build's checkpoint + committed log: this op
+      // grades the crash/restart protocol, so every build re-runs it
+      val root = new java.io.File(runDir)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      if (root.exists) rm(root)
+      new java.io.File(s"$runDir/commits").mkdirs()
+      new java.io.File(s"$runDir/data").mkdirs()
+      def run(failAtBatch: Long): Unit = {
+        val q = s2.readStream.schema(Tables.expectedSchemas("events"))
+          .option("maxFilesPerTrigger", "4")
+          .parquet(src)
+          .select(col("user_id"), dec2(col("value")).as("v2"))
+          .writeStream
+          .option("checkpointLocation", s"$runDir/ckpt")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              bid: Long) =>
+            if (bid >= failAtBatch)
+              throw new RuntimeException(s"planted writer crash at batch $bid")
+            val reduced = batch.groupBy("user_id")
+              .agg(count(lit(1)).as("n"), sum("v2").as("v2sum"))
+            val mark = new java.io.File(s"$runDir/commits/$bid")
+            val dest = java.nio.file.Paths.get(s"$runDir/data/batch=$bid")
+            if (!(mark.exists || java.nio.file.Files.exists(dest))) {
+              val tmpDir = s"$runDir/_tmp_$bid"
+              reduced.write.mode("overwrite").parquet(tmpDir)
+              java.nio.file.Files.move(
+                java.nio.file.Paths.get(tmpDir), dest,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              if (!mark.createNewFile() && !mark.exists)
+                throw new java.io.IOException(
+                  s"batch $bid committed but its manifest mark could not be recorded")
+            }
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        // the planted crash surfaces as a StreamingQueryException — the
+        // restart below is the graded recovery path
+        try q.awaitTermination()
+        catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
+        finally q.stop()
+      }
+      run(failAtBatch = 2L)
+      run(failAtBatch = Long.MaxValue)
+      s2.read.parquet(s"$runDir/data")
+        .groupBy("user_id")
+        .agg(sum("n").cast(LongType).as("n_events"),
+          sum("v2sum").cast(DoubleType).as("total_value"))
+        .orderBy("user_id")
+    },
+    Some("""
+      SELECT user_id, COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY user_id ORDER BY user_id
+    """.stripMargin.trim))
+
   /** Spark 4 transformWithState — ARBITRARY keyed state (StatefulProcessor
     * + typed ValueState/MapState over the RocksDB store), the API that
     * replaces flatMapGroupsWithState: an exactly-once running per-user
@@ -4757,7 +4863,8 @@ WITH hourly AS (
     */
   private[graft] def prewarmArtifacts(
       s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
-    replaySrc(s, dir); wmReplaySrc(s, dir); cepReplaySrc(s, dir): Unit
+    replaySrc(s, dir); wmReplaySrc(s, dir); cepReplaySrc(s, dir)
+    eoSrc(s, dir): Unit
   }
 
   val ops: Seq[Op] = Seq(
@@ -4788,5 +4895,5 @@ WITH hourly AS (
     eventsPowerAnalysis, eventsUserStreaks, eventsOutlierIqr,
     eventsMarkovStationary, eventsBotScore, eventsBotScoreScale,
     eventsFunnelLatency, eventsAutocorrelation, eventsCohortRevenue,
-    aggWinsorizedMean)
+    aggWinsorizedMean, streamReplayExactlyOnce)
 }

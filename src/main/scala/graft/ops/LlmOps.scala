@@ -3737,6 +3737,89 @@ object LlmOps {
       ORDER BY b.doc_id
     """.stripMargin.trim))
 
+  /** BLOOM-PREFILTERED cross-corpus dedup — the scale twin of
+    * `llm_cross_dedup` (same semantics, same oracle VERBATIM, the
+    * win_*_scale precedent): instead of joining every arriving row
+    * against the reference fingerprint table, the reference set packs
+    * into ONE fixed-size bloom row (2^18 bits as 4096 longs, 3
+    * md5-seeded hashes — the sink_bloom_index kernel applied to dedup),
+    * broadcast to the batch; rows whose 3 bits are not all set are
+    * DEFINITE non-members (bloom has no false negatives) and skip the
+    * join entirely, and only the maybe-members pay the exact fp join
+    * that resolves false positives. The final flags are exact, so the
+    * shared oracle's hash match proves the bloom never dropped a true
+    * duplicate.
+    *
+    * Scale shape: THE incremental-ingestion shape at 100 TB — the
+    * reference corpus is petabytes but its bloom is kilobytes-to-
+    * gigabytes and broadcast-able (size it at ~10 bits/key for 1%
+    * fp); the arriving batch filters row-locally in the scan stage and
+    * the residual exact join sees only |batch| × fp-rate + true-dup
+    * rows instead of the whole batch. PropertySuite asserts the twin
+    * equals llm_cross_dedup bit-for-bit AND that the prefilter
+    * actually prunes (maybe-set strictly smaller than the batch) with
+    * zero false negatives.
+    */
+  val llmDedupBloom: Op = Op(
+    "llm_dedup_bloom",
+    (s, dir) => {
+      val flagged = dedupBloomFlagged(s, dir)
+      val keepIds = flagged.filter(col("dup_of_ref") === 0L)
+        .groupBy("fp").agg(min("doc_id").as("keep_id"))
+      flagged.join(keepIds, Seq("fp"), "left")
+        .select(col("doc_id"), col("source"), col("dup_of_ref"),
+          when(col("keep_id") === col("doc_id"), 1L).otherwise(0L).as("keep"))
+        .orderBy("doc_id")
+    },
+    llmCrossDedup.oracle)
+
+  /** Hash position i of the bloom for the `fp` column (md5-seeded
+    * double hashing over 2^18 bits — the sink_bloom_index discipline). */
+  private def dedupBloomPosSql(i: Int): String =
+    s"(cast(conv(substring(md5(concat('db$i:', fp)), 1, 12), 16, 10) " +
+      "as bigint) % 262144)"
+  private def dedupBloomPos(i: Int): Column = expr(dedupBloomPosSql(i))
+
+  /** Batch rows flagged by the bloom-prefiltered membership pipeline —
+    * (doc_id, source, fp, maybe_ref, dup_of_ref); exposed so
+    * PropertySuite can assert the prefilter prunes and never drops a
+    * true duplicate. */
+  private[graft] def dedupBloomFlagged(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), normFp.as("fp"))
+    val isNew = regexp_extract(col("source"), "src1[5-9]", 0) =!= ""
+    val refFps = docs.filter(!isNew).select("fp").distinct()
+    // one-row bloom: word index -> bit_or of member bits (a map is the
+    // natural sparse form; absent word = all-zero bits)
+    val bloomRow = refFps
+      .select(explode(array((0 until 3).map(dedupBloomPos): _*)).as("pos"))
+      .select(expr("cast(pos div 64 as int)").as("word"),
+        expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))").as("bit"))
+      .groupBy("word").agg(expr("bit_or(bit)").as("bits"))
+      .agg(map_from_arrays(collect_list(col("word")),
+        collect_list(col("bits"))).as("bloom"))
+    def member(i: Int): Column = {
+      val p = dedupBloomPosSql(i)
+      expr(s"coalesce((element_at(bloom, cast($p div 64 as int)) & " +
+        s"shiftleft(cast(1 as bigint), cast($p % 64 as int))) != 0, false)")
+    }
+    val probed = docs.filter(isNew)
+      .crossJoin(broadcast(bloomRow))
+      .withColumn("maybe_ref", (0 until 3).map(member).reduce(_ && _))
+      .drop("bloom")
+    // only maybe-members pay the exact join; definite-nos are clean by
+    // the bloom's no-false-negative guarantee
+    val maybes = probed.filter(col("maybe_ref"))
+      .join(refFps.withColumn("in_ref", lit(1L)), Seq("fp"), "left")
+      .select(col("doc_id"), col("source"), col("fp"), col("maybe_ref"),
+        coalesce(col("in_ref"), lit(0L)).as("dup_of_ref"))
+    val nos = probed.filter(!col("maybe_ref"))
+      .select(col("doc_id"), col("source"), col("fp"), col("maybe_ref"),
+        lit(0L).as("dup_of_ref"))
+    maybes.unionByName(nos)
+  }
+
   /** BPE train chain (v -> w5), ONE definition shared verbatim by the
     * apply oracle and the tokenizer-compare oracle (the revenueSql
     * discipline: the merge-table derivation can never fork per
@@ -6365,6 +6448,7 @@ object LlmOps {
     llmDedupSimhash, llmDedupFuzzy,
     llmDocEmbed,
     llmDedupEmbed, llmFingerprintWinnow, llmDecontaminate, llmPiiScrub,
+    llmDedupBloom,
     llmPipelineCurate,
     llmSimsearchTopk, llmSimsearchLsh, llmSimsearchLshDet, llmIvfFit, llmSimsearchIvf,
     llmSimsearchPq, llmSimsearchIvfpq,

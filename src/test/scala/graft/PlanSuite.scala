@@ -563,6 +563,10 @@ class PlanSuite extends AnyFunSuite {
       // the ivfpq plan verbatim, sourcing centroids/codebook/codes from
       // the persisted parquet model store — same broadcast dimensions
       "sink_model_artifact_search",
+      // 1-row broadcast bloom-bitmap crossJoin (in-plan-N): the batch
+      // probes the packed reference bloom row-locally; the residual
+      // exact join is equi on fp
+      "llm_dedup_bloom",
       // 1-row broadcast piece-count totals (two costify calls) and the
       // 1-row seed/kept vocab-stats crossJoins (in-plan-N); the Viterbi
       // relaxation joins are equi on (word, position)

@@ -307,6 +307,23 @@ class PropertySuite extends AnyFunSuite {
     }
   }
 
+  test("llm_dedup_bloom equals llm_cross_dedup; the bloom prunes with zero false negatives") {
+    import org.apache.spark.sql.functions._
+    val twin = LlmOps.llmDedupBloom.build(s, sf).collect().map(_.toSeq)
+    val base = LlmOps.llmCrossDedup.build(s, sf).collect().map(_.toSeq)
+    assert(twin.toSeq == base.toSeq, "bloom twin diverged from the exact op")
+    val flagged = LlmOps.dedupBloomFlagged(s, sf)
+      .select(col("maybe_ref"), col("dup_of_ref")).collect()
+    val nBatch = flagged.length
+    val nMaybe = flagged.count(_.getBoolean(0))
+    // the prefilter must do real work: some definite non-members skip
+    // the join entirely
+    assert(nMaybe < nBatch, s"bloom pruned nothing ($nMaybe of $nBatch)")
+    // no false negatives: every true duplicate passed the prefilter
+    flagged.filter(_.getLong(1) == 1L).foreach(r =>
+      assert(r.getBoolean(0), "a true duplicate was bloom-filtered out"))
+  }
+
   test("profile_columns_approx: NDV within 5% of exact; nulls/min/max equal the exact profile") {
     import org.apache.spark.sql.functions._
     val approx = Relational.profileColumnsApprox.build(s, sf).collect()

@@ -672,6 +672,32 @@ class StreamingSuite extends AnyFunSuite {
     assert(second == first, "sink-commit replay must be deterministic")
   }
 
+  test("stream_replay_exactly_once: crash fires mid-stream, restart completes the commit log, counts exact") {
+    val out = EventTime.streamReplayExactlyOnce.build(s, TestSpark.Sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val runDir = s"${sys.props("java.io.tmpdir")}/graft_scratch/stream_eo_run_" +
+      graft.ops.SessionArtifact.dirTag(TestSpark.Sf0001)
+    val marks = new java.io.File(s"$runDir/commits").listFiles()
+      .map(_.getName.toLong).sorted.toSeq
+    // 12 source files at 4/trigger = 3 micro-batches; the planted crash
+    // at batch 2 means run 1 could only commit 0-1, so batch 2's
+    // presence PROVES the checkpoint restart resumed and completed
+    assert(marks == Seq(0L, 1L, 2L),
+      s"expected commits 0,1,2 (crash at 2, restart completes): $marks")
+    val dataDirs = new java.io.File(s"$runDir/data").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(dataDirs == marks.map(m => s"batch=$m"),
+      s"commit log inconsistent: data=$dataDirs marks=$marks")
+    // the NON-idempotent fold equals batch ground truth: any batch
+    // duplicated or dropped across the restart would shift a count
+    val truth = Tables.events(s, TestSpark.Sf0001)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == truth.keySet)
+    truth.foreach { case (u, n) =>
+      assert(out(u)._1 == n, s"user $u: got ${out(u)._1} events, expected $n") }
+  }
+
   test("stream_replay_cdc_upsert applies tombstones post-fold (no resurrection)") {
     // batch ground truth: the set of users whose LATEST event (by ts,
     // event_id) is an 'error' must be exactly the users the CDC upsert
