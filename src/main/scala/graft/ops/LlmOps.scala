@@ -5830,7 +5830,12 @@ object LlmOps {
             (sum(col("term")).cast(DoubleType) / lit(1e10))).as("r"))
           // vocab-sized: truncate lineage each step, or iteration K's
           // broadcast re-evaluates all K-1 predecessors (job count —
-          // and wall-clock — quadratic in iterations)
+          // and wall-clock — quadratic in iterations). Every-OTHER-step
+          // checkpointing (the unigram trick) was measured WORSE here
+          // (3.3 -> 4.1 s warm at sf0.1): the un-cut step re-evaluates
+          // an EDGE-table join inside the broadcast thread, which costs
+          // more than the checkpoint it saves — the unigram relaxation's
+          // re-evaluated step is word-sized, this one is edge-sized.
           .localCheckpoint(true)
       }
       ranks
