@@ -6246,6 +6246,136 @@ object LlmOps {
       FROM dp WHERE i = n ORDER BY a_id
     """.stripMargin.trim))
 
+  /** CORPUS BLEU — Papineni et al. 2002, the n-gram-precision member
+    * of the eval family (llm_rouge_l = subsequence recall, this =
+    * clipped n-gram precision with a brevity penalty): over the same
+    * deterministic (even, even+1) doc pairing, per-lang corpus BLEU =
+    * BP · exp(¼ Σₙ ln pₙ), n = 1..4, where pₙ is the CORPUS-level
+    * clipped precision (Σ min(candidate count, reference count) /
+    * Σ candidate count — clipping is per pair, the sums are corpus
+    * aggregates, exactly the paper's micro-average) and BP =
+    * min(1, e^(1−r/c)) on the summed lengths.
+    *
+    * Portability discipline: every count is exact integer; each pₙ and
+    * BP is ONE double expression over integers rounded at 6 dp; BLEU
+    * is then computed FROM the rounded components (both engines take
+    * ln/exp of identical 6-dp doubles — the unigram cost-model
+    * treatment) and rounded again. Zero clipped matches in any order
+    * → BLEU 0 by explicit guard (ln(0) forks engines: -inf vs error).
+    * N-gram extraction guards size ≥ n (Spark's sequence(1, 0) is
+    * descending — the watermark_detect lesson, applied at birth).
+    *
+    * Scale shape: pair-local explode → two (pair, n, gram) count
+    * aggregates → one left join co-keyed on (pair, n, gram) → a
+    * per-lang rollup; nothing after the first aggregates sees the
+    * corpus. The pairing column is the plug point for any real
+    * candidate/reference feed (MT output vs references, RAG answer vs
+    * gold), same as rouge_l.
+    */
+  val llmEvalBleu: Op = Op(
+    "llm_eval_bleu",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"))
+      val pairs = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("a_id"), col("lang"), col("tk").as("ta"))
+        .join(docs.select((col("doc_id") - 1).as("a_id"), col("tk").as("tb")),
+          Seq("a_id"))
+        .localCheckpoint(true) // consumed by cand grams, ref grams, lengths
+      def grams(c: String): Column = expr(
+        s"flatten(transform(sequence(1, 4), n -> IF(size($c) >= n," +
+          s" transform(sequence(1, size($c) - n + 1)," +
+          s" i -> struct(n AS n, concat_ws(' ', slice($c, i, n)) AS gram))," +
+          " array())))")
+      val cg = pairs.select(col("lang"), col("a_id"), explode(grams("ta")).as("g"))
+        .groupBy(col("lang"), col("a_id"), col("g.n").as("n"), col("g.gram").as("gram"))
+        .agg(count(lit(1)).as("c_cnt"))
+      val rg = pairs.select(col("a_id"), explode(grams("tb")).as("g"))
+        .groupBy(col("a_id"), col("g.n").as("n"), col("g.gram").as("gram"))
+        .agg(count(lit(1)).as("r_cnt"))
+      val prec = cg.join(rg, Seq("a_id", "n", "gram"), "left")
+        .groupBy("lang", "n")
+        .agg(sum("c_cnt").as("tot"),
+          sum(least(col("c_cnt"), coalesce(col("r_cnt"), lit(0L)))).as("m"))
+        .select(col("lang"), col("n"),
+          round(col("m").cast(DoubleType) / col("tot"), 6).as("p"))
+      val lens = pairs.groupBy("lang")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(size(col("ta"))).cast(LongType).as("c_len"),
+          sum(size(col("tb"))).cast(LongType).as("r_len"))
+      def pn(k: Int): Column = max(when(col("n") === k, col("p")))
+      prec.groupBy("lang")
+        .agg(pn(1).as("p1"), pn(2).as("p2"), pn(3).as("p3"), pn(4).as("p4"))
+        .join(lens, "lang")
+        .select(col("lang"), col("n_pairs"), col("c_len"), col("r_len"),
+          round(when(col("c_len") >= col("r_len"), 1.0).otherwise(
+            exp(lit(1.0) - col("r_len").cast(DoubleType) /
+              col("c_len").cast(DoubleType))), 6).as("bp"),
+          col("p1"), col("p2"), col("p3"), col("p4"))
+        .select(col("lang"), col("n_pairs"), col("c_len"), col("r_len"),
+          col("bp"), col("p1"), col("p2"), col("p3"), col("p4"),
+          round(when(col("p1") > 0 && col("p2") > 0 &&
+              col("p3") > 0 && col("p4") > 0,
+            col("bp") * exp((log(col("p1")) + log(col("p2")) +
+              log(col("p3")) + log(col("p4"))) / 4.0))
+            .otherwise(0.0), 6).as("bleu"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH pr AS (
+        SELECT a.doc_id AS a_id, a.lang,
+          string_split(a.text, ' ') AS ta, string_split(b.text, ' ') AS tb
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        WHERE a.doc_id % 2 = 0
+      ), cg AS (
+        SELECT lang, a_id, n, gram, COUNT(*) AS c_cnt FROM (
+          SELECT lang, a_id, n, array_to_string(ta[gi:gi+n-1], ' ') AS gram
+          FROM (SELECT lang, a_id, ta,
+                  unnest(generate_series(1, 4)) AS n FROM pr) t,
+            LATERAL (SELECT unnest(generate_series(1, len(ta) - n + 1)) AS gi)
+          WHERE len(ta) >= n)
+        GROUP BY 1, 2, 3, 4
+      ), rg AS (
+        SELECT a_id, n, gram, COUNT(*) AS r_cnt FROM (
+          SELECT a_id, n, array_to_string(tb[gi:gi+n-1], ' ') AS gram
+          FROM (SELECT a_id, tb,
+                  unnest(generate_series(1, 4)) AS n FROM pr) t,
+            LATERAL (SELECT unnest(generate_series(1, len(tb) - n + 1)) AS gi)
+          WHERE len(tb) >= n)
+        GROUP BY 1, 2, 3
+      ), prec AS (
+        SELECT cg.lang, cg.n,
+          ROUND(CAST(SUM(LEAST(cg.c_cnt, coalesce(rg.r_cnt, 0))) AS DOUBLE)
+            / SUM(cg.c_cnt), 6) AS p
+        FROM cg LEFT JOIN rg
+          ON rg.a_id = cg.a_id AND rg.n = cg.n AND rg.gram = cg.gram
+        GROUP BY 1, 2
+      ), w AS (
+        SELECT lang,
+          MAX(CASE WHEN n = 1 THEN p END) AS p1,
+          MAX(CASE WHEN n = 2 THEN p END) AS p2,
+          MAX(CASE WHEN n = 3 THEN p END) AS p3,
+          MAX(CASE WHEN n = 4 THEN p END) AS p4
+        FROM prec GROUP BY lang
+      ), l AS (
+        SELECT lang, COUNT(*) AS n_pairs,
+          CAST(SUM(len(ta)) AS BIGINT) AS c_len,
+          CAST(SUM(len(tb)) AS BIGINT) AS r_len
+        FROM pr GROUP BY lang
+      ), z AS (
+        SELECT l.lang, l.n_pairs, l.c_len, l.r_len,
+          ROUND(CASE WHEN l.c_len >= l.r_len THEN 1.0
+            ELSE exp(1.0 - CAST(l.r_len AS DOUBLE) / l.c_len) END, 6) AS bp,
+          w.p1, w.p2, w.p3, w.p4
+        FROM w JOIN l ON l.lang = w.lang
+      )
+      SELECT lang, n_pairs, c_len, r_len, bp, p1, p2, p3, p4,
+        ROUND(CASE WHEN p1 > 0 AND p2 > 0 AND p3 > 0 AND p4 > 0
+          THEN bp * exp((ln(p1) + ln(p2) + ln(p3) + ln(p4)) / 4.0)
+          ELSE 0.0 END, 6) AS bleu
+      FROM z ORDER BY lang
+    """.stripMargin.trim))
+
   /** pass@k — the unbiased estimator from the Codex paper (Chen et al.
     * 2021): with n attempts and c successes, pass@k = 1 − C(n−c,k)/
     * C(n,k), computed as the telescoped product Π (n−c−i)/(n−i) — here
@@ -6453,7 +6583,7 @@ object LlmOps {
     llmDedupSimhash, llmDedupFuzzy,
     llmDocEmbed,
     llmDedupEmbed, llmFingerprintWinnow, llmDecontaminate, llmPiiScrub,
-    llmDedupBloom,
+    llmDedupBloom, llmEvalBleu,
     llmPipelineCurate,
     llmSimsearchTopk, llmSimsearchLsh, llmSimsearchLshDet, llmIvfFit, llmSimsearchIvf,
     llmSimsearchPq, llmSimsearchIvfpq,
