@@ -2457,6 +2457,162 @@ object LlmOps {
       WHERE rn <= 5 ORDER BY p_id, rn
     """.stripMargin.trim))
 
+  /** MMR DIVERSIFIED RE-RANKING — Carbonell & Goldstein 1998, the
+    * serving-quality step between a searcher's top-N and what a
+    * retrieval pipeline actually returns (RAG context assembly, dedup
+    * of near-identical hits): per probe, take the exact top-10 by
+    * cosine, then select k = 5 greedily by
+    * score = λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s), λ = 0.7 — each
+    * pick is penalized by its similarity to what is ALREADY selected,
+    * so the returned 5 trade relevance against redundancy. Fully
+    * deterministic and oracle-graded: every cosine rounds at 6 dp
+    * (graft_cosine ⇄ the list-fold formula), each step's λ-blend runs
+    * on the 6-dp sims' INTEGER numerators (7·s − 3·m over 1e7 — a
+    * double blend rounds a 7th-digit half-way case differently per
+    * engine; observed 0.255122 vs 0.255123), and argmax ties break on
+    * n_id — the 5 unrolled selection steps are plain CTEs in both
+    * engines, so the hash match proves the greedy trajectory step for
+    * step.
+    *
+    * Scale shape: the candidate stage is the brute-force broadcast
+    * panel (swap in any ANN searcher — the MMR stage only sees top-N);
+    * the pairwise-sim table is N²-bounded PER PROBE (10×9 rows) and
+    * keyed by probe, so the greedy loop's joins are bucket-local
+    * however many probes exist. The selection depth is k (fixed), not
+    * data-sized.
+    */
+  val llmSimsearchMmr: Op = Op(
+    "llm_simsearch_mmr",
+    (s, dir) => {
+      graft.functions.CosineSim.register(s)
+      val e = ivfVecs(s, dir)
+      val probes = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("p_id"), col("v").as("pv"))
+      val cand10 = e.select(col("vec_id").as("n_id"), col("v").as("nv"))
+        .crossJoin(broadcast(probes))
+        .filter(col("n_id") =!= col("p_id"))
+        .select(col("p_id"), col("n_id"), col("nv"),
+          round(expr("graft_cosine(pv, nv)"), 6).as("simq"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("p_id").orderBy(col("simq").desc, col("n_id"))))
+        .filter(col("rk") <= 10)
+        .drop("rk")
+        // fresh attribute ids: ps self-joins this frame and the greedy
+        // loop anti-joins its own picks (the starRound analyzer note)
+        .localCheckpoint(true)
+        .toDF("p_id", "n_id", "nv", "simq")
+      val ps = cand10.select(col("p_id").as("pp"), col("n_id").as("a"),
+          col("nv").as("av"))
+        .join(cand10.select(col("p_id").as("pp"), col("n_id").as("b"),
+          col("nv").as("bv")), Seq("pp"))
+        .filter(col("a") =!= col("b"))
+        .select(col("pp"), col("a"), col("b"),
+          round(expr("graft_cosine(av, bv)"), 6).as("s"))
+        .localCheckpoint(true) // 10×9 rows per probe, read by 4 steps
+        .toDF("pp", "a", "b", "s")
+      val cand = cand10.drop("nv")
+      def pick(scored: DataFrame, r: Int): DataFrame =
+        scored.withColumn("rk", row_number().over(
+          Window.partitionBy("p_id").orderBy(col("score").desc, col("n_id"))))
+          .filter(col("rk") === 1)
+          .select(col("p_id"), col("n_id"), lit(r.toLong).as("mmr_rank"),
+            col("simq"), col("score"))
+      // each step's pick materializes with fresh ids (1 row/probe —
+      // negligible) so step r+1's anti/equi joins never see step r's
+      // attribute ids on both sides
+      def fresh(df: DataFrame): DataFrame = df.localCheckpoint(true)
+        .toDF("p_id", "n_id", "mmr_rank", "simq", "score")
+      // score arithmetic runs on INTEGERS: simq/ms are exact 6-dp
+      // doubles, so round(x·1e6) recovers their integer numerators in
+      // both engines and 7·s − 3·m over 1e7 is one exact integer ratio
+      // — a double λ-blend rounds a 7th-digit half-way case differently
+      // per engine (observed: 0.255122 vs 0.255123)
+      def blend(simq: Column, ms: Column): Column =
+        ((lit(7L) * round(simq * 1e6).cast(LongType) -
+          lit(3L) * round(ms * 1e6).cast(LongType)).cast(DoubleType) /
+          lit(1e7))
+      var selected = fresh(pick(cand.withColumn("score",
+        blend(col("simq"), lit(0.0))), 1))
+      for (r <- 2 to 5) {
+        val rem = cand.join(selected.select("p_id", "n_id"),
+          Seq("p_id", "n_id"), "left_anti")
+        val scored = rem
+          .join(ps, col("pp") === col("p_id") && col("a") === col("n_id"))
+          .join(selected.select(col("p_id").as("sp"), col("n_id").as("sb")),
+            col("sp") === col("pp") && col("sb") === col("b"))
+          .groupBy("p_id", "n_id", "simq")
+          .agg(max(col("s")).as("ms"))
+          .select(col("p_id"), col("n_id"), col("simq"),
+            blend(col("simq"), col("ms")).as("score"))
+        selected = fresh(selected.unionByName(pick(scored, r)))
+      }
+      selected.orderBy("p_id", "mmr_rank")
+    },
+    Some {
+      val steps = (2 to 5).map { r =>
+        s"""rem$r AS (
+        SELECT c.* FROM cand c
+        WHERE NOT EXISTS (SELECT 1 FROM selu${r - 1} u
+          WHERE u.p_id = c.p_id AND u.n_id = c.n_id)
+      ), m$r AS (
+        SELECT t.p_id, t.n_id, t.simq,
+          CAST(7 * CAST(ROUND(t.simq * 1e6) AS BIGINT)
+             - 3 * CAST(ROUND(MAX(ps.s) * 1e6) AS BIGINT) AS DOUBLE) / 1e7
+            AS score
+        FROM rem$r t
+          JOIN ps ON ps.p_id = t.p_id AND ps.a = t.n_id
+          JOIN selu${r - 1} u ON u.p_id = ps.p_id AND u.n_id = ps.b
+        GROUP BY t.p_id, t.n_id, t.simq
+      ), sel$r AS (
+        SELECT p_id, n_id, $r AS mmr_rank, simq, score FROM (
+          SELECT *, row_number() OVER (PARTITION BY p_id
+            ORDER BY score DESC, n_id) AS rk FROM m$r) WHERE rk = 1
+      ), selu$r AS (
+        SELECT * FROM selu${r - 1} UNION ALL SELECT * FROM sel$r
+      )"""
+      }.mkString(", ")
+      s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+      ), probes AS (
+        SELECT vec_id AS p_id, v AS pv FROM e WHERE vec_id % 50 = 0
+      ), sims AS (
+        SELECT p.p_id, n.vec_id AS n_id,
+          ROUND(list_sum(list_transform(list_zip(p.pv, n.v), z -> z[1] * z[2]))
+            / (sqrt(list_sum(list_transform(p.pv, x -> x * x)))
+               * sqrt(list_sum(list_transform(n.v, x -> x * x)))), 6) AS simq
+        FROM probes p CROSS JOIN e n WHERE n.vec_id != p.p_id
+      ), cand AS (
+        SELECT p_id, n_id, simq FROM (
+          SELECT *, row_number() OVER (PARTITION BY p_id
+            ORDER BY simq DESC, n_id) AS rk FROM sims) WHERE rk <= 10
+      ), ps AS (
+        SELECT c1.p_id, c1.n_id AS a, c2.n_id AS b,
+          ROUND(list_sum(list_transform(list_zip(ea.v, eb.v), z -> z[1] * z[2]))
+            / (sqrt(list_sum(list_transform(ea.v, x -> x * x)))
+               * sqrt(list_sum(list_transform(eb.v, x -> x * x)))), 6) AS s
+        FROM cand c1
+          JOIN cand c2 ON c2.p_id = c1.p_id AND c2.n_id != c1.n_id
+          JOIN e ea ON ea.vec_id = c1.n_id
+          JOIN e eb ON eb.vec_id = c2.n_id
+      ), sel1 AS (
+        SELECT p_id, n_id, 1 AS mmr_rank, simq, score FROM (
+          SELECT p_id, n_id, simq,
+            CAST(7 * CAST(ROUND(simq * 1e6) AS BIGINT) AS DOUBLE) / 1e7
+              AS score,
+            row_number() OVER (PARTITION BY p_id
+              ORDER BY CAST(7 * CAST(ROUND(simq * 1e6) AS BIGINT) AS DOUBLE)
+                / 1e7 DESC, n_id) AS rk
+          FROM cand) WHERE rk = 1
+      ), selu1 AS (
+        SELECT * FROM sel1
+      ), $steps
+      SELECT p_id, n_id, CAST(mmr_rank AS BIGINT) AS mmr_rank, simq, score
+      FROM selu5 ORDER BY p_id, mmr_rank
+    """.stripMargin.trim
+    })
+
   /** IVF (inverted-file) approximate NN — the OTHER classic ANN scale
     * path next to LSH: a coarse quantizer partitions the corpus into k
     * cells; each probe searches only its nprobe nearest cells, so the
@@ -6586,6 +6742,7 @@ object LlmOps {
     llmDedupBloom, llmEvalBleu,
     llmPipelineCurate,
     llmSimsearchTopk, llmSimsearchLsh, llmSimsearchLshDet, llmIvfFit, llmSimsearchIvf,
+    llmSimsearchMmr,
     llmSimsearchPq, llmSimsearchIvfpq,
     sinkModelArtifactSearch, sinkModelArtifactEncode, sinkModelArtifactMerges,
     llmDedupSemantic,

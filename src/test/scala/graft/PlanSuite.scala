@@ -567,6 +567,9 @@ class PlanSuite extends AnyFunSuite {
       // probes the packed reference bloom row-locally; the residual
       // exact join is equi on fp
       "llm_dedup_bloom",
+      // broadcast probe-panel crossJoin (the simsearch_topk exact-search
+      // baseline shape); the MMR greedy joins are equi on (p_id, n_id)
+      "llm_simsearch_mmr",
       // 1-row broadcast piece-count totals (two costify calls) and the
       // 1-row seed/kept vocab-stats crossJoins (in-plan-N); the Viterbi
       // relaxation joins are equi on (word, position)
