@@ -4844,6 +4844,62 @@ object Relational {
     },
     None)
 
+  /** WEIGHTED sampling without replacement — Efraimidis & Spirakis
+    * 2006, the quality-weighted corpus subsampler (sample_hash_pct
+    * draws uniformly; a training-mix owner wants P(select) ∝ weight):
+    * each doc draws a deterministic uniform u from its content hash
+    * (md5 residue, the house idiom — partition-invariant, replayable),
+    * keys on ln(u)/w (the log form of the paper's u^(1/w) — identical
+    * ordering, no overflow), and the top-k keys per language are the
+    * weighted sample. Keys round at 8 dp (both engines take ln of the
+    * same 6-digit rational; the round absorbs the last-ulp libm gap)
+    * and ties break on doc_id, so the SELECTED SET is deterministic
+    * and engine-identical — the property that makes a weighted sample
+    * auditable at all. Weight = n_chars (longer docs proportionally
+    * likelier — the length-balanced subsample shape).
+    *
+    * Scale shape: the key is a row-local expression in the scan stage
+    * (no pre-pass — u and w live in the row); the only wide step is
+    * the per-group top-k rank, keyed by lang. At 100 TB with huge k,
+    * swap the window for the two-pass threshold form (sample a key
+    * cutoff from a fraction, then filter) — the plan stays one scan +
+    * one bounded rank.
+    */
+  val sampleWeightedEs: Op = Op(
+    "sample_weighted_es",
+    (s, dir) => {
+      val res = expr(
+        "cast(conv(substring(md5(concat('es:', cast(doc_id as string))), 1, 7), 16, 10) as bigint) % 1000000")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          ((res + 1).cast(DoubleType) / 1e6).as("u"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          round(log(col("u")) / col("n_chars").cast(DoubleType), 8).as("es_key"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("lang")
+            .orderBy(col("es_key").desc, col("doc_id"))))
+        .filter(col("rn") <= 20)
+        .select(col("lang"), col("rn").cast(LongType).as("rn"),
+          col("doc_id"), col("n_chars"), col("es_key"))
+        .orderBy("lang", "rn")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, lang, n_chars,
+          (CAST('0x' || substr(md5('es:' || CAST(doc_id AS VARCHAR)), 1, 7)
+            AS BIGINT) % 1000000 + 1) / 1e6 AS u
+        FROM documents
+      ), k AS (
+        SELECT doc_id, lang, n_chars,
+          ROUND(ln(u) / n_chars, 8) AS es_key
+        FROM d
+      )
+      SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id, n_chars, es_key
+      FROM (SELECT *, row_number() OVER (PARTITION BY lang
+              ORDER BY es_key DESC, doc_id) AS rn FROM k)
+      WHERE rn <= 20 ORDER BY lang, rn
+    """.stripMargin.trim))
+
   /** Deterministic hash sampling — the corpus-subsampling primitive: keep
     * a row iff md5(unique key) mod 100 < rate. Unlike `df.sample()`
     * (seed-deterministic but PARTITION-dependent, so results drift with
@@ -6191,5 +6247,5 @@ object Relational {
     setUnionAll, setUnionDistinct, setIntersect, setExcept,
     setIntersectAll, setExceptAll, setUnionByName, scanCsvPermissive,
     scanJsonPermissive, joinNullSafe, featureTargetEncode, featureScalePack,
-    profileColumnsApprox)
+    profileColumnsApprox, sampleWeightedEs)
 }
