@@ -4871,6 +4871,8 @@ object Relational {
       val res = expr(
         "cast(conv(substring(md5(concat('es:', cast(doc_id as string))), 1, 7), 16, 10) as bigint) % 1000000")
       Tables.documents(s, dir)
+        .filter(col("n_chars") > 0) // w > 0 is the ES domain: a zero
+        // weight would put ±inf keys in play, which round() forks on
         .select(col("doc_id"), col("lang"), col("n_chars"),
           ((res + 1).cast(DoubleType) / 1e6).as("u"))
         .select(col("doc_id"), col("lang"), col("n_chars"),
@@ -4888,7 +4890,7 @@ object Relational {
         SELECT doc_id, lang, n_chars,
           (CAST('0x' || substr(md5('es:' || CAST(doc_id AS VARCHAR)), 1, 7)
             AS BIGINT) % 1000000 + 1) / 1e6 AS u
-        FROM documents
+        FROM documents WHERE n_chars > 0
       ), k AS (
         SELECT doc_id, lang, n_chars,
           ROUND(ln(u) / n_chars, 8) AS es_key
