@@ -2841,6 +2841,55 @@ object LlmOps {
       WHERE rn <= 5 ORDER BY p_id, rn
     """.stripMargin.trim))
 
+  /** EMBEDDING-SPACE OUTLIER SCREEN — the data-cleaning read of the
+    * shared IVF fit (every consumer so far SEARCHES it; a curation
+    * pipeline also asks the inverse question: which vectors fit the
+    * space WORST?): each vector's distance to its own nearest centroid
+    * is its outlier score, and the global top-20 are the junk-candidate
+    * review queue (encoder failures, corrupt inputs, off-distribution
+    * content — the embedding analogue of llm_quality_filter). Distances
+    * round at 6 dp (the ivf discipline), the top-k ranks tie-break on
+    * vec_id, and the oracle recomputes the whole fit chain verbatim —
+    * the hash match proves fit + assignment + score + rank end to end.
+    *
+    * Scale shape: assignment is the broadcast-centroid narrow fold (the
+    * corpus never shuffles); the global top-20 is an orderBy+limit —
+    * Spark plans TakeOrderedAndProject (per-partition heaps + a k-row
+    * driver merge), NOT a full sort, so the screen is one scan at any
+    * corpus size. The final row_number runs on the 20 survivors only.
+    */
+  val llmEmbedOutliers: Op = Op(
+    "llm_embed_outliers",
+    (s, dir) => {
+      graft.functions.SqDist.register(s)
+      graft.functions.NearestCells.register(s)
+      val e = ivfVecs(s, dir)
+      val cents = ivfCents(s, dir)
+      val scored = ivfAssign(e, ivfCentArr(cents))
+        .join(broadcast(cents), "cell")
+        .select(col("vec_id"), col("cell"),
+          round(sqrt(sqdist(col("v"), col("cvec"))), 6).as("dist"))
+        .orderBy(col("dist").desc, col("vec_id"))
+        .limit(20)
+      scored
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("dist").desc, col("vec_id"))).cast(LongType))
+        .select(col("rank"), col("vec_id"), col("cell"), col("dist"))
+        .orderBy("rank")
+    },
+    Some(s"""$ivfOracleCtes
+      , d AS (
+        SELECT a.vec_id, a.cell,
+          ROUND(sqrt(list_sum(list_transform(list_zip(a.v, c.cvec),
+            z -> (z[1] - z[2]) * (z[1] - z[2])))), 6) AS dist
+        FROM asg a JOIN cents c ON c.cell = a.cell
+      )
+      SELECT CAST(rank AS BIGINT) AS rank, vec_id, cell, dist
+      FROM (SELECT *, row_number() OVER (ORDER BY dist DESC, vec_id)
+              AS rank FROM d)
+      WHERE rank <= 20 ORDER BY rank
+    """.stripMargin.trim))
+
   /** PRODUCT-QUANTIZATION ANN — the third leg of the ANN family
     * (brute force = exact baseline, IVF = partition-and-probe, PQ =
     * COMPRESS-and-scan): each 128-dim vector splits into M=16
@@ -6742,7 +6791,7 @@ object LlmOps {
     llmDedupBloom, llmEvalBleu,
     llmPipelineCurate,
     llmSimsearchTopk, llmSimsearchLsh, llmSimsearchLshDet, llmIvfFit, llmSimsearchIvf,
-    llmSimsearchMmr,
+    llmSimsearchMmr, llmEmbedOutliers,
     llmSimsearchPq, llmSimsearchIvfpq,
     sinkModelArtifactSearch, sinkModelArtifactEncode, sinkModelArtifactMerges,
     llmDedupSemantic,

@@ -546,6 +546,9 @@ class PlanSuite extends AnyFunSuite {
       // (|corpus|/50 probes; the corpus side never replicates)
       "llm_retrieval_mrr",
       "llm_text_tfidf", "llm_simsearch_ivf", "llm_ivf_fit", "llm_dedup_embed",
+      // same 1-row broadcast centroid-array crossJoin as the IVF ops;
+      // the score join is equi on cell and the top-20 is TakeOrdered
+      "llm_embed_outliers",
       // same 1-row broadcast centroid-array crossJoin as the IVF pair
       // above; the pair join itself keys on cell (bucket-local)
       "llm_dedup_semantic",
