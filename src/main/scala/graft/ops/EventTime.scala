@@ -4170,6 +4170,21 @@ WITH hourly AS (
       ORDER BY purchase_id, view_id NULLS FIRST
     """.stripMargin.trim))
 
+  /** Stationary distribution of the event-type transition chain via 8
+    * power iterations. The transition matrix is |types|² (25 cells) and
+    * data-INVARIANT in size, so the iterations run driver-local on the
+    * collected matrix — the llm_embed_pca eigensolve shape (the MLlib
+    * computePrincipalComponents precedent). The earlier form chained 8
+    * unmaterialized DataFrame joins (one micro-shuffle + a deepening
+    * lineage per step over a 25-row frame) and measured 10.5 s cold in
+    * BENCH_r18; the driver solve removes all 8 shuffles while keeping
+    * every double bit-identical: each step sums pi(from)·p terms
+    * left-to-right in ascending from_type order, exactly the order the
+    * old sorted-fold (array_sort over struct(from_type, term)) and the
+    * oracle's `list(... ORDER BY tr.from_type)` impose. The single
+    * distributed pass (lag window → groupBy → per-row probability)
+    * is unchanged; only the |types|²-bounded iteration moved.
+    */
   val eventsMarkovStationary: Op = Op(
     "events_markov_stationary",
     (s, dir) => {
@@ -4183,21 +4198,25 @@ WITH hourly AS (
         .withColumn("p", col("cnt").cast(DoubleType) /
           sum("cnt").over(Window.partitionBy("from_type")))
         .select("from_type", "to_type", "p")
-        // 25 rows re-read by every iteration: materialize once
-        .localCheckpoint(true)
-      val types = trans.select(col("from_type").as("t")).distinct()
-      val nTypes = types.agg(count(lit(1)).as("nt"))
-      var pi = types.crossJoin(broadcast(nTypes))
-        .select(col("t"), (lit(1.0) / col("nt")).as("pi"))
+      // |types|²-bounded collect (25 rows): the adjudicated-benign
+      // dimension-bounded pattern, never data-proportional
+      val cells = trans.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      val init = cells.map(_._1).distinct.sorted
+      var pi: Map[String, Double] =
+        init.map(t => t -> 1.0 / init.length).toMap
       for (_ <- 1 to 8) {
-        pi = trans.join(pi, trans("from_type") === pi("t"))
-          .select(col("to_type"), col("from_type"),
-            (col("pi") * col("p")).as("term"))
-          .groupBy(col("to_type").as("t"))
-          .agg(expr("aggregate(array_sort(collect_list(struct(from_type, term)))," +
-            " cast(0.0 as double), (acc, x) -> acc + x.term)").as("pi"))
+        pi = cells.filter(c => pi.contains(c._1))
+          .groupBy(_._2)
+          .map { case (t, rs) =>
+            // ascending from_type order, left-to-right fold from 0.0 —
+            // bit-equal to the oracle's ORDER BY tr.from_type list sum
+            t -> rs.sortBy(_._1).foldLeft(0.0)((acc, c) => acc + pi(c._1) * c._3)
+          }
       }
-      pi.select(col("t").as("event_type"), round(col("pi"), 6).as("pi"))
+      import s.implicits._
+      pi.toSeq.toDF("event_type", "pi")
+        .select(col("event_type"), round(col("pi"), 6).as("pi"))
         .orderBy("event_type")
     },
     Some {
