@@ -2655,8 +2655,29 @@ object LlmOps {
     * probe-cell broadcast join, and the top-5 rank over candidate rows
     * (3 narrow columns), all k- or nprobe/k-bounded.
     */
-  private val IvfK = 32
-  private val IvfNprobe = 14
+  /** k is CORPUS-ADAPTIVE (round-19, the last r18 scale asterisk):
+    * k = clamp(ceil(N / 16), 8, 4096) — target cell size 16 vectors, so
+    * cell-local pair work (Σ|cell|² ≈ N·16 for the dedup consumers)
+    * stays LINEAR in N instead of riding N²/k at fixed k. On the test
+    * fixtures (embeddings = 500 rows at every sf) the formula yields
+    * exactly the historical k=32, so every oracle result is unchanged;
+    * the oracle CTE computes the same clamp in SQL. nprobe scales with
+    * k at the measured-good fixture ratios (14/32 for IVF search, 18/32
+    * for IVF-PQ) so the probed FRACTION of the corpus is
+    * k-invariant. Trade-off recorded: with k ∝ N the per-row
+    * assignment argmin costs O(k·dim) (the codegen'd NearestCells
+    * pass); past ~10⁶ cells a deployment inserts a second quantizer
+    * level above the cells (route to a cell GROUP, then within it) —
+    * the artifact layout and every consumer plan are unchanged by
+    * that, which is why the clamp ceiling is high rather than a plan
+    * fork here.
+    */
+  private val IvfTargetCell = 16
+  private def ivfK(n: Long): Int =
+    math.max(8, math.min(4096,
+      ((n + IvfTargetCell - 1) / IvfTargetCell).toInt))
+  private def ivfNprobe(k: Int): Int = math.max(1, (k * 7 + 15) / 16)
+  private def ivfPqNprobeOf(k: Int): Int = math.max(1, (k * 9 + 15) / 16)
 
   /** embeddings as (vec_id, v: array<double>) — float→double is exact. */
   private def ivfVecs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
@@ -2665,11 +2686,11 @@ object LlmOps {
   /** The k seed vectors: smallest md5('ivf:'||vec_id) wins (a seeded
     * deterministic sample — both engines order the same hex strings).
     */
-  private def ivfSeeds(e: DataFrame): DataFrame =
+  private def ivfSeeds(e: DataFrame, k: Int): DataFrame =
     e.select(col("vec_id").as("cell"), col("v").as("cvec"),
         md5(concat(lit("ivf:"), col("cell").cast(StringType))).as("hkey"))
       .orderBy("hkey", "cell")
-      .limit(IvfK)
+      .limit(k)
 
   /** Centroids folded to ONE row (array of (cell, cvec) structs) so the
     * corpus-side consumers stay narrow behind a 1-row broadcast.
@@ -2726,12 +2747,19 @@ object LlmOps {
     * persist, every search reads the artifact. A fresh session refits,
     * so a changed fixture can never be served stale across driver runs.
     */
-  private val ivfCentsCache = new SessionArtifact[DataFrame]
-  private def ivfCents(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+  private val ivfCentsCache = new SessionArtifact[(DataFrame, Int)]
+  /** (centroid table, k). k comes from one corpus count() at fit time —
+    * a driver scalar, cached with the fit; consumers derive nprobe from
+    * it so the probe fraction tracks the adaptive cell count.
+    */
+  private def ivfFit(s: org.apache.spark.sql.SparkSession, dir: String): (DataFrame, Int) =
     ivfCentsCache(s, dir) {
       val e = ivfVecs(s, dir)
-      ivfLloyd(e, ivfSeeds(e)).localCheckpoint(true)
+      val k = ivfK(e.count())
+      (ivfLloyd(e, ivfSeeds(e, k)).localCheckpoint(true), k)
     }
+  private def ivfCents(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    ivfFit(s, dir)._1
 
   /** The offline FIT step as its own graded op: emits the quantizer
     * table (cell id, member count, centroid norm) a deployment persists
@@ -2746,9 +2774,17 @@ object LlmOps {
       WITH e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings
+      ), kk AS (
+        SELECT k, (k * 7 + 15) // 16 AS np, (k * 9 + 15) // 16 AS np_pq
+        FROM (SELECT GREATEST(8, LEAST(4096,
+          CAST(ceil(COUNT(*) / 16.0) AS INT))) AS k FROM e)
       ), seeds AS (
-        SELECT vec_id AS cell, v AS cvec
-        FROM e ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $IvfK
+        SELECT cell, cvec FROM (
+          SELECT vec_id AS cell, v AS cvec,
+            row_number() OVER (
+              ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+          FROM e)
+        WHERE rn <= (SELECT k FROM kk)
       ), asg0 AS (
         SELECT vec_id, v, cell FROM (
           SELECT e.vec_id, e.v, s.cell, row_number() OVER (PARTITION BY e.vec_id
@@ -2801,13 +2837,14 @@ object LlmOps {
       graft.functions.SqDist.register(s)
       graft.functions.NearestCells.register(s)
       val e = ivfVecs(s, dir)
-      val centArr = ivfCentArr(ivfCents(s, dir))
+      val (cents, k) = ivfFit(s, dir)
+      val centArr = ivfCentArr(cents)
       val assigned = ivfAssign(e, centArr)
       val probeCells = e.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("p_id"), col("v").as("pv"))
         .crossJoin(broadcast(centArr))
         .select(col("p_id"), col("pv"),
-          explode(nearestCells("pv", IvfNprobe)).as("cell"))
+          explode(nearestCells("pv", ivfNprobe(k))).as("cell"))
       // probeCells is |probes|×nprobe rows — broadcast it so the corpus
       // side never shuffles; candidates then rank top-5 per probe
       assigned.join(broadcast(probeCells), "cell")
@@ -2827,7 +2864,8 @@ object LlmOps {
             row_number() OVER (PARTITION BY p.vec_id
               ORDER BY ROUND(list_sum(list_transform(list_zip(p.v, c.cvec),
                 z -> (z[1] - z[2]) * (z[1] - z[2]))), 6), c.cell) AS rn
-          FROM e p CROSS JOIN cents c WHERE p.vec_id % 50 = 0) WHERE rn <= $IvfNprobe
+          FROM e p CROSS JOIN cents c WHERE p.vec_id % 50 = 0)
+        WHERE rn <= (SELECT np FROM kk)
       ), cand AS (
         SELECT pc.p_id, a.vec_id AS n_id,
           ROUND(sqrt(list_sum(list_transform(list_zip(pc.pv, a.v),
@@ -2857,6 +2895,10 @@ object LlmOps {
     * Spark plans TakeOrderedAndProject (per-partition heaps + a k-row
     * driver merge), NOT a full sort, so the screen is one scan at any
     * corpus size. The final row_number runs on the 20 survivors only.
+    * INVARIANT (r18 ADVICE): the unpartitioned rank window is safe ONLY
+    * because it sits BEHIND the TakeOrdered limit — it coalesces its
+    * input to one partition, so it must never move above the limit or
+    * be copied into a corpus-scale op without a partitionBy.
     */
   val llmEmbedOutliers: Op = Op(
     "llm_embed_outliers",
@@ -2926,7 +2968,6 @@ object LlmOps {
   private val PqSub = 8
   private val PqKs = 32
   private val PqShortlist = 50
-  private val IvfPqNprobe = 18
   private val pqFitCache = new SessionArtifact[(DataFrame, DataFrame)]
 
   /** The PqM-way subspace id dimension (broadcast everywhere it joins). */
@@ -3135,13 +3176,15 @@ object LlmOps {
       graft.functions.NearestCells.register(s)
       val e = ivfVecs(s, dir)
       val js = pqJs(s)
-      val centArr = ivfCentArr(ivfCents(s, dir))
+      val (cents, ivfKFit) = ivfFit(s, dir)
+      val centArr = ivfCentArr(cents)
       val cellOf = ivfAssign(e, centArr).select(col("vec_id"), col("cell"))
       val (cb, codes) = pqFit(s, dir)
       val probes = e.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("p_id"), col("v").as("pv"))
       val probeCells = probes.crossJoin(broadcast(centArr))
-        .select(col("p_id"), explode(nearestCells("pv", IvfPqNprobe)).as("cell"))
+        .select(col("p_id"),
+          explode(nearestCells("pv", ivfPqNprobeOf(ivfKFit))).as("cell"))
       val lut = probes.crossJoin(broadcast(js))
         .select(col("p_id"), col("j"),
           expr(s"slice(pv, j * $PqSub + 1, $PqSub)").as("psub"))
@@ -3180,7 +3223,8 @@ object LlmOps {
             row_number() OVER (PARTITION BY p.p_id
               ORDER BY ROUND(list_sum(list_transform(list_zip(p.pv, c.cvec),
                 z -> (z[1] - z[2]) * (z[1] - z[2]))), 6), c.cell) AS rn
-          FROM probes p CROSS JOIN cents c) WHERE rn <= $IvfPqNprobe
+          FROM probes p CROSS JOIN cents c)
+        WHERE rn <= (SELECT np_pq FROM kk)
       ), adc AS (
         SELECT pc.p_id, k.vec_id, SUM(l.pd) AS adc
         FROM pc
@@ -5178,14 +5222,19 @@ object LlmOps {
       val p = modelStore(s, dir)
       val e = ivfVecs(s, dir)
       val js = pqJs(s)
-      val centArr = ivfCentArr(s.read.parquet(s"$p/ivf_centroids"))
+      val storedCents = s.read.parquet(s"$p/ivf_centroids")
+      // serving derives nprobe from the ARTIFACT's own cell count — the
+      // store is self-describing, no fit-time scalar needs persisting
+      val kStored = storedCents.count().toInt
+      val centArr = ivfCentArr(storedCents)
       val cellOf = ivfAssign(e, centArr).select(col("vec_id"), col("cell"))
       val cb = s.read.parquet(s"$p/pq_codebook")
       val codes = s.read.parquet(s"$p/pq_codes")
       val probes = e.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("p_id"), col("v").as("pv"))
       val probeCells = probes.crossJoin(broadcast(centArr))
-        .select(col("p_id"), explode(nearestCells("pv", IvfPqNprobe)).as("cell"))
+        .select(col("p_id"),
+          explode(nearestCells("pv", ivfPqNprobeOf(kStored))).as("cell"))
       val lut = probes.crossJoin(broadcast(js))
         .select(col("p_id"), col("j"),
           expr(s"slice(pv, j * $PqSub + 1, $PqSub)").as("psub"))
@@ -5221,7 +5270,8 @@ object LlmOps {
             row_number() OVER (PARTITION BY p.p_id
               ORDER BY ROUND(list_sum(list_transform(list_zip(p.pv, c.cvec),
                 z -> (z[1] - z[2]) * (z[1] - z[2]))), 6), c.cell) AS rn
-          FROM probes p CROSS JOIN cents c) WHERE rn <= $IvfPqNprobe
+          FROM probes p CROSS JOIN cents c)
+        WHERE rn <= (SELECT np_pq FROM kk)
       ), adc AS (
         SELECT pc.p_id, k.vec_id, SUM(l.pd) AS adc
         FROM pc
