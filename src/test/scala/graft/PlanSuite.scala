@@ -552,6 +552,9 @@ class PlanSuite extends AnyFunSuite {
       // same 1-row broadcast centroid-array crossJoin as the IVF pair
       // above; the pair join itself keys on cell (bucket-local)
       "llm_dedup_semantic",
+      // the parent's plan over the ×4-amplified refit corpus — same
+      // 1-row broadcast centroid array, same cell-keyed pair join
+      "llm_dedup_semantic_scale",
       // 1-row broadcast sign-matrix crossJoin (the llm_dedup_embed
       // quantizer pattern); the candidate join itself is bucket-local
       "llm_simsearch_lsh_det",
