@@ -6733,6 +6733,157 @@ object LlmOps {
       FROM z ORDER BY lang
     """.stripMargin.trim))
 
+  /** chrF2 — Popović 2015, the CHARACTER-n-gram member of the MT-eval
+    * family (llm_eval_bleu = word-n-gram precision + brevity penalty,
+    * llm_rouge_l = subsequence recall; chrF is the tokenization-free
+    * metric that correlates best with humans on morphology-rich
+    * languages): over the same deterministic (even, even+1) pairing,
+    * per-lang corpus chrF2 with β = 2 (recall weighted 2×). Spaces are
+    * removed first (the sacrebleu convention), char n-grams run n =
+    * 1..6, precision and recall are corpus micro-averages with
+    * per-pair clipping (the BLEU discipline: min(candidate count,
+    * reference count) per (pair, n, gram)), and chrP/chrR are the
+    * ARITHMETIC means of the six per-n values.
+    *
+    * Portability: every count is exact integer; each Pₙ/Rₙ is ONE
+    * double division rounded at 6 dp; the means sum the six rounded
+    * values in EXPLICIT left-to-right order (a SUM() over them would
+    * let either engine pick its own addition order on the 6 doubles —
+    * the pivot-then-add shape from bleu's w CTE, applied at birth);
+    * chrF2 = 5·P·R/(4·P + R) is computed FROM the rounded means with
+    * a P + R > 0 guard (all-miss corpus → 0, no 0/0 fork). N-gram
+    * extraction guards length ≥ n (sequence(1, 0) descends — the
+    * watermark_detect lesson).
+    *
+    * Scale shape: identical to bleu — pair-local explode into two
+    * (pair, n, gram) count aggregates, one co-keyed left join, a
+    * per-lang rollup; nothing after the first aggregates sees the
+    * corpus. Char 6-grams are ~6× a doc's characters, the documented
+    * constant-factor cost of the tokenization-free metric.
+    */
+  val llmEvalChrf: Op = Op(
+    "llm_eval_chrf",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          expr("replace(text, ' ', '')").as("ch"))
+      val pairs = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("a_id"), col("lang"), col("ch").as("ca"))
+        .join(docs.select((col("doc_id") - 1).as("a_id"), col("ch").as("cb")),
+          Seq("a_id"))
+        .localCheckpoint(true) // consumed by cand grams, ref grams, lengths
+      def grams(c: String): Column = expr(
+        s"flatten(transform(sequence(1, 6), n -> IF(length($c) >= n," +
+          s" transform(sequence(1, length($c) - n + 1)," +
+          s" i -> struct(n AS n, substring($c, i, n) AS gram))," +
+          " array())))")
+      val cg = pairs.select(col("lang"), col("a_id"), explode(grams("ca")).as("g"))
+        .groupBy(col("lang"), col("a_id"), col("g.n").as("n"), col("g.gram").as("gram"))
+        .agg(count(lit(1)).as("c_cnt"))
+      val rg = pairs.select(col("lang"), col("a_id"), explode(grams("cb")).as("g"))
+        .groupBy(col("lang"), col("a_id"), col("g.n").as("n"), col("g.gram").as("gram"))
+        .agg(count(lit(1)).as("r_cnt"))
+      val m = cg.join(rg.drop("lang"), Seq("a_id", "n", "gram"), "left")
+        .groupBy("lang", "n")
+        .agg(sum("c_cnt").as("tc"),
+          sum(least(col("c_cnt"), coalesce(col("r_cnt"), lit(0L)))).as("mm"))
+      val tr = rg.groupBy("lang", "n").agg(sum("r_cnt").as("tr"))
+      val pn = m.join(tr, Seq("lang", "n"))
+        .select(col("lang"), col("n"),
+          round(col("mm").cast(DoubleType) / col("tc"), 6).as("p"),
+          round(col("mm").cast(DoubleType) / col("tr"), 6).as("r"))
+      def piv(c: String, k: Int): Column = max(when(col("n") === k, col(c)))
+      val lens = pairs.groupBy("lang")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(length(col("ca"))).cast(LongType).as("c_chars"),
+          sum(length(col("cb"))).cast(LongType).as("r_chars"))
+      pn.groupBy("lang")
+        .agg(piv("p", 1).as("p1"), piv("p", 2).as("p2"), piv("p", 3).as("p3"),
+          piv("p", 4).as("p4"), piv("p", 5).as("p5"), piv("p", 6).as("p6"),
+          piv("r", 1).as("r1"), piv("r", 2).as("r2"), piv("r", 3).as("r3"),
+          piv("r", 4).as("r4"), piv("r", 5).as("r5"), piv("r", 6).as("r6"))
+        .select(col("lang"),
+          round((col("p1") + col("p2") + col("p3") + col("p4") + col("p5") +
+            col("p6")) / 6.0, 6).as("chrp"),
+          round((col("r1") + col("r2") + col("r3") + col("r4") + col("r5") +
+            col("r6")) / 6.0, 6).as("chrr"))
+        .join(lens, "lang")
+        .select(col("lang"), col("n_pairs"), col("c_chars"), col("r_chars"),
+          col("chrp"), col("chrr"),
+          round(when(col("chrp") + col("chrr") > 0,
+            lit(5.0) * col("chrp") * col("chrr") /
+              (lit(4.0) * col("chrp") + col("chrr"))).otherwise(0.0), 6)
+            .as("chrf2"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH pr AS (
+        SELECT a.doc_id AS a_id, a.lang,
+          replace(a.text, ' ', '') AS ca, replace(b.text, ' ', '') AS cb
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        WHERE a.doc_id % 2 = 0
+      ), cg AS (
+        SELECT lang, a_id, n, gram, COUNT(*) AS c_cnt FROM (
+          SELECT lang, a_id, n, substr(ca, gi, n) AS gram
+          FROM (SELECT lang, a_id, ca,
+                  unnest(generate_series(1, 6)) AS n FROM pr) t,
+            LATERAL (SELECT unnest(generate_series(1, len(ca) - n + 1)) AS gi)
+          WHERE len(ca) >= n)
+        GROUP BY 1, 2, 3, 4
+      ), rg AS (
+        SELECT lang, a_id, n, gram, COUNT(*) AS r_cnt FROM (
+          SELECT lang, a_id, n, substr(cb, gi, n) AS gram
+          FROM (SELECT lang, a_id, cb,
+                  unnest(generate_series(1, 6)) AS n FROM pr) t,
+            LATERAL (SELECT unnest(generate_series(1, len(cb) - n + 1)) AS gi)
+          WHERE len(cb) >= n)
+        GROUP BY 1, 2, 3, 4
+      ), m AS (
+        SELECT cg.lang, cg.n, SUM(cg.c_cnt) AS tc,
+          SUM(LEAST(cg.c_cnt, coalesce(rg.r_cnt, 0))) AS mm
+        FROM cg LEFT JOIN rg
+          ON rg.a_id = cg.a_id AND rg.n = cg.n AND rg.gram = cg.gram
+        GROUP BY 1, 2
+      ), tr AS (
+        SELECT lang, n, SUM(r_cnt) AS tr FROM rg GROUP BY 1, 2
+      ), pn AS (
+        SELECT m.lang, m.n,
+          ROUND(CAST(mm AS DOUBLE) / tc, 6) AS p,
+          ROUND(CAST(mm AS DOUBLE) / tr.tr, 6) AS r
+        FROM m JOIN tr ON tr.lang = m.lang AND tr.n = m.n
+      ), w AS (
+        SELECT lang,
+          MAX(CASE WHEN n = 1 THEN p END) AS p1,
+          MAX(CASE WHEN n = 2 THEN p END) AS p2,
+          MAX(CASE WHEN n = 3 THEN p END) AS p3,
+          MAX(CASE WHEN n = 4 THEN p END) AS p4,
+          MAX(CASE WHEN n = 5 THEN p END) AS p5,
+          MAX(CASE WHEN n = 6 THEN p END) AS p6,
+          MAX(CASE WHEN n = 1 THEN r END) AS r1,
+          MAX(CASE WHEN n = 2 THEN r END) AS r2,
+          MAX(CASE WHEN n = 3 THEN r END) AS r3,
+          MAX(CASE WHEN n = 4 THEN r END) AS r4,
+          MAX(CASE WHEN n = 5 THEN r END) AS r5,
+          MAX(CASE WHEN n = 6 THEN r END) AS r6
+        FROM pn GROUP BY lang
+      ), l AS (
+        SELECT lang, COUNT(*) AS n_pairs,
+          CAST(SUM(len(ca)) AS BIGINT) AS c_chars,
+          CAST(SUM(len(cb)) AS BIGINT) AS r_chars
+        FROM pr GROUP BY lang
+      ), z AS (
+        SELECT l.lang, l.n_pairs, l.c_chars, l.r_chars,
+          ROUND((p1 + p2 + p3 + p4 + p5 + p6) / 6.0, 6) AS chrp,
+          ROUND((r1 + r2 + r3 + r4 + r5 + r6) / 6.0, 6) AS chrr
+        FROM w JOIN l ON l.lang = w.lang
+      )
+      SELECT lang, n_pairs, c_chars, r_chars, chrp, chrr,
+        ROUND(CASE WHEN chrp + chrr > 0
+          THEN 5.0 * chrp * chrr / (4.0 * chrp + chrr)
+          ELSE 0.0 END, 6) AS chrf2
+      FROM z ORDER BY lang
+    """.stripMargin.trim))
+
   /** pass@k — the unbiased estimator from the Codex paper (Chen et al.
     * 2021): with n attempts and c successes, pass@k = 1 − C(n−c,k)/
     * C(n,k), computed as the telescoped product Π (n−c−i)/(n−i) — here
@@ -6919,7 +7070,7 @@ object LlmOps {
   val ops: Seq[Op] = Seq(
     llmReadability, llmQualityGopher, llmBoilerplateStrip,
     llmZipfFit, llmKeywordTextrank, llmEmbedPca,
-    llmWatermarkDetect, llmNucleusCutoff, llmRougeL, llmEvalPassAtK,
+    llmWatermarkDetect, llmNucleusCutoff, llmRougeL, llmEvalPassAtK, llmEvalChrf,
     llmNgramDiversity,
     llmHardNegatives, llmRetrievalMrr, llmDatasetCard, llmBm25Retrieval,
     llmEmbeddingDrift,
