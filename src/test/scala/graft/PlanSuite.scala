@@ -555,6 +555,9 @@ class PlanSuite extends AnyFunSuite {
       // the parent's plan over the ×4-amplified refit corpus — same
       // 1-row broadcast centroid array, same cell-keyed pair join
       "llm_dedup_semantic_scale",
+      // serving assignment against the swapped-in artifact: the same
+      // 1-row broadcast centroid-array crossJoin as every IVF consumer
+      "sink_model_artifact_refresh",
       // 1-row broadcast sign-matrix crossJoin (the llm_dedup_embed
       // quantizer pattern); the candidate join itself is bucket-local
       "llm_simsearch_lsh_det",
