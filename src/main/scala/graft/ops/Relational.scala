@@ -4324,6 +4324,63 @@ object Relational {
         AND o_totalprice >= 100000.0 AND o_totalprice < 200000.0
     """.stripMargin.trim))
 
+  /** HILBERT clustering write + 2-D skipping — the locality-better
+    * sibling of `sink_zorder_prune`: the Morton key jumps quadrants
+    * (adjacent Z values can be grid-distant, so file bounds inflate at
+    * quadrant seams), while every Hilbert step moves to an ADJACENT
+    * grid cell — a contiguous key range is a compact spatial blob, so
+    * each range-written file bounds BOTH columns tighter for the same
+    * file count (why Delta/Iceberg grew OPTIMIZE ... HILBERT next to
+    * ZORDER). Same in-plan shape as zorder: both dims normalize 16-bit
+    * RELATIVE to their broadcast observed domain, the key is the
+    * native `graft_hilbert` codegen expression (the xy2d rotate/
+    * reflect walk is iterative state mutation — a composed Column tree
+    * would re-inline the prefix per level; HilbertIndexSuite pins the
+    * curve and its unit-step adjacency), range-partition + sort on the
+    * key, drop it, write. The graded read then answers a conjunctive
+    * 2-D box from footer stats; the oracle is the same box on the
+    * ORIGINAL table — clustering must never change results, only
+    * layout.
+    *
+    * Scale shape: bounds = one broadcast 1-row aggregate; the rewrite
+    * is one range exchange (the OPTIMIZE job); the probe prunes from
+    * footer stats. At 100 TB the key computes in the scan projection
+    * (codegen'd long loop, no shuffle added beyond the range write).
+    */
+  val sinkHilbertPrune: Op = Op(
+    "sink_hilbert_prune",
+    (s, dir) => {
+      graft.functions.HilbertIndex.register(s)
+      val tmp = scratch("sink_hilbert")
+      val bounds = Tables.orders(s, dir).agg(
+        max(col("o_custkey")).as("max_ck"),
+        max(expr("cast(round(o_totalprice * 100) as bigint)")).as("max_pc"))
+      Tables.orders(s, dir)
+        .crossJoin(broadcast(bounds))
+        .withColumn("hv", expr(
+          "graft_hilbert(o_custkey * 65535 div max_ck, " +
+            "cast(round(o_totalprice * 100) as bigint) * 65535 div max_pc)"))
+        .drop("max_ck", "max_pc")
+        .repartitionByRange(8, col("hv"))
+        .sortWithinPartitions("hv")
+        .drop("hv")
+        .write.mode("overwrite").parquet(s"$tmp/orders_hilbert")
+      s.read.parquet(s"$tmp/orders_hilbert")
+        .filter(col("o_custkey").between(100L, 600L) &&
+          col("o_totalprice") >= 100000.0 && col("o_totalprice") < 200000.0)
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("o_totalprice"))).cast(DoubleType).as("tot"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+    },
+    Some("""
+      SELECT COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS tot,
+        MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      FROM orders
+      WHERE o_custkey BETWEEN 100 AND 600
+        AND o_totalprice >= 100000.0 AND o_totalprice < 200000.0
+    """.stripMargin.trim))
+
   /** TPC-H Q8 shape — market share: each supplier-region's share of
     * every year's revenue, the share-within-group analytic over a
     * snowflake traversal. The supplier→nation→region chain collapses
@@ -6244,7 +6301,7 @@ object Relational {
     scanAggPushdown, joinDppPartitioned, validateConstraints,
     joinBloomRuntime, joinCboReorder, sinkClusteredPrune, pipelineIncremental,
     scanNestedPrune, validateQuarantine, validateKAnonymity,
-    q14PromoRevenue, sinkZorderPrune, q8MarketShare, sinkKvRoundtrip,
+    q14PromoRevenue, sinkZorderPrune, sinkHilbertPrune, q8MarketShare, sinkKvRoundtrip,
     sortMultiNulls, limitTopk,
     setUnionAll, setUnionDistinct, setIntersect, setExcept,
     setIntersectAll, setExceptAll, setUnionByName, scanCsvPermissive,

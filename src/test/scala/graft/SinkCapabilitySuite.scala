@@ -356,6 +356,43 @@ class SinkCapabilitySuite extends AnyFunSuite {
       s"2-D band touches $touching of ${parts.length} files: $ranges")
   }
 
+  test("sink_hilbert_prune: every file bounds BOTH dimensions; 2-D band prunes files") {
+    // same footer audit as zorder; Hilbert's unit-step adjacency means
+    // a key range is a compact blob, so no file needs the boundary-file
+    // exemption Morton's quadrant folds require
+    SparkEntry.queries("sink_hilbert_prune")(s, TestSpark.Sf0001).collect()
+    val dir = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_scratch/sink_hilbert/orders_hilbert")
+    val parts = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(parts.length >= 4)
+    val conf = s.sparkContext.hadoopConfiguration
+    def colRange(f: java.io.File, name: String): (Double, Double) = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val stats = reader.getFooter.getBlocks.asScala
+          .map(_.getColumns.asScala.find(_.getPath.toDotString == name).get.getStatistics)
+        (stats.map(_.genericGetMin.toString.toDouble).min,
+          stats.map(_.genericGetMax.toString.toDouble).max)
+      } finally reader.close()
+    }
+    val ranges = parts.toSeq.map(f => (colRange(f, "o_custkey"), colRange(f, "o_totalprice")))
+    val ckDomain = (ranges.map(_._1._1).min, ranges.map(_._1._2).max)
+    val pDomain = (ranges.map(_._2._1).min, ranges.map(_._2._2).max)
+    def span(r: (Double, Double), d: (Double, Double)) = (r._2 - r._1) / (d._2 - d._1)
+    val bounded = ranges.count { case (ck, p) =>
+      span(ck, ckDomain) <= 0.65 && span(p, pDomain) <= 0.65
+    }
+    assert(bounded >= parts.length - 2,
+      s"hilbert should bound both dims in nearly every file: $ranges")
+    val touching = ranges.count { case ((ckLo, ckHi), (pLo, pHi)) =>
+      ckHi >= 100 && ckLo <= 600 && pHi >= 100000.0 && pLo < 200000.0
+    }
+    assert(touching <= parts.length / 2,
+      s"2-D band touches $touching of ${parts.length} files: $ranges")
+  }
+
   test("mergeSchema unions evolving file schemas") {
     val dir = Files.createTempDirectory("graft_sink_merge_").toString
     import s.implicits._
