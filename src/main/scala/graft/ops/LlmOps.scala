@@ -4918,6 +4918,127 @@ object LlmOps {
       ORDER BY merge_round
     """.stripMargin.trim))
 
+  /** Trained 5-round WordPiece state (Schuster & Nakajima 2012 / the
+    * BERT trainer), built once per (session, dir) like bpeTrained. The
+    * ONLY difference from BPE is the merge SCORE: WordPiece picks the
+    * pair maximizing LIKELIHOOD GAIN count(pair)/(count(l)·count(r)) —
+    * merge what co-occurs more than its parts' frequencies predict —
+    * where BPE picks raw count(pair). The score is ranked as the EXACT
+    * integer key n·10¹² div (ul·ur) (ties → pair asc): a double ratio
+    * could tie-break on the last ulp and fork engines; the integer
+    * form is portable by construction (n ≤ ~10⁶ at fixture scale, so
+    * n·10¹² fits int64 — DuckDB errors on overflow where Spark wraps,
+    * the pass_at_k lesson, so the bound is load-bearing and documented
+    * here). Vocab filters len ≥ 2 on BOTH sides — unlike BPE (where
+    * len-1 words provably cannot change pair counts), the unigram
+    * DENOMINATOR would see their symbols, so the filter must match the
+    * oracle exactly.
+    */
+  private val wordpieceTrainedState = new SessionArtifact[DataFrame]
+  private[graft] def wordpieceTrained(s: SparkSession, dir: String): DataFrame =
+    wordpieceTrainedState(s, dir) {
+      val vocab = Tables.documents(s, dir)
+        .select(explode(toks).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("wn"))
+      var seqs = vocab.select(col("w"),
+        concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("seq"),
+        col("wn"))
+        .localCheckpoint(true)
+      val rounds = (1 to 5).map { r =>
+        val syms = seqs
+          .select(explode(split(trim(col("seq")), " ")).as("s"), col("wn"))
+          .groupBy("s").agg(sum("wn").as("un"))
+        val pairs = seqs
+          .select(split(trim(col("seq")), " ").as("sy"), col("wn"))
+          .filter(size(col("sy")) >= 2)
+          .select(col("sy"), col("wn"),
+            explode(sequence(lit(1), size(col("sy")) - 1)).as("i"))
+          .select(element_at(col("sy"), col("i")).as("l"),
+            element_at(col("sy"), col("i") + 1).as("r"), col("wn"))
+          .groupBy("l", "r").agg(sum("wn").as("n"))
+        val top = pairs
+          .join(broadcast(syms.select(col("s").as("l"), col("un").as("ul"))), "l")
+          .join(broadcast(syms.select(col("s").as("r"), col("un").as("ur"))), "r")
+          .select(concat(col("l"), lit(" "), col("r")).as("pair"), col("n"),
+            expr("n * 1000000000000L div (ul * ur)").as("sk"))
+          .orderBy(col("sk").desc, col("pair")).limit(1)
+          .localCheckpoint(true)
+        seqs = seqs.crossJoin(broadcast(top.select(col("pair"))))
+          .select(col("w"), bpeApplyMerge(col("seq"), col("pair")).as("seq"),
+            col("wn"))
+          .localCheckpoint(true)
+        top.select(lit(r.toLong).as("merge_round"), col("pair"),
+          regexp_replace(col("pair"), " ", "").as("new_sym"), col("n"),
+          col("sk"))
+      }
+      rounds.reduce(_ unionByName _).localCheckpoint(true)
+    }
+
+  /** The WordPiece merge LOOP, graded — the third tokenizer trainer
+    * next to BPE (llm_vocab_merges) and unigram-LM (llm_vocab_unigram),
+    * completing the family every production stack picks from (GPT =
+    * BPE, BERT = WordPiece, T5/SentencePiece = unigram). Round r's
+    * winner depends on rounds 1..r-1's applications, so the hash
+    * proves the full likelihood-scored sequence; the merge APPLICATION
+    * is byte-identical to BPE's (shared bpeApplyMerge — the doubled-
+    * separator greedy form), isolating the score as the only moving
+    * part. Emits (round, pair, new symbol, pair count, integer score
+    * key).
+    *
+    * Scale shape: identical to bpeTrained — one corpus pass collapses
+    * to (distinct word, count); each round is a vocab-sized pair
+    * aggregate + a vocab-sized unigram aggregate + a 1-row broadcast
+    * top + a narrow per-row merge. The unigram side is the same
+    * partial+final shape as the pair side; nothing corpus-scale
+    * re-runs after round 0.
+    */
+  val llmVocabWordpiece: Op = Op(
+    "llm_vocab_wordpiece",
+    (s, dir) => wordpieceTrained(s, dir).orderBy("merge_round"),
+    Some {
+      val rounds = (1 to 5).map { r =>
+        s"""u$r AS (
+        SELECT s, CAST(SUM(wn) AS BIGINT) AS un
+        FROM (SELECT unnest(string_split(trim(seq), ' ')) AS s, wn
+              FROM w${r - 1})
+        GROUP BY s
+      ), p$r AS (
+        SELECT sy[i] AS l, sy[i+1] AS r, CAST(SUM(wn) AS BIGINT) AS n
+        FROM (SELECT string_split(trim(seq), ' ') AS sy, wn FROM w${r - 1}),
+             LATERAL (SELECT unnest(generate_series(1, len(sy) - 1)) AS i)
+        WHERE len(sy) >= 2 GROUP BY 1, 2
+      ), t$r AS (
+        SELECT pair, n, sk FROM (
+          SELECT p.l || ' ' || p.r AS pair, p.n,
+            (p.n * 1000000000000) // (ul.un * ur.un) AS sk
+          FROM p$r p JOIN u$r ul ON ul.s = p.l JOIN u$r ur ON ur.s = p.r)
+        ORDER BY sk DESC, pair LIMIT 1
+      ), w$r AS (
+        SELECT replace(replace(replace(seq, ' ', '  '),
+            ' ' || replace(pair, ' ', '  ') || ' ', ' ' || replace(pair, ' ', '') || ' '),
+            '  ', ' ') AS seq, wn
+        FROM w${r - 1}, t$r
+      )"""
+      }.mkString(", ")
+      s"""
+      WITH v AS (
+        SELECT w, COUNT(*) AS wn
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE length(w) >= 2 GROUP BY w
+      ), w0 AS (
+        SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seq, wn FROM v
+      ), $rounds
+      SELECT merge_round, pair, replace(pair, ' ', '') AS new_sym, n, sk FROM (
+        SELECT CAST(1 AS BIGINT) AS merge_round, pair, n, sk FROM t1
+        UNION ALL SELECT 2, pair, n, sk FROM t2
+        UNION ALL SELECT 3, pair, n, sk FROM t3
+        UNION ALL SELECT 4, pair, n, sk FROM t4
+        UNION ALL SELECT 5, pair, n, sk FROM t5)
+      ORDER BY merge_round
+    """.stripMargin.trim
+    })
+
   /** Contrastive-training triplet mining — the retrieval/embedding-model
     * data op every similarity pipeline runs after dedup: for each probe
     * anchor (vec_id ∤ 50, the simsearch probe set), the HARD POSITIVE
@@ -7147,6 +7268,7 @@ object LlmOps {
     semScaleFit(s, dir)
     pqFit(s, dir)
     bpeTrained(s, dir)
+    wordpieceTrained(s, dir)
     unigramModel(s, dir)
     modelStore(s, dir): Unit
   }
@@ -7158,7 +7280,7 @@ object LlmOps {
     llmNgramDiversity,
     llmHardNegatives, llmRetrievalMrr, llmDatasetCard, llmBm25Retrieval,
     llmEmbeddingDrift,
-    llmVocabMerges, llmVocabApply, llmVocabUnigram, llmVocabUnigramEncode,
+    llmVocabMerges, llmVocabWordpiece, llmVocabApply, llmVocabUnigram, llmVocabUnigramEncode,
     llmTokenizerCompare,
     llmSpanCorruption, llmPackSequences, llmRepetitionFilter, llmDocChunk,
     llmCrossDedup,
