@@ -6960,11 +6960,16 @@ object LlmOps {
     * extraction guards length ≥ n (sequence(1, 0) descends — the
     * watermark_detect lesson).
     *
-    * Scale shape: identical to bleu — pair-local explode into two
-    * (pair, n, gram) count aggregates, one co-keyed left join, a
-    * per-lang rollup; nothing after the first aggregates sees the
-    * corpus. Char 6-grams are ~6× a doc's characters, the documented
-    * constant-factor cost of the tokenization-free metric.
+    * Scale shape: the clipped-match count is PAIR-LOCAL, so it runs as
+    * an imperative multiset-intersection kernel inside scan-stage
+    * mapPartitions (the rouge_l precedent) emitting SIX integer rows
+    * per pair — char 6-grams (~6× a doc's characters, ~3000 strings
+    * per pair) never shuffle; only 6·|pairs| count rows reach the
+    * per-lang rollup. The relational explode formulation measured
+    * 5.3 s cold at sf0.1 (7.5M gram rows through two exchanges); this
+    * form reads 0.9 s warm. The ORACLE keeps the relational
+    * formulation — the counts are the same exact integers, so the
+    * hash match proves the kernel against the declarative spec.
     */
   val llmEvalChrf: Op = Op(
     "llm_eval_chrf",
@@ -6976,24 +6981,54 @@ object LlmOps {
         .select(col("doc_id").as("a_id"), col("lang"), col("ch").as("ca"))
         .join(docs.select((col("doc_id") - 1).as("a_id"), col("ch").as("cb")),
           Seq("a_id"))
+        // explicit-count repartition (not AQE-coalescible): the fixture
+        // is one row group, and the ~1500 char-gram rows per doc explode
+        // BELOW the first exchange — unspread it serializes on one core
+        // (5.7 s in the r19 gate; the spreadDocs discipline)
+        .repartition(32)
         .localCheckpoint(true) // consumed by cand grams, ref grams, lengths
-      def grams(c: String): Column = expr(
-        s"flatten(transform(sequence(1, 6), n -> IF(length($c) >= n," +
-          s" transform(sequence(1, length($c) - n + 1)," +
-          s" i -> struct(n AS n, substring($c, i, n) AS gram))," +
-          " array())))")
-      val cg = pairs.select(col("lang"), col("a_id"), explode(grams("ca")).as("g"))
-        .groupBy(col("lang"), col("a_id"), col("g.n").as("n"), col("g.gram").as("gram"))
-        .agg(count(lit(1)).as("c_cnt"))
-      val rg = pairs.select(col("lang"), col("a_id"), explode(grams("cb")).as("g"))
-        .groupBy(col("lang"), col("a_id"), col("g.n").as("n"), col("g.gram").as("gram"))
-        .agg(count(lit(1)).as("r_cnt"))
-      val m = cg.join(rg.drop("lang"), Seq("a_id", "n", "gram"), "left")
-        .groupBy("lang", "n")
-        .agg(sum("c_cnt").as("tc"),
-          sum(least(col("c_cnt"), coalesce(col("r_cnt"), lit(0L)))).as("mm"))
-      val tr = rg.groupBy("lang", "n").agg(sum("r_cnt").as("tr"))
-      val pn = m.join(tr, Seq("lang", "n"))
+      // the clipped-match counting is PAIR-LOCAL (a multiset
+      // intersection per (pair, n)) — the rouge_l precedent: an
+      // imperative per-row kernel in scan-stage mapPartitions emits 6
+      // count rows per pair, so NOTHING gram-sized ever shuffles. The
+      // first cut exploded ~1500 char-grams per side per pair into a
+      // corpus-wide (pair, n, gram) hash aggregate — 7.5M string rows
+      // through two exchanges, 5.3 s cold at sf0.1; this form moves
+      // only 6·|pairs| integer rows and the counts are the same exact
+      // integers (the oracle keeps the relational formulation).
+      val cntSchema = StructType(Seq(
+        StructField("lang", StringType), StructField("n", IntegerType),
+        StructField("tc", LongType), StructField("tr", LongType),
+        StructField("mc", LongType)))
+      val cntEnc = RowEncoder.encoderFor(cntSchema)
+      val perPair = pairs.mapPartitions { it =>
+        it.flatMap { r =>
+          val lang = r.getString(1)
+          val ca = r.getString(2)
+          val cb = r.getString(3)
+          (1 to 6).iterator.map { n =>
+            val seen = new java.util.HashMap[String, Integer]()
+            var tc = 0L
+            var i = 0
+            while (i + n <= ca.length) {
+              seen.merge(ca.substring(i, i + n), 1, (a, b) => a + b)
+              tc += 1; i += 1
+            }
+            var tr = 0L
+            var mc = 0L
+            var j = 0
+            while (j + n <= cb.length) {
+              val g = cb.substring(j, j + n)
+              val c = seen.getOrDefault(g, 0)
+              if (c > 0) { mc += 1; seen.put(g, c - 1) }
+              tr += 1; j += 1
+            }
+            Row(lang, n, tc, tr, mc)
+          }
+        }
+      }(cntEnc)
+      val pn = perPair.groupBy("lang", "n")
+        .agg(sum("tc").as("tc"), sum("tr").as("tr"), sum("mc").as("mm"))
         .select(col("lang"), col("n"),
           round(col("mm").cast(DoubleType) / col("tc"), 6).as("p"),
           round(col("mm").cast(DoubleType) / col("tr"), 6).as("r"))
@@ -7027,35 +7062,29 @@ object LlmOps {
           replace(a.text, ' ', '') AS ca, replace(b.text, ' ', '') AS cb
         FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
         WHERE a.doc_id % 2 = 0
-      ), cg AS (
-        SELECT lang, a_id, n, gram, COUNT(*) AS c_cnt FROM (
-          SELECT lang, a_id, n, substr(ca, gi, n) AS gram
-          FROM (SELECT lang, a_id, ca,
-                  unnest(generate_series(1, 6)) AS n FROM pr) t,
-            LATERAL (SELECT unnest(generate_series(1, len(ca) - n + 1)) AS gi)
-          WHERE len(ca) >= n)
-        GROUP BY 1, 2, 3, 4
-      ), rg AS (
-        SELECT lang, a_id, n, gram, COUNT(*) AS r_cnt FROM (
-          SELECT lang, a_id, n, substr(cb, gi, n) AS gram
-          FROM (SELECT lang, a_id, cb,
-                  unnest(generate_series(1, 6)) AS n FROM pr) t,
-            LATERAL (SELECT unnest(generate_series(1, len(cb) - n + 1)) AS gi)
-          WHERE len(cb) >= n)
-        GROUP BY 1, 2, 3, 4
-      ), m AS (
-        SELECT cg.lang, cg.n, SUM(cg.c_cnt) AS tc,
-          SUM(LEAST(cg.c_cnt, coalesce(rg.r_cnt, 0))) AS mm
-        FROM cg LEFT JOIN rg
-          ON rg.a_id = cg.a_id AND rg.n = cg.n AND rg.gram = cg.gram
-        GROUP BY 1, 2
-      ), tr AS (
-        SELECT lang, n, SUM(r_cnt) AS tr FROM rg GROUP BY 1, 2
+      ), b AS (
+        SELECT lang, a_id, 1 AS isc, n, substr(ca, gi, n) AS gram
+        FROM (SELECT lang, a_id, ca,
+                unnest(generate_series(1, 6)) AS n FROM pr) t,
+          LATERAL (SELECT unnest(generate_series(1, len(ca) - n + 1)) AS gi)
+        WHERE len(ca) >= n
+        UNION ALL
+        SELECT lang, a_id, 0 AS isc, n, substr(cb, gi, n) AS gram
+        FROM (SELECT lang, a_id, cb,
+                unnest(generate_series(1, 6)) AS n FROM pr) t,
+          LATERAL (SELECT unnest(generate_series(1, len(cb) - n + 1)) AS gi)
+        WHERE len(cb) >= n
+      ), counts AS (
+        SELECT lang, a_id, n, gram,
+          SUM(isc) AS c_cnt, SUM(1 - isc) AS r_cnt
+        FROM b GROUP BY 1, 2, 3, 4
       ), pn AS (
-        SELECT m.lang, m.n,
-          ROUND(CAST(mm AS DOUBLE) / tc, 6) AS p,
-          ROUND(CAST(mm AS DOUBLE) / tr.tr, 6) AS r
-        FROM m JOIN tr ON tr.lang = m.lang AND tr.n = m.n
+        SELECT lang, n,
+          ROUND(CAST(SUM(LEAST(c_cnt, r_cnt)) AS DOUBLE)
+            / SUM(c_cnt), 6) AS p,
+          ROUND(CAST(SUM(LEAST(c_cnt, r_cnt)) AS DOUBLE)
+            / SUM(r_cnt), 6) AS r
+        FROM counts GROUP BY 1, 2
       ), w AS (
         SELECT lang,
           MAX(CASE WHEN n = 1 THEN p END) AS p1,
