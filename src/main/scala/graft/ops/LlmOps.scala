@@ -6482,59 +6482,82 @@ object LlmOps {
     * lineage (22 s for a 64-dim problem) — the driver eigensolve is
     * the architecture Spark itself ships for this shape.
     */
+  /** Centered coordinates (vec_id, j, c) — shared by the pca eigensolve
+    * and the whitening projection so the snap chain cannot fork.
+    */
+  private def pcaCentered(s: SparkSession, dir: String): DataFrame = {
+    val x = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("j"),
+        col("col").cast(DoubleType).as("x"))
+    val nDf = Tables.embeddings(s, dir).agg(count(lit(1)).as("n"))
+    val mu = x.groupBy("j")
+      .agg(sum(floor(col("x") * lit(1e9))).cast(DoubleType).as("sx"))
+      .crossJoin(broadcast(nDf))
+      .select(col("j"), (col("sx") / col("n") / lit(1e9)).as("mu"))
+    x.join(broadcast(mu), Seq("j"))
+      .select(col("vec_id"), col("j"), (col("x") - col("mu")).as("c"))
+  }
+
+  /** Driver-local eigensolve on the collected 64×64 Gramian (the MLlib
+    * computePrincipalComponents shape); formulas mirror the oracle CTEs
+    * exactly — integer floor-snap sums are order-free. Returns the
+    * leading eigenvector and the final ‖S·v‖ eigenvalue estimate.
+    */
+  private def pcaEigen(c: DataFrame): (Array[Double], Double) = {
+    val scatter = c.join(c.select(col("vec_id"),
+        col("j").as("k"), col("c").as("ck")), Seq("vec_id"))
+      .groupBy("j", "k")
+      .agg((sum(floor(col("c") * col("ck") * lit(1e9)))
+        .cast(DoubleType) / lit(1e9)).as("s"))
+    val cells = scatter.collect()
+    val d = cells.map(_.getInt(0)).max + 1
+    val m = Array.ofDim[Double](d, d)
+    cells.foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    var v = Array.fill(d)(0.125)
+    var lam = 0.0
+    for (_ <- 1 to 8) {
+      val w = Array.tabulate(d) { j =>
+        var acc = 0L
+        var k = 0
+        while (k < d) { acc += math.floor(m(j)(k) * v(k) * 1e9).toLong; k += 1 }
+        acc.toDouble / 1e9
+      }
+      lam = math.sqrt(
+        w.map(x => math.floor(x * x * 1e9).toLong).sum.toDouble / 1e9)
+      v = w.map(_ / lam)
+    }
+    (v, lam)
+  }
+
   val llmEmbedPca: Op = Op(
     "llm_embed_pca",
     (s, dir) => {
-      val x = Tables.embeddings(s, dir)
-        .select(col("vec_id"), posexplode(col("embedding")))
-        .select(col("vec_id"), col("pos").as("j"),
-          col("col").cast(DoubleType).as("x"))
-      val nDf = Tables.embeddings(s, dir).agg(count(lit(1)).as("n"))
-      val mu = x.groupBy("j")
-        .agg(sum(floor(col("x") * lit(1e9))).cast(DoubleType).as("sx"))
-        .crossJoin(broadcast(nDf))
-        .select(col("j"), (col("sx") / col("n") / lit(1e9)).as("mu"))
-      val c = x.join(broadcast(mu), Seq("j"))
-        .select(col("vec_id"), col("j"), (col("x") - col("mu")).as("c"))
-      val scatter = c.join(c.select(col("vec_id"),
-          col("j").as("k"), col("c").as("ck")), Seq("vec_id"))
-        .groupBy("j", "k")
-        .agg((sum(floor(col("c") * col("ck") * lit(1e9)))
-          .cast(DoubleType) / lit(1e9)).as("s"))
-      // driver-local eigensolve on the collected 64×64 Gramian (the
-      // MLlib computePrincipalComponents shape); formulas mirror the
-      // oracle CTEs exactly — integer floor-snap sums are order-free
-      val cells = scatter.collect()
-      val d = cells.map(_.getInt(0)).max + 1
-      val m = Array.ofDim[Double](d, d)
-      cells.foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-      var v = Array.fill(d)(0.125)
-      var lam = 0.0
-      for (_ <- 1 to 8) {
-        val w = Array.tabulate(d) { j =>
-          var acc = 0L
-          var k = 0
-          while (k < d) { acc += math.floor(m(j)(k) * v(k) * 1e9).toLong; k += 1 }
-          acc.toDouble / 1e9
-        }
-        lam = math.sqrt(
-          w.map(x => math.floor(x * x * 1e9).toLong).sum.toDouble / 1e9)
-        v = w.map(_ / lam)
-      }
+      val (v, lam) = pcaEigen(pcaCentered(s, dir))
       import s.implicits._
       v.zipWithIndex
         .map { case (l, j) => (j.toLong, l, lam) }.toSeq
         .toDF("dim", "loading", "eigenvalue")
         .orderBy("dim")
     },
-    Some {
-      // AS MATERIALIZED on every iteration CTE: wK is referenced twice
-      // (matvec + norm), so without it DuckDB's inlining doubles the
-      // expression tree per iteration — 2^8 scatter recomputes turned
-      // a 0.1 s oracle into minutes (markov's linear it-chain never
-      // hit this: each CTE there is referenced exactly once)
-      val iters = (1 to 8).map { k =>
-        s"""w$k AS MATERIALIZED (
+    Some(s"""$pcaOracleCtes
+      SELECT CAST(v8.j AS BIGINT) AS dim, v8.v AS loading,
+        nrm8.lam AS eigenvalue
+      FROM v8, nrm8 ORDER BY dim
+    """.stripMargin.trim))
+
+  /** The pca fit chain as a shared oracle prefix (x → mu → c → scatter
+    * → 8 unrolled matvec/norm CTE pairs ending v8/nrm8) — consumed by
+    * llm_embed_pca and llm_embed_whiten verbatim. AS MATERIALIZED on
+    * every iteration CTE: wK is referenced twice (matvec + norm), so
+    * without it DuckDB's inlining doubles the expression tree per
+    * iteration — 2^8 scatter recomputes turned a 0.1 s oracle into
+    * minutes (markov's linear it-chain never hit this: each CTE there
+    * is referenced exactly once).
+    */
+  private def pcaOracleCtes: String = {
+    val iters = (1 to 8).map { k =>
+      s"""w$k AS MATERIALIZED (
         SELECT sc.j,
           CAST(SUM(CAST(floor(sc.s * v.v * 1e9) AS BIGINT)) AS DOUBLE)
             / 1e9 AS w
@@ -6546,8 +6569,8 @@ object LlmOps {
       ), v$k AS MATERIALIZED (
         SELECT w$k.j, w$k.w / nrm$k.lam AS v FROM w$k, nrm$k
       )"""
-      }.mkString(", ")
-      s"""
+    }.mkString(", ")
+    s"""
       WITH x AS (
         SELECT vec_id, i - 1 AS j, CAST(embedding[i] AS DOUBLE) AS x
         FROM embeddings,
@@ -6569,12 +6592,55 @@ object LlmOps {
         GROUP BY a.j, b.j
       ), v0 AS (
         SELECT DISTINCT j, CAST(0.125 AS DOUBLE) AS v FROM sc
-      ), $iters
-      SELECT CAST(v8.j AS BIGINT) AS dim, v8.v AS loading,
-        nrm8.lam AS eigenvalue
-      FROM v8, nrm8 ORDER BY dim
-    """.stripMargin.trim
-    })
+      ), $iters"""
+  }
+
+  /** PCA WHITENING — the projection consumer of the eigensolve (the
+    * diagnostic llm_embed_pca's scaladoc names as what the fit is FOR):
+    * every vector's leading principal coordinate pc1 = Σⱼ cⱼ·vⱼ over
+    * its CENTERED coordinates, plus the scatter-normalized pc1_std =
+    * pc1/√λ — the 1-D whitened embedding an anisotropy monitor
+    * tracks. The matvec fold uses the IDENTICAL floor-snap form as the
+    * power iterations (floor(c·v·1e9) BIGINT terms, exact sum, /1e9),
+    * so the projection is partition-invariant and engine-identical by
+    * the same argument; v and λ come from the driver eigensolve, whose
+    * bit-equality with the oracle's v8/nrm8 the pca op's green hash
+    * already proves, and ride into the plan as 64 double literals.
+    *
+    * Scale shape: one broadcast of the 64-vector + a per-row fold and
+    * a vec_id-keyed partial+final aggregate — the corpus-scale stages
+    * are the same centered scan pca makes; nothing new shuffles. The
+    * full-chain oracle (fit CTEs + projection) hash-proves fit AND
+    * apply end to end.
+    */
+  val llmEmbedWhiten: Op = Op(
+    "llm_embed_whiten",
+    (s, dir) => {
+      // consumed by the scatter collect AND the projection: materialize
+      val c = pcaCentered(s, dir).localCheckpoint(true)
+      val (v, lam) = pcaEigen(c)
+      val vArr = array(v.map(lit): _*)
+      c.select(col("vec_id"),
+          floor(col("c") * element_at(vArr, col("j") + 1) * lit(1e9))
+            .cast(LongType).as("term"))
+        .groupBy("vec_id")
+        .agg((sum("term").cast(DoubleType) / lit(1e9)).as("coord"))
+        .select(col("vec_id"), round(col("coord"), 6).as("pc1"),
+          round(col("coord") / lit(math.sqrt(lam)), 6).as("pc1_std"))
+        .orderBy("vec_id")
+    },
+    Some(s"""$pcaOracleCtes
+      , proj AS (
+        SELECT c.vec_id,
+          CAST(SUM(CAST(floor(c.c * v8.v * 1e9) AS BIGINT)) AS DOUBLE)
+            / 1e9 AS coord
+        FROM c JOIN v8 ON v8.j = c.j
+        GROUP BY c.vec_id
+      )
+      SELECT vec_id, ROUND(coord, 6) AS pc1,
+        ROUND(coord / (SELECT sqrt(lam) FROM nrm8), 6) AS pc1_std
+      FROM proj ORDER BY vec_id
+    """.stripMargin.trim))
 
   /** Watermark detection — Kirchenbauer et al. 2023's greenlist test as
     * a corpus screen (the provenance question every training-data
@@ -7304,7 +7370,7 @@ object LlmOps {
 
   val ops: Seq[Op] = Seq(
     llmReadability, llmQualityGopher, llmBoilerplateStrip,
-    llmZipfFit, llmKeywordTextrank, llmEmbedPca,
+    llmZipfFit, llmKeywordTextrank, llmEmbedPca, llmEmbedWhiten,
     llmWatermarkDetect, llmNucleusCutoff, llmRougeL, llmEvalPassAtK, llmEvalChrf,
     llmNgramDiversity,
     llmHardNegatives, llmRetrievalMrr, llmDatasetCard, llmBm25Retrieval,

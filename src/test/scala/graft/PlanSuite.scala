@@ -532,6 +532,8 @@ class PlanSuite extends AnyFunSuite {
       // for the mean, and the per-iteration norm scalar (x8); the
       // scatter/matvec joins are equi on j/k/vec_id
       "llm_embed_pca",
+      // shares pcaCentered's 1-row broadcast corpus-count crossJoin
+      "llm_embed_whiten",
       // 1-row broadcast min-hour bound (in-plan-N) anchoring the
       // dyadic grid; the spine/pair joins are equi on (type, idx)
       "events_wavelet_haar",
