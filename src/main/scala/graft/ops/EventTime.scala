@@ -4010,6 +4010,87 @@ WITH hourly AS (
       FROM terms GROUP BY 1 ORDER BY event_type
     """.stripMargin.trim))
 
+  /** PERIODOGRAM — the SPECTRAL member of the seasonality family
+    * (events_seasonality = calendar profile, events_autocorrelation =
+    * lag correlation; this is the frequency-domain read): DFT power at
+    * the fixed business periods P ∈ {24 h, 168 h, 12 h} of each type's
+    * hourly count series — aₚ = Σₜ xₜ·cos(2π·hₜ/P), bₚ = Σₜ·sin(·),
+    * power = aₚ² + bₚ², the Schuster periodogram every load forecaster
+    * screens before fitting. Absent hours contribute exact zeros, so
+    * the sparse hourly aggregate IS the dense series — no gapfill
+    * spine needed (x = 0 kills the term).
+    *
+    * Trig portability (why this op can be oracle-graded at all): the
+    * phase argument is 2π·(h mod P)/P with h the INTEGER epoch hour —
+    * the mod keeps every libm call inside [0, 2π), where Java and
+    * glibc agree to the ulp (large-argument range reduction, the one
+    * regime where libms genuinely diverge, is arithmetically excluded
+    * — the fn_trig_pack discipline extended to folds); each x·cos term
+    * then rounds at 8 dp into an exact DECIMAL sum (the chisq
+    * treatment), and the powers compute from the closed double casts.
+    *
+    * Scale shape: one (type, hour) partial+final count, then ONE
+    * partial+final aggregate folding all six component sums in a
+    * single pass — no explode, no per-period scan; at any corpus size
+    * the spectral screen is two hash aggregates.
+    */
+  val eventsPeriodogram: Op = Op(
+    "events_periodogram",
+    (s, dir) => {
+      val hx = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("h"))
+        .agg(count(lit(1)).as("x"))
+      def aP(p: Int): org.apache.spark.sql.Column = sum(round(col("x") *
+        cos(lit(2 * math.Pi) * (col("h") % lit(p.toLong)) / lit(p.toDouble)), 8)
+        .cast(DecimalType(24, 8)))
+      def bP(p: Int): org.apache.spark.sql.Column = sum(round(col("x") *
+        sin(lit(2 * math.Pi) * (col("h") % lit(p.toLong)) / lit(p.toDouble)), 8)
+        .cast(DecimalType(24, 8)))
+      def pow(a: String, b: String): org.apache.spark.sql.Column =
+        round(col(a).cast(DoubleType) * col(a).cast(DoubleType) +
+          col(b).cast(DoubleType) * col(b).cast(DoubleType), 4)
+      hx.groupBy("event_type")
+        .agg(aP(24).as("a24"), bP(24).as("b24"),
+          aP(168).as("a168"), bP(168).as("b168"),
+          aP(12).as("a12"), bP(12).as("b12"))
+        .select(col("event_type"),
+          round(col("a24").cast(DoubleType), 6).as("a_24h"),
+          round(col("b24").cast(DoubleType), 6).as("b_24h"),
+          pow("a24", "b24").as("power_24h"),
+          round(col("a168").cast(DoubleType), 6).as("a_168h"),
+          round(col("b168").cast(DoubleType), 6).as("b_168h"),
+          pow("a168", "b168").as("power_168h"),
+          round(col("a12").cast(DoubleType), 6).as("a_12h"),
+          round(col("b12").cast(DoubleType), 6).as("b_12h"),
+          pow("a12", "b12").as("power_12h"))
+        .orderBy("event_type")
+    },
+    Some {
+      def comp(p: Int): String =
+        s"""CAST(SUM(CAST(round(x * cos(2 * pi() * (h % $p) / $p.0), 8)
+           AS DECIMAL(24,8))) AS DOUBLE) AS a$p,
+         CAST(SUM(CAST(round(x * sin(2 * pi() * (h % $p) / $p.0), 8)
+           AS DECIMAL(24,8))) AS DOUBLE) AS b$p"""
+      s"""
+      WITH hx AS (
+        SELECT event_type, epoch_us(ts) // 3600000000 AS h, COUNT(*) AS x
+        FROM events GROUP BY 1, 2
+      ), sums AS (
+        SELECT event_type, ${comp(24)}, ${comp(168)}, ${comp(12)}
+        FROM hx GROUP BY event_type
+      )
+      SELECT event_type,
+        ROUND(a24, 6) AS a_24h, ROUND(b24, 6) AS b_24h,
+        ROUND(a24 * a24 + b24 * b24, 4) AS power_24h,
+        ROUND(a168, 6) AS a_168h, ROUND(b168, 6) AS b_168h,
+        ROUND(a168 * a168 + b168 * b168, 4) AS power_168h,
+        ROUND(a12, 6) AS a_12h, ROUND(b12, 6) AS b_12h,
+        ROUND(a12 * a12 + b12 * b12, 4) AS power_12h
+      FROM sums ORDER BY event_type
+    """.stripMargin.trim
+    })
+
   /** CHAINED STATEFUL AGGREGATIONS — Spark 4's multiple-stateful-
     * operator pipeline, graded: hourly windowed aggregate → daily
     * rollup aggregate, BOTH stateful, in ONE streaming query (the
@@ -4923,6 +5004,6 @@ WITH hourly AS (
     eventsChisqIndependence, eventsCusum, eventsChangepoint, eventsMannWhitney,
     eventsPowerAnalysis, eventsUserStreaks, eventsOutlierIqr,
     eventsMarkovStationary, eventsBotScore, eventsBotScoreScale,
-    eventsFunnelLatency, eventsAutocorrelation, eventsCohortRevenue,
+    eventsFunnelLatency, eventsAutocorrelation, eventsPeriodogram, eventsCohortRevenue,
     aggWinsorizedMean, streamReplayExactlyOnce)
 }
