@@ -1017,6 +1017,90 @@ object EventTime {
       FROM a JOIN l USING (user_id) ORDER BY user_id
     """.stripMargin.trim))
 
+  /** EVENT-TIME TIMERS, graded — the OTHER half of the
+    * StatefulProcessor API (transform_state grades typed state; this
+    * grades registerTimer/handleExpiredTimer): gap sessionization where
+    * the trailing session of every key — the one no successor row will
+    * ever close — is flushed by a per-key event-time timer when the
+    * watermark passes its tail + 30 min (graft/streaming/
+    * TimerSessions.scala has the protocol: one re-armed timer per key,
+    * stale-timer guard, half-open gap). The replay source's planted
+    * first-hour redelivery is dropped twice over (watermark late-drop +
+    * the seen-ids MapState). ORACLE: batch lag-based sessionization;
+    * emitted = every non-final session (closed inline by its
+    * successor) plus final sessions whose tail + 30 min ≤ the
+    * END-OF-STREAM WATERMARK (max event time − 30 min, both in the
+    * engine's millisecond watermark arithmetic) — final sessions past
+    * that bound are still open when the stream ends and must NOT
+    * appear, so the oracle filter IS the timer-semantics proof.
+    *
+    * Scale shape: keyed state + one timer per key, sharded across the
+    * store; session state is O(1) per key regardless of history; the
+    * timer registry is watermark-bounded. The production use: emitting
+    * sessions/abandoned-cart/inactivity events without a driver-side
+    * sweep.
+    */
+  val streamReplayTimerSessions: Op = Op(
+    "stream_replay_timer_sessions",
+    (s, dir) => {
+      val src = wmReplaySrc(s, dir)
+      runReplay(s, "graft_stream_timer_sessions", "append", Map(
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) { s2 =>
+        import s2.implicits._
+        s2.readStream.schema(Tables.expectedSchemas("events"))
+          .option("maxFilesPerTrigger", "4")
+          .parquet(src)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            expr("unix_micros(ts)").as("ts_us"))
+          .withWatermark("ts", "30 minutes")
+          .as[graft.streaming.SessIn]
+          .groupByKey(_.user_id)
+          .transformWithState(new graft.streaming.TimerSessions,
+            org.apache.spark.sql.streaming.TimeMode.EventTime(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+          .toDF()
+      }
+        .select(col("user_id"),
+          fmtSec(expr("timestamp_micros(start_us)")).as("session_start"),
+          fmtSec(expr("timestamp_micros(end_us)")).as("session_end"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
+    },
+    Some("""
+      WITH o AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+      ), m AS (
+        SELECT epoch_us(MAX(ts)) AS mx FROM events
+      ), b AS (
+        SELECT user_id, event_id, us,
+          CASE WHEN lag(us) OVER w IS NULL
+                 OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+        FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+      ), g AS (
+        SELECT user_id, us,
+          SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                         ROWS UNBOUNDED PRECEDING) AS sid
+        FROM b
+      ), sess AS (
+        SELECT user_id, sid, MIN(us) AS start_us, MAX(us) AS end_us,
+          COUNT(*) AS n_events
+        FROM g GROUP BY user_id, sid
+      ), sess2 AS (
+        SELECT *, MAX(sid) OVER (PARTITION BY user_id) AS max_sid FROM sess
+      )
+      SELECT user_id,
+        strftime(date_trunc('second', make_timestamp(start_us)),
+          '%Y-%m-%d %H:%M:%S') AS session_start,
+        strftime(date_trunc('second', make_timestamp(end_us)),
+          '%Y-%m-%d %H:%M:%S') AS session_end,
+        n_events
+      FROM sess2, m
+      WHERE sid < max_sid
+         OR end_us // 1000 + 1800000 <= mx // 1000 - 1800000
+      ORDER BY user_id, session_start
+    """.stripMargin.trim))
+
   /** Day-of-week × hour-of-day seasonality matrix — the load-pattern
     * profile behind capacity planning and anomaly baselining: event
     * count and mean value per (dow, hour) cell. ONE partial+final
@@ -4988,6 +5072,7 @@ WITH hourly AS (
     streamReplaySessionWatermarked, streamReplayUpsert,
     streamReplayOuterJoin, streamReplayChainedAgg, streamReplayDedupWithinWm,
     streamReplayCdcUpsert, streamReplaySinkCommit, streamReplayTransformState,
+    streamReplayTimerSessions,
     eventsPointintimeFeatures,
     eventsCohortRetention, eventsHistogram, eventsSeasonality,
     eventsSessionize, eventsFunnel, timeseriesGapfill, timeseriesInterpolate,
