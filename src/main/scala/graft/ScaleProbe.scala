@@ -36,12 +36,14 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
 
     // ---- build the x10 fixture (skip when already present) ----
-    // marker carries a content fingerprint of the base fixture (doc
-    // row count + parquet mtime) so a regenerated base can never be
-    // compared against a stale replicated copy (r18 ADVICE)
+    // marker carries a content fingerprint of the base fixture (max
+    // part-file mtime under documents.parquet) so a regenerated base
+    // can never be compared against a stale replicated copy (r18
+    // ADVICE); maxOption guards an empty directory (r19 ADVICE)
     val baseDocs = new java.io.File(s"$base/documents.parquet")
     val baseMtime = Option(baseDocs.listFiles())
-      .map(_.map(_.lastModified).max).getOrElse(baseDocs.lastModified)
+      .flatMap(_.map(_.lastModified).maxOption)
+      .getOrElse(baseDocs.lastModified)
     val marker = new java.io.File(s"$out/_built_from_" +
       base.replaceAll("[^A-Za-z0-9]", "_") + s"_$baseMtime")
     if (!marker.exists) {

@@ -1035,7 +1035,10 @@ object EventTime {
     * appear, so the oracle filter IS the timer-semantics proof.
     *
     * Scale shape: keyed state + one timer per key, sharded across the
-    * store; session state is O(1) per key regardless of history; the
+    * store; per-key state is the open-session summary plus a seen-ids
+    * map bounded by the OPEN session's event count (handleExpiredTimer
+    * purges ids the watermark has passed — the engine can never
+    * redeliver those, so history never accumulates; r19 ADVICE); the
     * timer registry is watermark-bounded. The production use: emitting
     * sessions/abandoned-cart/inactivity events without a driver-side
     * sweep.

@@ -2673,9 +2673,12 @@ object LlmOps {
     * fork here.
     */
   private val IvfTargetCell = 16
+  // clamp in Long BEFORE narrowing to Int: ((n+15)/16).toInt wraps
+  // (possibly negative) above ~2^35 rows, and the clamp would then
+  // silently return k=8 exactly in the huge-corpus regime (r19 ADVICE)
   private def ivfK(n: Long): Int =
-    math.max(8, math.min(4096,
-      ((n + IvfTargetCell - 1) / IvfTargetCell).toInt))
+    math.max(8L, math.min(4096L,
+      (n + IvfTargetCell - 1) / IvfTargetCell)).toInt
   private def ivfNprobe(k: Int): Int = math.max(1, (k * 7 + 15) / 16)
   private def ivfPqNprobeOf(k: Int): Int = math.max(1, (k * 9 + 15) / 16)
 
@@ -3361,6 +3364,13 @@ object LlmOps {
   private def semScaleFit(s: org.apache.spark.sql.SparkSession,
       dir: String): (DataFrame, DataFrame) = semScaleCache(s, dir) {
       val e = ivfVecs(s, dir)
+      // the replica offset is a fixed 1e6 so the oracle CTE can mirror
+      // it as a literal; a corpus with vec_id >= 1e6 would silently
+      // collide replica ids — fail loudly instead (r19 ADVICE)
+      val maxId = e.agg(max("vec_id")).head.getLong(0)
+      require(maxId < 1000000L,
+        s"semScaleFit replica offset assumes vec_id < 1e6; max=$maxId — " +
+          "raise the offset literal here AND in semScaleOracleE together")
       val aug = (0 until 4).map { r =>
         val a = 1.0 - r / 32.0
         val b = r / 256.0
@@ -5542,8 +5552,11 @@ object LlmOps {
     (s, dir) => {
       graft.functions.SqDist.register(s)
       graft.functions.NearestCells.register(s)
+      // JVM-unique scratch component: two concurrent sessions on the
+      // same fixture would otherwise rm-recreate each other's root
+      // mid-protocol (r19 ADVICE)
       val p = s"${sys.props("java.io.tmpdir")}/graft_scratch/model_refresh_" +
-        SessionArtifact.dirTag(dir)
+        SessionArtifact.dirTag(dir) + "_p" + ProcessHandle.current().pid()
       // the protocol IS the graded subject: every build re-runs it
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
@@ -5560,11 +5573,14 @@ object LlmOps {
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         val tmp = java.nio.file.Paths.get(s"$p/_CURRENT.$ver")
         java.nio.file.Files.write(tmp, ver.getBytes("UTF-8"))
-        // POSIX rename: replaces any existing pointer atomically —
-        // a reader sees the old complete version or the new one, never
-        // a torn state
+        // atomic pointer replace: a reader sees the old complete
+        // version or the new one, never a torn state. ATOMIC_MOVE alone
+        // onto an existing target is implementation-specific (POSIX
+        // rename replaces; other filesystems may throw) — pass
+        // REPLACE_EXISTING too so the contract is explicit (r19 ADVICE)
         java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$p/CURRENT"),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
       publish(ivfCents(s, dir), "v1")
       val (aug, cents2) = semScaleFit(s, dir)

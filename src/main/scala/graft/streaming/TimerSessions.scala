@@ -42,12 +42,17 @@ class TimerSessions extends StatefulProcessor[Long, SessIn, SessOut] {
   private val GapUs = 1800000000L
   private val GapMs = 1800000L
 
-  @transient private var seen: MapState[Long, Boolean] = _
+  // event_id -> event ts_us: the value lets handleExpiredTimer purge
+  // entries the watermark has passed (Spark drops later deliveries of
+  // those rows upstream, so they can never reach the dedup check again)
+  // — per-key state stays bounded by the OPEN session's event count
+  // instead of growing with total history (r19 ADVICE).
+  @transient private var seen: MapState[Long, Long] = _
   @transient private var cur: ValueState[SessRun] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-    seen = getHandle.getMapState[Long, Boolean](
-      "seen", Encoders.scalaLong, Encoders.scalaBoolean, TTLConfig.NONE)
+    seen = getHandle.getMapState[Long, Long](
+      "seen", Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
     cur = getHandle.getValueState[SessRun](
       "cur", Encoders.product[SessRun], TTLConfig.NONE)
   }
@@ -62,7 +67,7 @@ class TimerSessions extends StatefulProcessor[Long, SessIn, SessOut] {
     val out = scala.collection.mutable.ArrayBuffer.empty[SessOut]
     var c = if (cur.exists()) cur.get() else null
     fresh.foreach { r =>
-      seen.updateValue(r.event_id, true)
+      seen.updateValue(r.event_id, r.ts_us)
       if (c == null) c = SessRun(r.ts_us, r.ts_us, 1L)
       else if (r.ts_us - c.end_us < GapUs)
         c = SessRun(c.start_us, math.max(c.end_us, r.ts_us), c.n + 1)
@@ -81,6 +86,14 @@ class TimerSessions extends StatefulProcessor[Long, SessIn, SessOut] {
 
   override def handleExpiredTimer(key: Long, tv: TimerValues,
       info: ExpiredTimerInfo): Iterator[SessOut] = {
+    // purge dedup entries the watermark has passed: the engine drops
+    // late rows before they reach this processor, so an entry older
+    // than the watermark can never be consulted again (collect stale
+    // keys first — removing while iterating the state store is unsafe)
+    val wmUs = tv.getCurrentWatermarkInMs() * 1000L
+    val stale = seen.iterator().collect {
+      case (id, tsUs) if tsUs < wmUs => id }.toArray
+    stale.foreach(seen.removeKey)
     if (cur.exists()) {
       val c = cur.get()
       // guard against a stale timer racing a same-batch extension: only
