@@ -6365,12 +6365,21 @@ object LlmOps {
     *
     * Scale shape: the corpus-scale work is ONE pair-generate (in-row
     * transform, no self-join) + partial+final count into the edge
-    * list; iterations then run on the VOCABULARY-sized graph — each a
-    * broadcast-hash join of edges against the tiny rank vector plus a
-    * partial-aggregable sum, the classic iterative-graph profile where
-    * per-step cost is edge-table-sized, never corpus-sized. Edges are
-    * localCheckpoint'd once so 10 iterations don't replay the corpus
-    * scan (the markov discipline).
+    * list, all distributed; the 10 iterations then run DRIVER-LOCAL on
+    * the collected edge list (the events_markov_stationary /
+    * llm_embed_pca eigensolve shape, one scale up): the edge list is
+    * bounded by the count of DISTINCT adjacent-token pair types —
+    * Heaps-law sublinear in corpus size, ~4.6k rows at sf0.1 and
+    * saturating toward the (bounded) vocabulary's co-occurrence
+    * ceiling, never corpus-proportional — so the collect is the
+    * adjudicated model-sized class, not a data-proportional one. The
+    * earlier form ran each iteration as a broadcast-hash join +
+    * checkpoint over that same tiny table: correct, but 10 eager
+    * vocab-sized Spark jobs cost 3.1 s warm where the identical
+    * integer arithmetic costs ~0 driver-local (r19 verdict #4), and
+    * the floor-snapped terms sum as order-free BIGINTs, so the driver
+    * fold is bit-identical to both the old plan and the oracle's CTE
+    * chain.
     */
   val llmKeywordTextrank: Op = Op(
     "llm_keyword_textrank",
@@ -6389,40 +6398,38 @@ object LlmOps {
           col("u").as("v"), col("w")))
       val wdeg = directed.groupBy("lang", "u")
         .agg(sum("w").as("wdeg"))
-      // vocabulary-sized edge table, re-read by every iteration:
-      // materialize once instead of replaying the corpus explode 10×
-      val edges = directed.join(wdeg, Seq("lang", "u"))
-        .localCheckpoint(true)
-      // rank vector keyed (lg, word): aliased groupBy keys mint fresh
-      // attribute ids each iteration, so the edges⋈ranks self-join
-      // never sees the same expr-id on both sides
-      var ranks = wdeg.select(col("lang").as("lg"), col("u").as("word"),
-        lit(1.0).as("r"))
+      // distinct-bigram-type-bounded collect (~4.6k rows at sf0.1):
+      // (lang, u, v, w, wdeg)
+      val edges = directed.join(wdeg, Seq("lang", "u")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getLong(4)))
+      var ranks: Map[(String, String), Double] =
+        edges.map(e => ((e._1, e._2), 1.0)).toMap
       for (_ <- 1 to 10) {
-        ranks = edges.join(broadcast(ranks),
-            col("lang") === col("lg") && col("u") === col("word"))
-          .select(col("lang"), col("v"),
-            expr("CAST(floor(r * w / wdeg * 1e10) AS BIGINT)").as("term"))
-          .groupBy(col("lang").as("lg"), col("v").as("word"))
-          .agg((lit(0.15) + lit(0.85) *
-            (sum(col("term")).cast(DoubleType) / lit(1e10))).as("r"))
-          // vocab-sized: truncate lineage each step, or iteration K's
-          // broadcast re-evaluates all K-1 predecessors (job count —
-          // and wall-clock — quadratic in iterations). Every-OTHER-step
-          // checkpointing (the unigram trick) was measured WORSE here
-          // (3.3 -> 4.1 s warm at sf0.1): the un-cut step re-evaluates
-          // an EDGE-table join inside the broadcast thread, which costs
-          // more than the checkpoint it saves — the unigram relaxation's
-          // re-evaluated step is word-sized, this one is edge-sized.
-          .localCheckpoint(true)
+        val acc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        edges.foreach { case (lang, u, v, w, wd) =>
+          ranks.get((lang, u)).foreach { rv =>
+            // the same left-assoc IEEE expression the old plan and the
+            // oracle evaluate: floor of an identical double is
+            // identical, and the BIGINT partials sum order-free
+            val term = math.floor(rv * w / wd * 1e10).toLong
+            val k = (lang, v)
+            acc(k) = acc.getOrElse(k, 0L) + term
+          }
+        }
+        ranks = acc.iterator.map { case (k, sm) =>
+          k -> (0.15 + 0.85 * (sm.toDouble / 1e10))
+        }.toMap
       }
-      ranks
-        .withColumn("pos", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("lg")
-            .orderBy(col("r").desc, col("word"))))
-        .filter(col("pos") <= 10)
-        .select(col("lg").as("lang"), col("pos").cast(LongType).as("pos"),
-          col("word"), col("r").as("textrank"))
+      val top = ranks.toSeq
+        .map { case ((lang, word), rv) => (lang, word, rv) }
+        .groupBy(_._1).toSeq.flatMap { case (lang, g) =>
+          g.sortBy { case (_, word, rv) => (-rv, word) }.take(10)
+            .zipWithIndex
+            .map { case ((_, word, rv), i) => (lang, (i + 1).toLong, word, rv) }
+        }.sortBy(t => (t._1, t._2))
+      import s.implicits._
+      top.toDF("lang", "pos", "word", "textrank")
         .orderBy("lang", "pos")
     },
     Some {
