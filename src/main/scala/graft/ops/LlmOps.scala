@@ -7207,6 +7207,115 @@ object LlmOps {
       FROM z ORDER BY lang
     """.stripMargin.trim))
 
+  /** TER (no-shift) — Snover et al. 2006's translation edit rate in
+    * its shift-free form (= word error rate): the EDIT-DISTANCE member
+    * completing the MT-eval family (llm_eval_bleu = n-gram precision,
+    * llm_eval_chrf = char-n-gram F, llm_rouge_l = subsequence recall;
+    * TER is the metric that counts the post-editor's keystrokes). Over
+    * the same deterministic (even, even+1) pairing, per-pair edits =
+    * word-level Levenshtein distance (insert/delete/substitute, unit
+    * costs; the block-shift move of full TER is a greedy search with
+    * no declarative form, deliberately out of scope and out of the
+    * name), corpus TER = Σ edits / Σ reference words — Snover's
+    * micro-average, the BLEU discipline.
+    *
+    * The counts are exact integers, so no rounding discipline is
+    * needed until the final ratio (one double division, 6 dp). ORACLE:
+    * the DP has no SQL form, but word-level Levenshtein IS char-level
+    * Levenshtein after a word→codepoint bijection — the oracle maps
+    * the (31-word, fixed) corpus vocabulary to SINGLE-BYTE codepoints
+    * 33..126 (DuckDB's levenshtein counts BYTES, not codepoints —
+    * measured: a 3-byte CJK encoding read 2.3× the true distance) and
+    * calls the engine-native levenshtein on the encoded strings, so
+    * the hash match proves the imperative kernel against an
+    * independent second implementation (the adversarial-oracle
+    * discipline: same integers, two unrelated algorithms). The
+    * encoding holds for vocab ≤ 94; beyond it the oracle would break
+    * LOUDLY as a hash mismatch, never silently.
+    *
+    * Scale shape: the DP is PAIR-LOCAL (the chrf kernel precedent) —
+    * an O(|a|·|b|) two-row rolling loop inside scan-stage
+    * mapPartitions emitting ONE (lang, edits, rlen) integer row per
+    * pair; nothing token-sized shuffles, and the per-lang rollup is a
+    * partial-aggregable sum. At 100 TB the cost is Σ |a|·|b| over
+    * pairs, embarrassingly parallel, zero driver state.
+    */
+  val llmEvalTer: Op = Op(
+    "llm_eval_ter",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"))
+      val pairs = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("a_id"), col("lang"), col("tk").as("ta"))
+        .join(docs.select((col("doc_id") - 1).as("a_id"), col("tk").as("tb")),
+          Seq("a_id"))
+        // explicit-count repartition: the fixture is one row group and
+        // the O(|a|·|b|) DP sits below the first exchange (the chrf
+        // spread discipline)
+        .repartition(32)
+      val outSchema = StructType(Seq(
+        StructField("lang", StringType), StructField("edits", LongType),
+        StructField("rlen", LongType)))
+      val outEnc = RowEncoder.encoderFor(outSchema)
+      val perPair = pairs.mapPartitions { it =>
+        it.map { r =>
+          val lang = r.getString(1)
+          val ta = r.getSeq[String](2)
+          val tb = r.getSeq[String](3)
+          val m = tb.length
+          var prev = Array.tabulate(m + 1)(j => j)
+          var curr = new Array[Int](m + 1)
+          var i = 1
+          while (i <= ta.length) {
+            curr(0) = i
+            var j = 1
+            while (j <= m) {
+              val sub = prev(j - 1) + (if (ta(i - 1) == tb(j - 1)) 0 else 1)
+              curr(j) = math.min(math.min(curr(j - 1) + 1, prev(j) + 1), sub)
+              j += 1
+            }
+            val t = prev; prev = curr; curr = t
+            i += 1
+          }
+          Row(lang, prev(m).toLong, m.toLong)
+        }
+      }(outEnc)
+      perPair.groupBy("lang")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum("edits").as("edits"), sum("rlen").as("r_len"))
+        .select(col("lang"), col("n_pairs"), col("edits"), col("r_len"),
+          round(col("edits").cast(DoubleType) / col("r_len"), 6).as("ter"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH pr AS (
+        SELECT a.doc_id AS a_id, a.lang,
+          string_split(a.text, ' ') AS ta, string_split(b.text, ' ') AS tb
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        WHERE a.doc_id % 2 = 0
+      ), vocab AS (
+        SELECT w, CAST(32 + row_number() OVER (ORDER BY w) AS INTEGER) AS cp
+        FROM (SELECT DISTINCT unnest(list_concat(ta, tb)) AS w FROM pr)
+      ), ea AS (
+        SELECT t.a_id, string_agg(chr(v.cp), '' ORDER BY t.i) AS sa
+        FROM (SELECT a_id, ta[i] AS w, i
+              FROM pr, LATERAL (SELECT unnest(generate_series(1, len(ta))) AS i)) t
+        JOIN vocab v ON v.w = t.w GROUP BY t.a_id
+      ), eb AS (
+        SELECT t.a_id, string_agg(chr(v.cp), '' ORDER BY t.i) AS sb
+        FROM (SELECT a_id, tb[i] AS w, i
+              FROM pr, LATERAL (SELECT unnest(generate_series(1, len(tb))) AS i)) t
+        JOIN vocab v ON v.w = t.w GROUP BY t.a_id
+      ), d AS (
+        SELECT pr.lang, levenshtein(ea.sa, eb.sb) AS edits, len(pr.tb) AS rlen
+        FROM pr JOIN ea ON ea.a_id = pr.a_id JOIN eb ON eb.a_id = pr.a_id
+      )
+      SELECT lang, COUNT(*) AS n_pairs, CAST(SUM(edits) AS BIGINT) AS edits,
+        CAST(SUM(rlen) AS BIGINT) AS r_len,
+        ROUND(CAST(SUM(edits) AS DOUBLE) / SUM(rlen), 6) AS ter
+      FROM d GROUP BY lang ORDER BY lang
+    """.stripMargin.trim))
+
   /** pass@k — the unbiased estimator from the Codex paper (Chen et al.
     * 2021): with n attempts and c successes, pass@k = 1 − C(n−c,k)/
     * C(n,k), computed as the telescoped product Π (n−c−i)/(n−i) — here
@@ -7395,6 +7504,7 @@ object LlmOps {
     llmReadability, llmQualityGopher, llmBoilerplateStrip,
     llmZipfFit, llmKeywordTextrank, llmEmbedPca, llmEmbedWhiten,
     llmWatermarkDetect, llmNucleusCutoff, llmRougeL, llmEvalPassAtK, llmEvalChrf,
+    llmEvalTer,
     llmNgramDiversity,
     llmHardNegatives, llmRetrievalMrr, llmDatasetCard, llmBm25Retrieval,
     llmEmbeddingDrift,
