@@ -415,6 +415,52 @@ object EventTime {
     },
     Relational.joinInterval.oracle)
 
+  /** STREAM-STATIC dimension-enrichment join, graded — the THIRD
+    * streaming-join mode and the most common production pattern
+    * (stream_replay_join = stream-stream inner, stream_replay_outer_join
+    * = stream-stream left-outer + watermark eviction; this = each
+    * micro-batch broadcast-joins a STATIC dimension table): the event
+    * replay enriches user_id with the customer dimension's market
+    * segment, then aggregates per (segment, event_type) in complete
+    * mode. What the mode changes: the join itself is STATELESS — no
+    * state store rows park on either side; the static side is
+    * re-resolved per micro-batch (a dimension update between batches
+    * becomes visible at the next trigger — the semantics Spark
+    * documents for stream-static joins, deterministic here because the
+    * fixture is immutable). Only the downstream aggregate keeps state
+    * (|segments|×|types| cells). ORACLE: the identical batch
+    * join+aggregate over the original tables — the batch-streaming
+    * equivalence the complete-mode replay must reproduce bit-for-bit
+    * regardless of how AvailableNow splits the source.
+    *
+    * Scale shape: the production unbounded enrichment verbatim — the
+    * dimension broadcasts (size rides |dimension|, never the stream);
+    * at a 100 TB/day event rate the same plan runs with a watermark +
+    * update-mode sink and the join cost stays per-batch-row × hash
+    * probe, zero shuffle on the stream side.
+    */
+  val streamReplayDimEnrich: Op = Op(
+    "stream_replay_dim_enrich",
+    (s, dir) => {
+      val src = replaySrc(s, dir)
+      runReplay(s, "graft_stream_replay_dim_enrich", "complete") { s2 =>
+        val dim = Tables.customer(s2, dir)
+          .select(col("c_custkey").as("user_id"),
+            col("c_mktsegment").as("segment"))
+        s2.readStream.schema(Tables.expectedSchemas("events")).parquet(src)
+          .select(col("user_id"), col("event_type"), dec2(col("value")).as("v"))
+          .join(broadcast(dim), Seq("user_id"))
+          .groupBy(col("segment"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sumMoney(col("v")).as("sum_value"))
+      }.orderBy("segment", "event_type")
+    },
+    Some("""
+      SELECT c.c_mktsegment AS segment, e.event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      FROM events e JOIN customer c ON c.c_custkey = e.user_id
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """.stripMargin.trim))
+
   /** Replay source for the WATERMARKED replay: events re-materialized as
     * 8 ts-RANGE-partitioned files whose modification times increase in
     * ts order (the file stream source orders unseen files by mod time,
@@ -5079,7 +5125,8 @@ WITH hourly AS (
     eventsSurvivalCurve,
     streamTumbling, streamSliding, streamSession, streamDedupKeys,
     streamReplayTumbling, streamReplayDedup, streamReplaySession,
-    streamReplaySliding, streamReplayJoin, streamReplayWatermarked,
+    streamReplaySliding, streamReplayJoin, streamReplayDimEnrich,
+    streamReplayWatermarked,
     streamReplaySessionWatermarked, streamReplayUpsert,
     streamReplayOuterJoin, streamReplayChainedAgg, streamReplayDedupWithinWm,
     streamReplayCdcUpsert, streamReplaySinkCommit, streamReplayTransformState,
