@@ -3626,6 +3626,102 @@ WITH hourly AS (
       FROM agg ORDER BY event_type
     """.stripMargin.trim))
 
+  /** KOLMOGOROV–SMIRNOV two-sample test — the DISTRIBUTION-level
+    * member completing the A/B stats family (events_ab_ttest = means,
+    * events_mann_whitney = stochastic dominance ranks,
+    * events_chisq_independence = categorical counts; KS asks "did the
+    * whole shape move"): per non-purchase type vs the purchase
+    * control (the mann_whitney pairing), D = sup_x |F̂₁(x) − F̂₂(x)|
+    * over the pooled empirical CDFs, λ = √(n₁n₂/(n₁+n₂))·D, and the
+    * α = 0.05 decision via the asymptotic critical value c(0.05) =
+    * 1.358 (Smirnov).
+    *
+    * Portability: the supremum is computed ENTIRELY in integers —
+    * at each distinct pooled value the running counts cross-multiply
+    * against the opposite sample's total, num = max|ca·n₂ − cb·n₁|
+    * (exact BIGINT; ≤ n₁n₂ ≈ 3.6·10⁹ at sf0.1, far under int64), and
+    * D = num/(n₁n₂) is ONE double division rounded at 6 dp; λ is one
+    * sqrt (IEEE-exact) on an integer ratio times the ROUNDED D (the
+    * computed-from-rounded-components discipline), and the reject
+    * flag compares the rounded λ to the literal 1.358 — no
+    * transcendental beyond sqrt, no tie ambiguity (the ECDF steps at
+    * DISTINCT values, so ties collapse before the window).
+    *
+    * Scale shape: one (pair, value) hash aggregate collapses the
+    * corpus to distinct-value cells; the running-sum window rides
+    * |distinct values| per pair and the final row set is |types|.
+    */
+  val eventsKsTest: Op = Op(
+    "events_ks_test",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+      val pairsDim = ev.filter(col("event_type") =!= "purchase")
+        .select(col("event_type").as("pair")).distinct()
+      val treat = ev.filter(col("event_type") =!= "purchase")
+        .select(col("event_type").as("pair"), lit(1L).as("a"), lit(0L).as("b"),
+          col("value"))
+      val ctrl = ev.filter(col("event_type") === "purchase")
+        .crossJoin(broadcast(pairsDim))
+        .select(col("pair"), lit(0L).as("a"), lit(1L).as("b"), col("value"))
+      val cells = treat.unionByName(ctrl)
+        .groupBy("pair", "value")
+        .agg(sum("a").as("a_cnt"), sum("b").as("b_cnt"))
+      val run = Window.partitionBy("pair").orderBy("value")
+      val tot = Window.partitionBy("pair")
+      val stepped = cells
+        .withColumn("ca", sum("a_cnt").over(run))
+        .withColumn("cb", sum("b_cnt").over(run))
+        .withColumn("ta", sum("a_cnt").over(tot))
+        .withColumn("tb", sum("b_cnt").over(tot))
+      stepped.groupBy("pair")
+        .agg(max("ta").as("n1"), max("tb").as("n2"),
+          max(abs(col("ca") * col("tb") - col("cb") * col("ta"))).as("num"))
+        .select(col("pair").as("event_type"), col("n1"), col("n2"),
+          round(col("num").cast(DoubleType) / (col("n1") * col("n2")), 6)
+            .as("d_stat"))
+        .withColumn("lambda", round(
+          sqrt(col("n1") * col("n2") / (col("n1") + col("n2"))
+            .cast(DoubleType)) * col("d_stat"), 6))
+        .withColumn("reject_05", col("lambda") > 1.358)
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT DISTINCT event_type AS pair FROM events
+        WHERE event_type <> 'purchase'
+      ), samp AS (
+        SELECT event_type AS pair, 1 AS a, 0 AS b, value FROM events
+        WHERE event_type <> 'purchase'
+        UNION ALL
+        SELECT p.pair, 0 AS a, 1 AS b, e.value
+        FROM events e CROSS JOIN pairs p WHERE e.event_type = 'purchase'
+      ), cells AS (
+        SELECT pair, value,
+          CAST(SUM(a) AS BIGINT) AS a_cnt, CAST(SUM(b) AS BIGINT) AS b_cnt
+        FROM samp GROUP BY pair, value
+      ), stepped AS (
+        SELECT pair,
+          CAST(SUM(a_cnt) OVER (PARTITION BY pair ORDER BY value) AS BIGINT) AS ca,
+          CAST(SUM(b_cnt) OVER (PARTITION BY pair ORDER BY value) AS BIGINT) AS cb,
+          CAST(SUM(a_cnt) OVER (PARTITION BY pair) AS BIGINT) AS ta,
+          CAST(SUM(b_cnt) OVER (PARTITION BY pair) AS BIGINT) AS tb
+        FROM cells
+      ), agg AS (
+        SELECT pair, MAX(ta) AS n1, MAX(tb) AS n2,
+          MAX(abs(ca * tb - cb * ta)) AS num
+        FROM stepped GROUP BY pair
+      ), d AS (
+        SELECT pair AS event_type, n1, n2,
+          ROUND(CAST(num AS DOUBLE) / (n1 * n2), 6) AS d_stat
+        FROM agg
+      )
+      SELECT event_type, n1, n2, d_stat,
+        ROUND(sqrt(n1 * n2 / CAST(n1 + n2 AS DOUBLE)) * d_stat, 6) AS lambda,
+        (ROUND(sqrt(n1 * n2 / CAST(n1 + n2 AS DOUBLE)) * d_stat, 6) > 1.358)
+          AS reject_05
+      FROM d ORDER BY event_type
+    """.stripMargin.trim))
+
   /** A/B test POWER ANALYSIS — the planning read-out that precedes
     * events_ab_ttest: per metric (event type), the per-arm sample size
     * needed to detect a 5 % lift at α = 0.05 / power = 0.8, n = 2σ²(z_α/2
@@ -5145,6 +5241,7 @@ WITH hourly AS (
     eventsConcurrencyPeak, eventsInterarrivalStats,
     eventsEwma, eventsTypeOverlap, eventsForecastNaive, eventsForecastHolt,
     eventsChisqIndependence, eventsCusum, eventsChangepoint, eventsMannWhitney,
+    eventsKsTest,
     eventsPowerAnalysis, eventsUserStreaks, eventsOutlierIqr,
     eventsMarkovStationary, eventsBotScore, eventsBotScoreScale,
     eventsFunnelLatency, eventsAutocorrelation, eventsPeriodogram, eventsCohortRevenue,

@@ -632,6 +632,9 @@ class PlanSuite extends AnyFunSuite {
       // broadcast |types|-row pair-dimension crossJoin replicating the
       // shared control arm; the rank windows partition by pair
       "events_mann_whitney",
+      // same pair-dimension crossJoin as mann_whitney; the ECDF
+      // running-sum windows partition by pair
+      "events_ks_test",
       // 1-row broadcast type-count crossJoin seeding the uniform vector
       // (in-plan-N); the power iterations are |types|²-scale equi-joins
       "events_markov_stationary",
