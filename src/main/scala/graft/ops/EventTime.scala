@@ -1989,6 +1989,76 @@ object EventTime {
     * only pass over raw events — then a 5×2 self-join on the tiny
     * summary. Nothing else shuffles.
     */
+  /** ONE-WAY ANOVA — the OMNIBUS member of the A/B family (ttest/KS/
+    * mann_whitney compare one pair; the F-test asks "does the value
+    * distribution's MEAN differ across ALL event types at once", the
+    * test run before any pairwise drill-down): F = (SSB/(k−1)) /
+    * (SSW/(N−k)) with SSB = Σ svg²/ng − (Σsv)²/N and SSW = Σsvv −
+    * Σ svg²/ng (the moment closed forms), plus η² = SSB/SST, the
+    * effect size.
+    *
+    * Portability: per-group moments close in EXACT DECIMAL (the ttest
+    * discipline); the one per-group DOUBLE term (svg²/ng) is rounded
+    * at 8 dp into an exact DECIMAL(28,8) sum (the chisq treatment —
+    * an associative integer-cents sum immune to partial-agg order),
+    * so the k-term additions can never fork on ordering; the final
+    * F/η² are single-row double expressions over those exact sums,
+    * rounded at 6 dp.
+    *
+    * Scale shape: ONE partial+final hash aggregate to |types| rows,
+    * then a 1-row rollup — the corpus is scanned exactly once, the
+    * same profile as the ttest.
+    */
+  val eventsAnovaOneway: Op = Op(
+    "events_anova_oneway",
+    (s, dir) => {
+      val g = Tables.events(s, dir)
+        .select(col("event_type"), dec2(col("value")).as("v"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("v").as("sv"),
+          sum(col("v") * col("v")).as("svv"))
+      g.agg(count(lit(1)).as("k"), sum("n").as("n"),
+          sum("sv").as("svt"), sum("svv").as("svvt"),
+          sum(expr(
+            "cast(round(cast(sv as double) * cast(sv as double) / n, 8) as decimal(28,8))"))
+            .as("sqn"))
+        .select(col("k"), col("n"),
+          (col("sqn").cast(DoubleType) -
+            col("svt").cast(DoubleType) * col("svt").cast(DoubleType) /
+              col("n")).as("ssb"),
+          (col("svvt").cast(DoubleType) - col("sqn").cast(DoubleType))
+            .as("ssw"))
+        .select(col("k"), col("n"),
+          round(col("ssb"), 6).as("ssb"), round(col("ssw"), 6).as("ssw"),
+          round((col("ssb") / (col("k") - 1)) /
+            (col("ssw") / (col("n") - col("k"))), 6).as("f_stat"),
+          round(col("ssb") / (col("ssb") + col("ssw")), 6).as("eta_sq"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT event_type, COUNT(*) AS n,
+          SUM(CAST(value AS DECIMAL(12,2))) AS sv,
+          SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS svv
+        FROM events GROUP BY event_type
+      ), t AS (
+        SELECT COUNT(*) AS k, CAST(SUM(n) AS BIGINT) AS n,
+          SUM(sv) AS svt, SUM(svv) AS svvt,
+          SUM(CAST(round(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n, 8)
+            AS DECIMAL(28,8))) AS sqn
+        FROM g
+      ), m AS (
+        SELECT k, n,
+          CAST(sqn AS DOUBLE)
+            - CAST(svt AS DOUBLE) * CAST(svt AS DOUBLE) / n AS ssb,
+          CAST(svvt AS DOUBLE) - CAST(sqn AS DOUBLE) AS ssw
+        FROM t
+      )
+      SELECT k, n, ROUND(ssb, 6) AS ssb, ROUND(ssw, 6) AS ssw,
+        ROUND((ssb / (k - 1)) / (ssw / (n - k)), 6) AS f_stat,
+        ROUND(ssb / (ssb + ssw), 6) AS eta_sq
+      FROM m
+    """.stripMargin.trim))
+
   val eventsAbTtest: Op = Op(
     "events_ab_ttest",
     (s, dir) => {
@@ -5233,7 +5303,7 @@ WITH hourly AS (
     eventsAttribution,
     eventsAttributionUshape,
     eventsTransitions, eventsAnomalyZscore, eventsRollingDistinct,
-    eventsTrendSlope, eventsAbTtest, eventsAbCuped, eventsRatioCi, eventsDid,
+    eventsTrendSlope, eventsAbTtest, eventsAnovaOneway, eventsAbCuped, eventsRatioCi, eventsDid,
     eventsPathTopk,
     eventsMatchRecognize, streamReplayPatternAlert,
     streamReplayPatternAlertScale,
