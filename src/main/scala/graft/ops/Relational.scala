@@ -1889,6 +1889,94 @@ object Relational {
       GROUP BY o_orderstatus ORDER BY o_orderstatus
     """.stripMargin.trim))
 
+  /** EQUALITY deletes for sink_equality_delete: the OTHER lake delete
+    * encoding next to positional delete vectors — a delete file names
+    * KEY VALUES with a sequence number, and applies to every data row
+    * of that key written at a LOWER sequence (how streaming CDC writes
+    * deletes without knowing row positions). Written ONCE per
+    * (session, fixture): base data at seq 0; an equality-delete file
+    * at seq 1 (keys %9 = 0); a RE-INSERT data file at seq 2 for half
+    * of the deleted keys (%18 = 0, status 'R', price +50) that must
+    * SURVIVE the seq-1 delete; a second delete at seq 3 (%27 = 0)
+    * that kills base leftovers AND the %54 re-inserts — the sequence
+    * scoping is the graded subject.
+    */
+  private val eqDeleteWritten = new SessionArtifact[String]
+  private def eqDeleteDirs(s: SparkSession, dir: String): String =
+    eqDeleteWritten(s, dir) {
+      val p = scratch("eq_delete_" + SessionArtifact.dirTag(dir))
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+          col("o_totalprice").as("price"))
+      o.withColumn("seq", lit(0L)).write.mode("overwrite").parquet(s"$p/d0")
+      o.filter(col("o_orderkey") % 18 === 0)
+        .select(col("o_orderkey"), lit("R").as("status"),
+          (dec2(col("price")) + 50).cast(DoubleType).as("price"),
+          lit(2L).as("seq"))
+        .write.mode("overwrite").parquet(s"$p/d2")
+      o.filter(col("o_orderkey") % 9 === 0)
+        .select(col("o_orderkey"), lit(1L).as("dseq"))
+        .unionByName(o.filter(col("o_orderkey") % 27 === 0)
+          .select(col("o_orderkey"), lit(3L).as("dseq")))
+        .write.mode("overwrite").parquet(s"$p/del")
+      p
+    }
+
+  /** EQUALITY-DELETE read — completes the lake delete-encoding pair
+    * (sink_position_delete = positional vectors naming (file, row
+    * ordinal), the compaction-side encoding; this = equality deletes
+    * naming key values + a sequence, the STREAMING-CDC-side encoding
+    * that needs no knowledge of row positions): the generic reader
+    * drops a data row iff SOME delete entry matches its key AT A
+    * HIGHER sequence — one anti join with an equi key condition and a
+    * seq inequality. The fixture makes the sequence scoping
+    * load-bearing: seq-2 re-inserts of seq-1-deleted keys SURVIVE
+    * (delete only reaches backwards), and the seq-3 delete then kills
+    * the %54 subset of those re-inserts — so the hash proves
+    * backwards-only application, not just key matching. ORACLE: the
+    * closed form (base minus %9 keys, plus re-inserted %18-not-%54
+    * keys at 'R'/price+50) recomputed from the original table.
+    *
+    * Scale shape: the anti join is co-keyed on the merge key; delete
+    * files ride the CHANGED set and broadcast in practice. A
+    * production reader additionally prunes delete files to the data
+    * file's sequence range from manifest metadata before the join —
+    * the same pre-join pruning the CDF reader does.
+    */
+  val sinkEqualityDelete: Op = Op(
+    "sink_equality_delete",
+    (s, dir) => {
+      val p = eqDeleteDirs(s, dir)
+      val rows = s.read.parquet(s"$p/d0")
+        .unionByName(s.read.parquet(s"$p/d2"))
+      val dels = s.read.parquet(s"$p/del")
+        .select(col("o_orderkey").as("d_key"), col("dseq"))
+      rows.join(dels,
+          col("o_orderkey") === col("d_key") && col("dseq") > col("seq"),
+          "left_anti")
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("price"))).cast(DoubleType).as("total_price"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+        .orderBy("status")
+    },
+    Some("""
+      WITH live AS (
+        SELECT o_orderstatus AS status,
+          CAST(o_totalprice AS DECIMAL(12,2)) AS price, o_orderkey
+        FROM orders WHERE o_orderkey % 9 != 0
+        UNION ALL
+        SELECT 'R',
+          CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 50 AS DECIMAL(12,2)),
+          o_orderkey
+        FROM orders WHERE o_orderkey % 18 = 0 AND o_orderkey % 54 != 0
+      )
+      SELECT status, COUNT(*) AS n,
+        CAST(SUM(price) AS DOUBLE) AS total_price,
+        MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      FROM live GROUP BY status ORDER BY status
+    """.stripMargin.trim))
+
   /** DISTRIBUTION-DRIFT MONITOR (PSI) — the temporal companion to
     * profile_columns' static profile, and the check every production
     * pipeline schedules between table versions: the Population
@@ -6381,6 +6469,7 @@ object Relational {
     morLog(s, dir); mvDirs(s, dir); mvServing(s, dir)
     vacuumedLog(s, dir); expiredLog(s, dir); orphanCleanup(s, dir)
     wapLog(s, dir); branchLog(s, dir); posDeleteDirs(s, dir)
+    eqDeleteDirs(s, dir)
     occCommitLog(s, dir); partEvoDirs(s, dir); mergeEvolveLog(s, dir)
     dppFacts(s, dir); cboTables(s, dir); clusteredOrders(s, dir)
     statsIndexDirs(s, dir); bloomIndexDirs(s, dir)
@@ -6400,7 +6489,7 @@ object Relational {
     joinLateralTopk,
     scanFull, scanPrune, scanPred, scanBinaryfile,
     sinkParquet, sinkCsvJson, sinkOrcRoundtrip, sinkMergeOnRead,
-    sinkTimeTravel, sinkCompactRewrite, sinkManifestRewrite, sinkChangeFeed, sinkVacuum,
+    sinkTimeTravel, sinkCompactRewrite, sinkManifestRewrite, sinkEqualityDelete, sinkChangeFeed, sinkVacuum,
     sinkSnapshotExpire, sinkBranchMerge, sinkOrphanCleanup, sinkTableHistory,
     sinkColumnStatsHistory, sinkRowLineage, sinkWriteAuditPublish,
     sinkMvIncremental, sinkMvRewrite, streamReplayLogCatchup, sinkStatsIndex,
