@@ -942,7 +942,82 @@ WITH rfm AS (
       FROM d GROUP BY user_id ORDER BY user_id
     """.stripMargin.trim))
 
-  val ops: Seq[Op] = Seq(winLocfIgnoreNulls, winDrawdown,
+  /** ROLLING REGRESSION SLOPE — the windowed member of the regression
+    * family (agg_regression = global OLS, events_trend_slope = per-key
+    * OLS, events_theil_sen = robust; this = the 10-event rolling OLS
+    * momentum every feature store computes per entity): per user,
+    * events ordered by the µs precision contract (epoch_us, event_id),
+    * x = the within-user row number, frame = ROWS 9 PRECEDING..CURRENT,
+    * slope = (nΣxy − ΣxΣy)/(nΣxx − (Σx)²) over the frame sums; the op
+    * emits each user's LATEST slope — the serving-time feature row.
+    *
+    * Portability: Σx/Σxx are exact integer window sums (consecutive
+    * ranks, never 0 denominator for n ≥ 2), Σy/Σxy exact DECIMAL
+    * window sums (rn·money stays decimal), and the slope is ONE double
+    * expression over the exact frame sums (the ttest discipline),
+    * rounded at 6 dp. DuckDB SUM(int) windows yield HUGEINT — cast.
+    *
+    * Scale shape: one hash exchange on user_id, per-key frame sums in
+    * a single window pass (each running sum is O(1) per row), output
+    * |users| rows — the point-in-time-features profile.
+    */
+  val winRollingSlope: Op = Op(
+    "win_rolling_slope",
+    (s, dir) => {
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("event_id"))
+      val frame = byUser.rowsBetween(-9, 0)
+      val rows = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(ts)").as("ts_us"), dec2(col("value")).as("y"))
+        .withColumn("x", row_number().over(byUser).cast(LongType))
+      rows
+        .withColumn("nw", count(lit(1)).over(frame))
+        .withColumn("sx", sum("x").over(frame))
+        .withColumn("sxx", sum(col("x") * col("x")).over(frame))
+        .withColumn("sy", sum("y").over(frame))
+        .withColumn("sxy", sum(col("x").cast(DecimalType(20, 0)) * col("y"))
+          .over(frame))
+        .withColumn("last", row_number().over(
+          Window.partitionBy("user_id")
+            .orderBy(col("ts_us").desc, col("event_id").desc)))
+        .filter(col("last") === 1 && col("nw") >= 2)
+        .select(col("user_id"), col("nw").as("n_window"),
+          round((col("nw") * col("sxy").cast(DoubleType) -
+            col("sx").cast(DoubleType) * col("sy").cast(DoubleType)) /
+            (col("nw") * col("sxx").cast(DoubleType) -
+              col("sx").cast(DoubleType) * col("sx").cast(DoubleType)), 6)
+            .as("slope"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH r AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+          CAST(value AS DECIMAL(12,2)) AS y,
+          CAST(row_number() OVER (PARTITION BY user_id
+            ORDER BY epoch_us(ts), event_id) AS BIGINT) AS x
+        FROM events
+      ), f AS (
+        SELECT user_id, ts_us, event_id,
+          CAST(COUNT(*) OVER w AS BIGINT) AS nw,
+          CAST(SUM(x) OVER w AS BIGINT) AS sx,
+          CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+          SUM(y) OVER w AS sy,
+          SUM(CAST(x AS DECIMAL(20,0)) * y) OVER w AS sxy,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY ts_us DESC, event_id DESC) AS last
+        FROM r
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+          ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+      )
+      SELECT user_id, nw AS n_window,
+        ROUND((nw * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / (nw * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+          6) AS slope
+      FROM f WHERE last = 1 AND nw >= 2 ORDER BY user_id
+    """.stripMargin.trim))
+
+  val ops: Seq[Op] = Seq(winLocfIgnoreNulls, winDrawdown, winRollingSlope,
 
     winPareto, winParetoScale, winMovingMedian, winWeightedMedian,
     winWeightedMedianScale, winRfmSegment, winRfmSegmentScale,
