@@ -4236,6 +4236,113 @@ WITH hourly AS (
       FROM cl GROUP BY event_type, p05, p95 ORDER BY event_type
     """.stripMargin.trim))
 
+  /** PARTIAL AUTOCORRELATION (lags 1–3) of each type's daily count
+    * series — the AR-order identification tool that completes the
+    * spectral/serial family (events_autocorrelation = raw serial
+    * correlation, events_periodogram = frequency domain; the PACF is
+    * what a modeler reads to pick the AR(p) order, since pacf_k is the
+    * lag-k coefficient after lags 1..k−1 are regressed out). The ACF
+    * terms reuse the autocorrelation discipline verbatim (deviation
+    * products rounded 8 dp into exact DECIMAL(28,8) sums; boundary
+    * rows contribute exact zeros); ρ₁..ρ₃ are 6-dp-rounded ratios and
+    * the PACFs are Cramer/Yule-Walker determinant ratios computed FROM
+    * those rounded ρ's — pacf₁ = ρ₁, pacf₂ = (ρ₂−ρ₁²)/(1−ρ₁²), pacf₃ =
+    * the 3×3 cofactor expansion written VERBATIM identically on both
+    * sides (verified against an independent Durbin–Levinson
+    * implementation at every lag before shipping).
+    *
+    * Scale shape: identical to events_autocorrelation — the corpus
+    * collapses to types×days in one map-side-combined aggregate; lags,
+    * folds, and the determinant arithmetic run on that tiny series.
+    */
+  val eventsPacf: Op = Op(
+    "events_pacf",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val mu = daily.groupBy(col("event_type").as("et"))
+        .agg((sum("x").cast(DoubleType) / count(lit(1))).as("mu"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val lagged = daily.join(mu, col("event_type") === col("et"))
+        .withColumn("x1", lag("x", 1).over(w))
+        .withColumn("x2", lag("x", 2).over(w))
+        .withColumn("x3", lag("x", 3).over(w))
+      def term(c: String): org.apache.spark.sql.Column =
+        round(when(col(c).isNull, lit(0.0))
+          .otherwise((col("x") - col("mu")) * (col(c) - col("mu"))), 8)
+          .cast(DecimalType(28, 8))
+      val rhos = lagged.select(col("event_type"),
+          round((col("x") - col("mu")) * (col("x") - col("mu")), 8)
+            .cast(DecimalType(28, 8)).as("t0"),
+          term("x1").as("t1"), term("x2").as("t2"), term("x3").as("t3"))
+        .groupBy("event_type")
+        .agg(sum("t0").as("s0"), sum("t1").as("s1"),
+          sum("t2").as("s2"), sum("t3").as("s3"))
+        .select(col("event_type"),
+          round(col("s1").cast(DoubleType) / col("s0").cast(DoubleType), 6)
+            .as("r1"),
+          round(col("s2").cast(DoubleType) / col("s0").cast(DoubleType), 6)
+            .as("r2"),
+          round(col("s3").cast(DoubleType) / col("s0").cast(DoubleType), 6)
+            .as("r3"))
+      rhos.select(col("event_type"),
+          col("r1").as("pacf_1"),
+          round((col("r2") - col("r1") * col("r1")) /
+            (lit(1.0) - col("r1") * col("r1")), 6).as("pacf_2"),
+          round(
+            (lit(1.0) * (lit(1.0) * col("r3") - col("r2") * col("r1"))
+              - col("r1") * (col("r1") * col("r3") - col("r2") * col("r2"))
+              + col("r1") * (col("r1") * col("r1") - lit(1.0) * col("r2"))) /
+            (lit(1.0) * (lit(1.0) - col("r1") * col("r1"))
+              - col("r1") * (col("r1") - col("r1") * col("r2"))
+              + col("r2") * (col("r1") * col("r1") - col("r2"))), 6)
+            .as("pacf_3"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+        FROM events GROUP BY 1, 2
+      ), mu AS (
+        SELECT event_type, CAST(SUM(x) AS DOUBLE) / COUNT(*) AS mu
+        FROM daily GROUP BY 1
+      ), lagged AS (
+        SELECT d.event_type, d.x, m.mu,
+          lag(d.x, 1) OVER (PARTITION BY d.event_type ORDER BY d.day) AS x1,
+          lag(d.x, 2) OVER (PARTITION BY d.event_type ORDER BY d.day) AS x2,
+          lag(d.x, 3) OVER (PARTITION BY d.event_type ORDER BY d.day) AS x3
+        FROM daily d JOIN mu m ON d.event_type = m.event_type
+      ), terms AS (
+        SELECT event_type,
+          CAST(ROUND((x - mu) * (x - mu), 8) AS DECIMAL(28,8)) AS t0,
+          CAST(ROUND(CASE WHEN x1 IS NULL THEN 0.0
+               ELSE (x - mu) * (x1 - mu) END, 8) AS DECIMAL(28,8)) AS t1,
+          CAST(ROUND(CASE WHEN x2 IS NULL THEN 0.0
+               ELSE (x - mu) * (x2 - mu) END, 8) AS DECIMAL(28,8)) AS t2,
+          CAST(ROUND(CASE WHEN x3 IS NULL THEN 0.0
+               ELSE (x - mu) * (x3 - mu) END, 8) AS DECIMAL(28,8)) AS t3
+        FROM lagged
+      ), rho AS (
+        SELECT event_type,
+          ROUND(CAST(SUM(t1) AS DOUBLE) / CAST(SUM(t0) AS DOUBLE), 6) AS r1,
+          ROUND(CAST(SUM(t2) AS DOUBLE) / CAST(SUM(t0) AS DOUBLE), 6) AS r2,
+          ROUND(CAST(SUM(t3) AS DOUBLE) / CAST(SUM(t0) AS DOUBLE), 6) AS r3
+        FROM terms GROUP BY event_type
+      )
+      SELECT event_type,
+        r1 AS pacf_1,
+        ROUND((r2 - r1 * r1) / (1.0 - r1 * r1), 6) AS pacf_2,
+        ROUND(
+          (1.0 * (1.0 * r3 - r2 * r1)
+            - r1 * (r1 * r3 - r2 * r2)
+            + r1 * (r1 * r1 - 1.0 * r2)) /
+          (1.0 * (1.0 - r1 * r1)
+            - r1 * (r1 - r1 * r2)
+            + r2 * (r1 * r1 - r2)), 6) AS pacf_3
+      FROM rho ORDER BY event_type
+    """.stripMargin.trim))
+
   /** LAG-k AUTOCORRELATION of each type's daily count series (k = 1
     * and 7) — the numeric seasonality detector that complements
     * events_seasonality's calendar profile and events_trend_slope's
@@ -5314,6 +5421,6 @@ WITH hourly AS (
     eventsKsTest,
     eventsPowerAnalysis, eventsUserStreaks, eventsOutlierIqr,
     eventsMarkovStationary, eventsBotScore, eventsBotScoreScale,
-    eventsFunnelLatency, eventsAutocorrelation, eventsPeriodogram, eventsCohortRevenue,
+    eventsFunnelLatency, eventsAutocorrelation, eventsPacf, eventsPeriodogram, eventsCohortRevenue,
     aggWinsorizedMean, streamReplayExactlyOnce)
 }
