@@ -5220,6 +5220,56 @@ object Relational {
             WHERE rn <= 20
             ORDER BY o_orderstatus, rn"""))
 
+  /** CLASS-BALANCED subsample — downsample-to-minority, the label-
+    * balancing primitive every classifier-training pipeline runs
+    * (sample_stratified takes a FIXED quota per stratum; this derives
+    * the quota from the DATA — every class is cut to the smallest
+    * class's size, so the trained model sees a uniform label prior):
+    * per lang, keep the first min-class-count docs in deterministic
+    * md5-hash order (the content-seeded shuffle convention —
+    * partition-invariant, replayable, engine-portable), tie-broken by
+    * doc_id. The quota rides a 1-row broadcast (in-plan-N); the hash
+    * order makes the KEPT SET itself the graded value, not just its
+    * size.
+    *
+    * Scale shape: one |class|-partitioned rank window after a
+    * broadcast quota join; at 100 TB with a skewed class key, swap the
+    * window for the rate-based hash-threshold form (sample_hash_pct)
+    * at rate = quota/class_count per class — the same note
+    * sample_stratified carries.
+    */
+  val sampleBalancedClass: Op = Op(
+    "sample_balanced_class",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      val quota = docs.groupBy("lang").agg(count(lit(1)).as("nc"))
+        .agg(min("nc").as("q"))
+      val hk = expr(
+        "cast(conv(substring(md5(concat('bal|', cast(doc_id as string))), 1, 7), 16, 10) as bigint)")
+      docs
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("lang").orderBy(hk, col("doc_id")))
+          .cast(LongType))
+        .crossJoin(broadcast(quota))
+        .filter(col("rn") <= col("q"))
+        .select(col("lang"), col("rn"), col("doc_id"))
+        .orderBy("lang", "rn")
+    },
+    Some("""
+      WITH q AS (
+        SELECT MIN(nc) AS q FROM (
+          SELECT lang, COUNT(*) AS nc FROM documents GROUP BY lang)
+      ), r AS (
+        SELECT lang, doc_id,
+          CAST(row_number() OVER (PARTITION BY lang
+            ORDER BY CAST('0x' || substr(md5('bal|' || doc_id), 1, 7) AS BIGINT),
+                     doc_id) AS BIGINT) AS rn
+        FROM documents
+      )
+      SELECT lang, rn, doc_id FROM r, q
+      WHERE rn <= q ORDER BY lang, rn
+    """.stripMargin.trim))
+
   /** Salted-key equi-join — the skew-mitigation pattern for a hot join
     * key: the big side gets a deterministic salt in [0, S) derived from
     * its own unique columns (NOT rand() — partition-invariant and
@@ -6508,7 +6558,7 @@ object Relational {
     subqueryCorrelated,
     q17SmallQuantity, q18LargeOrders, q19Disjunctive, q21WaitingSupplier,
     subqueryNotInNull,
-    sampleHashPct, sampleStratified,
+    sampleHashPct, sampleStratified, sampleBalancedClass,
     tableChecksum, profileColumns, mergeCdcApply,
     scanAggPushdown, joinDppPartitioned, validateConstraints,
     joinBloomRuntime, joinCboReorder, sinkClusteredPrune, pipelineIncremental,

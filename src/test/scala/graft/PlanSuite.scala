@@ -635,6 +635,9 @@ class PlanSuite extends AnyFunSuite {
       // same pair-dimension crossJoin as mann_whitney; the ECDF
       // running-sum windows partition by pair
       "events_ks_test",
+      // 1-row broadcast min-class-quota crossJoin (in-plan-N); the
+      // rank window partitions by lang
+      "sample_balanced_class",
       // 1-row broadcast type-count crossJoin seeding the uniform vector
       // (in-plan-N); the power iterations are |types|²-scale equi-joins
       "events_markov_stationary",
