@@ -1017,7 +1017,84 @@ WITH rfm AS (
       FROM f WHERE last = 1 AND nw >= 2 ORDER BY user_id
     """.stripMargin.trim))
 
+  /** ROLLING Z-SCORE — the feature-NORMALIZATION companion to
+    * win_rolling_slope (slope = momentum, this = standardization
+    * against the entity's own recent window, the transform a feature
+    * store applies before any distance/threshold logic so one user's
+    * spend scale doesn't drown another's): per user, frame = ROWS 9
+    * PRECEDING..CURRENT, z = (y − μ_w)/s_w with the SAMPLE std
+    * (n−1), emitting each user's LATEST z — the serving-time row.
+    *
+    * Portability: Σy and Σy² are exact DECIMAL frame sums (the ttest
+    * moment discipline, windowed); z is ONE double expression over
+    * them — (y·n − Σy)/n avoids a μ intermediate... kept instead in
+    * the textbook form both engines evaluate identically: μ = Σy/n,
+    * var = (Σy² − Σy·Σy/n)/(n−1), z = (y − μ)/sqrt(var), every
+    * operand a cast of the same exact sum, rounded once at 6 dp.
+    * Windows with zero variance would divide by zero — the fixture's
+    * money values never repeat 10× consecutively, and the n ≥ 2
+    * filter plus a var > 0 guard emits NULL (both engines) rather
+    * than forking on ±Infinity rendering.
+    *
+    * Scale shape: identical to win_rolling_slope — one user_id
+    * exchange, O(1)-per-row running frame sums, |users| output rows.
+    */
+  val winZscoreRolling: Op = Op(
+    "win_zscore_rolling",
+    (s, dir) => {
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("event_id"))
+      val frame = byUser.rowsBetween(-9, 0)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(ts)").as("ts_us"), dec2(col("value")).as("y"))
+        .withColumn("nw", count(lit(1)).over(frame))
+        .withColumn("sy", sum("y").over(frame))
+        .withColumn("syy", sum(col("y") * col("y")).over(frame))
+        .withColumn("last", row_number().over(
+          Window.partitionBy("user_id")
+            .orderBy(col("ts_us").desc, col("event_id").desc)))
+        .filter(col("last") === 1 && col("nw") >= 2)
+        .withColumn("mu", col("sy").cast(DoubleType) / col("nw"))
+        .withColumn("vr", (col("syy").cast(DoubleType) -
+          col("sy").cast(DoubleType) * col("sy").cast(DoubleType) /
+            col("nw")) / (col("nw") - 1))
+        .select(col("user_id"), col("nw").as("n_window"),
+          when(col("vr") > 0,
+            round((col("y").cast(DoubleType) - col("mu")) /
+              sqrt(col("vr")), 6)).as("z_latest"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH r AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+          CAST(value AS DECIMAL(12,2)) AS y
+        FROM events
+      ), f AS (
+        SELECT user_id, y,
+          CAST(COUNT(*) OVER w AS BIGINT) AS nw,
+          SUM(y) OVER w AS sy,
+          SUM(y * y) OVER w AS syy,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY ts_us DESC, event_id DESC) AS last
+        FROM r
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+          ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+      ), m AS (
+        SELECT user_id, y, nw,
+          CAST(sy AS DOUBLE) / nw AS mu,
+          (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / nw)
+            / (nw - 1) AS vr
+        FROM f WHERE last = 1 AND nw >= 2
+      )
+      SELECT user_id, nw AS n_window,
+        CASE WHEN vr > 0
+          THEN ROUND((CAST(y AS DOUBLE) - mu) / sqrt(vr), 6) END AS z_latest
+      FROM m ORDER BY user_id
+    """.stripMargin.trim))
+
   val ops: Seq[Op] = Seq(winLocfIgnoreNulls, winDrawdown, winRollingSlope,
+    winZscoreRolling,
 
     winPareto, winParetoScale, winMovingMedian, winWeightedMedian,
     winWeightedMedianScale, winRfmSegment, winRfmSegmentScale,
