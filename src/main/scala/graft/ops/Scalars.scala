@@ -676,6 +676,63 @@ object Scalars {
       FROM part ORDER BY p_partkey
     """.stripMargin.trim))
 
+  /** DETERMINISTIC name-based UUIDs (RFC-4122 v3 style) — the stable
+    * row-identity primitive fn_hash_pack stops short of: `uuid()` is
+    * random and useless for a replayable pipeline, but a v3-style
+    * UUID (md5 of a namespaced name, version/variant bits patched in)
+    * gives every document the SAME id on every run, every engine,
+    * every partition — what a 100 TB corpus uses for doc identity,
+    * dedup ledgers, and cross-system joins. Surgery on the md5 hex:
+    * 8-4-4-4-12 grouping, 13th nibble forced to '3' (version), 17th
+    * nibble to (d & 3) | 8 ∈ {8,9,a,b} (variant) — pure string/int
+    * ops, engine-identical (Spark conv() uppercases → lower()d;
+    * DuckDB printf('%x')). Each row also emits a format-validation
+    * flag (the RFC regex with version/variant classes pinned), so a
+    * surgery slip can't hash-match. Hashing the namespaced name
+    * directly (not the RFC's namespace-UUID byte concat) — the
+    * convention is documented IN the name column the oracle checks.
+    *
+    * Scale shape: fully narrow per-row string ops inside whole-stage
+    * codegen; pushdown-friendly, zero shuffle.
+    */
+  val fnUuidV3: Op = Op(
+    "fn_uuid_v3",
+    (s, dir) =>
+      Tables.part(s, dir)
+        .select(col("p_partkey"),
+          md5(concat(lit("graft:"), col("p_partkey").cast(StringType)))
+            .as("h"))
+        .select(col("p_partkey"),
+          concat(
+            substring(col("h"), 1, 8), lit("-"),
+            substring(col("h"), 9, 4), lit("-3"),
+            substring(col("h"), 14, 3), lit("-"),
+            lower(expr(
+              "conv((conv(substring(h, 17, 1), 16, 10) % 4) + 8, 10, 16)")),
+            substring(col("h"), 18, 3), lit("-"),
+            substring(col("h"), 21, 12)).as("uuid_v3"))
+        .withColumn("fmt_ok",
+          when(col("uuid_v3").rlike(
+            "^[0-9a-f]{8}-[0-9a-f]{4}-3[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$"),
+            1L).otherwise(0L))
+        .orderBy("p_partkey"),
+    Some("""
+      SELECT p_partkey,
+        substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-3' ||
+          substr(h, 14, 3) || '-' ||
+          printf('%x', (CAST('0x' || substr(h, 17, 1) AS INTEGER) % 4) + 8) ||
+          substr(h, 18, 3) || '-' || substr(h, 21, 12) AS uuid_v3,
+        CASE WHEN regexp_matches(
+            substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-3' ||
+              substr(h, 14, 3) || '-' ||
+              printf('%x', (CAST('0x' || substr(h, 17, 1) AS INTEGER) % 4) + 8) ||
+              substr(h, 18, 3) || '-' || substr(h, 21, 12),
+            '^[0-9a-f]{8}-[0-9a-f]{4}-3[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$')
+          THEN 1 ELSE 0 END AS fmt_ok
+      FROM (SELECT p_partkey, md5('graft:' || p_partkey) AS h FROM part)
+      ORDER BY p_partkey
+    """.stripMargin.trim))
+
   /** Nested array-of-struct processing — the semi-structured document
     * shape every modern lake stores (an order with its line items as
     * ONE nested row) and the missing nesting level between
@@ -1150,6 +1207,6 @@ object Scalars {
     fnPhoneticPack, fnRoundingPack,
     fnStringPack, fnDatePack, fnMathCase, fnArrayPack, fnHigherOrder,
     fnMapPack, fnJsonExtract, fnCastCoalesce, fnBitwisePack, fnRegexpPack,
-    fnTrigPack, fnGeoPack, fnIpPack, fnStructPack, fnGeneratorOuter, fnHashPack, fnNestedAgg,
+    fnTrigPack, fnGeoPack, fnIpPack, fnStructPack, fnGeneratorOuter, fnHashPack, fnUuidV3, fnNestedAgg,
     fnTryPack, fnCryptoRoundtrip, fnVariantPack, fnUrlPack, fnCollationPack)
 }
