@@ -7325,6 +7325,97 @@ object LlmOps {
       FROM z ORDER BY lang
     """.stripMargin.trim))
 
+  /** TOKEN-OVERLAP F1 (SQuAD-style) — the QA-evaluation member of the
+    * eval family (Rajpurkar et al. 2016's answer-comparison metric,
+    * the standard for extractive QA and short-form generation): per
+    * (even, even+1) pair, unigram MULTISET overlap ov = Σ_tok
+    * min(count_a, count_b), P = ov/|a|, R = ov/|b|, F1 = 2PR/(P+R)
+    * (0 when ov = 0), then the per-lang MACRO average — the per-pair
+    * mean, NOT bleu's corpus micro-average, which is exactly what
+    * distinguishes the metric (every answer pair counts equally
+    * regardless of length).
+    *
+    * Portability: overlaps and lengths are exact integers; each
+    * per-pair P/R/F1 is one double expression rounded at 6 dp; the
+    * macro mean sums the ROUNDED per-pair F1s as exact DECIMAL(18,6)
+    * (a plain double SUM over ~50 pairs would let either engine pick
+    * its own addition order — the chisq treatment, applied at the
+    * aggregation step that needs it) and divides once.
+    *
+    * Scale shape: pair-local token explode → two (pair, token) count
+    * aggregates → one co-keyed join → per-pair 1-row rollup → per-lang
+    * rollup; word-granularity gram volume (~100 rows/doc), no kernel
+    * needed (the chrf explode lesson applies to CHAR 6-grams, 30× this
+    * volume).
+    */
+  val llmEvalF1Overlap: Op = Op(
+    "llm_eval_f1_overlap",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"))
+      val pairs = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("a_id"), col("lang"), col("tk").as("ta"))
+        .join(docs.select((col("doc_id") - 1).as("a_id"), col("tk").as("tb")),
+          Seq("a_id"))
+        .localCheckpoint(true) // consumed by both token sides + lengths
+      val ca = pairs.select(col("a_id"), explode(col("ta")).as("tok"))
+        .groupBy("a_id", "tok").agg(count(lit(1)).as("c_cnt"))
+      val cb = pairs.select(col("a_id"), explode(col("tb")).as("tok"))
+        .groupBy("a_id", "tok").agg(count(lit(1)).as("r_cnt"))
+      val ov = ca.join(cb, Seq("a_id", "tok"))
+        .groupBy("a_id")
+        .agg(sum(least(col("c_cnt"), col("r_cnt"))).as("ov"))
+      val perPair = pairs
+        .select(col("a_id"), col("lang"),
+          size(col("ta")).cast(LongType).as("la"),
+          size(col("tb")).cast(LongType).as("lb"))
+        .join(ov, Seq("a_id"), "left")
+        .na.fill(0L, Seq("ov"))
+        .withColumn("p", col("ov").cast(DoubleType) / col("la"))
+        .withColumn("r", col("ov").cast(DoubleType) / col("lb"))
+        .withColumn("f1", round(when(col("ov") > 0,
+          lit(2.0) * col("p") * col("r") / (col("p") + col("r")))
+          .otherwise(0.0), 6))
+      perPair.groupBy("lang")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("f1").cast(DecimalType(18, 6))).as("sf1"))
+        .select(col("lang"), col("n_pairs"),
+          round(col("sf1").cast(DoubleType) / col("n_pairs"), 6)
+            .as("macro_f1"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH pr AS (
+        SELECT a.doc_id AS a_id, a.lang,
+          string_split(a.text, ' ') AS ta, string_split(b.text, ' ') AS tb
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        WHERE a.doc_id % 2 = 0
+      ), ca AS (
+        SELECT a_id, tok, COUNT(*) AS c_cnt FROM (
+          SELECT a_id, unnest(ta) AS tok FROM pr) GROUP BY 1, 2
+      ), cb AS (
+        SELECT a_id, tok, COUNT(*) AS r_cnt FROM (
+          SELECT a_id, unnest(tb) AS tok FROM pr) GROUP BY 1, 2
+      ), ov AS (
+        SELECT ca.a_id, CAST(SUM(LEAST(ca.c_cnt, cb.r_cnt)) AS BIGINT) AS ov
+        FROM ca JOIN cb ON ca.a_id = cb.a_id AND ca.tok = cb.tok
+        GROUP BY ca.a_id
+      ), pp AS (
+        SELECT pr.lang,
+          ROUND(CASE WHEN coalesce(ov.ov, 0) > 0
+            THEN 2.0 * (CAST(ov.ov AS DOUBLE) / len(pr.ta))
+                     * (CAST(ov.ov AS DOUBLE) / len(pr.tb))
+                 / ((CAST(ov.ov AS DOUBLE) / len(pr.ta))
+                     + (CAST(ov.ov AS DOUBLE) / len(pr.tb)))
+            ELSE 0.0 END, 6) AS f1
+        FROM pr LEFT JOIN ov ON ov.a_id = pr.a_id
+      )
+      SELECT lang, COUNT(*) AS n_pairs,
+        ROUND(CAST(SUM(CAST(f1 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+          AS macro_f1
+      FROM pp GROUP BY lang ORDER BY lang
+    """.stripMargin.trim))
+
   /** TER (no-shift) — Snover et al. 2006's translation edit rate in
     * its shift-free form (= word error rate): the EDIT-DISTANCE member
     * completing the MT-eval family (llm_eval_bleu = n-gram precision,
@@ -7622,7 +7713,7 @@ object LlmOps {
     llmReadability, llmQualityGopher, llmBoilerplateStrip,
     llmZipfFit, llmKeywordTextrank, llmEmbedPca, llmEmbedWhiten,
     llmWatermarkDetect, llmNucleusCutoff, llmRougeL, llmEvalPassAtK, llmEvalChrf,
-    llmEvalTer,
+    llmEvalTer, llmEvalF1Overlap,
     llmNgramDiversity,
     llmHardNegatives, llmRetrievalMrr, llmDatasetCard, llmBm25Retrieval,
     llmEmbeddingDrift,
