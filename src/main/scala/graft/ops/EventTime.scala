@@ -1989,6 +1989,95 @@ object EventTime {
     * only pass over raw events — then a 5×2 self-join on the tiny
     * summary. Nothing else shuffles.
     */
+  /** CONDITIONAL ENTROPY RATE of the event-type chain — the
+    * sequence-PREDICTABILITY metric over the same transition counts
+    * events_transitions/markov_stationary render: per from-state,
+    * H(next | from = i) = −Σ_j p_{j|i} ln p_{j|i} (how surprising the
+    * next event is given the current one — bot traffic reads low, an
+    * engaged human reads high), plus the '~TOTAL' row carrying the
+    * empirical conditional entropy rate H(X_t|X_{t−1}) =
+    * −Σ_{ij} (n_ij/N)·ln(n_ij/n_i) — the first-order compressibility
+    * bound on the event stream. All inputs are EXACT transition
+    * counts; each cell's term is ONE double expression rounded at
+    * 8 dp into an exact DECIMAL sum over ≤ |types|² cells (the chisq
+    * treatment); the TOTAL is its own round-8 fold, never a sum of
+    * rounded per-state entropies. '~' sorts after [a-z] in both
+    * engines' binary collations (the chisq convention). Verified
+    * against an independent Python computation.
+    *
+    * Scale shape: one lag window pass → a |types|²-cell aggregate;
+    * everything after runs on ≤ 25 rows.
+    */
+  val eventsEntropyRate: Op = Op(
+    "events_entropy_rate",
+    (s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val cells = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("f", lag("event_type", 1).over(byUser))
+        .filter(col("f").isNotNull)
+        .groupBy(col("f"), col("event_type").as("t"))
+        .agg(count(lit(1)).as("nij"))
+        .localCheckpoint(true) // consumed by per-state AND total folds
+      val withNi = cells
+        .join(cells.groupBy(col("f").as("f2")).agg(sum("nij").as("ni")),
+          col("f") === col("f2"))
+      val perState = withNi
+        .withColumn("term", round(
+          (col("nij").cast(DoubleType) / col("ni")) *
+            log(col("nij").cast(DoubleType) / col("ni")), 8)
+          .cast(DecimalType(28, 8)))
+        .groupBy("f")
+        .agg(sum("term").as("st"))
+      val stateRows = cells.groupBy("f").agg(sum("nij").as("n"))
+        .join(perState.select(col("f").as("f3"), col("st")),
+          col("f") === col("f3"))
+        .select(col("f").as("from_type"), col("n"),
+          round(-col("st").cast(DoubleType), 6).as("h"))
+      val totals = withNi
+        .crossJoin(broadcast(cells.agg(sum("nij").as("nn"))))
+        .withColumn("term", round(
+          (col("nij").cast(DoubleType) / col("nn")) *
+            log(col("nij").cast(DoubleType) / col("ni")), 8)
+          .cast(DecimalType(28, 8)))
+        .agg(sum(col("nij")).as("n"), sum("term").as("st"))
+        .select(lit("~TOTAL").as("from_type"), col("n"),
+          round(-col("st").cast(DoubleType), 6).as("h"))
+      stateRows.unionByName(totals).orderBy("from_type")
+    },
+    Some("""
+      WITH t AS (
+        SELECT user_id, event_type,
+          lag(event_type) OVER (PARTITION BY user_id
+            ORDER BY epoch_us(ts), event_id) AS f
+        FROM events
+      ), cells AS (
+        SELECT f, event_type AS tt, COUNT(*) AS nij
+        FROM t WHERE f IS NOT NULL GROUP BY 1, 2
+      ), ni AS (
+        SELECT f, CAST(SUM(nij) AS BIGINT) AS n FROM cells GROUP BY f
+      ), nn AS (
+        SELECT CAST(SUM(nij) AS BIGINT) AS n FROM cells
+      ), per_state AS (
+        SELECT c.f AS from_type, ni.n,
+          ROUND(-CAST(SUM(CAST(ROUND(
+            (CAST(c.nij AS DOUBLE) / ni.n) * ln(CAST(c.nij AS DOUBLE) / ni.n),
+            8) AS DECIMAL(28,8))) AS DOUBLE), 6) AS h
+        FROM cells c JOIN ni ON ni.f = c.f
+        GROUP BY c.f, ni.n
+      ), total AS (
+        SELECT '~TOTAL' AS from_type, nn.n,
+          ROUND(-CAST(SUM(CAST(ROUND(
+            (CAST(c.nij AS DOUBLE) / nn.n) * ln(CAST(c.nij AS DOUBLE) / ni.n),
+            8) AS DECIMAL(28,8))) AS DOUBLE), 6) AS h
+        FROM cells c JOIN ni ON ni.f = c.f, nn
+        GROUP BY nn.n
+      )
+      SELECT from_type, n, h FROM per_state
+      UNION ALL SELECT from_type, n, h FROM total
+      ORDER BY from_type
+    """.stripMargin.trim))
+
   /** ONE-WAY ANOVA — the OMNIBUS member of the A/B family (ttest/KS/
     * mann_whitney compare one pair; the F-test asks "does the value
     * distribution's MEAN differ across ALL event types at once", the
@@ -5418,7 +5507,7 @@ WITH hourly AS (
     eventsConcurrencyPeak, eventsInterarrivalStats,
     eventsEwma, eventsTypeOverlap, eventsForecastNaive, eventsForecastHolt,
     eventsChisqIndependence, eventsCusum, eventsChangepoint, eventsMannWhitney,
-    eventsKsTest,
+    eventsKsTest, eventsEntropyRate,
     eventsPowerAnalysis, eventsUserStreaks, eventsOutlierIqr,
     eventsMarkovStationary, eventsBotScore, eventsBotScoreScale,
     eventsFunnelLatency, eventsAutocorrelation, eventsPacf, eventsPeriodogram, eventsCohortRevenue,

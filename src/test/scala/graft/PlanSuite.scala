@@ -638,6 +638,9 @@ class PlanSuite extends AnyFunSuite {
       // 1-row broadcast min-class-quota crossJoin (in-plan-N); the
       // rank window partitions by lang
       "sample_balanced_class",
+      // 1-row broadcast grand-total crossJoin (in-plan-N); the folds
+      // run on the |types|²-cell frame
+      "events_entropy_rate",
       // 1-row broadcast type-count crossJoin seeding the uniform vector
       // (in-plan-N); the power iterations are |types|²-scale equi-joins
       "events_markov_stationary",
