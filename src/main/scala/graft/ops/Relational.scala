@@ -3298,6 +3298,61 @@ object Relational {
             ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
             LIMIT 100"""))
 
+  /** KEYSET PAGINATION — the scalable replacement for OFFSET paging
+    * (OFFSET n forces every page fetch to sort-and-skip n rows, so
+    * page depth costs grow linearly and page N+1 can double-serve rows
+    * under concurrent inserts; keyset pagination seeks WHERE
+    * (sort key) > (last seen key) LIMIT k — every page is a fresh
+    * top-k): three 100-row pages of orders by (o_orderdate,
+    * o_orderkey), each page a tuple-inequality filter + the SAME
+    * TakeOrderedAndProject plan limit_topk grades, the client-side
+    * cursor carried between fetches exactly as a paging client does
+    * (the 100-row page collect is the CLIENT's read, page-size-
+    * bounded by definition). ORACLE: the row_number/OFFSET formulation
+    * over the whole table — the hash match IS the keyset ≡ offset
+    * equivalence proof, which only holds if the seek predicate and
+    * tie-break are exactly right.
+    *
+    * Scale shape: every page fetch is filter-pushdown + per-partition
+    * local top-k (k·partitions rows move, never the table, never a
+    * skip-scan); with the table clustered on the sort key the seek
+    * prunes files too. The anti-pattern this replaces reads
+    * offset+k rows per page at any scale.
+    */
+  val limitKeysetPagination: Op = Op(
+    "limit_keyset_pagination",
+    (s, dir) => {
+      val base = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate"))
+      // cursor values held as the Row's raw objects — type-agnostic
+      // across fixture date encodings (DATE vs TIMESTAMP_NTZ)
+      var lastD: Any = null
+      var lastK = 0L
+      var pages: DataFrame = null
+      for (p <- 1 to 3) {
+        val seek =
+          if (p == 1) base
+          else base.filter(col("o_orderdate") > lit(lastD) ||
+            (col("o_orderdate") === lit(lastD) && col("o_orderkey") > lit(lastK)))
+        val page = seek.orderBy("o_orderdate", "o_orderkey").limit(100)
+        // the paging CLIENT's read: page-size-bounded by definition
+        val last = page.collect().last
+        lastD = last.get(1)
+        lastK = last.getLong(0)
+        val tagged = page.select(lit(p.toLong).as("page"),
+          col("o_orderkey"), col("o_orderdate"))
+        pages = if (pages == null) tagged else pages.unionByName(tagged)
+      }
+      pages.orderBy("page", "o_orderdate", "o_orderkey")
+    },
+    Some("""
+      SELECT CAST((rn - 1) // 100 + 1 AS BIGINT) AS page, o_orderkey, o_orderdate
+      FROM (SELECT o_orderkey, o_orderdate,
+              row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS rn
+            FROM orders)
+      WHERE rn <= 300
+      ORDER BY page, o_orderdate, o_orderkey
+    """.stripMargin.trim))
+
   // ---- §2.7 set ops -------------------------------------------------------
 
   private def custNations(s: SparkSession, dir: String): DataFrame =
@@ -6564,7 +6619,7 @@ object Relational {
     joinBloomRuntime, joinCboReorder, sinkClusteredPrune, pipelineIncremental,
     scanNestedPrune, validateQuarantine, validateKAnonymity,
     q14PromoRevenue, sinkZorderPrune, sinkHilbertPrune, q8MarketShare, sinkKvRoundtrip,
-    sortMultiNulls, limitTopk,
+    sortMultiNulls, limitTopk, limitKeysetPagination,
     setUnionAll, setUnionDistinct, setIntersect, setExcept,
     setIntersectAll, setExceptAll, setUnionByName, scanCsvPermissive,
     scanJsonPermissive, joinNullSafe, featureTargetEncode, featureScalePack,
