@@ -517,21 +517,31 @@ object LlmOps {
       // above it must not inherit the scan's single partition — this op
       // was the official-trend casualty that motivated the helper
       // (7.4 → 1.3 s warm; full rationale on spreadDocs)
+      // r21: the trigram Generate is the op's real cost and it fed BOTH
+      // the profile build and the scoring pass (two full ×300 explode +
+      // substring streams, plus a countDistinct expand in each). Dedup
+      // (doc, lang, tri) ONCE and checkpoint the ~3× smaller distinct
+      // set: both consumers become plain counts over it (per (doc,
+      // plang) the joined tris stay unique because profile rows are),
+      // so the corpus is exploded exactly once (guide §1.2: remove the
+      // duplicated pass before tuning anything else).
       val docTri = spreadDocs(s, dir)
         .filter(length(col("text")) >= 3)
         .select(col("doc_id"), col("lang"), col("text"),
           explode(expr("sequence(1, length(text) - 2)")).as("i"))
         .select(col("doc_id"), col("lang"),
           expr("substring(text, i, 3)").as("tri"))
+        .distinct()
+        .localCheckpoint(true)
       val profile = docTri.groupBy(col("lang").as("plang"), col("tri"))
-        .agg(countDistinct(col("doc_id")).as("df"))
+        .agg(count(lit(1)).as("df"))
         .withColumn("rk", row_number().over(
           Window.partitionBy("plang").orderBy(col("df").desc, col("tri"))))
         .filter(col("rk") <= 50)
         .select(col("plang"), col("tri"))
       val scores = docTri.join(broadcast(profile), "tri")
         .groupBy("doc_id", "lang", "plang")
-        .agg(countDistinct(col("tri")).as("score"))
+        .agg(count(lit(1)).as("score"))
       scores.withColumn("rn", row_number().over(
           Window.partitionBy("doc_id").orderBy(col("score").desc, col("plang"))))
         .filter(col("rn") === 1)
@@ -5902,19 +5912,32 @@ object LlmOps {
       val len = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
       val stats = len.agg(count(lit(1)).as("nd"),
         avg(col("dl").cast(DoubleType)).as("avgdl"))
+      // r21 (guide §2.3): idf is a TERM attribute and the length
+      // normalizer a DOC attribute — fold the 1-row stats into those
+      // dimension tables ONCE instead of cross-joining stats onto every
+      // candidate row and re-deriving log()/divisions per candidate.
+      // Each double expression keeps the oracle's exact association
+      // (idf first, then ·(tf·2.2), then /(tf + denom)), so the values
+      // are bit-identical; only WHERE they are computed moves. The
+      // candidate-side BroadcastNestedLoopJoin disappears from the plan.
       val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(stats))
+        .select(col("term"),
+          log(lit(1.0) + (col("nd") - col("df") + 0.5) / (col("df") + 0.5))
+            .as("idf"))
+      val lenN = len.crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          (lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+            .as("denom"))
       val q = tf.filter(col("doc_id") % 100 === 0)
         .select(col("doc_id").as("q_id"), col("term"))
       val scores = tf.join(q, "term")
         .filter(col("doc_id") =!= col("q_id"))
         .join(dft, "term")
-        .join(len, "doc_id")
-        .crossJoin(broadcast(stats))
+        .join(lenN, "doc_id")
         .select(col("q_id"), col("doc_id"),
-          (log(lit(1.0) + (col("nd") - col("df") + 0.5) / (col("df") + 0.5)) *
-            (col("tf") * 2.2) /
-            (col("tf") + lit(1.2) *
-              (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))).as("part"))
+          (col("idf") * (col("tf") * 2.2) /
+            (col("tf") + col("denom"))).as("part"))
         .groupBy("q_id", "doc_id")
         .agg(round(sum("part"), 6).as("bm25"))
       scores.withColumn("rn", row_number().over(

@@ -2676,20 +2676,32 @@ object Relational {
   /** GEO GRID JOIN — the 2-D spatial analog of `join_range_bucketed`:
     * "all point pairs within 60 km" is a θ-join on a transcendental
     * predicate (haversine), which no engine can hash — so the plane is
-    * CELLED at 1° (≥ the 60 km threshold at these latitudes: 111 km
-    * lat, ≥110 km lon under cos 6°), one side replicates to its 3×3
-    * neighbor cells, the join becomes EQUI on (cell_lat, cell_lon),
-    * and the exact haversine runs only on co-celled candidates. Cell
-    * coverage is provable here (threshold ≤ cell edge on both axes and
-    * the derived longitudes never wrap), so the grid result EQUALS the
-    * brute-force all-pairs join — and the ORACLE IS the brute-force
-    * SQL (the join_skew_salted treatment): the hash match is the
-    * completeness proof, not just a mechanism check. Each unordered
-    * pair survives exactly once (the plain side's cell is unique; the
-    * a<b filter picks one orientation). Coordinates are the
+    * CELLED at 0.55° (the tightest edge ≥ the 60 km threshold at these
+    * latitudes: 60/110.574 = 0.543° lat, 60/(111.320·cos 6°) = 0.542°
+    * lon), one side replicates to neighbor cells, the join becomes
+    * EQUI on (cell_lat, cell_lon), and the exact haversine runs only
+    * on co-celled candidates. Cell coverage is provable here
+    * (threshold ≤ cell edge on both axes and the derived longitudes
+    * never wrap), so the grid result EQUALS the brute-force all-pairs
+    * join — and the ORACLE IS the brute-force SQL (the
+    * join_skew_salted treatment): the hash match is the completeness
+    * proof, not just a mechanism check. Coordinates are the
     * fn_geo_pack key-derivation on a dense [0,6)×[0,10) patch.
     *
-    * Scale shape: candidates = |points| × 9 replicas equi-joined and
+    * Round-21 optimization (guide §2.3 "shuffle fewer bytes" / §3):
+    * the r20 form celled at 1° with 3×3 replication — candidates
+    * ∝ 9·cell_area = 9 deg². Two equivalence-preserving prunes:
+    * (1) cells shrink to the threshold-tight 0.55° (coverage proof
+    * unchanged — any ≤60 km pair differs by < 1 cell per axis), and
+    * (2) probes replicate only to the FIVE lexicographically-forward
+    * neighbors {(0,0),(+1,−1),(+1,0),(+1,+1),(0,+1)} instead of all
+    * nine — a cross-cell pair's orientation is decided ONCE by cell
+    * order (output re-oriented via least/greatest), same-cell pairs
+    * still orient on id. Candidates drop ×(9·1²)/(5·0.55²) ≈ 6;
+    * DevBench 4.2 → measured below; output proven hash-identical to
+    * the unchanged brute-force oracle.
+    *
+    * Scale shape: candidates = |points| × 5 replicas equi-joined and
     * hash-partitioned by cell — the shuffle rides cell occupancy,
     * never |points|²; this is exactly how a 100 TB geospatial join
     * (ST_DWithin at warehouse scale) is planned. PlanSuite-audited:
@@ -2698,18 +2710,24 @@ object Relational {
   val joinGeoGrid: Op = Op(
     "join_geo_grid",
     (s, dir) => {
+      val C = 0.55
       val pts = Tables.customer(s, dir)
         .select(col("c_custkey").as("id"),
           ((col("c_custkey") * 7919L % 600L) / 100.0).as("lat"),
           ((col("c_custkey") * 104729L % 1000L) / 100.0).as("lon"))
-        .withColumn("clat", floor(col("lat")).cast(IntegerType))
-        .withColumn("clon", floor(col("lon")).cast(IntegerType))
+        .withColumn("clat", floor(col("lat") / C).cast(IntegerType))
+        .withColumn("clon", floor(col("lon") / C).cast(IntegerType))
+      // forward half-neighborhood: (0,0) pairs same-cell (id-oriented);
+      // the other four offsets pair each cross-cell pair exactly once
+      // in the cell-lexicographic orientation
+      val offsets = typedLit(Seq((0, 0), (0, 1), (1, -1), (1, 0), (1, 1)))
       val probes = pts.select(col("id").as("a_id"), col("lat").as("a_lat"),
           col("lon").as("a_lon"), col("clat"), col("clon"))
-        .withColumn("d", explode(lit((-1 to 1).toArray)))
-        .withColumn("e", explode(lit((-1 to 1).toArray)))
+        .withColumn("o", explode(offsets))
         .select(col("a_id"), col("a_lat"), col("a_lon"),
-          (col("clat") + col("d")).as("clat"), (col("clon") + col("e")).as("clon"))
+          (col("clat") + col("o._1")).as("clat"),
+          (col("clon") + col("o._2")).as("clon"),
+          (col("o._1") === 0 && col("o._2") === 0).as("home"))
       val dist = asin(sqrt(
         sin(radians(col("lat") - col("a_lat")) / 2) *
           sin(radians(col("lat") - col("a_lat")) / 2) +
@@ -2717,17 +2735,20 @@ object Relational {
             sin(radians(col("lon") - col("a_lon")) / 2) *
             sin(radians(col("lon") - col("a_lon")) / 2))) * (2 * 6371.0088)
       probes.join(pts, Seq("clat", "clon"))
-        .filter(col("a_id") < col("id"))
+        // same-cell candidates orient on id; cross-cell pairs already
+        // appear exactly once (forward-offset replication)
+        .filter(!col("home") || col("a_id") < col("id"))
         // bounding-box prefilter — a strict SUPERSET of the 60 km disc
         // (60/110.574 = 0.543° lat; 60/(111.320·cos 6°) = 0.542° lon;
         // 0.55 covers both), so it can only discard non-matches: two
-        // cheap compares kill ~90% of candidates before the 6-trig
+        // cheap compares kill most candidates before the 6-trig
         // haversine runs
         .filter(abs(col("lat") - col("a_lat")) <= 0.55 &&
           abs(col("lon") - col("a_lon")) <= 0.55)
         .withColumn("dist_km", round(dist, 6))
         .filter(col("dist_km") <= 60.0)
-        .select(col("a_id"), col("id").as("b_id"), col("dist_km"))
+        .select(least(col("a_id"), col("id")).as("a_id"),
+          greatest(col("a_id"), col("id")).as("b_id"), col("dist_km"))
         .orderBy("a_id", "b_id")
     },
     Some("""
@@ -5958,27 +5979,44 @@ object Relational {
     * top-20 sorts on the ROUNDED lift with (b1, b2) tie pins so both
     * engines cut the same prefix. Part rides in broadcast (brand is
     * a dim attribute); bc/tot are broadcast summaries.
+    *
+    * Round-21 optimization (guide §2.4 "remove shuffles outright"):
+    * the r20 form shuffled the (ok, brand) basket table three times —
+    * once for the distinct, twice more to co-key the self-join — and
+    * materialized ~1M joined pair rows through an exchange. Baskets
+    * are BOUNDED (≤|brands| per order), so one groupBy(ok) →
+    * collect_set aggregates each basket into a sorted array and the
+    * ordered pairs are generated ROW-LOCALLY (i<j over the sorted
+    * set ≡ brand<brand over the distinct self-join — same pair set by
+    * construction); brand counts and the order total read the same
+    * checkpointed 150k-row basket frame. One wide shuffle total
+    * (lineitem by ok); the pair/brand aggregates ride map-side
+    * partials into tiny exchanges. Oracle (unchanged, the self-join
+    * SQL) proves the rewrite by hash.
     */
   val basketBrandPairs: Op = Op(
     "basket_brand_pairs",
     (s, dir) => {
-      val b = Tables.lineitem(s, dir)
+      val baskets = Tables.lineitem(s, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey"))
         .join(broadcast(Tables.part(s, dir)
           .select(col("p_partkey"), col("p_brand"))),
           col("l_partkey") === col("p_partkey"))
-        .select(col("ok"), col("p_brand").as("brand")).distinct()
-        // the basket table is consumed FOUR times (both self-join
-        // sides, brand counts, order total): materialize it once or
-        // Catalyst re-scans lineitem per reference
+        .groupBy(col("ok"))
+        .agg(sort_array(collect_set(col("p_brand"))).as("brands"))
+        // consumed THREE times (pair explode, brand counts, order
+        // total): materialize once or Catalyst re-scans lineitem
         .localCheckpoint(true)
-      val pc = b.as("a")
-        .join(b.as("c"), col("a.ok") === col("c.ok") &&
-          col("a.brand") < col("c.brand"))
-        .groupBy(col("a.brand").as("b1"), col("c.brand").as("b2"))
+      val pc = baskets
+        .select(explode(expr(
+          """flatten(transform(brands, (x, i) ->
+            |  transform(slice(brands, i + 2, size(brands)),
+            |            y -> struct(x AS b1, y AS b2))))""".stripMargin)).as("p"))
+        .groupBy(col("p.b1").as("b1"), col("p.b2").as("b2"))
         .agg(count(lit(1)).as("n_both"))
-      val bc = b.groupBy("brand").agg(count(lit(1)).as("n"))
-      val tot = b.agg(countDistinct(col("ok")).as("n_orders"))
+      val bc = baskets.select(explode(col("brands")).as("brand"))
+        .groupBy("brand").agg(count(lit(1)).as("n"))
+      val tot = baskets.agg(count(lit(1)).as("n_orders"))
       pc.join(broadcast(bc.select(col("brand").as("b1"), col("n").as("n1"))), "b1")
         .join(broadcast(bc.select(col("brand").as("b2"), col("n").as("n2"))), "b2")
         .crossJoin(broadcast(tot))
