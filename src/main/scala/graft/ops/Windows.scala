@@ -726,12 +726,18 @@ WITH rfm AS (
         .withColumn("lcumw", sum("w").over(wLoc))
         .join(broadcast(offsets), Seq("pid", "l_returnflag"))
         .filter((col("lcumw") + col("off")) * 2 >= col("total_w"))
+        // r22: this was min(struct(price, orderkey, linenumber)) — a
+        // struct-typed aggregation buffer forces SortAggregate (the
+        // before-plan's 4 SortAggregate ladders). Only the struct's
+        // FIRST component was ever read, and the first component of a
+        // lexicographic struct-min IS min(first component), so a plain
+        // decimal min is value-identical and hash-aggregable: the
+        // after-plan runs HashAggregate with no per-partition re-sort.
         .groupBy("l_returnflag")
-        .agg(min(struct(col("price"), col("l_orderkey"), col("l_linenumber")))
-            .as("first_q"),
+        .agg(min(col("price")).as("first_price"),
           max("total_w").as("total_w"))
         .select(col("l_returnflag"),
-          col("first_q.price").cast(DoubleType).as("wmedian"), col("total_w"))
+          col("first_price").cast(DoubleType).as("wmedian"), col("total_w"))
         .orderBy("l_returnflag")
     },
     winWeightedMedian.oracle)
