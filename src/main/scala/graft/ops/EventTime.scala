@@ -5129,10 +5129,14 @@ WITH hourly AS (
   val eventsWaveletHaar: Op = Op(
     "events_wavelet_haar",
     (s, dir) => {
+      // r22 (guide §1.2): hourly feeds bounds, the grid AND the type
+      // spine — materialize the ~3.6k-row series once instead of
+      // re-running the corpus aggregate per consumer
       val hourly = Tables.events(s, dir)
         .groupBy(col("event_type"),
           date_trunc("hour", col("ts")).as("h"))
         .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
       val bounds = hourly.agg(min("h").as("h0"))
       val grid = hourly.crossJoin(broadcast(bounds))
         .select(col("event_type"),
@@ -5146,6 +5150,13 @@ WITH hourly AS (
       var level = spine.join(grid, Seq("event_type", "idx"), "left")
         .select(col("event_type"), col("idx"),
           coalesce(col("n"), lit(0L)).as("v"))
+      // r22: a per-level localCheckpoint was tried here (each level
+      // feeds both its stats row and the next level, so the lazy plan
+      // replays the sub-pyramid per stats branch — 126 Exchanges) and
+      // REVERTED: 1.19 → 2.03 s warm. The replayed levels are
+      // metadata-sized aggregates that all run inside ONE job, while 10
+      // eager checkpoints are 10 blocking jobs of fixed overhead. Only
+      // the corpus-scale hourly frame is materialized (above).
       val stats = (1 to 10).map { lv =>
         val next = level.groupBy(col("event_type"),
             expr("idx div 2").as("idx"))
@@ -5301,12 +5312,16 @@ WITH hourly AS (
   val eventsTheilSen: Op = Op(
     "events_theil_sen",
     (s, dir) => {
+      // r22: consumed by BOTH self-join sides and the closed-form pair
+      // count below — materialize the ~3.6k-row series once instead of
+      // re-running the corpus aggregate per consumer (guide §1.2)
       val hourly = Tables.events(s, dir)
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
         .agg(count(lit(1)).as("n"))
         .select(col("event_type"),
           (unix_micros(col("h")) / lit(3600000000L)).cast(LongType)
             .as("x"), col("n").cast(DoubleType).as("y"))
+        .localCheckpoint(true)
       val a = hourly.select(col("event_type"), col("x").as("xi"),
         col("y").as("yi"))
       val b = hourly.select(col("event_type"), col("x").as("xj"),
@@ -5314,11 +5329,20 @@ WITH hourly AS (
       val pairs = a.join(b, Seq("event_type")).filter(col("xj") > col("xi"))
         .select(col("event_type"), col("xi"), col("xj"),
           ((col("yj") - col("yi")) / (col("xj") - col("xi"))).as("slope"))
+      // r22 (guide §1.2): n_pairs has the closed form C(m, 2) over the
+      // per-type series length m — the old count() window was a SECOND
+      // full Window pass over the ~1.3M-row pair set computing a number
+      // already determined by the ~720-row hourly frame. (xj > xi pairs
+      // of m distinct hours = m·(m−1)/2 exactly; m·(m−1) is even, so
+      // integer div is exact.)
+      val cnt = hourly.groupBy("event_type")
+        .agg(count(lit(1)).as("m"))
+        .select(col("event_type"), expr("m * (m - 1) div 2").as("n_pairs"))
       val w = Window.partitionBy("event_type")
       pairs
+        .join(broadcast(cnt), "event_type")
         .withColumn("rn", row_number().over(
           w.orderBy(col("slope"), col("xi"), col("xj"))))
-        .withColumn("n_pairs", count(lit(1)).over(w))
         .filter(col("rn") === expr("(n_pairs + 1) div 2"))
         .select(col("event_type"), col("n_pairs"),
           col("slope").as("theil_sen_slope"))

@@ -1388,8 +1388,17 @@ object LlmOps {
       val peerMin = edges
         .join(lbl.select(col("id").as("dst"), col("lbl").as("plbl")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("plbl")).as("pmin"))
+      // r22 (guide §1.2/§3.3 plan truncation): each round consumes the
+      // prior labels TWICE (the peer-min build and the join), so
+      // without a per-round materialization the lineage doubled every
+      // round — the before-plans of the two consumers carried ~48
+      // Exchanges / 29 SortMergeJoins of replayed sub-rounds. The label
+      // frame is pair-set-bounded (one row per clustered id), so the
+      // checkpoint is tiny and each round now computes exactly once —
+      // the same flat-loop discipline starRound already applies.
       lbl = lbl.join(peerMin, "id")
         .select(col("id"), least(col("lbl"), col("pmin")).as("lbl"))
+        .localCheckpoint(true)
     }
     lbl
   }
