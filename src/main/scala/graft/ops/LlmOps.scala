@@ -4169,7 +4169,11 @@ object LlmOps {
   val llmDedupBloom: Op = Op(
     "llm_dedup_bloom",
     (s, dir) => {
-      val flagged = dedupBloomFlagged(s, dir)
+      // r22 (guide §1.2): consumed by keepIds AND the final join — the
+      // before-plan ran the whole bloom pipeline twice (23 Exchanges).
+      // The flagged frame is batch-sized, so materializing it once
+      // halves the plan.
+      val flagged = dedupBloomFlagged(s, dir).localCheckpoint(true)
       val keepIds = flagged.filter(col("dup_of_ref") === 0L)
         .groupBy("fp").agg(min("doc_id").as("keep_id"))
       flagged.join(keepIds, Seq("fp"), "left")
@@ -4192,8 +4196,12 @@ object LlmOps {
     * true duplicate. */
   private[graft] def dedupBloomFlagged(
       s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    // r22 (guide §1.2): the per-row sha256 fingerprint pass fed three
+    // consumers (the bloom build, the exact-join reference set, and the
+    // probed batch) — materialize the fingerprinted corpus once
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), normFp.as("fp"))
+      .localCheckpoint(true)
     val isNew = regexp_extract(col("source"), "src1[5-9]", 0) =!= ""
     val refFps = docs.filter(!isNew).select("fp").distinct()
     // one-row bloom: word index -> bit_or of member bits (a map is the

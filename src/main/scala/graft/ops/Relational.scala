@@ -1031,13 +1031,22 @@ object Relational {
       val asOf = foldLatest(
         log.join(broadcast(versions), col("seq") <= col("version")),
         "version", "o_orderkey")
+      // r22: min/max over the STRING status column carry a var-length
+      // aggregation buffer, which forces the whole multi-distinct
+      // Expand ladder (~2M rows here) through SortAggregate — four
+      // sort+aggregate passes in the before-plan. status is single-char
+      // by construction (o_orderstatus is CHAR(1); the planted inserts
+      // use 'N'), so min/max on ascii(status) — a fixed-width int
+      // buffer — is value-identical after char(): the after-plan runs
+      // the ladder as HashAggregate with no re-sorts.
       asOf.groupBy("version").agg(
           count(lit(1)).as("n_rows"),
           sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("k_nulls"),
           min("o_orderkey").as("k_min"), max("o_orderkey").as("k_max"),
           count_distinct(col("o_orderkey")).as("k_ndv"),
           sum(when(col("status").isNull, 1L).otherwise(0L)).as("s_nulls"),
-          min("status").as("s_min"), max("status").as("s_max"),
+          min(ascii(col("status"))).as("s_min_a"),
+          max(ascii(col("status"))).as("s_max_a"),
           count_distinct(col("status")).as("s_ndv"),
           sum(when(col("price").isNull, 1L).otherwise(0L)).as("p_nulls"),
           min(dec2(col("price"))).cast(DoubleType).as("p_min"),
@@ -1061,7 +1070,8 @@ object Relational {
             col("s_nulls").as("n_nulls"),
             lit(null).cast(DoubleType).as("min_num"),
             lit(null).cast(DoubleType).as("max_num"),
-            col("s_min").as("min_str"), col("s_max").as("max_str"),
+            expr("char(s_min_a)").as("min_str"),
+            expr("char(s_max_a)").as("max_str"),
             col("s_ndv").as("ndv")))).as("c"))
         .select(col("version"), col("c.col_name"), col("n_rows"),
           col("c.n_nulls"), col("c.min_num"), col("c.max_num"),
