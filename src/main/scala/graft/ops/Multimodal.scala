@@ -180,6 +180,13 @@ object Multimodal {
         (col("n_chars") % 640).cast(IntegerType).as("width"),
         (col("n_chars") % 480).cast(IntegerType).as("height"),
         encode(col("text"), "UTF-8").as("textbytes"))
+      // r22: an explicit-count spread before the codec chain (the
+      // scan-starvation treatment) was tried here and REVERTED — the
+      // fixture payloads are tiny (≤8×6-pixel PNGs / ≤250-sample WAVs),
+      // so the added exchange cost more than the serial codec work it
+      // parallelized (keyframes 0.51 → 0.75 s, resample 0.75 → 1.09 s
+      // warm). At real image sizes the spread wins (llm_multimodal_dedup
+      // keeps its explicit repartition for exactly that reason).
       .mapPartitions { batch =>
         batch.map { r =>
           val id = r.getAs[Long]("media_id")
