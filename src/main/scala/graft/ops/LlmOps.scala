@@ -3245,7 +3245,11 @@ object LlmOps {
       // the inverted-list layout: codes tagged with their IVF cell
       // (production stores codes cell-partitioned; the tag join is the
       // fixture stand-in), then ONLY probed cells' codes ADC-score
-      val adc = codes.join(cellOf, "vec_id")
+      // r22 (guide §3.1): the codes ⋈ cellOf equi-join defaulted to
+      // SortMergeJoin (derived sides, no stats) — a shuffled-hash join
+      // skips both sorts; the build side is per-partition cell-tag rows
+      // (corpus/partitions-bounded at any scale)
+      val adc = codes.join(cellOf.hint("SHUFFLE_HASH"), "vec_id")
         .join(broadcast(probeCells), "cell")
         .filter(col("vec_id") =!= col("p_id"))
         .join(broadcast(lut), Seq("p_id", "j", "code"))
@@ -5528,7 +5532,11 @@ object LlmOps {
         .select(col("p_id"), col("j"), col("cell").as("code"),
           round(sqdist(col("psub"), col("csub")), 8)
             .cast(DecimalType(20, 8)).as("pd"))
-      val adc = codes.join(cellOf, "vec_id")
+      // r22 (guide §3.1): the codes ⋈ cellOf equi-join defaulted to
+      // SortMergeJoin (derived sides, no stats) — a shuffled-hash join
+      // skips both sorts; the build side is per-partition cell-tag rows
+      // (corpus/partitions-bounded at any scale)
+      val adc = codes.join(cellOf.hint("SHUFFLE_HASH"), "vec_id")
         .join(broadcast(probeCells), "cell")
         .filter(col("vec_id") =!= col("p_id"))
         .join(broadcast(lut), Seq("p_id", "j", "code"))
